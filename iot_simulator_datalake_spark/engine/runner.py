@@ -1,0 +1,138 @@
+"""Engine: materializes the model DAG and runs data-quality checks.
+
+Equivalent of ``dbt run`` + ``dbt test`` (reference:
+resources/jobs.yml:30-33 runs exactly those two commands), minus the
+Databricks control plane: builders produce lazy DataFrames, Catalyst/AQE
+do all optimization (SURVEY §4 — zero custom optimizer rules needed).
+
+Materializations (dbt_project.yml:11-19):
+
+- ``view``            → temp view + in-memory handle (no write)
+- ``table``           → parquet overwrite into the warehouse dir, read
+                        back (so downstream reads scan columnar storage
+                        with pushdown, like a real table)
+- ``streaming_table`` → Structured Streaming triggered (availableNow)
+                        run with a checkpoint dir → exactly-once
+                        incremental append (⇔ DLT streaming table,
+                        bronze_iot_events.sql:2,8-9); see
+                        streaming/runner.py
+
+Independent models materialize concurrently (thread pool over DAG waves
+⇔ dbt ``threads: 8``, profiles.yml:14).  Spark's scheduler interleaves
+their jobs.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import TYPE_CHECKING, Any
+
+from .checks import Check, CheckResult
+from .model import Model, ModelContext, Registry
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class RunResult:
+    materialized: list[str] = field(default_factory=list)
+    seconds: dict[str, float] = field(default_factory=dict)
+
+
+class Engine:
+    """Holds the session, config vars, registry, checks, and the
+    materialized-relation namespace."""
+
+    def __init__(self, spark: "SparkSession", registry: Registry,
+                 config: dict[str, Any] | None = None,
+                 warehouse: str | Path = "/tmp/iot_lake_warehouse",
+                 threads: int = 8):
+        self.spark = spark
+        self.registry = registry
+        self.config = dict(config or {})
+        self.warehouse = Path(warehouse)
+        self.threads = threads  # ⇔ profiles.yml:14
+        self._relations: dict[str, "DataFrame"] = {}
+        self.checks: list[Check] = []
+
+    # -- namespace ---------------------------------------------------------
+
+    def table(self, qualified_name: str) -> "DataFrame":
+        """Resolve a materialized relation (``layer.name``)."""
+        if qualified_name not in self._relations:
+            raise KeyError(f"relation {qualified_name} not materialized yet "
+                           f"(have: {sorted(self._relations)})")
+        return self._relations[qualified_name]
+
+    def register(self, qualified_name: str, df: "DataFrame") -> None:
+        """Expose a DataFrame under a qualified name + a temp view
+        (dots → ``__`` since Spark temp views are single-level)."""
+        self._relations[qualified_name] = df
+        df.createOrReplaceTempView(qualified_name.replace(".", "__"))
+
+    def table_path(self, m: Model) -> Path:
+        return self.warehouse / (m.schema or m.layer) / m.name
+
+    # -- materialization ---------------------------------------------------
+
+    def _materialize(self, m: Model) -> None:
+        ctx = ModelContext(self.spark, self, m)
+        if m.materialization == "streaming_table":
+            # Builders of streaming tables return a *streaming* DataFrame;
+            # the streaming runner drains it exactly-once into the table
+            # path and hands back a batch DataFrame over the result.
+            from ..streaming.runner import materialize_streaming_table
+            df = materialize_streaming_table(
+                spark=self.spark, stream_df=m.builder(ctx),
+                path=self.table_path(m),
+                checkpoint=self.warehouse / "_checkpoints" / m.qualified_name,
+                partition_by=m.partition_by)
+        else:
+            df = m.builder(ctx)
+            if m.materialization == "table":
+                path = self.table_path(m)
+                writer = df.write.mode("overwrite")
+                if m.partition_by:
+                    writer = writer.partitionBy(*m.partition_by)
+                writer.parquet(str(path))
+                df = self.spark.read.parquet(str(path))
+        self.register(m.qualified_name, df)
+
+    def run(self, select: list[str] | None = None) -> RunResult:
+        """Materialize the DAG in dependency order, wave-parallel."""
+        result = RunResult()
+        for wave in self.registry.levels(select):
+            def one(m: Model) -> tuple[str, float]:
+                t0 = time.monotonic()
+                self._materialize(m)
+                return m.qualified_name, time.monotonic() - t0
+            if len(wave) == 1:
+                outs = [one(wave[0])]
+            else:
+                with ThreadPoolExecutor(max_workers=self.threads) as pool:
+                    outs = list(pool.map(one, wave))
+            for qn, dt in outs:
+                result.materialized.append(qn)
+                result.seconds[qn] = dt
+        return result
+
+    # -- checks ------------------------------------------------------------
+
+    def add_check(self, check: Check) -> Check:
+        self.checks.append(check)
+        return check
+
+    def test(self, max_sample: int = 5) -> list[CheckResult]:
+        """Run every registered check; pass ⇔ violation query returns 0
+        rows (the reference's universal criterion, SURVEY §5.1)."""
+        return [c.run(self, max_sample=max_sample) for c in self.checks]
+
+    # -- cleanup -----------------------------------------------------------
+
+    def drop_warehouse(self) -> None:
+        shutil.rmtree(self.warehouse, ignore_errors=True)

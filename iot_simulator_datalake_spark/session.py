@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference delegates session/cluster config to Databricks
+(``resources/jobs.yml:7-19`` — single node, ``spark.master: local[*]``).
+Here the equivalent knobs live in one place.  Tests and bench share one
+session; the driver may pass its own session, in which case
+:func:`tune_session` applies the runtime-settable subset (timezone,
+AQE, shuffle partitions) without restarting the JVM.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to ANY session we are handed (driver's
+#: included).  Session timezone is pinned to UTC so timestamp-derived
+#: columns (year/month/hour buckets) agree bit-for-bit with the DuckDB
+#: oracle, whose timestamps are UTC-naive.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events table stores ts as parquet TIMESTAMP(NANOS),
+    # which Spark rejects by default; read as long and convert in
+    # queries.load (DuckDB converts ns→µs the same way: truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    """Shuffle-partition count: ≈ cores locally; a real cluster deployment
+    would size this to 2-3× total executor cores (and lean on AQE
+    coalescing), so we read the env the driver sets."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable at runtime on this build — fine
+    return spark
+
+
+def get_spark(app_name: str = "iot_simulator_datalake_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the shared local session.
+
+    local[N] = one JVM, N executor threads; ``spark.driver.memory`` is the
+    only memory knob in local mode.  On a real cluster the same code runs
+    unchanged — only master/memory/shuffle-partition settings move to
+    spark-submit.
+    """
+    n = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune_session(spark)

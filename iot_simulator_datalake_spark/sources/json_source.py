@@ -1,0 +1,86 @@
+"""JSON landing-directory source — the OSS Auto Loader substitute.
+
+The reference ingests with Databricks Auto Loader: ``SELECT * FROM
+STREAM read_files(path, format => 'json')`` with inferred schema
+(bronze_iot_events.sql:10-15; schema inference + evolution per
+README_DBT.md:96-97).  OSS Structured Streaming requires an explicit
+schema for streaming JSON, so we use the standard substitute
+(SURVEY §1.2): infer once from a bounded batch sample, persist the
+schema JSON next to the checkpoint, and feed it to ``readStream``.
+Re-runs reuse the persisted schema (stable contract); an explicit
+``evolve=True`` re-infers and unions the schemas (ST6 schema-evolution
+support, README_DBT.md:97).
+
+Scale note: inference samples at most ``sample_files`` files — never a
+full scan of a 100 TB landing volume.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def infer_and_persist_schema(spark: "SparkSession", path: str | Path,
+                             schema_store: str | Path,
+                             sample_files: int = 64,
+                             evolve: bool = False) -> T.StructType:
+    """Infer the JSON schema from a bounded sample and persist it.
+
+    ``schema_store`` is a file path; if it exists the stored schema is
+    returned (unless ``evolve``, which merges stored + freshly-inferred
+    fields — new fields append, conflicting types widen to string).
+    """
+    store = Path(schema_store)
+    stored: T.StructType | None = None
+    if store.exists():
+        stored = T.StructType.fromJson(json.loads(store.read_text()))
+        if not evolve:
+            return stored
+
+    files = sorted(str(p) for p in Path(path).glob("**/*.json"))[:sample_files]
+    sample = files if files else str(path)
+    inferred = spark.read.json(sample).schema
+
+    if stored is not None:
+        merged = list(stored.fields)
+        names = {f.name for f in merged}
+        for f in inferred.fields:
+            if f.name not in names:
+                merged.append(f)
+            else:
+                old = next(x for x in merged if x.name == f.name)
+                if old.dataType != f.dataType:
+                    # type conflict → widen to string (lossless for JSON)
+                    merged[merged.index(old)] = T.StructField(
+                        f.name, T.StringType(), True)
+        inferred = T.StructType(merged)
+
+    store.parent.mkdir(parents=True, exist_ok=True)
+    store.write_text(json.dumps(inferred.jsonValue()))
+    return inferred
+
+
+def read_json_batch(spark: "SparkSession", path: str | Path) -> "DataFrame":
+    """S2 — full batch read of a landing path (degenerate of S1)."""
+    return spark.read.json(str(path))
+
+
+def read_json_stream(spark: "SparkSession", path: str | Path,
+                     schema_store: str | Path,
+                     max_files_per_trigger: int | None = None,
+                     evolve: bool = False) -> "DataFrame":
+    """S1 — incremental exactly-once JSON file stream (schema inferred
+    once then fixed).  Pair with a checkpointed sink
+    (streaming/runner.py) for the full Auto-Loader-equivalent path."""
+    schema = infer_and_persist_schema(spark, path, schema_store, evolve=evolve)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(str(path))

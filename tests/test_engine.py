@@ -1,0 +1,110 @@
+"""Engine framework unit tests: registry, DAG, materializations, config."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.engine import Engine, Registry, model
+
+
+def make_registry():
+    r = Registry()
+
+    @model(r, name="base", layer="bronze")
+    def base(ctx):
+        return ctx.spark.range(10).withColumn("v", F.col("id") * 2)
+
+    @model(r, name="mid", layer="silver", depends_on=("bronze.base",),
+           materialization="table")
+    def mid(ctx):
+        return ctx.ref("bronze.base").filter(F.col("id") >= 5)
+
+    @model(r, name="left", layer="gold", depends_on=("silver.mid",))
+    def left(ctx):
+        return ctx.ref("silver.mid").select(F.sum("v").alias("s"))
+
+    @model(r, name="right", layer="gold", depends_on=("silver.mid",))
+    def right(ctx):
+        return ctx.ref("silver.mid").select(F.count("v").alias("n"))
+
+    return r
+
+
+def test_toposort_orders_dependencies():
+    r = make_registry()
+    order = [m.qualified_name for m in r.toposort()]
+    assert order.index("bronze.base") < order.index("silver.mid")
+    assert order.index("silver.mid") < order.index("gold.left")
+    assert order.index("silver.mid") < order.index("gold.right")
+
+
+def test_levels_group_independent_models():
+    r = make_registry()
+    waves = [[m.qualified_name for m in wave] for wave in r.levels()]
+    assert waves[0] == ["bronze.base"]
+    assert waves[1] == ["silver.mid"]
+    assert sorted(waves[2]) == ["gold.left", "gold.right"]
+
+
+def test_select_limits_to_upstream_closure():
+    r = make_registry()
+    names = [m.qualified_name for m in r.toposort(select=["gold.left"])]
+    assert names == ["bronze.base", "silver.mid", "gold.left"]
+
+
+def test_cycle_detection():
+    r = Registry()
+
+    @model(r, name="a", layer="x", depends_on=("x.b",))
+    def a(ctx):
+        return None
+
+    @model(r, name="b", layer="x", depends_on=("x.a",))
+    def b(ctx):
+        return None
+
+    with pytest.raises(Exception):
+        r.toposort()
+
+
+def test_undeclared_ref_rejected(spark, tmp_path):
+    r = Registry()
+
+    @model(r, name="src", layer="bronze")
+    def src(ctx):
+        return ctx.spark.range(3)
+
+    @model(r, name="bad", layer="silver", depends_on=())
+    def bad(ctx):
+        return ctx.ref("bronze.src")  # not in depends_on → error
+
+    eng = Engine(spark, r, warehouse=tmp_path / "wh")
+    with pytest.raises(KeyError, match="not declared"):
+        eng.run()
+
+
+def test_run_materializes_and_registers(spark, tmp_path):
+    r = make_registry()
+    eng = Engine(spark, r, warehouse=tmp_path / "wh")
+    result = eng.run()
+    assert set(result.materialized) == {
+        "bronze.base", "silver.mid", "gold.left", "gold.right"}
+    # table materialization persisted parquet and reads back
+    assert (tmp_path / "wh" / "silver" / "mid").exists()
+    assert eng.table("gold.left").collect()[0]["s"] == sum(2 * i for i in range(5, 10))
+    assert eng.table("gold.right").collect()[0]["n"] == 5
+    # temp view registered under dunder name
+    assert spark.sql("SELECT count(*) AS c FROM silver__mid").collect()[0]["c"] == 5
+
+
+def test_config_vars(spark, tmp_path):
+    r = Registry()
+
+    @model(r, name="v", layer="bronze")
+    def v(ctx):
+        return ctx.spark.range(int(ctx.var("n", 1)))
+
+    eng = Engine(spark, r, config={"n": 7}, warehouse=tmp_path / "wh")
+    eng.run()
+    assert eng.table("bronze.v").count() == 7

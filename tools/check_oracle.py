@@ -1,0 +1,97 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every declared query on Spark AND its DuckDB oracle at a given
+scale factor, then compares row count, sorted column names, and an
+order-insensitive multiset of normalized row values.  Use while
+iterating so CORRECTNESS_r{N}.json holds no surprises.
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from collections import Counter
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from iot_simulator_datalake_spark.queries import REGISTRY, TABLES  # noqa: E402
+from iot_simulator_datalake_spark.session import get_spark  # noqa: E402
+
+
+def norm_cell(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def row_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(REGISTRY)
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name in names:
+        qd = REGISTRY[name]
+        t0 = time.monotonic()
+        sdf = qd.fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        spark_sec = time.monotonic() - t0
+        if qd.oracle is None:
+            print(f"  {name:35s} rows-only: {len(srows):7d} rows "
+                  f"[{spark_sec:5.1f}s]")
+            continue
+        res = con.execute(qd.oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            sm, dm = row_multiset(scols, srows), row_multiset(dcols, drows)
+            if sm != dm:
+                only_s = list((sm - dm).items())[:3]
+                only_d = list((dm - sm).items())[:3]
+                problems.append(f"values differ; spark-only={only_s} "
+                                f"duck-only={only_d}")
+        status = "OK " if not problems else "FAIL"
+        print(f"  {name:35s} {status} {len(srows):7d} rows [{spark_sec:5.1f}s]")
+        for p in problems:
+            print(f"      {p}")
+        if problems:
+            failures.append(name)
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match"
+          + (f"; FAILURES: {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
