@@ -1,0 +1,111 @@
+"""Text-analysis column functions ([EXT] north star: language-ID,
+quality scoring, token counting, fingerprinting — BASELINE.json).
+
+Everything here is built from ``pyspark.sql.functions`` only — JVM-side,
+whole-stage-codegen-eligible, no Python in the row path.  Each function
+has an exact DuckDB-SQL twin used by the oracle gate (see
+queries_text.py), so the implementations deliberately stick to
+primitives with identical cross-engine semantics (md5, regex classes,
+set ops on arrays, integer→double division).
+
+At 100 TB these are embarrassingly parallel map-only transforms: no
+shuffle, no state, fully pipelined into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language lexicons for the n-gram/stopword-overlap heuristic
+#: language ID.  Deliberately small & deterministic; a production system
+#: swaps in real frequency tables without changing the operator shape.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en", "para", "que"),
+}
+
+#: BPE-ish tokenization regex: letter runs, digit runs, single symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties dropped."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def ngrams(toks: Column, n: int = 3, sep: str = " ") -> Column:
+    """Word n-grams ("shingles") from a token array — the MinHash unit.
+
+    Implemented as a sequence-index transform (no explode → no row
+    blow-up before hashing).  Docs shorter than ``n`` tokens yield the
+    whole doc as one shingle so they still participate in dedup.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    # F.get (not [] indexing): returns NULL past the end instead of an
+    # ANSI out-of-bounds error on docs shorter than n tokens; concat_ws
+    # then skips the NULLs, yielding the whole doc as one shingle.
+    joined = F.transform(
+        idx, lambda i: F.concat_ws(sep, *[F.get(toks, i + j)
+                                          for j in range(n)]))
+    return F.array_distinct(joined)
+
+
+def language_id(text: Column | str,
+                lexicons: dict[str, tuple[str, ...]] | None = None,
+                fallback: str = "und") -> Column:
+    """Heuristic language ID: argmax of lexicon-token overlap.
+
+    Deterministic tie-break: languages are compared in sorted key order
+    and the first max wins; zero overlap → ``fallback``.
+    """
+    lex = lexicons or LANG_LEXICONS
+    toks = tokens(text)
+    scores = {lang: F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in sorted(lex.items())}
+    best_score = F.greatest(*scores.values())
+    result = F.lit(fallback)
+    # build right-to-left so earlier (sorted-first) languages win ties
+    for lang in sorted(scores, reverse=True):
+        result = F.when(scores[lang] == best_score, F.lit(lang)) \
+                  .otherwise(result)
+    return F.when(best_score > 0, result).otherwise(F.lit(fallback))
+
+
+def quality_score(text: Column | str,
+                  stopwords: tuple[str, ...] = LANG_LEXICONS["en"]) -> Column:
+    """Document quality score ∈ [0,1]: blend of length saturation,
+    mean-token-length plausibility, and stopword ratio (the classic
+    pre-training quality gates, each a cheap column expression)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    stop_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in stopwords])))
+    # length saturation: 1 at ≥200 tokens; mean token length ideal ≈ 5
+    len_score = F.least(n_tok / F.lit(200.0), F.lit(1.0))
+    mean_tok_len = n_chars / (n_tok + F.lit(1))
+    shape_score = F.lit(1.0) - F.least(
+        F.abs(mean_tok_len - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / F.lit(4.0), F.lit(1.0))
+    return F.round((len_score + shape_score + stop_score) / 3.0, 6)
+
+
+def regex_token_count(text: Column | str,
+                      pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish token count: letter runs + digit runs + single symbols."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set — the classic 'fingerprint clustering' key for grouping
+    reordered/whitespace-variant duplicates."""
+    toks = tokens(text)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))

@@ -1,0 +1,38 @@
+"""Vector/embedding column functions ([EXT] F10, BASELINE.json north
+star: similarity search over an ``array<float>`` embedding column).
+
+Pure ``zip_with`` + ``aggregate`` builtins — the dot product stays in
+the JVM as a sequential fold over the array, which makes it bit-exact
+against a sequential-sum oracle (both engines fold identical
+float→double-promoted element products in index order).
+
+For very wide vectors (≥ 1k dims) a vectorized Pandas-UDF path would
+amortize better; at embedding dims ≤ a few hundred the builtin fold is
+faster than a Python round-trip and keeps whole-stage codegen intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    prod = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column, scale: int | None = 6) -> Column:
+    """Cosine similarity; ``scale`` rounds for cross-engine stability
+    (None → raw)."""
+    sim = dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return F.round(sim, scale) if scale is not None else sim

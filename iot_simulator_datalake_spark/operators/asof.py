@@ -1,0 +1,64 @@
+"""As-of (most-recent-match) join — the range-join member of the [DOC]
+J4 family (alerts vs. time-versioned thresholds, README_DBT.md:169,199).
+
+Spark has no native as-of join; the composition below is the standard
+union-window trick, which beats the naive theta join (t_right <= t_left
+range join → O(n·m) broadcast-nested-loop) by turning it into one sort
+within key partitions:
+
+    union(left-tagged, right-tagged)
+      → window last_value(right payload) ignoring nulls
+        over (key ORDER BY ts, side)
+      → keep left rows
+
+One shuffle on the join key, no row explosion — survives arbitrarily
+long right-side histories, which the bucketize-then-filter alternative
+does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              payload: list[str] | None = None,
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (direction='backward'; 'forward' attaches
+    the earliest right row with ``right.ts >= left.ts``).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    payload = payload or [c for c in right.columns if c not in (on, ts)]
+
+    l_tag = left.select(
+        F.col(on), F.col(ts), F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in payload])
+    r_tag = right.select(
+        F.col(on), F.col(ts), F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in left.schema.fields) + ">").alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload])
+
+    unioned = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        # right rows (side=0) sort before left rows at equal ts → a
+        # threshold taking effect at t applies to an event at t.
+        w = (W.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_side").asc())
+             .rowsBetween(W.unboundedPreceding, 0))
+    else:
+        w = (W.partitionBy(on).orderBy(F.col(ts).desc(), F.col("_side").asc())
+             .rowsBetween(W.unboundedPreceding, 0))
+
+    filled = unioned.select(
+        "*", *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
+               .alias(f"_m_{c}") for c in payload])
+    return (filled.filter(F.col("_side") == 1)
+            .select("_l.*", *[F.col(f"_m_{c}").alias(f"right_{c}")
+                              for c in payload]))

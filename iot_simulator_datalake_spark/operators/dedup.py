@@ -1,0 +1,188 @@
+"""Deduplication operators ([EXT] north star; W1/W2 from SURVEY §2.5).
+
+Five tiers, all shuffle-architected for 100 TB:
+
+- :func:`exact_dedup`        — hash-groupBy on content (or md5(content):
+                               group keys stay ~32 bytes on the wire).
+- :func:`fingerprint_dedup`  — order-insensitive token-set fingerprint.
+- :func:`window_dedup`       — latest-record-wins per key (W1/W2 —
+                               the CDC ROW_NUMBER pattern,
+                               README_DBT.md:103,242-244).
+- :func:`minhash_lsh_pairs`  — near-dup candidate pairs via MinHash
+                               banding: shingle → K min-hashes → B band
+                               keys → equi-join on band key → exact
+                               Jaccard on candidates only.  Never a
+                               cross join; the shuffle key is the band
+                               hash, and identical docs land in the
+                               same bucket with probability → 1.
+- :func:`simhash`            — 16-bit SimHash fingerprint (bit-majority
+                               of token hashes); hamming-adjacent docs
+                               share fingerprints.
+
+Hashing is md5-based (not Spark's murmur ``F.hash``) so every operator
+has a bit-exact DuckDB oracle twin; md5 costs a bit more per token but
+keeps the entire dedup surface inside the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams, tokens
+
+
+def exact_dedup(df: DataFrame, content_col: str, key_col: str,
+                hash_content: bool = True) -> DataFrame:
+    """Exact dedup: keep the lowest-key row per distinct content.
+
+    ``hash_content=True`` groups by md5(content) so the shuffle moves a
+    32-byte key instead of full documents — the difference between a
+    workable and an impossible shuffle at 100 TB.  (md5 collision risk
+    ~2^-64 at petabyte scale — standard for content-addressed dedup.)
+    """
+    group = F.md5(F.col(content_col)) if hash_content else F.col(content_col)
+    return (df.withColumn("_rn", F.row_number().over(
+                W.partitionBy(group).orderBy(F.col(key_col))))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Dedup by sorted-distinct-token fingerprint — collapses reordered /
+    re-whitespaced variants that exact hashing misses."""
+    from ..functions.text import fingerprint
+    fp = fingerprint(F.col(text_col))
+    return (df.withColumn("_rn", F.row_number().over(
+                W.partitionBy(fp).orderBy(F.col(key_col))))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def window_dedup(df: DataFrame, keys: list[str],
+                 order_by: list[Column]) -> DataFrame:
+    """W1/W2: latest-record-wins per key (CDC dedup with ROW_NUMBER —
+    README_DBT.md:103).  Callers pass a deterministic tie-breaker in
+    ``order_by``; one shuffle on ``keys``."""
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# -- MinHash-LSH ----------------------------------------------------------
+
+def _minhash_one(shingles: Column, seed: int) -> Column:
+    """One MinHash signature: lexicographic min of seed-salted md5 over
+    the shingle set.  min(md5) is a uniform permutation surrogate with
+    identical semantics in any engine that has md5 + string min."""
+    return F.array_min(F.transform(
+        shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, *, n_hashes: int = 6,
+                       shingle_n: int = 3) -> DataFrame:
+    """Append ``shingles`` + ``sig_0..sig_{K-1}`` columns."""
+    out = df.withColumn("shingles",
+                        ngrams(tokens(F.col(text_col)), shingle_n))
+    for i in range(n_hashes):
+        out = out.withColumn(f"sig_{i}", _minhash_one(F.col("shingles"), i))
+    return out
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
+                      n_hashes: int = 6, bands: int = 3,
+                      shingle_n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs (key_a < key_b, jaccard ≥ threshold).
+
+    Plan shape (the part that must survive 100×): docs are exploded to
+    ``bands`` rows each (not shingles — band keys only), shuffled once
+    on the band hash, self-joined within buckets, deduped to distinct
+    candidate pairs, and only then pay the exact-Jaccard array
+    intersection.  Candidate count ≈ true-positive pairs + banding
+    false positives; nothing is quadratic in corpus size.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, n_hashes=n_hashes,
+                              shingle_n=shingle_n)
+    band_keys = F.array(*[
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)]))
+        for b in range(bands)])
+    docs = sigs.select(F.col(key_col).alias("key"), F.col("shingles"),
+                       F.explode(band_keys).alias("band"))
+    left = docs.alias("a")
+    right = docs.alias("b")
+    cand = (left.join(right, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.key") < F.col("b.key")))
+            .select(F.col("a.key").alias("key_a"),
+                    F.col("b.key").alias("key_b"),
+                    F.col("a.shingles").alias("sh_a"),
+                    F.col("b.shingles").alias("sh_b"))
+            .dropDuplicates(["key_a", "key_b"]))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (cand.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("key_a", "key_b", "jaccard"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, key_col: str, *,
+                        block_col: str, shingle_n: int = 2,
+                        threshold: float = 0.2) -> DataFrame:
+    """Blocked n-gram-Jaccard similarity join: pairs within the same
+    ``block_col`` value scored by token-shingle Jaccard.
+
+    Blocking bounds the pair count to Σ block² instead of corpus²; at
+    scale callers block on a cheap stable key (length bucket, lang,
+    LSH band).  For unblocked near-dup mining use minhash_lsh_pairs.
+    """
+    sh = ngrams(tokens(F.col(text_col)), shingle_n)
+    docs = df.select(F.col(key_col).alias("key"),
+                     F.col(block_col).alias("block"), sh.alias("sh"))
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (a.join(b, (F.col("a.block") == F.col("b.block")) &
+                    (F.col("a.key") < F.col("b.key")))
+             .select(F.col("a.key").alias("key_a"),
+                     F.col("b.key").alias("key_b"),
+                     F.round(
+                         F.size(F.array_intersect("a.sh", "b.sh")) /
+                         F.size(F.array_union("a.sh", "b.sh")), 6)
+                     .alias("jaccard")))
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
+# -- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _token_hash64(tok: Column) -> Column:
+    """Deterministic 60-bit integer hash of a token: first 15 hex chars
+    of md5, parsed base-16 (cross-engine: DuckDB ('0x'||h)::BIGINT)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str, out_col: str = "simhash",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over token hashes.
+
+    Map-only (no shuffle): the vote runs as an array fold per document.
+    Near-identical docs differ in few bits → group or hamming-join on
+    the fingerprint for near-dup clustering.
+    """
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, _token_hash64)
+
+    def vote_for_bit(i: int):
+        mask = F.lit(1 << i)
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) > 0, 1)
+                                  .otherwise(-1))
+
+    bit_votes = [vote_for_bit(i) for i in range(bits)]
+    fp = None
+    for i, vote in enumerate(bit_votes):
+        contrib = F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = contrib if fp is None else fp + contrib
+    return df.withColumn(out_col, fp.cast("long"))

@@ -1,0 +1,39 @@
+"""Time-bucketed rollup aggregates ([DOC] A6:
+``agg_hourly_device_metrics`` / ``agg_daily_device_metrics``,
+README_DBT.md:204-205)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: granularity → date_trunc unit
+GRAINS = {"hour": "hour", "day": "day", "week": "week", "month": "month"}
+
+
+def time_rollup(df: DataFrame, ts_col: str, keys: Sequence[str],
+                value_col: str, grain: str = "hour",
+                streaming_window: bool = False) -> DataFrame:
+    """Per-(bucket, keys) metric rollup: count / sum / avg / min / max.
+
+    Batch form uses ``date_trunc`` (a pure column expr → partial aggs
+    combine map-side, one shuffle).  ``streaming_window=True`` swaps in
+    ``F.window`` tumbling windows so the same rollup runs under
+    Structured Streaming with a watermark (ST5) — caller adds
+    ``withWatermark`` upstream.
+    """
+    if grain not in GRAINS:
+        raise ValueError(f"grain must be one of {sorted(GRAINS)}")
+    if streaming_window:
+        bucket = F.window(F.col(ts_col), f"1 {grain}")["start"].alias("bucket")
+    else:
+        bucket = F.date_trunc(GRAINS[grain], F.col(ts_col)).alias("bucket")
+    v = F.col(value_col)
+    return (df.groupBy(bucket, *keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(v).alias("total"),
+                 F.avg(v).alias("avg"),
+                 F.min(v).alias("min"),
+                 F.max(v).alias("max")))

@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns ([EXT] J5/W3; north star
+"similarity search" — BASELINE.json).
+
+Two paths, mirroring the standard ANN architecture:
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the probe
+  set, score every (probe, candidate) pair with the JVM-side fold from
+  functions.vector, rank per probe.  Cost = |probes| × |corpus| scored
+  rows but zero corpus shuffle (probes broadcast) and a partial top-K
+  per partition (WindowGroupLimit) before the rank shuffle — the right
+  baseline and the verifier for approximate paths.
+
+- :func:`lsh_bucket_topk` — sign-LSH bucketed ANN: both sides get a
+  compact bucket id from the signs of ``n_planes`` leading dimensions
+  (axis-aligned hyperplanes — deterministic, engine-portable), the join
+  becomes bucket-equi + probe broadcast, and only same-bucket pairs are
+  scored: ~corpus/2^n_planes candidates per probe.  Recall < 1 by
+  design; raise recall with multi-probe (flip one sign bit) or more
+  planes for narrower buckets.  An IVF variant would k-means the
+  corpus; sign-LSH needs no trained state, which keeps the operator a
+  pure column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     probe_id_col: str | None = None,
+                     probe_vec_col: str | None = None) -> DataFrame:
+    """Exact top-k cosine neighbours for each probe row.
+
+    Output: (probe_id, vec_id, score, rank), rank 1..k, ties broken by
+    vec_id so results are deterministic.
+    """
+    p = probes.select(
+        F.col(probe_id_col or id_col).alias("probe_id"),
+        F.col(probe_vec_col or vec_col).alias("probe_vec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("vec"))
+    scored = (c.crossJoin(F.broadcast(p))
+              .filter(F.col("probe_id") != F.col("vec_id"))
+              .select("probe_id", "vec_id",
+                      cosine_similarity(F.col("probe_vec"),
+                                        F.col("vec")).alias("score")))
+    return _rank_topk(scored, k)
+
+
+def sign_bucket(vec: Column, n_planes: int = 4) -> Column:
+    """LSH bucket id ∈ [0, 2^n_planes): sign bits of the first
+    ``n_planes`` dimensions (axis-aligned random-hyperplane surrogate —
+    deterministic and exactly reproducible in SQL)."""
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        bucket = bucket + F.when(vec[i] >= 0, F.lit(1 << i)).otherwise(0)
+    return bucket
+
+
+def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 4) -> DataFrame:
+    """Approximate top-k: score only same-sign-bucket pairs.
+
+    At 100 TB the corpus partitions by bucket once (reusable across
+    probe batches); each probe touches ~1/2^n_planes of the corpus.
+    """
+    c = (corpus.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("vec"))
+         .withColumn("bucket", sign_bucket(F.col("vec"), n_planes)))
+    p = (probes.select(F.col(id_col).alias("probe_id"),
+                       F.col(vec_col).alias("probe_vec"))
+         .withColumn("bucket", sign_bucket(F.col("probe_vec"), n_planes)))
+    scored = (c.join(F.broadcast(p), "bucket")
+              .filter(F.col("probe_id") != F.col("vec_id"))
+              .select("probe_id", "vec_id",
+                      cosine_similarity(F.col("probe_vec"),
+                                        F.col("vec")).alias("score")))
+    return _rank_topk(scored, k)

@@ -496,3 +496,7 @@ def approx_distinct_small(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.approx_count_distinct("l_returnflag", 0.01)
                  .alias("approx_flags"),
                  F.countDistinct("l_suppkey").alias("exact_supps")))
+
+
+# [EXT]/[DOC] query modules register into the same REGISTRY on import.
+from . import queries_ext  # noqa: E402,F401  (import side effect)

@@ -1,0 +1,412 @@
+"""Declared queries for the [EXT] + [DOC] operator surface: dedup
+family, similarity search, text analysis, SCD1/as-of, JSON access.
+
+Oracle strategy: each Spark operator composition has a DuckDB twin
+generated *from the same constants* (lexicons, regexes, hash recipes)
+so the two sides cannot drift.  Hashing is md5-hex (portable); integer
+hashes come from the first 15 md5 hex chars parsed base-16 — identical
+in Spark (``conv(_,16,10)``) and DuckDB (``('0x'||_)::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .functions.text import (LANG_LEXICONS, TOKEN_REGEX, fingerprint,
+                             language_id, quality_score, regex_token_count,
+                             tokens)
+from .operators.dedup import (exact_dedup, minhash_lsh_pairs,
+                              ngram_jaccard_pairs, simhash, SIMHASH_BITS)
+from .operators.asof import asof_join
+from .operators.scd import scd1_current
+from .operators.similarity import brute_force_topk, lsh_bucket_topk
+from .queries import load, q
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+# -- shared DuckDB fragments ----------------------------------------------
+
+#: whitespace tokens, lowercased, empties dropped (functions.text.tokens)
+O_TOKENS = r"list_filter(string_split_regex(lower({c}), '\s+'), x -> x <> '')"
+
+
+def o_lex_array(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# =========================================================================
+# Text analysis (F9, [EXT])
+# =========================================================================
+
+def _lang_oracle() -> str:
+    score = {lang: f"len(list_intersect(toks, {o_lex_array(words)}))"
+             for lang, words in sorted(LANG_LEXICONS.items())}
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {score[lang]} = best THEN '{lang}'"
+        for lang in sorted(score)) + " END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang AS lang_label, {O_TOKENS.format(c='text')} AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang_label, toks, {best} AS best FROM tok
+)
+SELECT doc_id, lang_label,
+       CASE WHEN best > 0 THEN {case} ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+@q("text_language_id", ("F9",), oracle=_lang_oracle())
+def text_language_id(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Heuristic language ID over documents (lexicon-overlap argmax,
+    deterministic alphabetical tie-break).  Map-only: no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("lang_label"),
+                    language_id(F.col("text")).alias("lang_pred"))
+
+
+_EN = o_lex_array(LANG_LEXICONS["en"])
+
+@q("text_quality_score", ("F9",), bench=True, oracle=f"""
+WITH tok AS (
+  SELECT doc_id, text, {O_TOKENS.format(c='text')} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) AS n_chars,
+         len(list_intersect(toks, {_EN})) AS stop_hits
+  FROM tok
+)
+SELECT doc_id,
+       ROUND((least(n_tok / 200.0, 1.0)
+            + 1.0 - least(abs(n_chars / (n_tok + 1) - 5.0) / 5.0, 1.0)
+            + least(stop_hits / 4.0, 1.0)) / 3.0, 6) AS quality
+FROM m
+""")
+def text_quality_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Pre-training quality gate: length saturation + token-shape +
+    stopword-ratio blend, one pass, no Python."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@q("text_token_stats", ("F9",), oracle=f"""
+SELECT doc_id,
+       len({O_TOKENS.format(c='text')}) AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+""")
+def text_token_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Token counting: whitespace tokens + BPE-ish regex tokens — the
+    budget accounting pass of a training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        regex_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").alias("n_chars"))
+
+
+@q("text_fingerprint", ("F9", "W2"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+FROM tok
+""")
+def text_fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Order-insensitive document fingerprint (rolling-hash family):
+    md5 of the sorted distinct token set."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# =========================================================================
+# Dedup family ([EXT] W2, J5)
+# =========================================================================
+
+@q("dedup_exact", ("W2",), oracle="""
+SELECT doc_id, n_dupes FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_dupes
+  FROM documents
+) WHERE rn = 1
+""")
+def dedup_exact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact (hash-groupBy) dedup: one kept row per distinct content;
+    the shuffle key is md5(text) (32 bytes), never the document."""
+    d = load(spark, sf_dir, "documents")
+    kept = exact_dedup(
+        d.withColumn("n_dupes", F.count(F.lit(1)).over(
+            W.partitionBy(F.md5("text")))),
+        content_col="text", key_col="doc_id")
+    return kept.select("doc_id", "n_dupes")
+
+
+_MINHASH = dict(n_hashes=6, bands=3, shingle_n=2, threshold=0.3)
+
+
+def _minhash_oracle() -> str:
+    k, bands, n = (_MINHASH["n_hashes"], _MINHASH["bands"],
+                   _MINHASH["shingle_n"])
+    rpb = k // bands
+    sigs = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig_{i}"
+        for i in range(k))
+    bandkeys = ", ".join(
+        "md5('{b}|' || ".format(b=b)
+        + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb)) + ")"
+        for b in range(bands))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) <= {n}
+           THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+{n - 1}], ' ')
+                 for i in generate_series(1, len(toks) - {n - 1})]
+         END) AS sh
+  FROM tok
+), sig AS (
+  SELECT doc_id, sh,
+         {sigs}
+  FROM sh
+), banded AS (
+  SELECT doc_id, sh, unnest([{bandkeys}]) AS band FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT key_a, key_b,
+         ROUND(len(list_intersect(sa.sh, sb.sh))
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.key_a
+  JOIN sh sb ON sb.doc_id = cand.key_b
+)
+SELECT key_a, key_b, jaccard FROM scored
+WHERE jaccard >= {_MINHASH["threshold"]}
+"""
+
+
+@q("dedup_minhash_lsh", ("J5", "W2"), bench=True, oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """MinHash-LSH near-duplicate pairs: shingle → 6 min-hashes → 3 band
+    keys → band-bucket equi-join → exact Jaccard on candidates only.
+    The only shuffle is on the band hash; nothing is quadratic."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", **_MINHASH)
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n       ".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN ((h >> {i}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)) AS v{i}" for i in range(SIMHASH_BITS))
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), h AS (
+  SELECT doc_id, list_transform(toks,
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+  FROM tok
+), v AS (
+  SELECT doc_id,
+       {votes}
+  FROM h
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+"""
+
+
+@q("dedup_simhash", ("W2",), oracle=_simhash_oracle())
+def dedup_simhash(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """16-bit SimHash fingerprint per document (bit-majority of 60-bit
+    md5-derived token hashes).  Map-only; near-dups cluster by
+    fingerprint or small hamming distance."""
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, "text").select("doc_id", "simhash")
+
+
+_JACCARD = dict(shingle_n=2, threshold=0.2)
+
+
+@q("dedup_ngram_jaccard", ("J5", "F11"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {O_TOKENS.format(c='text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) <= 2
+           THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+1], ' ')
+                 for i in generate_series(1, len(toks) - 1)]
+         END) AS sh
+  FROM tok
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       ROUND(len(list_intersect(a.sh, b.sh))
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.sh, b.sh))
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+      >= {_JACCARD["threshold"]}
+""")
+def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Blocked n-gram-Jaccard similarity join (blocked on lang so the
+    pair space is Σ block², not corpus²)."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", block_col="lang",
+                               **_JACCARD)
+
+
+# =========================================================================
+# Similarity search over embeddings ([EXT] F10, J5/W3)
+# =========================================================================
+
+_O_COS = ("ROUND(list_dot_product(a.vec, b.vec) / "
+          "(sqrt(list_dot_product(a.vec, a.vec)) * "
+          "sqrt(list_dot_product(b.vec, b.vec))), 6)")
+
+_O_EMB = ("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec "
+          "FROM embeddings")
+
+
+@q("similarity_topk_bruteforce", ("F10", "W3", "J5"), bench=True, oracle=f"""
+WITH emb AS ({_O_EMB}),
+probes AS (SELECT * FROM emb WHERE vec_id < 10),
+scored AS (
+  SELECT b.vec_id AS probe_id, a.vec_id AS vec_id, {_O_COS} AS score
+  FROM emb a, probes b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT probe_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""")
+def similarity_topk_bruteforce(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact cosine top-5 for 10 probe vectors: probes broadcast, corpus
+    never shuffles, per-partition partial top-K before the rank."""
+    e = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@q("similarity_topk_lsh", ("F10", "W3", "J5"), oracle=f"""
+WITH emb AS ({_O_EMB}),
+bucketed AS (
+  SELECT vec_id, vec,
+         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM emb
+),
+probes AS (SELECT * FROM bucketed WHERE vec_id < 10),
+scored AS (
+  SELECT b.vec_id AS probe_id, a.vec_id AS vec_id, {_O_COS} AS score
+  FROM bucketed a JOIN probes b ON a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT probe_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""")
+def similarity_topk_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Approximate top-5 via sign-LSH buckets (16 buckets from 4 sign
+    bits): each probe scores ~1/16 of the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), k=5,
+                           n_planes=4)
+
+
+# =========================================================================
+# SCD1 / as-of / JSON access / sort-limit ([DOC] surface)
+# =========================================================================
+
+@q("scd1_current_state", ("W1",), oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+""")
+def scd1_current_state(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SCD Type 1 current state from a CDC-style stream: latest row per
+    key, soft-deleted keys dropped (events whose latest op is 'error'
+    stand in for _is_deleted — README_DBT.md:243)."""
+    e = (load(spark, sf_dir, "events")
+         .withColumn("_is_deleted", F.col("event_type") == "error"))
+    return (scd1_current(e, key="user_id", order_col="ts",
+                         tiebreak="event_id")
+            .select("user_id", "event_id", "ts", "event_type", "value"))
+
+
+@q("asof_threshold_join", ("J4",), oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       p.purchase_value AS last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""")
+def asof_threshold_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """As-of join: each click gets the user's most recent prior purchase
+    value (union-window composition — one shuffle, no range explosion;
+    operators/asof.py)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+              .select("event_id", "user_id", "ts", "value")
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("purchase_value")))
+    out = asof_join(clicks, purch, on="user_id", ts="ts",
+                    payload=["purchase_value"])
+    return out.withColumnRenamed("right_purchase_value",
+                                 "last_purchase_value")
+
+
+@q("json_field_access", ("F8",), oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+""")
+def json_field_access(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """CDC-payload JSON field extraction (README_DBT.md:163-169):
+    get_json_object stays JVM-side."""
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id",
+                    F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
+@q("global_topn", ("W3",), oracle="""
+SELECT o_orderkey AS order_id, o_totalprice AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def global_topn(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Global ORDER BY + LIMIT: Spark plans TakeOrderedAndProject —
+    per-partition top-N then a single-row-count merge, no full sort."""
+    o = load(spark, sf_dir, "orders")
+    return (o.select(F.col("o_orderkey").alias("order_id"),
+                     F.col("o_totalprice").alias("total"))
+            .orderBy(F.col("total").desc(), "order_id").limit(10))

@@ -1,0 +1,151 @@
+"""Operator unit tests: dedup family recall on planted duplicates,
+as-of join semantics, SCD1, rollups."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.operators import (
+    asof_join, brute_force_topk, exact_dedup, fingerprint_dedup,
+    lsh_bucket_topk, minhash_lsh_pairs, ngram_jaccard_pairs, scd1_current,
+    simhash, time_rollup, window_dedup)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the creek"),  # near dup of 1
+        (4, "dog lazy the over jumps fox brown quick the river near the"),  # reordered 1
+        (5, "completely different text about spark query engines and joins"),
+        (6, "another unrelated document mentioning parquet column pruning"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_lowest_key(docs):
+    kept = exact_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids          # dup collapsed to lowest key
+    assert ids == {1, 3, 4, 5, 6}
+
+
+def test_fingerprint_dedup_collapses_reordered(docs):
+    kept = fingerprint_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 4 not in ids and 2 not in ids      # reordered + exact collapse
+    assert 1 in ids
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    pairs = {(r["key_a"], r["key_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                        threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # exact dup
+    assert (1, 3) in pairs                             # near dup recovered
+    assert all(not (a in (5, 6) or b in (5, 6)) or jac < 0.3
+               for (a, b), jac in pairs.items())
+
+
+def test_ngram_jaccard_blocked(docs, spark):
+    blocked = docs.withColumn("block", F.lit("all"))
+    pairs = {(r["key_a"], r["key_b"]) for r in ngram_jaccard_pairs(
+        blocked, "text", "doc_id", block_col="block",
+        threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 5) not in pairs
+
+
+def test_simhash_near_dups_close(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs, "text").collect()}
+    assert fps[1] == fps[2]                    # identical docs, same hash
+    ham_13 = bin(fps[1] ^ fps[3]).count("1")
+    ham_15 = bin(fps[1] ^ fps[5]).count("1")
+    assert ham_13 < ham_15                     # near dup closer than unrelated
+
+
+def test_window_dedup_latest_wins(spark):
+    rows = [(1, 1, "old"), (1, 2, "new"), (2, 5, "only")]
+    df = spark.createDataFrame(rows, ["k", "v", "tag"])
+    out = window_dedup(df, ["k"], [F.col("v").desc()])
+    assert {(r["k"], r["tag"]) for r in out.collect()} == \
+        {(1, "new"), (2, "only")}
+
+
+def test_scd1_current_excludes_soft_deletes(spark):
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("a", datetime(2024, 1, 1), "v1", False),
+        ("a", datetime(2024, 1, 3), "v2", False),
+        ("b", datetime(2024, 1, 1), "v1", False),
+        ("b", datetime(2024, 1, 2), "v2", True),   # deleted last → excluded
+    ]
+    df = spark.createDataFrame(
+        rows, ["id", "op_ts", "payload", "_is_deleted"])
+    out = {r["id"]: r["payload"] for r in
+           scd1_current(df, key="id").collect()}
+    assert out == {"a": "v2"}
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 7, "x")],
+        ["k", "ts", "name"])
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (3, 1, 999.0)],
+        ["k", "ts", "price"])
+    out = {r["name"]: r["right_price"] for r in
+           asof_join(left, right, on="k", ts="ts").collect()}
+    assert out == {"e0": None, "e1": 100.0, "e2": 200.0, "x": None}
+
+
+def test_asof_join_equal_ts_included(spark):
+    left = spark.createDataFrame([(1, 10, "e")], ["k", "ts", "name"])
+    right = spark.createDataFrame([(1, 10, 5.0)], ["k", "ts", "v"])
+    out = asof_join(left, right, on="k", ts="ts").collect()
+    assert out[0]["right_v"] == 5.0
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10, "e")], ["k", "ts", "name"])
+    right = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 12, 2.0), (1, 30, 3.0)], ["k", "ts", "v"])
+    out = asof_join(left, right, on="k", ts="ts",
+                    direction="forward").collect()
+    assert out[0]["right_v"] == 2.0
+
+
+def test_time_rollup_grains(spark):
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10, 15), "d1", 2.0),
+         (datetime(2024, 1, 1, 10, 45), "d1", 4.0),
+         (datetime(2024, 1, 1, 11, 5), "d1", 10.0)],
+        ["ts", "device", "value"])
+    hourly = time_rollup(df, "ts", ["device"], "value", grain="hour")
+    rows = {r["bucket"].hour: (r["n"], r["total"], r["avg"])
+            for r in hourly.collect()}
+    assert rows[10] == (2, 6.0, 3.0)
+    assert rows[11] == (1, 10.0, 10.0)
+    with pytest.raises(ValueError):
+        time_rollup(df, "ts", [], "value", grain="fortnight")
+
+
+def test_topk_exact_vs_lsh_recall(spark):
+    import random
+    rng = random.Random(0)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(df, probes, k=5)
+    approx = lsh_bucket_topk(df, probes, k=5, n_planes=2)
+    ex = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    # approximate path returns valid, bucket-restricted neighbours with
+    # non-trivial overlap against exact
+    assert len(ap) > 0
+    assert len(ex & ap) / len(ex) > 0.2
