@@ -1,0 +1,107 @@
+"""mapInPandas transforms over binary media columns.
+
+Batch-shape discipline for 100 TB of media: payload bytes live in one
+``binary`` column; ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds Arrow batch memory (set it so batch_rows × avg_payload fits the
+executor); transforms yield per-batch DataFrames so nothing accumulates
+beyond one batch.  Re-partition upstream by size (``n_bytes``) when
+payloads are skewed, so one task never holds the few giant videos.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+#: metadata struct carried beside every payload
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),     # image/audio/video
+    T.StructField("format", T.StringType()),         # jpeg/png/wav/mp4…
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def attach_payload(df: "DataFrame", content_col: str,
+                   media_type: str = "image",
+                   fmt: str = "raw") -> "DataFrame":
+    """Wrap a column as (payload binary, media struct) — the canonical
+    multimodal row shape.  JVM-side only."""
+    payload = F.col(content_col).cast("binary")
+    return df.withColumn("payload", payload).withColumn(
+        "media", F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.octet_length(payload).cast("long").alias("n_bytes")))
+
+
+def _decode_image_bytes(buf: bytes) -> tuple[int, int]:
+    """Decode → (width, height).  Real decode needs an image lib that is
+    not in this container; the deterministic fallback derives fake-but-
+    stable dimensions from the payload so downstream plumbing (schema,
+    joins, partitioning) is fully exercisable."""
+    try:  # pragma: no cover - PIL absent in this environment
+        from PIL import Image  # type: ignore
+        import io
+        with Image.open(io.BytesIO(buf)) as im:
+            return im.width, im.height
+    except ImportError:
+        digest = hashlib.md5(buf).digest()
+        return (64 + digest[0] % 192, 64 + digest[1] % 192)
+
+
+FEATURE_SCHEMA = ("doc_id long, n_bytes long, digest string, "
+                  "width int, height int")
+
+
+def extract_features(df: "DataFrame", id_col: str = "doc_id",
+                     payload_col: str = "payload") -> "DataFrame":
+    """Per-payload feature extraction: byte length, content digest, and
+    decoded (stub) dimensions — an Arrow-batched mapInPandas pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(b) for b in pdf[payload_col]]
+            dims = [_decode_image_bytes(b) for b in payloads]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "n_bytes": [len(b) for b in payloads],
+                "digest": [hashlib.md5(b).hexdigest() for b in payloads],
+                "width": [w for w, _ in dims],
+                "height": [h for _, h in dims],
+            })
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(run, schema=FEATURE_SCHEMA))
+
+
+def decode_image(df: "DataFrame", payload_col: str = "payload",
+                 size: tuple[int, int] = (224, 224)) -> "DataFrame":
+    """Decode + resize to a float tensor column — STUB.
+
+    The real operator yields ``array<float>`` of len w*h*3 per row from
+    the same mapInPandas shape as :func:`extract_features`; without an
+    image library there is nothing honest to decode, so this raises
+    rather than fake pixel data into a training pipeline.
+    """
+    raise NotImplementedError(
+        "image decode requires an image library (PIL/opencv) not present "
+        "in this environment; see extract_features for the exercised "
+        "mapInPandas plumbing with a deterministic metadata fallback")
+
+
+def frame_sample(df: "DataFrame", payload_col: str = "payload",
+                 every_n: int = 30) -> "DataFrame":
+    """Video frame sampling — STUB (needs a video codec; same contract:
+    one input row → k frame rows via mapInPandas yielding exploded
+    batches)."""
+    raise NotImplementedError(
+        "video frame sampling requires a codec library not present in "
+        "this environment")

@@ -498,5 +498,7 @@ def approx_distinct_small(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  F.countDistinct("l_suppkey").alias("exact_supps")))
 
 
-# [EXT]/[DOC] query modules register into the same REGISTRY on import.
+# [EXT]/[DOC]/streaming query modules register into the same REGISTRY
+# on import.
 from . import queries_ext  # noqa: E402,F401  (import side effect)
+from . import queries_streaming  # noqa: E402,F401  (import side effect)

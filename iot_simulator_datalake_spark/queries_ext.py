@@ -399,6 +399,26 @@ def json_field_access(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                     F.get_json_object("props", "$.k").cast("int").alias("k"))
 
 
+@q("multimodal_features", ("F10",), oracle="""
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS digest,
+       64 + (('0x' || substr(md5(text), 1, 2))::INT % 192) AS width,
+       64 + (('0x' || substr(md5(text), 3, 2))::INT % 192) AS height
+FROM documents
+""")
+def multimodal_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Multimodal binary-column plumbing: text bytes stand in for media
+    payloads (binary col + typed metadata struct), features extracted by
+    an Arrow-batched mapInPandas pass (multimodal/transforms.py).  The
+    decode step is a deterministic stub (md5-derived dims) — which makes
+    even the Pandas-UDF path oracle-checkable."""
+    from .multimodal import attach_payload, extract_features
+    d = load(spark, sf_dir, "documents")
+    wrapped = attach_payload(d, "text", media_type="image", fmt="raw")
+    return extract_features(wrapped, id_col="doc_id")
+
+
 @q("global_topn", ("W3",), oracle="""
 SELECT o_orderkey AS order_id, o_totalprice AS total
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10

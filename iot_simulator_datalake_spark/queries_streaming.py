@@ -1,0 +1,94 @@
+"""Declared queries for streaming semantics (ST1-ST5) + sessionization.
+
+The streaming rollup runs a REAL Structured Streaming query
+(readStream → watermark → tumbling window → memory sink, triggered
+availableNow) and returns the drained result as a batch DataFrame —
+because triggered mode processes all available input, the end state
+equals the batch SQL, giving streaming a full-strength DuckDB oracle
+instead of the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .queries import load, oavg, osum, q
+from .streaming.runner import run_stream_available_now
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+@q("streaming_hourly_rollup", ("ST1", "ST3", "ST5", "A6"), oracle=f"""
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, {osum('value')} AS total_value
+FROM events GROUP BY 1, 2
+""")
+def streaming_hourly_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Tumbling-window streaming aggregate with a watermark (ST5):
+    readStream over the events parquet → 1h windows → complete-mode
+    memory sink, drained with Trigger.AvailableNow (ST3 triggered
+    execution).  Window starts equal date_trunc('hour'), so the drained
+    state matches the batch oracle exactly."""
+    batch = load(spark, sf_dir, "events")     # handles ns→µs conversion
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,4)"))
+                .cast("double").alias("total_value")))
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    writer = (agg.writeStream.outputMode("complete")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return (spark.table(name)
+            .select(F.col("w.start").alias("hour"), "event_type",
+                    "n_events", "total_value"))
+
+
+@q("sessionization", ("W1", "A6"), bench=True, oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+""")
+def sessionization(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Sessionization (gap > 30 min ⇒ new session): lag + running sum —
+    the batch twin of streaming ``session_window``.  One shuffle on
+    user_id serves both windows and the final per-session aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000),
+                         1).otherwise(0)
+    run = (W.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(W.unboundedPreceding, 0))
+    return (e.withColumn("session_id",
+                         F.sum(new_session).over(run))
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))

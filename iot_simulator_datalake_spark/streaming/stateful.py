@@ -1,0 +1,57 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY §2.8; the OSS mechanism for operators DLT expresses as
+stateful incremental computations).
+
+The state handle is Spark's own keyed state store (RocksDB/HDFS-backed
+per executor at scale) — state volume is O(distinct keys), never
+O(events), and each micro-batch touches only the keys present in it.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+
+RUNNING_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def running_totals(grouped, key_col: str, value_col: str) -> "DataFrame":
+    """Per-key running (count, sum) maintained across micro-batches.
+
+    Usage::
+
+        stream.groupBy("user_id") |> running_totals("user_id", "value")
+
+    Emits one updated row per key per micro-batch (update semantics).
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n],
+                            "total": [total]})
+
+    return grouped.applyInPandasWithState(
+        update, outputStructType=RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA, outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -1,0 +1,108 @@
+"""Streaming semantics tests (SURVEY §5.2.4): exactly-once two-wave
+ingest, incremental bronze→silver propagation, stateful operator."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.engine import Engine
+from iot_simulator_datalake_spark.pipeline import build_registry
+from iot_simulator_datalake_spark.sources.json_source import (
+    infer_and_persist_schema)
+
+from conftest import write_iot_events
+
+
+def make_engine(spark, landing, warehouse):
+    return Engine(spark, build_registry(streaming=True),
+                  config={"iot_events_path": str(landing),
+                          "warehouse": str(warehouse),
+                          "schema_store": str(
+                              warehouse / "_schemas" / "bronze.json")},
+                  warehouse=warehouse)
+
+
+def test_two_wave_exactly_once(spark, tmp_path):
+    landing, wh = tmp_path / "landing", tmp_path / "wh"
+
+    kept1 = write_iot_events(landing, n_events=400, n_files=2, seed=11)
+    eng1 = make_engine(spark, landing, wh)
+    eng1.run()
+    bronze1 = eng1.table("bronze.iot_events").count()
+    silver1 = eng1.table("silver.iot_events").count()
+    assert bronze1 == 400
+    assert silver1 == kept1
+
+    # wave 2: new files land; a fresh engine run (same checkpoints)
+    # must process ONLY the new files — no duplicates of wave 1.
+    kept2 = write_iot_events(landing, n_events=300, n_files=2, seed=22,
+                             start=datetime(2024, 5, 1))
+    eng2 = make_engine(spark, landing, wh)
+    eng2.run()
+    assert eng2.table("bronze.iot_events").count() == 700
+    silver = eng2.table("silver.iot_events")
+    assert silver.count() == kept1 + kept2
+    # no row duplicated: (device, ts, value) multiplicities unchanged
+    dupes = (silver.groupBy("device_id", "timestamp", "value",
+                            "sensor_type").count()
+             .filter(F.col("count") > 1))
+    src_dupes = dupes.count()
+    assert src_dupes == 0
+
+    # re-run with NO new input: counts stay identical (idempotent)
+    eng3 = make_engine(spark, landing, wh)
+    eng3.run()
+    assert eng3.table("silver.iot_events").count() == kept1 + kept2
+
+
+def test_schema_store_persist_and_reuse(spark, tmp_path):
+    landing = tmp_path / "landing"
+    write_iot_events(landing, n_events=50, n_files=1, seed=3)
+    store = tmp_path / "schema.json"
+    s1 = infer_and_persist_schema(spark, landing, store)
+    assert store.exists()
+    assert {f.name for f in s1.fields} >= {
+        "device_id", "location_id", "timestamp", "quality_flag", "value"}
+    # second call returns the persisted schema without re-inference
+    s2 = infer_and_persist_schema(spark, landing, store)
+    assert s1 == s2
+
+
+def test_schema_evolution_merges_new_fields(spark, tmp_path):
+    import json as j
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.json").write_text(j.dumps({"a": 1, "b": "x"}))
+    store = tmp_path / "schema.json"
+    s1 = infer_and_persist_schema(spark, landing, store)
+    assert {f.name for f in s1.fields} == {"a", "b"}
+    (landing / "b.json").write_text(j.dumps({"a": 1, "c": 2.5}))
+    s2 = infer_and_persist_schema(spark, landing, store, evolve=True)
+    assert {f.name for f in s2.fields} == {"a", "b", "c"}
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keyed state across micro-batches."""
+    from iot_simulator_datalake_spark.streaming.stateful import (
+        running_totals)
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], ["user_id", "value"])
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = running_totals(stream.groupBy("user_id"), "user_id", "value")
+    import uuid
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = {r["key"]: (r["n_events"], r["total"])
+           for r in spark.table(name).collect()}
+    assert res == {1: (2, 15.0), 2: (1, 7.0)}
