@@ -69,22 +69,29 @@ def window_dedup(df: DataFrame, keys: list[str],
 
 # -- MinHash-LSH ----------------------------------------------------------
 
-def _minhash_one(shingles: Column, seed: int) -> Column:
-    """One MinHash signature: lexicographic min of seed-salted md5 over
-    the shingle set.  min(md5) is a uniform permutation surrogate with
-    identical semantics in any engine that has md5 + string min."""
-    return F.array_min(F.transform(
-        shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
-
-
-def minhash_signatures(df: DataFrame, text_col: str, *, n_hashes: int = 6,
+def minhash_signatures(df: DataFrame, text_col: str, key_col: str, *,
+                       n_hashes: int = 6,
                        shingle_n: int = 3) -> DataFrame:
-    """Append ``shingles`` + ``sig_0..sig_{K-1}`` columns."""
-    out = df.withColumn("shingles",
-                        ngrams(tokens(F.col(text_col)), shingle_n))
-    for i in range(n_hashes):
-        out = out.withColumn(f"sig_{i}", _minhash_one(F.col("shingles"), i))
-    return out
+    """(key, sig_0..sig_{K-1}): MinHash signatures per document.
+
+    Each signature is the lexicographic min of seed-salted md5 over the
+    shingle set — min(md5) is a uniform permutation surrogate with
+    identical semantics in any engine that has md5 + string min.
+
+    Implementation shape matters at scale: shingles are EXPLODED to
+    (key, shingle) rows and the K salted hashes run as plain codegen'd
+    expressions with a map-side-combining min aggregate.  The obvious
+    alternative (K array_min(transform(...)) columns over the shingle
+    array) leaves every hash inside interpreted higher-order-function
+    lambdas — ~10× slower per row and it re-derives the shingle array
+    per signature column.
+    """
+    sh = df.select(F.col(key_col).alias("key"),
+                   F.explode(ngrams(tokens(F.col(text_col)), shingle_n))
+                   .alias("s"))
+    return sh.groupBy("key").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))))
+        .alias(f"sig_{i}") for i in range(n_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
@@ -101,27 +108,39 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     false positives; nothing is quadratic in corpus size.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, n_hashes=n_hashes,
-                              shingle_n=shingle_n)
+    # Small inputs often arrive as one parquet file = one partition; the
+    # md5/shingle work is CPU-bound map work, so spread it before
+    # computing signatures (at real scale the scan already has enough
+    # splits and this coalesces via AQE instead of exploding).
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sigs = minhash_signatures(spread, text_col, key_col,
+                              n_hashes=n_hashes, shingle_n=shingle_n)
     band_keys = F.array(*[
         F.md5(F.concat_ws("|", F.lit(str(b)),
                           *[F.col(f"sig_{b * rows_per_band + r}")
                             for r in range(rows_per_band)]))
         for b in range(bands)])
-    docs = sigs.select(F.col(key_col).alias("key"), F.col("shingles"),
-                       F.explode(band_keys).alias("band"))
-    left = docs.alias("a")
-    right = docs.alias("b")
-    cand = (left.join(right, (F.col("a.band") == F.col("b.band")) &
-                      (F.col("a.key") < F.col("b.key")))
+    # Candidate generation joins only slim (key, band) rows — the
+    # shingle arrays do NOT ride through the band shuffle (3× exploded);
+    # they re-attach per side after pair dedup.
+    slim = sigs.select("key", F.explode(band_keys).alias("band"))
+    cand = (slim.alias("a")
+            .join(slim.alias("b"), (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.key") < F.col("b.key")))
             .select(F.col("a.key").alias("key_a"),
-                    F.col("b.key").alias("key_b"),
-                    F.col("a.shingles").alias("sh_a"),
-                    F.col("b.shingles").alias("sh_b"))
+                    F.col("b.key").alias("key_b"))
             .dropDuplicates(["key_a", "key_b"]))
+    sh = spread.select(F.col(key_col).alias("key"),
+                       ngrams(tokens(F.col(text_col)), shingle_n)
+                       .alias("sh"))
+    pairs = (cand
+             .join(sh.withColumnRenamed("key", "key_a")
+                     .withColumnRenamed("sh", "sh_a"), "key_a")
+             .join(sh.withColumnRenamed("key", "key_b")
+                     .withColumnRenamed("sh", "sh_b"), "key_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (cand.withColumn("jaccard", F.round(inter / union, 6))
+    return (pairs.withColumn("jaccard", F.round(inter / union, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("key_a", "key_b", "jaccard"))
 
@@ -156,33 +175,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, key_col: str, *,
 SIMHASH_BITS = 16
 
 
-def _token_hash64(tok: Column) -> Column:
-    """Deterministic 60-bit integer hash of a token: first 15 hex chars
-    of md5, parsed base-16 (cross-engine: DuckDB ('0x'||h)::BIGINT)."""
-    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+def simhash(df: DataFrame, text_col: str, key_col: str,
+            out_col: str = "simhash", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(key, simhash): per-bit majority vote over token hashes.
 
-
-def simhash(df: DataFrame, text_col: str, out_col: str = "simhash",
-            bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash fingerprint: per-bit majority vote over token hashes.
-
-    Map-only (no shuffle): the vote runs as an array fold per document.
-    Near-identical docs differ in few bits → group or hamming-join on
-    the fingerprint for near-dup clustering.
+    Same explode-then-aggregate shape as minhash_signatures: tokens
+    explode to rows, the 60-bit hash is one codegen'd expression, and
+    the per-bit votes are map-side-combining conditional sums — no
+    interpreted array folds.  Tokenless documents get fingerprint 0
+    (all-bits-negative), preserved via the left join back to the keys.
     """
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, _token_hash64)
-
-    def vote_for_bit(i: int):
-        mask = F.lit(1 << i)
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) > 0, 1)
-                                  .otherwise(-1))
-
-    bit_votes = [vote_for_bit(i) for i in range(bits)]
+    toked = df.select(F.col(key_col).alias("key"),
+                      F.explode_outer(tokens(F.col(text_col))).alias("t"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    votes = toked.groupBy("key").agg(*[
+        F.sum(F.when(h.isNull(), 0)
+              .when(h.bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1))
+        .alias(f"v{i}") for i in range(bits)])
     fp = None
-    for i, vote in enumerate(bit_votes):
-        contrib = F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i in range(bits):
+        contrib = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0)
         fp = contrib if fp is None else fp + contrib
-    return df.withColumn(out_col, fp.cast("long"))
+    return votes.select("key", fp.cast("long").alias(out_col)) \
+                .withColumnRenamed("key", key_col)

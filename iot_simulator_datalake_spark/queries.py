@@ -498,6 +498,24 @@ def approx_distinct_small(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  F.countDistinct("l_suppkey").alias("exact_supps")))
 
 
+@q("percentile_by_group", ("A8", "F7"), oracle="""
+SELECT l_returnflag AS flag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+""")
+def percentile_by_group(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact interpolated percentiles per group (F.percentile ⇔ DuckDB
+    quantile_cont).  The sketch twin for 100 TB is percentile_approx
+    (KLL/GK, O(1) memory) — exercised in approx_distinct_small's
+    family; exact is fine here because l_quantity is a narrow column
+    and the group count is tiny."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(F.percentile("l_quantity", 0.5).alias("p50"),
+                 F.percentile("l_quantity", 0.95).alias("p95")))
+
+
 # [EXT]/[DOC]/streaming query modules register into the same REGISTRY
 # on import.
 from . import queries_ext  # noqa: E402,F401  (import side effect)

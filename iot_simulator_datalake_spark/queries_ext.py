@@ -237,7 +237,7 @@ def dedup_simhash(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     md5-derived token hashes).  Map-only; near-dups cluster by
     fingerprint or small hamming distance."""
     d = load(spark, sf_dir, "documents")
-    return simhash(d, "text").select("doc_id", "simhash")
+    return simhash(d, "text", "doc_id")
 
 
 _JACCARD = dict(shingle_n=2, threshold=0.2)

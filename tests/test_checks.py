@@ -1,0 +1,96 @@
+"""Check-framework unit tests: generic checks, relationship (RI),
+expectation policies (P9 warn/drop/fail), partitioned sinks (S9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.engine import (
+    Engine, OnViolation, Registry, accepted_values, expect, model,
+    not_null, relationship, singular, unique)
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    r = Registry()
+
+    @model(r, name="child", layer="silver")
+    def child(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", -5.0), (3, "zz", 7.0), (4, None, 1.0)],
+            ["id", "code", "value"])
+
+    @model(r, name="parent", layer="gold")
+    def parent(ctx):
+        return ctx.spark.createDataFrame([("a",), ("b",)], ["code"])
+
+    e = Engine(spark, r, warehouse=tmp_path / "wh")
+    e.run()
+    return e
+
+
+def test_generic_checks(eng):
+    eng.add_check(not_null("silver.child", "code"))
+    eng.add_check(unique("silver.child", "id"))
+    eng.add_check(accepted_values("silver.child", "code", ["a", "b"]))
+    results = {r.name: r for r in eng.test()}
+    assert not results["not_null__silver.child__code"].passed
+    assert results["unique__silver.child__id"].passed
+    av = results["accepted_values__silver.child__code"]
+    assert not av.passed and av.sample[0]["code"] == "zz"
+
+
+def test_relationship_check(eng):
+    eng.add_check(relationship("silver.child", "code",
+                               "gold.parent", "code"))
+    res = eng.test()[0]
+    assert not res.passed
+    assert {s["code"] for s in res.sample} == {"zz"}  # null excluded
+
+
+def test_singular_check(eng):
+    eng.add_check(singular(
+        "no_negative_totals", "silver.child",
+        lambda df: df.groupBy("code").agg(F.sum("value").alias("v"))
+                     .filter(F.col("v") < 0)))
+    res = eng.test()[0]
+    assert not res.passed and res.sample[0]["code"] == "b"
+
+
+def test_expectation_policies(spark):
+    df = spark.createDataFrame([(1,), (2,), (-3,)], ["v"])
+    metrics: dict[str, int] = {}
+    # WARN: pass-through, metric recorded
+    out = expect(df, "v_pos", F.col("v") > 0, OnViolation.WARN, metrics)
+    assert out.count() == 3 and metrics["v_pos"] == 1
+    # DROP: violating rows removed
+    out = expect(df, "v_pos", F.col("v") > 0, OnViolation.DROP, metrics)
+    assert out.count() == 2
+    # FAIL: raises
+    with pytest.raises(ValueError, match="v_pos"):
+        expect(df, "v_pos", "v > 0", OnViolation.FAIL)
+    # string condition accepted
+    assert expect(df, "v_pos", "v > 0", OnViolation.DROP).count() == 2
+
+
+def test_partitioned_table_sink(spark, tmp_path):
+    """S9: partitioned ingestion — partition dirs exist and partition
+    pruning applies on read."""
+    r = Registry()
+
+    @model(r, name="events", layer="bronze", materialization="table",
+           partition_by=("dt",))
+    def events(ctx):
+        return ctx.spark.createDataFrame(
+            [("2024-01-01", 1), ("2024-01-02", 2)], ["dt", "v"])
+
+    e = Engine(spark, r, warehouse=tmp_path / "wh")
+    e.run()
+    root = tmp_path / "wh" / "bronze" / "events"
+    assert (root / "dt=2024-01-01").exists()
+    pruned = e.table("bronze.events").filter(F.col("dt") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.collect()[0]["v"] == 2
+    # partition filter reached the scan (no data filter on dt)
+    assert "PartitionFilters" in plan

@@ -62,7 +62,7 @@ def test_ngram_jaccard_blocked(docs, spark):
 
 def test_simhash_near_dups_close(docs):
     fps = {r["doc_id"]: r["simhash"] for r in
-           simhash(docs, "text").collect()}
+           simhash(docs, "text", "doc_id").collect()}
     assert fps[1] == fps[2]                    # identical docs, same hash
     ham_13 = bin(fps[1] ^ fps[3]).count("1")
     ham_15 = bin(fps[1] ^ fps[5]).count("1")
