@@ -9,7 +9,8 @@ from .dedup import (
     simhash,
     window_dedup,
 )
-from .similarity import brute_force_topk, lsh_bucket_topk
+from .similarity import (brute_force_topk, embedding_neardup_pairs,
+                         lsh_bucket_topk)
 from .scd import scd1_current
 from .rollup import time_rollup
 from .asof import asof_join
@@ -18,6 +19,6 @@ __all__ = [
     "exact_dedup", "fingerprint_dedup", "window_dedup",
     "minhash_signatures", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash",
-    "brute_force_topk", "lsh_bucket_topk",
+    "brute_force_topk", "embedding_neardup_pairs", "lsh_bucket_topk",
     "scd1_current", "time_rollup", "asof_join",
 ]

@@ -68,6 +68,32 @@ def sign_bucket(vec: Column, n_planes: int = 4) -> Column:
     return bucket
 
 
+def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.9,
+                            n_planes: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector member of the
+    dedup family): self-join within sign-LSH buckets, keep pairs with
+    cosine ≥ threshold (id_a < id_b).
+
+    Bucketing keeps the pair space at Σ bucket² ≈ corpus²/2^n_planes —
+    and for near-dup mining specifically, truly near-identical vectors
+    agree on sign bits with high probability, so recall concentrates
+    exactly where the operator is aimed.  Multi-probe (flipping one
+    plane) trades compute for the residual recall if needed.
+    """
+    v = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+         .withColumn("bucket", sign_bucket(F.col("vec"), n_planes)))
+    a, b = v.alias("a"), v.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    cosine_similarity(F.col("a.vec"),
+                                      F.col("b.vec")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 4) -> DataFrame:

@@ -22,7 +22,8 @@ from .operators.dedup import (exact_dedup, minhash_lsh_pairs,
                               ngram_jaccard_pairs, simhash, SIMHASH_BITS)
 from .operators.asof import asof_join
 from .operators.scd import scd1_current
-from .operators.similarity import brute_force_topk, lsh_bucket_topk
+from .operators.similarity import (brute_force_topk,
+                                   embedding_neardup_pairs, lsh_bucket_topk)
 from .queries import load, q
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -336,6 +337,29 @@ def similarity_topk_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # =========================================================================
 # SCD1 / as-of / JSON access / sort-limit ([DOC] surface)
 # =========================================================================
+
+@q("embedding_neardup_pairs", ("F10", "J5", "W2"), oracle=f"""
+WITH emb AS ({_O_EMB}),
+bucketed AS (
+  SELECT vec_id AS id, vec,
+         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM emb
+)
+SELECT a.id AS id_a, b.id AS id_b, {_O_COS} AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.id < b.id
+WHERE {_O_COS} >= 0.35
+""")
+def embedding_neardup_q(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Embedding-cosine near-duplicate pairs within sign-LSH buckets —
+    the vector member of the dedup family (threshold tuned to the test
+    corpus's neighbour density)."""
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.35, n_planes=4)
+
 
 @q("scd1_current_state", ("W1",), oracle="""
 SELECT user_id, event_id, ts, event_type, value
