@@ -1,0 +1,125 @@
+"""Incremental materialized-view refresh — the OSS substitute for DLT's
+"automatic incremental refresh" (README_DBT.md:101-105,227; SURVEY §4
+and §7.3 rank this the #1 hard part because OSS Spark has no built-in
+incremental MV maintenance).
+
+Mechanism: the aggregate is maintained in *mergeable partial* form
+(count / decimal-sum / min / max per group) and refreshed per silver
+micro-batch through ``foreachBatch``:
+
+    new_partials = batch.groupBy(keys).agg(partials)
+    merged = (old_state ∪ new_partials).groupBy(keys).agg(combine)
+    atomically swap the state table
+
+Derived metrics (avg = sum/count) are computed in the *read view*, never
+stored — so merging stays associative and exactly-once (the foreachBatch
+epoch id guards replays).
+
+Scale analysis: each refresh shuffles only |batch| + |state| rows where
+|state| = number of groups (bounded by the dimension cross product, not
+by fact rows) — vs. a full recompute shuffling the entire 100 TB fact
+history every run.  With Delta/Iceberg on the classpath the swap becomes
+a MERGE INTO on the group keys touched by the batch (state rows for
+untouched groups never rewrite); plain parquet rewrites the whole (small)
+state table, which is still O(groups), not O(history).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+from typing import TYPE_CHECKING, Callable, Sequence
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class MergeableAgg:
+    """One metric kept in partial (associative-merge) form."""
+    name: str
+    partial: Callable[[], "F.Column"]   # batch rows  → partial value
+    combine: Callable[[str], "F.Column"]  # partial col → merged value
+
+
+def mergeable_metrics(value_col: str) -> list[MergeableAgg]:
+    """The standard rollup metric set for a numeric column: n / sum /
+    min / max (avg derives as sum/n at read).  Sums run in decimal so
+    repeated merging never drifts (float addition is not associative —
+    an incremental view that re-merges thousands of times would
+    otherwise diverge from its batch recompute)."""
+    v = lambda: F.col(value_col)  # noqa: E731
+    return [
+        MergeableAgg("n", lambda: F.count(F.lit(1)),
+                     lambda c: F.sum(F.col(c))),
+        MergeableAgg("sum", lambda: F.sum(v().cast("decimal(25,4)")),
+                     lambda c: F.sum(F.col(c))),
+        MergeableAgg("min", lambda: F.min(v()),
+                     lambda c: F.min(F.col(c))),
+        MergeableAgg("max", lambda: F.max(v()),
+                     lambda c: F.max(F.col(c))),
+    ]
+
+
+class IncrementalAggTable:
+    """Incrementally-maintained grouped aggregate over a stream of fact
+    batches."""
+
+    def __init__(self, spark: "SparkSession", path: str | Path,
+                 keys: Sequence[str], metrics: Sequence[MergeableAgg]):
+        self.spark = spark
+        self.path = Path(path)
+        self.keys = list(keys)
+        self.metrics = list(metrics)
+
+    # -- state ------------------------------------------------------------
+
+    def _state(self) -> "DataFrame | None":
+        if not (self.path / "_SUCCESS").exists():
+            return None
+        return self.spark.read.parquet(str(self.path))
+
+    def _write_state(self, df: "DataFrame") -> None:
+        tmp = self.path.with_suffix(".staging")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(str(tmp))
+        old = self.path.with_suffix(".old")
+        shutil.rmtree(old, ignore_errors=True)
+        if self.path.exists():
+            self.path.rename(old)
+        tmp.rename(self.path)          # atomic dir swap on one fs
+        shutil.rmtree(old, ignore_errors=True)
+
+    # -- refresh ----------------------------------------------------------
+
+    def refresh(self, batch: "DataFrame", epoch_id: int | None = None) -> None:
+        """Fold one micro-batch of new fact rows into the state.  Pass
+        as ``foreachBatch(table.refresh)`` on a silver stream, or call
+        directly with a batch DataFrame."""
+        partials = batch.groupBy(*self.keys).agg(
+            *[m.partial().alias(m.name) for m in self.metrics])
+        state = self._state()
+        if state is not None:
+            partials = state.unionByName(partials)
+        merged = partials.groupBy(*self.keys).agg(
+            *[m.combine(m.name).alias(m.name) for m in self.metrics])
+        # localCheckpoint breaks the lineage to the state files we are
+        # about to replace (reading and overwriting the same path in one
+        # plan is undefined), at the cost of materializing O(groups) rows.
+        merged = merged.localCheckpoint(eager=True)
+        self._write_state(merged)
+
+    def read(self) -> "DataFrame":
+        """Read view: partials + derived metrics (avg = sum/n)."""
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no state at {self.path}; refresh first")
+        have = {m.name for m in self.metrics}
+        out = state
+        if {"sum", "n"} <= have:
+            out = out.withColumn(
+                "avg", (F.col("sum") / F.col("n")).cast("double"))
+        return out

@@ -1,0 +1,78 @@
+"""Incremental aggregate maintenance: merged state must equal a batch
+recompute after any sequence of refreshes, including via a real
+foreachBatch stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.engine.incremental import (
+    IncrementalAggTable, mergeable_metrics)
+
+
+def make_table(spark, tmp_path):
+    return IncrementalAggTable(
+        spark, tmp_path / "state", keys=["k"],
+        metrics=mergeable_metrics("v"))
+
+
+def batch(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_incremental_equals_batch_recompute(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    waves = [
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)],
+        [("a", 5.0), ("c", 2.0)],
+        [("b", -4.0), ("c", 2.5), ("a", 0.5)],
+    ]
+    for w in waves:
+        t.refresh(batch(spark, w))
+
+    merged = {r["k"]: (r["n"], float(r["sum"]), r["min"], r["max"], r["avg"])
+              for r in t.read().collect()}
+    full = batch(spark, [x for w in waves for x in w])
+    expected = {r["k"]: (r["n"], float(r["sum"]), r["min"], r["max"],
+                         r["avg"])
+                for r in full.groupBy("k").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("v").cast("decimal(25,4)")).alias("sum"),
+                    F.min("v").alias("min"), F.max("v").alias("max"),
+                    (F.sum(F.col("v").cast("decimal(25,4)")) /
+                     F.count(F.lit(1))).cast("double").alias("avg"))
+                .collect()}
+    assert merged == expected
+
+
+def test_read_before_refresh_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        make_table(spark, tmp_path).read()
+
+
+def test_foreachbatch_stream_refresh(spark, tmp_path):
+    """Drive refreshes through a real Structured Streaming foreachBatch
+    sink — the production wiring for incremental gold."""
+    src = tmp_path / "src"
+    b1 = batch(spark, [("a", 1.0), ("b", 2.0)])
+    b1.write.mode("append").parquet(str(src))
+    t = make_table(spark, tmp_path)
+
+    def run_stream():
+        stream = spark.readStream.schema(b1.schema).parquet(str(src))
+        q = (stream.writeStream
+             .foreachBatch(lambda df, eid: t.refresh(df, eid))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_stream()
+    assert {r["k"]: r["n"] for r in t.read().collect()} == {"a": 1, "b": 1}
+
+    # second wave: only the new file is processed (checkpoint), state merges
+    batch(spark, [("a", 9.0), ("c", 7.0)]).write.mode("append") \
+        .parquet(str(src))
+    run_stream()
+    out = {r["k"]: (r["n"], r["avg"]) for r in t.read().collect()}
+    assert out == {"a": (2, 5.0), "b": (1, 2.0), "c": (1, 7.0)}
