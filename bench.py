@@ -36,16 +36,22 @@ def main() -> None:
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).count()
 
+    # Two timed passes, report the min per query: local[N] on a shared
+    # host is noisy (GC, co-tenants) and the min is the stable estimate
+    # of actual plan cost.  Plans are rebuilt fresh each pass — no
+    # DataFrame/cache reuse.
     timings: dict[str, float] = {}
-    for name in names:
-        qd = REGISTRY[name]
-        # plans are rebuilt fresh each run — no DataFrame/cache reuse
-        t0 = time.monotonic()
-        df = qd.fn(spark, sf_dir)
-        n = df.count()
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+    for _pass in range(2):
+        for name in names:
+            qd = REGISTRY[name]
+            t0 = time.monotonic()
+            df = qd.fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.monotonic() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(f"# pass{_pass} {name}: {n} rows in {dt:.2f}s",
+                  file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -113,16 +113,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     # computing signatures (at real scale the scan already has enough
     # splits and this coalesces via AQE instead of exploding).
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sigs = minhash_signatures(spread, text_col, key_col,
-                              n_hashes=n_hashes, shingle_n=shingle_n)
+    # Exploded distinct (key, shingle) rows feed BOTH the signatures and
+    # the exact-Jaccard verification — every downstream op is a codegen
+    # join/aggregate; no shingle array ever rides a shuffle and no
+    # interpreted lambda runs per candidate.
+    # The exploded relation feeds 4 plan subtrees (signatures, sizes,
+    # both intersection sides) — cache it so tokenization/shingling runs
+    # once, not 4×.  MEMORY_AND_DISK + LRU eviction keeps this safe on
+    # long-lived sessions; size is O(total shingles), the operator's
+    # working set by definition.
+    ex = spread.select(
+        F.col(key_col).alias("key"),
+        F.explode(ngrams(tokens(F.col(text_col)), shingle_n)).alias("s")
+    ).cache()
+    sigs = ex.groupBy("key").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))))
+        .alias(f"sig_{i}") for i in range(n_hashes)])
     band_keys = F.array(*[
         F.md5(F.concat_ws("|", F.lit(str(b)),
                           *[F.col(f"sig_{b * rows_per_band + r}")
                             for r in range(rows_per_band)]))
         for b in range(bands)])
-    # Candidate generation joins only slim (key, band) rows — the
-    # shingle arrays do NOT ride through the band shuffle (3× exploded);
-    # they re-attach per side after pair dedup.
     slim = sigs.select("key", F.explode(band_keys).alias("band"))
     cand = (slim.alias("a")
             .join(slim.alias("b"), (F.col("a.band") == F.col("b.band")) &
@@ -130,17 +141,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
             .select(F.col("a.key").alias("key_a"),
                     F.col("b.key").alias("key_b"))
             .dropDuplicates(["key_a", "key_b"]))
-    sh = spread.select(F.col(key_col).alias("key"),
-                       ngrams(tokens(F.col(text_col)), shingle_n)
-                       .alias("sh"))
-    pairs = (cand
-             .join(sh.withColumnRenamed("key", "key_a")
-                     .withColumnRenamed("sh", "sh_a"), "key_a")
-             .join(sh.withColumnRenamed("key", "key_b")
-                     .withColumnRenamed("sh", "sh_b"), "key_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (pairs.withColumn("jaccard", F.round(inter / union, 6))
+    # |a∩b| by joining candidate pairs to both sides' shingle rows;
+    # |a∪b| = |a| + |b| − |a∩b| (shingle sets are distinct).
+    sizes = ex.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
+    ex_a = ex.select(F.col("key").alias("key_a"), F.col("s"))
+    ex_b = ex.select(F.col("key").alias("key_b"), F.col("s"))
+    inter = (cand.join(ex_a, "key_a").join(ex_b, ["key_b", "s"])
+             .groupBy("key_a", "key_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sized = (inter
+             .join(sizes.withColumnRenamed("key", "key_a")
+                        .withColumnRenamed("sz", "sz_a"), "key_a")
+             .join(sizes.withColumnRenamed("key", "key_b")
+                        .withColumnRenamed("sz", "sz_b"), "key_b"))
+    jac = F.round(F.col("inter") /
+                  (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)
+    return (sized.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("key_a", "key_b", "jaccard"))
 

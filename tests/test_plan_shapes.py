@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(broadcasts, pushdown, column pruning, no cartesian products) must
+survive refactors.  These assert on ``explain`` output, which is how
+the properties were designed in (README 'Design stance')."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from iot_simulator_datalake_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_dims_no_fact_shuffle(spark):
+    plan = plan_of(spark, "fact_avg_by_nation_month")
+    assert plan.count("BroadcastHashJoin") >= 2   # customer, nation
+    assert "CartesianProduct" not in plan
+    # lineitem scan pruned to the two needed columns
+    assert "l_orderkey" in plan and "l_comment" not in plan
+
+
+def test_silver_projection_prunes_columns(spark):
+    plan = plan_of(spark, "silver_projection_cast")
+    # orders has 6 columns; the query needs 3 — pruning must reach scan
+    assert "o_orderkey" in plan
+    assert "o_orderpriority" not in plan
+
+
+def test_theta_join_broadcasts_thresholds(spark):
+    plan = plan_of(spark, "threshold_theta_join")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = plan_of(spark, "topk_per_group")
+    # Spark 3.5+/4.x pushes rank<=k into WindowGroupLimit: partial
+    # per-partition top-K before the shuffle, never a full global sort
+    assert "WindowGroupLimit" in plan
+    assert "Sort" in plan  # within-partition sorts remain (expected)
+
+
+def test_global_topn_avoids_full_sort(spark):
+    plan = plan_of(spark, "global_topn")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_has_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_topk_broadcasts_probes(spark):
+    plan = plan_of(spark, "similarity_topk_bruteforce")
+    # the corpus side must not shuffle for the scoring join: the probe
+    # set is broadcast (nested-loop is fine — it IS the cross score)
+    assert "BroadcastExchange" in plan
