@@ -97,7 +97,8 @@ def minhash_signatures(df: DataFrame, text_col: str, key_col: str, *,
 def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
                       n_hashes: int = 6, bands: int = 3,
                       shingle_n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_band_bucket: int | None = None) -> DataFrame:
     """Near-duplicate pairs (key_a < key_b, jaccard ≥ threshold).
 
     Plan shape (the part that must survive 100×): docs are exploded to
@@ -135,6 +136,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
                             for r in range(rows_per_band)]))
         for b in range(bands)])
     slim = sigs.select("key", F.explode(band_keys).alias("band"))
+    if max_band_bucket is not None:
+        # Hot-band guard (SCALE.md): a band bucket with B members costs
+        # B² candidate pairs; buckets past the cap are boilerplate /
+        # exact-dup clusters — drop them here and route those docs
+        # through exact_dedup/fingerprint_dedup instead, keeping the
+        # worst-case pair count ≤ buckets × cap².
+        counts = slim.groupBy("band").agg(
+            F.count(F.lit(1)).alias("_bn"))
+        slim = (slim.join(counts, "band")
+                .filter(F.col("_bn") <= max_band_bucket).drop("_bn"))
     cand = (slim.alias("a")
             .join(slim.alias("b"), (F.col("a.band") == F.col("b.band")) &
                   (F.col("a.key") < F.col("b.key")))

@@ -1,13 +1,21 @@
 """SCD Type 1 current-state from CDC change streams ([DOC] W1 surface:
 README_DBT.md:103,171-182,242-244 — "CDC deduplication with
-ROW_NUMBER()", soft deletes via ``_is_deleted``)."""
+ROW_NUMBER()", soft deletes via ``_is_deleted``), plus the continuously
+maintained variant (⇔ DLT ``APPLY CHANGES INTO``)."""
 
 from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import window_dedup
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import SparkSession
 
 
 def scd1_current(changes: DataFrame, key: str, order_col: str = "op_ts",
@@ -29,3 +37,64 @@ def scd1_current(changes: DataFrame, key: str, order_col: str = "op_ts",
         current = current.filter(
             ~F.coalesce(F.col(deleted_col), F.lit(False)))
     return current
+
+
+class ApplyChanges:
+    """Continuously maintained SCD1 table — the OSS equivalent of DLT's
+    ``APPLY CHANGES INTO`` (README_DBT.md CDC pipeline surface).
+
+    Each :meth:`apply` folds a batch of change rows into a stored
+    current-state table: latest version per key wins, with **tombstone
+    retention** — deleted keys stay in the state (flagged) so an
+    out-of-order update older than the delete cannot resurrect the row;
+    :meth:`read` filters tombstones out.
+
+    Merge cost is O(batch + state-keys) — the window runs over the
+    union of the (one-row-per-key) state and the batch, shuffled on the
+    entity key.  Pass as ``foreachBatch(ac.apply)`` on a CDC stream.
+    With Delta/Iceberg jars this becomes MERGE INTO keyed on the batch's
+    keys; plain parquet rewrites the O(keys) state, never the history.
+    """
+
+    def __init__(self, spark: "SparkSession", path: str | Path, *,
+                 key: str, order_col: str = "op_ts",
+                 tiebreak: str | None = None,
+                 deleted_col: str = "_is_deleted"):
+        self.spark = spark
+        self.path = Path(path)
+        self.key, self.order_col = key, order_col
+        self.tiebreak, self.deleted_col = tiebreak, deleted_col
+
+    def _state(self) -> DataFrame | None:
+        if not (self.path / "_SUCCESS").exists():
+            return None
+        return self.spark.read.parquet(str(self.path))
+
+    def apply(self, changes: DataFrame, epoch_id: int | None = None) -> None:
+        state = self._state()
+        merged = changes if state is None else \
+            state.unionByName(changes, allowMissingColumns=True)
+        order = [F.col(self.order_col).desc()]
+        if self.tiebreak:
+            order.append(F.col(self.tiebreak).desc())
+        current = window_dedup(merged, [self.key], order)
+        current = current.localCheckpoint(eager=True)  # break lineage to
+        # the files replaced below
+        tmp = self.path.with_suffix(".staging")
+        shutil.rmtree(tmp, ignore_errors=True)
+        current.write.mode("overwrite").parquet(str(tmp))
+        old = self.path.with_suffix(".old")
+        shutil.rmtree(old, ignore_errors=True)
+        if self.path.exists():
+            self.path.rename(old)
+        tmp.rename(self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def read(self, include_deleted: bool = False) -> DataFrame:
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no state at {self.path}; apply first")
+        if include_deleted or self.deleted_col not in state.columns:
+            return state
+        return state.filter(
+            ~F.coalesce(F.col(self.deleted_col), F.lit(False)))

@@ -338,6 +338,50 @@ def similarity_topk_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # SCD1 / as-of / JSON access / sort-limit ([DOC] surface)
 # =========================================================================
 
+_O_COS_EC = ("ROUND(list_dot_product(e.vec, c.cent_vec) / "
+             "(sqrt(list_dot_product(e.vec, e.vec)) * "
+             "sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 6)")
+
+
+@q("similarity_topk_ivf", ("F10", "W3", "J5"), oracle=f"""
+WITH emb AS ({_O_EMB}),
+cents AS (
+  SELECT vec_id AS cent_id, vec AS cent_vec FROM emb
+  ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, vec, cluster FROM (
+    SELECT e.vec_id, e.vec, c.cent_id AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY -{_O_COS_EC}, c.cent_id) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, vec, cluster
+  FROM assign WHERE vec_id < 10
+),
+scored AS (
+  SELECT b.probe_id, a.vec_id, {_O_COS} AS score
+  FROM assign a JOIN probes b ON a.cluster = b.cluster
+  WHERE a.vec_id <> b.probe_id
+)
+SELECT probe_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""")
+def similarity_topk_ivf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """IVF ANN top-5: corpus partitioned into 8 deterministic centroid
+    cells, probes score only their own cell (~1/8 of the corpus).  The
+    second scale path beside sign-LSH; cell assignment is reusable
+    across probe batches."""
+    from .operators.similarity import ivf_topk
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=8)
+
+
 @q("embedding_neardup_pairs", ("F10", "J5", "W2"), oracle=f"""
 WITH emb AS ({_O_EMB}),
 bucketed AS (
@@ -441,6 +485,35 @@ def multimodal_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     d = load(spark, sf_dir, "documents")
     wrapped = attach_payload(d, "text", media_type="image", fmt="raw")
     return extract_features(wrapped, id_col="doc_id")
+
+
+@q("set_ops_union_except", ("A2",), oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  UNION
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+),
+churny AS (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY user_id HAVING COUNT(*) > 25
+)
+SELECT user_id FROM active
+EXCEPT
+SELECT user_id FROM churny
+""")
+def set_ops_union_except(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """UNION/EXCEPT set ops (SURVEY §2.6 — absent from the reference but
+    part of any complete engine surface; Spark plans EXCEPT as a
+    left-anti hash join, UNION-distinct as one hash aggregate)."""
+    e = load(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase") \
+              .select("user_id").distinct()
+    clickers = e.filter(F.col("event_type") == "click") \
+                .select("user_id").distinct()
+    churny = (e.filter(F.col("event_type") == "error")
+              .groupBy("user_id").count().filter(F.col("count") > 25)
+              .select("user_id"))
+    return buyers.union(clickers).distinct().exceptAll(churny)
 
 
 @q("global_topn", ("W3",), oracle="""

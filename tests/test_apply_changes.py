@@ -1,0 +1,60 @@
+"""ApplyChanges (DLT APPLY-CHANGES-INTO equivalent): upsert semantics,
+out-of-order protection via tombstones, stream wiring."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from iot_simulator_datalake_spark.operators.scd import ApplyChanges
+
+
+def ch(spark, rows):
+    return spark.createDataFrame(
+        rows, ["id", "op_ts", "name", "_is_deleted"])
+
+
+T = datetime
+
+
+def test_upsert_and_delete_sequence(spark, tmp_path):
+    ac = ApplyChanges(spark, tmp_path / "tbl", key="id")
+    ac.apply(ch(spark, [
+        ("a", T(2024, 1, 1), "a-v1", False),
+        ("b", T(2024, 1, 1), "b-v1", False)]))
+    assert {r["id"]: r["name"] for r in ac.read().collect()} == \
+        {"a": "a-v1", "b": "b-v1"}
+
+    # batch 2: update a, delete b
+    ac.apply(ch(spark, [
+        ("a", T(2024, 1, 2), "a-v2", False),
+        ("b", T(2024, 1, 2), "b-v1", True)]))
+    assert {r["id"]: r["name"] for r in ac.read().collect()} == {"a": "a-v2"}
+    # tombstone retained internally
+    assert {r["id"] for r in ac.read(include_deleted=True).collect()} == \
+        {"a", "b"}
+
+
+def test_out_of_order_update_cannot_resurrect(spark, tmp_path):
+    ac = ApplyChanges(spark, tmp_path / "tbl", key="id")
+    ac.apply(ch(spark, [("x", T(2024, 1, 5), "x-v2", True)]))   # delete @5
+    # late-arriving older update must NOT resurrect the deleted row
+    ac.apply(ch(spark, [("x", T(2024, 1, 3), "x-v1", False)]))
+    assert ac.read().count() == 0
+    # but a genuinely newer insert does
+    ac.apply(ch(spark, [("x", T(2024, 1, 9), "x-v3", False)]))
+    assert [r["name"] for r in ac.read().collect()] == ["x-v3"]
+
+
+def test_foreachbatch_wiring(spark, tmp_path):
+    src = tmp_path / "src"
+    b = ch(spark, [("k", T(2024, 1, 1), "k-v1", False)])
+    b.write.mode("append").parquet(str(src))
+    ac = ApplyChanges(spark, tmp_path / "tbl", key="id")
+    stream = spark.readStream.schema(b.schema).parquet(str(src))
+    q = (stream.writeStream.foreachBatch(lambda df, eid: ac.apply(df, eid))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert ac.read().count() == 1

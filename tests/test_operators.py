@@ -51,6 +51,22 @@ def test_minhash_lsh_finds_planted_near_dups(docs):
                for (a, b), jac in pairs.items())
 
 
+def test_minhash_hot_band_guard(spark):
+    # 20 identical docs form one giant band bucket; the cap excludes it
+    rows = [(i, "same boilerplate text repeated again and again here")
+            for i in range(20)] + \
+           [(100, "a unique document about something else entirely"),
+            (101, "a unique document about something else entirely!")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.3)
+    capped = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.3,
+                               max_band_bucket=5)
+    assert uncapped.count() >= 20 * 19 / 2        # boilerplate cluster
+    got = {(r["key_a"], r["key_b"]) for r in capped.collect()}
+    assert (100, 101) in got                      # small pairs survive
+    assert all(a >= 100 for a, _ in got)          # giant bucket dropped
+
+
 def test_ngram_jaccard_blocked(docs, spark):
     blocked = docs.withColumn("block", F.lit("all"))
     pairs = {(r["key_a"], r["key_b"]) for r in ngram_jaccard_pairs(
