@@ -120,6 +120,8 @@ class IncrementalAggTable:
         have = {m.name for m in self.metrics}
         out = state
         if {"sum", "n"} <= have:
+            # cast the exact decimal sum to double BEFORE dividing —
+            # decimal÷long division would truncate at decimal scale
             out = out.withColumn(
-                "avg", (F.col("sum") / F.col("n")).cast("double"))
+                "avg", F.col("sum").cast("double") / F.col("n"))
         return out

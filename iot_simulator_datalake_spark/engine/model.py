@@ -44,6 +44,9 @@ class Model:
     depends_on: tuple[str, ...] = ()
     schema: str | None = None
     partition_by: tuple[str, ...] = ()
+    #: (n_buckets, col, ...) — hash-bucket the table sink so later joins/
+    #: aggs on these cols co-locate without a shuffle (table mat. only)
+    bucket_by: tuple = ()
     description: str = ""
     meta: dict[str, Any] = field(default_factory=dict)
 
@@ -144,6 +147,7 @@ def model(registry: Registry, *, name: str, layer: str,
           depends_on: Iterable[str] = (),
           schema: str | None = None,
           partition_by: Iterable[str] = (),
+          bucket_by: Iterable = (),
           description: str = "",
           **meta: Any) -> Callable:
     """Decorator: register a builder function as a Model."""
@@ -153,7 +157,7 @@ def model(registry: Registry, *, name: str, layer: str,
             name=name, layer=layer, builder=fn,
             materialization=materialization,
             depends_on=tuple(depends_on), schema=schema,
-            partition_by=tuple(partition_by),
+            partition_by=tuple(partition_by), bucket_by=tuple(bucket_by),
             description=description or (fn.__doc__ or ""), meta=meta))
 
     return wrap

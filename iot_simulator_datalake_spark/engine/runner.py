@@ -99,8 +99,23 @@ class Engine:
                 writer = df.write.mode("overwrite")
                 if m.partition_by:
                     writer = writer.partitionBy(*m.partition_by)
-                writer.parquet(str(path))
-                df = self.spark.read.parquet(str(path))
+                if m.bucket_by:
+                    # bucketed sink: catalog table (bucket metadata lives
+                    # in the catalog); joins/aggs on the bucket cols then
+                    # skip the shuffle entirely (co-located join)
+                    n, *cols = m.bucket_by
+                    db = m.schema or m.layer
+                    self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+                    self.spark.sql(
+                        f"DROP TABLE IF EXISTS {m.qualified_name}")
+                    (writer.format("parquet")
+                     .bucketBy(int(n), *cols).sortBy(*cols)
+                     .option("path", str(path))
+                     .saveAsTable(m.qualified_name))
+                    df = self.spark.table(m.qualified_name)
+                else:
+                    writer.parquet(str(path))
+                    df = self.spark.read.parquet(str(path))
         self.register(m.qualified_name, df)
 
     def run(self, select: list[str] | None = None) -> RunResult:

@@ -1,0 +1,73 @@
+"""Oracle-checked queries for the incremental-maintenance machinery.
+
+These are the strongest checks in the suite: the Spark side runs the
+REAL multi-batch maintenance path (state on disk, two refresh cycles),
+and the oracle is the one-shot SQL over all input — so the driver's
+hash compare verifies the *incremental = batch recompute* invariant,
+not just a query result.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from .engine.incremental import IncrementalAggTable, mergeable_metrics
+from .operators.scd import ApplyChanges
+from .queries import load, oavg, osum, q
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+#: events are split at this timestamp into "history" and "new" batches
+_SPLIT = "2024-01-15"
+
+
+@q("incremental_rollup_equals_batch", ("A6", "A1", "ST2"), oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {osum('value')} AS sum,
+       MIN(value) AS min, MAX(value) AS max,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg
+FROM events GROUP BY event_type
+""")
+def incremental_rollup_equals_batch(spark: "SparkSession",
+                                    sf_dir: str) -> "DataFrame":
+    """Incremental MV maintenance invariant: fold events in two batches
+    through IncrementalAggTable (mergeable decimal partials, atomic
+    state swap) — the merged state must hash-equal the one-shot SQL."""
+    e = load(spark, sf_dir, "events")
+    t = IncrementalAggTable(
+        spark, tempfile.mkdtemp(prefix="inc_rollup_") + "/state",
+        keys=["event_type"], metrics=mergeable_metrics("value"))
+    t.refresh(e.filter(F.col("ts") < _SPLIT))
+    t.refresh(e.filter(F.col("ts") >= _SPLIT))
+    out = t.read()
+    return out.select("event_type", "n",
+                      F.col("sum").cast("double").alias("sum"),
+                      "min", "max", "avg")
+
+
+@q("apply_changes_equals_batch", ("W1", "ST2"), oracle="""
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def apply_changes_equals_batch(spark: "SparkSession",
+                               sf_dir: str) -> "DataFrame":
+    """APPLY-CHANGES-INTO invariant: two-batch upsert maintenance must
+    converge to the same current state as a one-shot latest-wins window
+    over all changes."""
+    e = (load(spark, sf_dir, "events")
+         .select("user_id", "event_id", "ts", "event_type"))
+    ac = ApplyChanges(
+        spark, tempfile.mkdtemp(prefix="apply_ch_") + "/state",
+        key="user_id", order_col="ts", tiebreak="event_id")
+    ac.apply(e.filter(F.col("ts") < _SPLIT))
+    ac.apply(e.filter(F.col("ts") >= _SPLIT))
+    return ac.read()

@@ -40,8 +40,8 @@ def test_incremental_equals_batch_recompute(spark, tmp_path):
                     F.count(F.lit(1)).alias("n"),
                     F.sum(F.col("v").cast("decimal(25,4)")).alias("sum"),
                     F.min("v").alias("min"), F.max("v").alias("max"),
-                    (F.sum(F.col("v").cast("decimal(25,4)")) /
-                     F.count(F.lit(1))).cast("double").alias("avg"))
+                    (F.sum(F.col("v").cast("decimal(25,4)")).cast("double")
+                     / F.count(F.lit(1))).alias("avg"))
                 .collect()}
     assert merged == expected
 
