@@ -57,6 +57,54 @@ def streaming_hourly_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                     "n_events", "total_value"))
 
 
+@q("streaming_sessionization", ("ST5", "W1"), oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+""")
+def streaming_sessionization(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """TRUE streaming sessionization: ``F.session_window`` (dynamic-gap
+    merging state) over a watermarked stream, drained availableNow —
+    must converge to the batch gap-based sessionization oracle.
+    session_window's end is last-event+gap, so subtract the gap to get
+    the oracle's MAX(ts)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                    "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    writer = (agg.writeStream.outputMode("complete")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return (spark.table(name)
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    (F.col("w.end") - F.expr("INTERVAL 30 MINUTES"))
+                    .alias("session_end"),
+                    "n_events"))
+
+
 @q("sessionization", ("W1", "A6"), bench=True, oracle="""
 WITH gaps AS (
   SELECT user_id, ts, event_id, value,
