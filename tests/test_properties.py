@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): operator invariants that must
+hold for arbitrary inputs, checked against simple Python references."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+# one Spark job per example is slow — keep examples modest but varied
+SETTINGS = dict(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+words = st.text(alphabet="abcdef ", min_size=0, max_size=40)
+
+
+@given(texts=st.lists(words, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_fingerprint_invariant_under_shuffle_and_case(spark, texts):
+    """fingerprint(text) == fingerprint(shuffled upper-cased tokens)."""
+    from iot_simulator_datalake_spark.functions.text import fingerprint
+    rows = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        rows.append((i, t, " ".join(reversed([w.upper() for w in toks]))))
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    bad = df.filter(
+        fingerprint(F.col("a")) != fingerprint(F.col("b"))).count()
+    assert bad == 0
+
+
+@given(vals=st.lists(
+    st.tuples(st.sampled_from("abc"), st.integers(0, 10_000)),
+    min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_window_dedup_matches_python_reference(spark, vals):
+    from iot_simulator_datalake_spark.operators import window_dedup
+    rows = [(k, v, i) for i, (k, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "v", "seq"])
+    out = {(r["k"], r["seq"]) for r in window_dedup(
+        df, ["k"], [F.col("v").desc(), F.col("seq").desc()]).collect()}
+    expected = {}
+    for k, v, i in rows:
+        if k not in expected or (v, i) > expected[k]:
+            expected[k] = (v, i)
+    assert out == {(k, i) for k, (v, i) in expected.items()}
+
+
+@given(events=st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+       gap_min=st.integers(1, 120))
+@settings(**SETTINGS)
+def test_sessionization_matches_python_reference(spark, events, gap_min):
+    """Session assignment (gap > g ⇒ new session) vs a direct fold."""
+    base = datetime(2024, 1, 1)
+    rows = [(1, base + timedelta(minutes=m), i)
+            for i, m in enumerate(sorted(events))]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() |
+                   (gap_us > gap_min * 60 * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, 0)
+    got = [r["sid"] for r in
+           df.withColumn("sid", F.sum(new_s).over(run))
+           .orderBy("ts", "event_id").collect()]
+
+    expected, sid, prev = [], 0, None
+    for m in sorted(events):
+        if prev is None or (m - prev) > gap_min:
+            sid += 1
+        expected.append(sid)
+        prev = m
+    assert got == expected
+
+
+@given(changes=st.lists(
+    st.tuples(st.sampled_from("xyz"), st.integers(0, 100),
+              st.booleans()),
+    min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd1_matches_python_reference(spark, changes):
+    from iot_simulator_datalake_spark.operators import scd1_current
+    base = datetime(2024, 1, 1)
+    rows = [(k, base + timedelta(hours=ts), i, d)
+            for i, (k, ts, d) in enumerate(changes)]
+    df = spark.createDataFrame(rows, ["id", "op_ts", "seq", "_is_deleted"])
+    got = {r["id"]: r["seq"] for r in
+           scd1_current(df, key="id", tiebreak="seq").collect()}
+    latest: dict = {}
+    for k, ts, i, d in rows:
+        if k not in latest or (ts, i) > latest[k][:2]:
+            latest[k] = (ts, i, d)
+    expected = {k: i for k, (ts, i, d) in latest.items() if not d}
+    assert got == expected

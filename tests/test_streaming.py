@@ -58,6 +58,37 @@ def test_two_wave_exactly_once(spark, tmp_path):
     assert eng3.table("silver.iot_events").count() == kept1 + kept2
 
 
+def test_streaming_pipeline_equals_batch(spark, tmp_path):
+    """The streaming and batch pipelines must produce identical silver
+    and gold relations from the same landing data (the materialization
+    mode is a physical choice, never a semantic one)."""
+    from iot_simulator_datalake_spark.pipeline import build_registry
+    landing = tmp_path / "landing"
+    write_iot_events(landing, n_events=600, n_files=3, seed=5)
+
+    stream_eng = make_engine(spark, landing, tmp_path / "wh_s")
+    stream_eng.run()
+    batch_eng = Engine(spark, build_registry(streaming=False),
+                       config={"iot_events_path": str(landing)},
+                       warehouse=tmp_path / "wh_b")
+    batch_eng.run()
+
+    from pyspark.sql import functions as F
+
+    def rows(df):
+        cols = [F.round(F.col(f.name), 9).alias(f.name)
+                if f.dataType.simpleString() == "double" else F.col(f.name)
+                for f in df.schema.fields]
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    for rel in ("silver.iot_events", "gold.dim_locations",
+                "gold.dim_date", "gold.fact_iot_events"):
+        s, b = stream_eng.table(rel), batch_eng.table(rel)
+        cols = sorted(set(b.columns) & set(s.columns))
+        assert rows(s.select(*cols)) == rows(b.select(*cols)), \
+            f"{rel} diverged between modes"
+
+
 def test_schema_store_persist_and_reuse(spark, tmp_path):
     landing = tmp_path / "landing"
     write_iot_events(landing, n_events=50, n_files=1, seed=3)
