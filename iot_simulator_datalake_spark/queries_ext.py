@@ -487,6 +487,33 @@ def multimodal_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return extract_features(wrapped, id_col="doc_id")
 
 
+@q("string_similarity_levenshtein", ("F11", "J5"), oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+""")
+def string_similarity_levenshtein(spark: "SparkSession",
+                                  sf_dir: str) -> "DataFrame":
+    """Edit-distance similarity join (F11), blocked on brand so the
+    pair space is Σ block² — levenshtein is O(len²) per pair, so the
+    blocking is what makes it feasible at scale (or swap in the
+    minhash/ngram operators for unblocked corpora)."""
+    p = load(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("key_a"),
+                 F.col("p_brand").alias("brand"),
+                 F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"),
+                 F.col("p_brand").alias("brand"),
+                 F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (a.join(b, ["brand"])
+            .filter(F.col("key_a") < F.col("key_b"))
+            .select("key_a", "key_b", dist.alias("dist"))
+            .filter(F.col("dist") <= 12))
+
+
 @q("set_ops_union_except", ("A2",), oracle="""
 WITH active AS (
   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
