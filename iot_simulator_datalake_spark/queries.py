@@ -498,6 +498,44 @@ def approx_distinct_small(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  F.countDistinct("l_suppkey").alias("exact_supps")))
 
 
+@q("cube_rollup_totals", ("A1", "F7"), oracle=f"""
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       {osum('l_quantity')} AS qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_rollup_totals(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """CUBE grouping sets (beyond the reference surface — SURVEY §2.4
+    notes Spark has it for free): all 4 grouping combinations in one
+    pass; Spark expands to a single Expand + hash aggregate, one
+    shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.cube(F.col("l_returnflag").alias("flag"),
+                    F.col("l_linestatus").alias("status"))
+            .agg(dsum("l_quantity").alias("qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@q("pivot_status_totals", ("A1", "F7"), oracle=f"""
+SELECT l_returnflag AS flag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+            THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS qty_o,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+            THEN CAST(l_quantity AS DECIMAL(25,4)) END) AS DOUBLE) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+""")
+def pivot_status_totals(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """PIVOT (wide aggregation): explicit value list keeps the plan a
+    single pass (no distinct-values pre-query) — the at-scale rule for
+    pivots."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_returnflag").alias("flag"))
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(dsum("l_quantity"))
+            .withColumnRenamed("O", "qty_o")
+            .withColumnRenamed("F", "qty_f"))
+
+
 @q("percentile_by_group", ("A8", "F7"), oracle="""
 SELECT l_returnflag AS flag,
        quantile_cont(l_quantity, 0.5) AS p50,

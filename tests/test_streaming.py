@@ -115,6 +115,47 @@ def test_schema_evolution_merges_new_fields(spark, tmp_path):
     assert {f.name for f in s2.fields} == {"a", "b", "c"}
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """ST5 late-data semantics: in append mode, an event arriving after
+    the watermark has passed its window is dropped; the window it would
+    have updated stays finalized at the first run's count."""
+    from datetime import datetime as dt
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    out.mkdir()
+    schema = "ts timestamp, v double"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = (stream.withWatermark("ts", "10 minutes")
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("w.start").alias("start"), "n"))
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out))
+
+    # batch 1: events in hour 10 plus one far ahead at hour 14 — the
+    # hour-14 event advances the watermark to 13:50, finalizing hour 10
+    spark.createDataFrame(
+        [(dt(2024, 1, 1, 10, 5), 1.0), (dt(2024, 1, 1, 10, 20), 1.0),
+         (dt(2024, 1, 1, 14, 0), 1.0)],
+        schema).write.mode("append").parquet(str(src))
+    got1 = {r["start"].hour: r["n"] for r in run().collect()}
+    assert got1.get(10) == 2          # hour-10 window emitted, count 2
+
+    # batch 2: a LATE hour-10 event (watermark is already 13:50) — must
+    # be dropped; the finalized hour-10 row must keep count 2
+    spark.createDataFrame(
+        [(dt(2024, 1, 1, 10, 40), 1.0)], schema) \
+        .write.mode("append").parquet(str(src))
+    got2 = sorted((r["start"].hour, r["n"]) for r in run().collect())
+    assert got2 == [(10, 2)]          # unchanged; late event dropped
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState keyed state across micro-batches."""
     from iot_simulator_datalake_spark.streaming.stateful import (
