@@ -11,11 +11,18 @@ driver's entry-point shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from iot_simulator_datalake_spark.queries import REGISTRY
+# importable regardless of the caller's CWD
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from iot_simulator_datalake_spark.queries import REGISTRY  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
