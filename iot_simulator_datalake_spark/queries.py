@@ -457,7 +457,7 @@ def cdc_latest_wins(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 @q("topk_per_group", ("W3",),
    oracle="""
-SELECT user_id, event_id, value, rank
+SELECT user_id, event_id, value, rank::INT AS rank
 FROM (
     SELECT user_id, event_id, value, ROW_NUMBER() OVER (
         PARTITION BY user_id ORDER BY value DESC, event_id) AS rank

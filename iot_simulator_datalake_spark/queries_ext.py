@@ -99,9 +99,9 @@ def text_quality_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 @q("text_token_stats", ("F9",), oracle=f"""
 SELECT doc_id,
-       len({O_TOKENS.format(c='text')}) AS ws_tokens,
-       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_tokens,
-       length(text) AS n_chars
+       len({O_TOKENS.format(c='text')})::INT AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}'))::INT AS bpe_tokens,
+       length(text)::INT AS n_chars
 FROM documents
 """)
 def text_token_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -291,7 +291,7 @@ scored AS (
   FROM emb a, probes b
   WHERE a.vec_id <> b.vec_id
 )
-SELECT probe_id, vec_id, score, rank FROM (
+SELECT probe_id, vec_id, score, rank::INT AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
   FROM scored
@@ -320,7 +320,7 @@ scored AS (
   FROM bucketed a JOIN probes b ON a.bucket = b.bucket
   WHERE a.vec_id <> b.vec_id
 )
-SELECT probe_id, vec_id, score, rank FROM (
+SELECT probe_id, vec_id, score, rank::INT AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
   FROM scored
@@ -366,7 +366,7 @@ scored AS (
   FROM assign a JOIN probes b ON a.cluster = b.cluster
   WHERE a.vec_id <> b.probe_id
 )
-SELECT probe_id, vec_id, score, rank FROM (
+SELECT probe_id, vec_id, score, rank::INT AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
   FROM scored
@@ -489,7 +489,7 @@ def multimodal_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 @q("string_similarity_levenshtein", ("F11", "J5"), oracle="""
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-       levenshtein(a.p_name, b.p_name) AS dist
+       levenshtein(a.p_name, b.p_name)::INT AS dist
 FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 12

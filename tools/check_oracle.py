@@ -74,6 +74,18 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        # column TYPES must align too (a strict driver-side schema
+        # compare would flag int32-vs-int64 drift)
+        type_map = {"INTEGER": "int", "BIGINT": "bigint",
+                    "HUGEINT": "hugeint", "DOUBLE": "double",
+                    "FLOAT": "float", "VARCHAR": "string", "DATE": "date",
+                    "TIMESTAMP": "timestamp", "BOOLEAN": "boolean"}
+        drel = con.sql(qd.oracle)
+        dtypes = dict(zip(drel.columns, [str(t) for t in drel.types]))
+        for col, styp in sdf.dtypes:
+            dt = dtypes.get(col, "MISSING")
+            if type_map.get(dt.split("(")[0], dt.lower()) != styp:
+                problems.append(f"dtype {col}: spark={styp} duck={dt}")
         if not problems:
             sm, dm = row_multiset(scols, srows), row_multiset(dcols, drows)
             if sm != dm:
