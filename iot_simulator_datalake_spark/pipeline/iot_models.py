@@ -136,9 +136,15 @@ def build_registry(streaming: bool = True) -> Registry:
                   F.to_date(evt["timestamp"]) == dd["date"], how="left"))
         # A1: 5-key GROUP BY + AVG (fact_iot_events.sql:15-22) — two-phase
         # hash aggregate; partial agg runs map-side before the shuffle.
+        # avg accumulates in exact decimal so the result is identical
+        # across partitionings/re-runs (double addition is not
+        # associative; a re-shuffled recompute would otherwise drift in
+        # the last ulp) — same policy as the incremental MV state.
         return (joined.groupBy(evt["location_id"], "sensor_type",
                                "quality_flag", dd["year"], dd["month"])
-                .agg(F.avg("value").alias("avg_value")))
+                .agg((F.sum(F.col("value").cast("decimal(25,6)"))
+                      .cast("double") / F.count("value"))
+                     .alias("avg_value")))
 
     return r
 

@@ -559,3 +559,4 @@ def percentile_by_group(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 from . import queries_ext  # noqa: E402,F401  (import side effect)
 from . import queries_streaming  # noqa: E402,F401  (import side effect)
 from . import queries_incremental  # noqa: E402,F401  (import side effect)
+from . import queries_pipeline  # noqa: E402,F401  (import side effect)
