@@ -34,8 +34,7 @@ _FLAG = (("0", "' GOOD '"), ("1", "'suspect'"), ("2", "'bad'"),
          ("3", "'Suspect'"), ("4", "'good'"))
 
 
-@q("engine_pipeline_fact", ("O1", "O5", "S2", "P2", "P3", "P5", "A1",
-                            "A2", "A3", "J1", "J2"), oracle="""
+_PIPELINE_ORACLE = """
 WITH silver AS (
   SELECT 'dev-' || user_id AS device_id,
          'loc-' || (user_id % 10) AS location_id,
@@ -54,10 +53,10 @@ SELECT location_id, sensor_type, quality_flag,
          AS avg_value
 FROM silver
 GROUP BY 1, 2, 3, 4, 5
-""")
-def engine_pipeline_fact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Run the ported medallion pipeline end to end on a JSON export of
-    the events table; returns gold.fact_iot_events."""
+"""
+
+
+def _export_landing(spark: "SparkSession", sf_dir: str) -> Path:
     e = load(spark, sf_dir, "events")
     flag = F.expr("CASE (event_id % 5) " + " ".join(
         f"WHEN {k} THEN {v}" for k, v in _FLAG) + " END")
@@ -71,11 +70,39 @@ def engine_pipeline_fact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.lit("unit").alias("unit"),
         F.col("value"))
     workdir = Path(tempfile.mkdtemp(prefix="engine_pipeline_"))
-    landing = workdir / "landing"
-    raw.write.mode("overwrite").json(str(landing))
+    raw.write.mode("overwrite").json(str(workdir / "landing"))
+    return workdir
 
+
+@q("engine_pipeline_fact", ("O1", "O5", "S2", "P2", "P3", "P5", "A1",
+                            "A2", "A3", "J1", "J2"),
+   oracle=_PIPELINE_ORACLE)
+def engine_pipeline_fact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Run the ported medallion pipeline end to end on a JSON export of
+    the events table; returns gold.fact_iot_events."""
+    workdir = _export_landing(spark, sf_dir)
     eng = Engine(spark, build_registry(streaming=False),
-                 config={"iot_events_path": str(landing)},
+                 config={"iot_events_path": str(workdir / "landing")},
+                 warehouse=workdir / "wh")
+    eng.run()
+    return eng.table("gold.fact_iot_events")
+
+
+@q("engine_pipeline_fact_streaming", ("O1", "S1", "S3", "S5", "ST1",
+                                      "ST2", "ST3", "A1", "J1", "J2"),
+   oracle=_PIPELINE_ORACLE)
+def engine_pipeline_fact_streaming(spark: "SparkSession",
+                                   sf_dir: str) -> "DataFrame":
+    """The same pipeline through the STREAMING materialization path:
+    bronze and silver run as checkpointed availableNow streaming tables
+    (exactly-once file discovery + table-to-table incremental read),
+    gold in batch — the reference's actual execution mode
+    (README_DBT.md:213).  Must produce the identical fact table."""
+    workdir = _export_landing(spark, sf_dir)
+    eng = Engine(spark, build_registry(streaming=True),
+                 config={"iot_events_path": str(workdir / "landing"),
+                         "warehouse": str(workdir / "wh"),
+                         "schema_store": str(workdir / "schema.json")},
                  warehouse=workdir / "wh")
     eng.run()
     return eng.table("gold.fact_iot_events")
