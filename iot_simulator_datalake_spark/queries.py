@@ -560,3 +560,4 @@ from . import queries_ext  # noqa: E402,F401  (import side effect)
 from . import queries_streaming  # noqa: E402,F401  (import side effect)
 from . import queries_incremental  # noqa: E402,F401  (import side effect)
 from . import queries_pipeline  # noqa: E402,F401  (import side effect)
+from . import queries_tpch  # noqa: E402,F401  (import side effect)

@@ -1,0 +1,120 @@
+"""TPC-H-shaped analytics queries (Q1/Q3/Q5 silhouettes) on the driver
+tables — breadth beyond the reference's own narrow join/agg surface,
+exercising multi-aggregate scans, join+agg+top-N, and a 5-way join.
+
+(Public TPC-H query shapes; constants adapted to the driver's synthetic
+data ranges.)
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from .queries import davg, dsum, load, oavg, osum, q
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+@q("tpch_q1_pricing_summary", ("A1", "P6", "F7"), bench=True, oracle=f"""
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       {osum('l_quantity')} AS sum_qty,
+       {osum('l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))
+                * CAST(1 - l_discount AS DECIMAL(25,4))) AS DOUBLE)
+         AS sum_disc_price,
+       {oavg('l_quantity')} AS avg_qty,
+       {oavg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""")
+def tpch_q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q1 silhouette: one filtered scan, 6 aggregates, 2 group keys —
+    the canonical map-side-combine stress test.  The discount product
+    runs in exact decimal (decimal×decimal) for oracle determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy(F.col("l_returnflag").alias("flag"),
+                     F.col("l_linestatus").alias("status"))
+            .agg(dsum("l_quantity").alias("sum_qty"),
+                 dsum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 davg("l_quantity").alias("avg_qty"),
+                 davg("l_discount").alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@q("tpch_q3_shipping_priority", ("J1", "A1", "W3"), oracle=f"""
+SELECT l.l_orderkey AS order_id,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
+                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+         AS revenue,
+       CAST(o.o_orderdate AS DATE) AS order_date
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 3
+ORDER BY revenue DESC, order_id LIMIT 10
+""")
+def tpch_q3_shipping_priority(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Q3 silhouette: selective dim filter → join → agg → top-N.  The
+    customer filter broadcasts; TakeOrderedAndProject avoids a full
+    sort of the aggregate."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy(li["l_orderkey"].alias("order_id"),
+                     o["o_orderdate"].cast("date").alias("order_date"))
+            .agg(F.sum(disc_price).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "order_id").limit(10))
+
+
+@q("tpch_q5_local_volume", ("J1", "A1", "F7"), bench=True, oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
+                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+""")
+def tpch_q5_local_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q5 silhouette: 6-table join with a same-nation constraint.  Only
+    lineitem⋈orders shuffles; customer/supplier/nation/region all
+    broadcast, and the region filter prunes before joining."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(s),
+                  (li["l_suppkey"] == s["s_suppkey"]) &
+                  (s["s_nationkey"] == c["c_nationkey"]))
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy(n["n_name"].alias("nation"))
+            .agg(F.sum(disc_price).cast("double").alias("revenue")))

@@ -156,6 +156,30 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got2 == [(10, 2)]          # unchanged; late event dropped
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exactly-once dedup (W2 in-stream):
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    horizon — the bounded-state form of streaming dedup."""
+    from datetime import datetime as dt
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir(); out.mkdir()
+    schema = "id bigint, ts timestamp"
+    spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0)), (1, dt(2024, 1, 1, 10, 1)),  # dup id
+         (2, dt(2024, 1, 1, 10, 2))],
+        schema).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    dedup = (stream.withWatermark("ts", "1 hour")
+             .dropDuplicatesWithinWatermark(["id"]))
+    q = (dedup.writeStream.outputMode("append").format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2]
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState keyed state across micro-batches."""
     from iot_simulator_datalake_spark.streaming.stateful import (
