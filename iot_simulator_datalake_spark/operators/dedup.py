@@ -69,29 +69,45 @@ def window_dedup(df: DataFrame, keys: list[str],
 
 # -- MinHash-LSH ----------------------------------------------------------
 
+#: hex chars per signature slice: 5 hex = 20 bits per surrogate
+_SLICE = 5
+
+
 def minhash_signatures(df: DataFrame, text_col: str, key_col: str, *,
                        n_hashes: int = 6,
                        shingle_n: int = 3) -> DataFrame:
     """(key, sig_0..sig_{K-1}): MinHash signatures per document.
 
-    Each signature is the lexicographic min of seed-salted md5 over the
-    shingle set — min(md5) is a uniform permutation surrogate with
-    identical semantics in any engine that has md5 + string min.
+    One md5 per shingle, split into K disjoint 20-bit hex slices — each
+    slice is an independent uniform hash, so ``min(slice_i)`` over the
+    shingle set is a permutation surrogate (the classic
+    one-hash-split-into-k MinHash trick).  Compared to K salted md5s
+    this cuts the hash work K× — at 10⁹ docs × 50 shingles that is the
+    difference between 50 G and 300 G md5 evaluations.  (128/K ≥ 20
+    bits per slice caps K at 6 here; raise to xxhash64 pairs for more.)
 
     Implementation shape matters at scale: shingles are EXPLODED to
-    (key, shingle) rows and the K salted hashes run as plain codegen'd
-    expressions with a map-side-combining min aggregate.  The obvious
-    alternative (K array_min(transform(...)) columns over the shingle
-    array) leaves every hash inside interpreted higher-order-function
-    lambdas — ~10× slower per row and it re-derives the shingle array
-    per signature column.
+    (key, shingle) rows, the hash is one codegen'd projection, and the
+    K mins combine map-side.  The obvious alternative (K
+    array_min(transform(...)) columns over the shingle array) leaves
+    every hash inside interpreted higher-order-function lambdas — ~10×
+    slower per row.
     """
-    sh = df.select(F.col(key_col).alias("key"),
+    if n_hashes * _SLICE > 32:
+        raise ValueError(f"n_hashes ≤ {32 // _SLICE} with md5 slicing")
+    ex = df.select(F.col(key_col).alias("key"),
                    F.explode(ngrams(tokens(F.col(text_col)), shingle_n))
                    .alias("s"))
-    return sh.groupBy("key").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))))
-        .alias(f"sig_{i}") for i in range(n_hashes)])
+    return _sigs_from_exploded(ex, n_hashes)
+
+
+def _sigs_from_exploded(ex: DataFrame, n_hashes: int) -> DataFrame:
+    """Signatures from (key, shingle) rows: one md5 projection, K
+    slice-mins with map-side combine."""
+    hashed = ex.select("key", F.md5(F.col("s")).alias("h"))
+    return hashed.groupBy("key").agg(*[
+        F.min(F.substring("h", i * _SLICE + 1, _SLICE)).alias(f"sig_{i}")
+        for i in range(n_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
@@ -127,9 +143,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
         F.col(key_col).alias("key"),
         F.explode(ngrams(tokens(F.col(text_col)), shingle_n)).alias("s")
     ).cache()
-    sigs = ex.groupBy("key").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))))
-        .alias(f"sig_{i}") for i in range(n_hashes)])
+    sigs = _sigs_from_exploded(ex, n_hashes)
     band_keys = F.array(*[
         F.md5(F.concat_ws("|", F.lit(str(b)),
                           *[F.col(f"sig_{b * rows_per_band + r}")

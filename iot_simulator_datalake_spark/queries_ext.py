@@ -161,7 +161,8 @@ def _minhash_oracle() -> str:
                    _MINHASH["shingle_n"])
     rpb = k // bands
     sigs = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig_{i}"
+        f"list_min(list_transform(sh, s -> substr(md5(s), {i * 5 + 1}, 5)))"
+        f" AS sig_{i}"
         for i in range(k))
     bandkeys = ", ".join(
         "md5('{b}|' || ".format(b=b)
