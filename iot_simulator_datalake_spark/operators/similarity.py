@@ -112,15 +112,25 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("vec")),
         cents, vec_col="vec")
-    p_assigned = ivf_assign(
-        probes.select(F.col(id_col).alias("probe_id"),
-                      F.col(vec_col).alias("probe_vec")),
-        cents, vec_col="probe_vec")
-    if n_probe != 1:
-        raise NotImplementedError(
-            "multi-probe needs a top-n_probe cell rank per probe; "
-            "single-probe is the declared surface")
-    scored = (c.join(F.broadcast(p_assigned), "cluster")
+    # multi-probe: each probe searches its n_probe nearest cells —
+    # recall rises with n_probe at a linear cost in scored candidates
+    # (n_probe/n_centroids of the corpus per probe)
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("probe_vec"))
+    p_scored = (p.crossJoin(F.broadcast(cents))
+                .withColumn("_dist",
+                            -cosine_similarity(F.col("probe_vec"),
+                                               F.col("cent_vec"))))
+    w = W.partitionBy("probe_id").orderBy("_dist", "cent_id")
+    p_cells = (p_scored
+               .withColumn("_r", F.row_number().over(w))
+               .filter(F.col("_r") <= n_probe)
+               .select("probe_id", "probe_vec",
+                       F.col("cent_id").alias("cluster")))
+    # no dedup needed: every corpus vector lives in exactly one cell and
+    # a probe's n_probe cells are distinct, so (probe_id, vec_id) pairs
+    # are unique by construction
+    scored = (c.join(F.broadcast(p_cells), "cluster")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",
                       cosine_similarity(F.col("probe_vec"),

@@ -151,6 +151,29 @@ def test_time_rollup_grains(spark):
         time_rollup(df, "ts", [], "value", grain="fortnight")
 
 
+def test_ivf_multiprobe_recall_monotone(spark):
+    """IVF recall must be monotone in n_probe and reach exact recall at
+    n_probe = n_centroids (every cell searched)."""
+    import random
+    from iot_simulator_datalake_spark.operators.similarity import ivf_topk
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") < 4)
+    exact = {(r["probe_id"], r["vec_id"])
+             for r in brute_force_topk(df, probes, k=5).collect()}
+
+    def recall(n_probe):
+        got = {(r["probe_id"], r["vec_id"]) for r in
+               ivf_topk(df, probes, k=5, n_centroids=4,
+                        n_probe=n_probe).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r2, r_all = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r_all
+    assert r_all == 1.0                  # all cells searched ⇒ exact
+
+
 def test_topk_exact_vs_lsh_recall(spark):
     import random
     rng = random.Random(0)
