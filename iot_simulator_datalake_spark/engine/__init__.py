@@ -21,6 +21,7 @@ from .checks import (
     OnViolation,
     accepted_values,
     expect,
+    expect_observed,
     not_null,
     relationship,
     singular,
@@ -32,5 +33,5 @@ __all__ = [
     "Engine", "RunResult",
     "Check", "CheckResult", "OnViolation",
     "not_null", "unique", "accepted_values", "relationship", "singular",
-    "expect",
+    "expect", "expect_observed",
 ]

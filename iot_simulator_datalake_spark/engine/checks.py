@@ -146,3 +146,26 @@ def expect(df: "DataFrame", name: str, condition,
     if on_violation is OnViolation.DROP:
         return df.filter(cond)
     return df
+
+
+def expect_observed(df: "DataFrame", name: str, condition,
+                    on_violation: OnViolation = OnViolation.WARN):
+    """Scan-free expectation metrics via ``df.observe``: returns
+    ``(df, observation)`` where the violation count rides along with
+    the caller's OWN action instead of triggering a second scan —
+    the right shape at 100 TB, and the only shape that works inside a
+    streaming query (DLT expectations report metrics the same way).
+
+    ``observation.get["n_violations"]`` is available after the caller
+    executes an action on the returned DataFrame (batch), or via the
+    streaming progress listener's observedMetrics (streams).
+    """
+    from pyspark.sql import Observation
+    cond = condition if not isinstance(condition, str) else F.expr(condition)
+    obs = Observation(name)
+    observed = df.observe(
+        obs, F.sum(F.when(~cond, 1).otherwise(0)).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_rows"))
+    if on_violation is OnViolation.DROP:
+        observed = observed.filter(cond)
+    return observed, obs

@@ -142,10 +142,25 @@ class Engine:
         self.checks.append(check)
         return check
 
-    def test(self, max_sample: int = 5) -> list[CheckResult]:
+    def test(self, max_sample: int = 5,
+             persist: bool = False) -> list[CheckResult]:
         """Run every registered check; pass ⇔ violation query returns 0
-        rows (the reference's universal criterion, SURVEY §5.1)."""
-        return [c.run(self, max_sample=max_sample) for c in self.checks]
+        rows (the reference's universal criterion, SURVEY §5.1).
+
+        ``persist=True`` appends one audit row per check to
+        ``<warehouse>/_audit/check_results`` (⇔ dbt's test-result
+        artifacts), so quality history survives across runs.
+        """
+        results = [c.run(self, max_sample=max_sample) for c in self.checks]
+        if persist and results:
+            import time as _time
+            audit = self.spark.createDataFrame(
+                [(r.name, r.passed, r.violations, _time.time())
+                 for r in results],
+                "check string, passed boolean, violations long, run_ts double")
+            audit.coalesce(1).write.mode("append").parquet(
+                str(self.warehouse / "_audit" / "check_results"))
+        return results
 
     # -- cleanup -----------------------------------------------------------
 

@@ -74,6 +74,37 @@ def test_expectation_policies(spark):
     assert expect(df, "v_pos", "v > 0", OnViolation.DROP).count() == 2
 
 
+def test_expect_observed_scan_free_metrics(spark):
+    from iot_simulator_datalake_spark.engine import expect_observed
+    df = spark.createDataFrame([(1,), (2,), (-3,), (-4,)], ["v"])
+    out, obs = expect_observed(df, "v_pos", F.col("v") > 0,
+                               OnViolation.DROP)
+    kept = out.count()              # the caller's one action
+    assert kept == 2
+    assert obs.get == {"n_violations": 2, "n_rows": 4}
+
+
+def test_persisted_audit_results(spark, tmp_path):
+    from iot_simulator_datalake_spark.engine import Engine, Registry, model
+
+    r = Registry()
+
+    @model(r, name="t", layer="silver")
+    def t(ctx):
+        return ctx.spark.createDataFrame([(1,), (None,)], "id int")
+
+    e = Engine(spark, r, warehouse=tmp_path / "wh")
+    e.run()
+    e.add_check(not_null("silver.t", "id"))
+    e.test(persist=True)
+    e.test(persist=True)            # second run appends
+    audit = spark.read.parquet(str(tmp_path / "wh" / "_audit" /
+                                   "check_results"))
+    rows = audit.collect()
+    assert len(rows) == 2
+    assert all(not r["passed"] and r["violations"] == 1 for r in rows)
+
+
 def test_partitioned_table_sink(spark, tmp_path):
     """S9: partitioned ingestion — partition dirs exist and partition
     pruning applies on read."""
