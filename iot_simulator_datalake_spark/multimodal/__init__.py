@@ -15,7 +15,8 @@ from .transforms import (
     decode_image,
     extract_features,
     frame_sample,
+    repartition_by_bytes,
 )
 
 __all__ = ["MEDIA_SCHEMA", "attach_payload", "extract_features",
-           "decode_image", "frame_sample"]
+           "decode_image", "frame_sample", "repartition_by_bytes"]

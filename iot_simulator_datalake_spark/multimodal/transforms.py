@@ -29,6 +29,20 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
+def repartition_by_bytes(df: "DataFrame", bytes_col: str = "media.n_bytes",
+                         target_partition_bytes: int = 256 * 1024 * 1024
+                         ) -> "DataFrame":
+    """Size-aware repartitioning for skewed media payloads: compute the
+    total payload volume (one cheap aggregate over the metadata column
+    — never the payloads) and hash-repartition to ⌈total/target⌉
+    partitions so a task holds ~target bytes of media, not ~equal row
+    counts.  Equal-rows partitioning puts the few giant videos in one
+    task and OOMs it; equal-bytes keeps Arrow batch memory bounded."""
+    total = df.agg(F.sum(F.expr(bytes_col))).collect()[0][0] or 0
+    n = max(1, -(-int(total) // target_partition_bytes))
+    return df.repartition(n)
+
+
 def attach_payload(df: "DataFrame", content_col: str,
                    media_type: str = "image",
                    fmt: str = "raw") -> "DataFrame":

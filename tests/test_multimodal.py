@@ -41,6 +41,21 @@ def test_extract_features_deterministic(media):
     assert again == {k: v["digest"] for k, v in rows.items()}
 
 
+def test_repartition_by_bytes(spark):
+    from iot_simulator_datalake_spark.multimodal import (
+        attach_payload, repartition_by_bytes)
+    rows = [(i, "x" * 1000) for i in range(100)]    # 100 KB of payload
+    df = attach_payload(spark.createDataFrame(rows, ["id", "content"]),
+                        "content")
+    out = repartition_by_bytes(df, target_partition_bytes=30_000)
+    assert out.rdd.getNumPartitions() == 4          # ceil(100k/30k)
+    assert out.count() == 100
+    # empty frame degrades to one partition
+    empty = repartition_by_bytes(df.filter("id < 0"),
+                                 target_partition_bytes=30_000)
+    assert empty.rdd.getNumPartitions() == 1
+
+
 def test_stubbed_codecs_raise(media):
     with pytest.raises(NotImplementedError):
         decode_image(media)
