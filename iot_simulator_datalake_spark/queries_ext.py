@@ -544,6 +544,53 @@ def set_ops_union_except(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return buyers.union(clickers).distinct().exceptAll(churny)
 
 
+@q("date_spine", ("A3", "F2", "F3"), oracle="""
+WITH bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+         MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+)
+SELECT CAST(d AS DATE) AS date,
+       EXTRACT(year FROM d)::INT AS year,
+       EXTRACT(month FROM d)::INT AS month,
+       EXTRACT(dow FROM d)::INT AS day_of_week
+FROM bounds, LATERAL unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS t(d)
+""")
+def date_spine(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Gap-free date dimension spanning the data's date range (the
+    classic dbt date-spine utility dim_date lacks — observed-dates-only
+    dims break left joins on quiet days).  F.sequence generates the
+    spine JVM-side from one min/max aggregate; no driver loop."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(F.min(F.to_date("o_orderdate")).alias("lo"),
+                   F.max(F.to_date("o_orderdate")).alias("hi"))
+    return (bounds
+            .select(F.explode(F.sequence("lo", "hi")).alias("date"))
+            .select("date",
+                    F.year("date").alias("year"),
+                    F.month("date").alias("month"),
+                    (F.dayofweek("date") - 1).alias("day_of_week")))
+
+
+@q("unpivot_metrics", ("P4",), oracle="""
+SELECT c_custkey AS customer, metric, value FROM (
+  SELECT c_custkey,
+         UNNEST(['acctbal', 'nationkey']) AS metric,
+         UNNEST([c_acctbal, CAST(c_nationkey AS DOUBLE)]) AS value
+  FROM customer
+)
+""")
+def unpivot_metrics(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """UNPIVOT (wide → long melt): Spark's native unpivot produces an
+    Expand node — one pass, rows × n_metrics output, no join."""
+    c = load(spark, sf_dir, "customer")
+    return (c.select(F.col("c_custkey").alias("customer"),
+                     F.col("c_acctbal").alias("acctbal"),
+                     F.col("c_nationkey").cast("double").alias("nationkey"))
+            .unpivot("customer", ["acctbal", "nationkey"],
+                     "metric", "value"))
+
+
 @q("global_topn", ("W3",), oracle="""
 SELECT o_orderkey AS order_id, o_totalprice AS total
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
