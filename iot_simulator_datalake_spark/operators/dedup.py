@@ -134,9 +134,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     # the exact-Jaccard verification — every downstream op is a codegen
     # join/aggregate; no shingle array ever rides a shuffle and no
     # interpreted lambda runs per candidate.
-    # The exploded relation feeds 4 plan subtrees (signatures, sizes,
-    # both intersection sides) — cache it so tokenization/shingling runs
-    # once, not 4×.  MEMORY_AND_DISK + LRU eviction keeps this safe on
+    # The exploded relation feeds the signature aggregate AND the
+    # candidate-key semi-join — cache it so tokenization/shingling runs
+    # once, not twice.  MEMORY_AND_DISK + LRU eviction keeps this safe on
     # long-lived sessions; size is O(total shingles), the operator's
     # working set by definition.
     ex = spread.select(
@@ -165,12 +165,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
                   (F.col("a.key") < F.col("b.key")))
             .select(F.col("a.key").alias("key_a"),
                     F.col("b.key").alias("key_b"))
-            .dropDuplicates(["key_a", "key_b"]))
+            .dropDuplicates(["key_a", "key_b"])
+            .cache())  # feeds the key-filter AND the intersection join
+    # Verification only ever needs the shingles of documents that appear
+    # in some candidate pair — a tiny fraction of the corpus when banding
+    # is doing its job.  Semi-join down to those keys BEFORE the
+    # intersection joins so the (key, shingle) shuffle is O(candidate
+    # shingles), not O(corpus shingles) — at 10⁹ docs this is the
+    # difference between re-shuffling ~50 G rows and ~10 M.
+    ckeys = (cand.select(F.col("key_a").alias("key"))
+             .union(cand.select(F.col("key_b").alias("key"))).distinct())
+    exc = ex.join(ckeys, "key", "leftsemi").cache()
     # |a∩b| by joining candidate pairs to both sides' shingle rows;
     # |a∪b| = |a| + |b| − |a∩b| (shingle sets are distinct).
-    sizes = ex.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
-    ex_a = ex.select(F.col("key").alias("key_a"), F.col("s"))
-    ex_b = ex.select(F.col("key").alias("key_b"), F.col("s"))
+    sizes = exc.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
+    ex_a = exc.select(F.col("key").alias("key_a"), F.col("s"))
+    ex_b = exc.select(F.col("key").alias("key_b"), F.col("s"))
     inter = (cand.join(ex_a, "key_a").join(ex_b, ["key_b", "s"])
              .groupBy("key_a", "key_b")
              .agg(F.count(F.lit(1)).alias("inter")))
