@@ -1,0 +1,289 @@
+"""Declared queries for the training-data-pipeline surface that layers
+ON TOP of the pairwise dedup/similarity operators: near-dup cluster
+assignment (connected components), deterministic dataset splits,
+document chunking, vocabulary / TF-IDF, and PII redaction.
+
+Oracle strategy follows queries_ext.py: every Spark composition has a
+DuckDB twin generated from the same constants.  The one new trick is
+``neardup_clusters``: Spark runs an ITERATIVE label-propagation
+fixpoint (operators/components.py) while the oracle expresses the same
+transitive closure as a DuckDB ``WITH RECURSIVE`` CTE — the driver's
+hash compare then certifies an algorithm Spark cannot state in one SQL
+query.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .functions.text import tokens
+from .operators.components import connected_components
+from .operators.dedup import minhash_lsh_pairs
+from .queries import load, q
+from .queries_ext import O_TOKENS, _MINHASH, _minhash_oracle
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+# =========================================================================
+# Near-dup clusters: MinHash pairs → connected components ([EXT] W2/J5)
+# =========================================================================
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT key_a, key_b FROM ({_minhash_oracle()})
+), edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION ALL
+  SELECT key_b AS a, key_a AS b FROM pairs
+), reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
+)
+SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+@q("neardup_clusters", ("W2", "J5"), oracle=_clusters_oracle())
+def neardup_clusters(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(doc_id, cluster_id): near-dup cluster per document — MinHash-LSH
+    pairs fed through iterative min-label propagation; singletons keep
+    their own id.  cluster_id is the min doc_id in the component, so
+    "keep one per cluster" is ``WHERE doc_id = cluster_id``.
+
+    The oracle states the identical transitive closure as a DuckDB
+    recursive CTE, putting a genuinely iterative Spark algorithm inside
+    the hash-compare gate.
+    """
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", **_MINHASH) \
+        .select("key_a", "key_b")
+    comp = connected_components(pairs, "key_a", "key_b")
+    return (d.select("doc_id")
+            .join(comp, d["doc_id"] == comp["node"], "left")
+            .select("doc_id",
+                    F.coalesce("comp", "doc_id").alias("cluster_id")))
+
+
+# =========================================================================
+# Deterministic train/validation/test split ([EXT])
+# =========================================================================
+
+_SPLIT = dict(train=80, validation=90)  # bucket < 80 / < 90 / else test
+
+
+@q("dataset_split", ("F2",), oracle=f"""
+SELECT doc_id,
+       CASE WHEN b < {_SPLIT['train']} THEN 'train'
+            WHEN b < {_SPLIT['validation']} THEN 'validation'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 AS b
+  FROM documents
+)
+""")
+def dataset_split(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(doc_id, split): deterministic 80/10/10 split by hash bucket.
+
+    md5(key) % 100 — not ``rand()`` — so the split is stable across
+    runs, engines, partitionings, and retries (a training-data split
+    must never depend on row order or cluster layout).  Map-only: no
+    shuffle, fully pipelined into the scan at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long") % 100)
+    split = (F.when(b < _SPLIT["train"], "train")
+             .when(b < _SPLIT["validation"], "validation")
+             .otherwise("test"))
+    return d.select("doc_id", split.alias("split"))
+
+
+# =========================================================================
+# Document chunking with overlap ([EXT])
+# =========================================================================
+
+_CHUNK = 32   # tokens per chunk
+_STRIDE = 24  # chunk start distance (overlap = _CHUNK - _STRIDE)
+
+
+@q("doc_chunking", ("F9",), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+           CASE WHEN n <= {_CHUNK} THEN 0
+                ELSE (n - {_CHUNK} + {_STRIDE - 1}) // {_STRIDE} END)) AS i
+  FROM sized
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(
+         toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}], ' ') AS chunk
+FROM idx
+""")
+def doc_chunking(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(doc_id, chunk_id, chunk): overlapping {_CHUNK}-token windows
+    every {_STRIDE} tokens — the standard context-window chunking step
+    before embedding/training.
+
+    Shape: tokenize once, explode a chunk-INDEX sequence (never the
+    token array itself), slice per index.  Row blow-up is the chunk
+    count (~n/stride), there is no shuffle, and the whole thing
+    pipelines into the scan — embarrassingly parallel at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    base = (d.select("doc_id", tokens(F.col("text")).alias("toks"))
+            .withColumn("n", F.size("toks"))
+            .where(F.col("n") > 0))
+    last = F.when(F.col("n") <= _CHUNK, F.lit(0)).otherwise(
+        F.expr(f"(n - {_CHUNK} + {_STRIDE - 1}) div {_STRIDE}"))
+    return (base
+            .withColumn("_i", F.explode(F.sequence(F.lit(0), last)))
+            .select("doc_id", F.col("_i").cast("int").alias("chunk_id"),
+                    F.array_join(
+                        F.slice("toks", F.col("_i") * _STRIDE + 1,
+                                _CHUNK), " ").alias("chunk")))
+
+
+# =========================================================================
+# Vocabulary + TF-IDF ([EXT] F9)
+# =========================================================================
+
+_VOCAB_N = 200
+
+
+@q("vocab_topk", ("F9", "W3"), oracle=f"""
+WITH tok AS (
+  SELECT unnest({O_TOKENS.format(c='text')}) AS token FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+)
+SELECT token, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+FROM c ORDER BY rank LIMIT {_VOCAB_N}
+""")
+def vocab_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(token, cnt, rank): global top-{_VOCAB_N} vocabulary by corpus
+    frequency, ties broken lexically.
+
+    The global order is a ``TakeOrderedAndProject`` (orderBy+limit):
+    each partition keeps its local top-N and only N rows per partition
+    reach the driver-side merge — never a single-partition global sort.
+    row_number runs AFTER the limit, over {_VOCAB_N} rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = (d.select(F.explode(tokens(F.col("text"))).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy(F.col("cnt").desc(), "token").limit(_VOCAB_N))
+    w = W.orderBy(F.col("cnt").desc(), "token")
+    return counts.withColumn("rank", F.row_number().over(w))
+
+
+@q("tfidf_topk", ("F9", "W3"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({O_TOKENS.format(c='text')}) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT COUNT(*) AS nd FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * ROUND(ln((nd.nd + 1) / (dfreq.df + 1)), 8), 6)
+           AS tfidf
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN nd
+)
+SELECT doc_id, token, tf, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= 3
+""")
+def tfidf_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(doc_id, token, tf, tfidf): top-3 TF-IDF terms per document.
+
+    Float determinism: idf = round(ln((N+1)/(df+1)), 8) — the ln sees
+    a bit-identical double both sides (exact-int division) and the
+    8-dp round absorbs any last-ulp libm difference; the final score
+    rounds to 6 dp.  Plan: tf agg shuffles on (doc, token) with
+    map-side partials, df derives from tf (no second pass over the
+    corpus), N arrives via a broadcast single-row cross join — no
+    driver-side ``.count()`` stitched into the plan.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    idf = F.round(F.log((F.col("nd") + 1) / (F.col("df") + 1)), 8)
+    scored = (tf.join(dfreq, "token").crossJoin(F.broadcast(nd))
+              .withColumn("tfidf", F.round(F.col("tf") * idf, 6)))
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("doc_id", "token", "tf", "tfidf"))
+
+
+# =========================================================================
+# PII redaction ([EXT] F9)
+# =========================================================================
+
+#: deliberately RE2-compatible (no lookaround/backrefs) so the Spark
+#: (java.util.regex) and DuckDB (RE2) engines match identically
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+@q("text_redact_pii", ("F9",), oracle=f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 01' || CAST(doc_id AS VARCHAR)
+              AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails
+FROM injected
+""")
+def text_redact_pii(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(doc_id, redacted, n_emails): PII scrubbing — emails then phone
+    numbers replaced with typed placeholders.
+
+    The corpus is synthetic, so a deterministic email+phone suffix is
+    injected per doc first; the oracle injects the identical suffix and
+    runs the identical regexes, so the gate checks true cross-engine
+    regex parity (patterns stay in the RE2 ∩ java.util.regex dialect).
+    Map-only; no shuffle at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"),
+                   F.lit(" contact user"), F.col("doc_id").cast("string"),
+                   F.lit("@example.com or +1 (555) 01"),
+                   F.col("doc_id").cast("string"))
+    red = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    n_emails = F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0)))
+    return d.select("doc_id", red.alias("redacted"),
+                    n_emails.cast("long").alias("n_emails"))

@@ -1,0 +1,102 @@
+"""Tests for the training-pipeline layer: connected components,
+chunking, splits, vocab/TF-IDF, PII redaction (queries_training.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.operators.components import (
+    connected_components)
+from iot_simulator_datalake_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _comp_map(spark, edges):
+    df = spark.createDataFrame(edges, ["a", "b"])
+    return {r["node"]: r["comp"]
+            for r in connected_components(df, "a", "b").collect()}
+
+
+def test_connected_components_chain_and_islands(spark):
+    # 1-2-3-4 is one chain (diameter > 1 → needs >1 iteration),
+    # 10-11 an island; every node gets the min id of its component
+    comp = _comp_map(spark, [(2, 1), (2, 3), (3, 4), (10, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merges_via_shared_node(spark):
+    # two stars sharing node 5 collapse into one component
+    comp = _comp_map(spark, [(5, 7), (5, 8), (9, 5), (20, 21)])
+    assert {comp[5], comp[7], comp[8], comp[9]} == {5}
+    assert comp[20] == comp[21] == 20
+
+
+def test_neardup_clusters_partitions_all_docs(spark):
+    out = REGISTRY["neardup_clusters"].fn(spark, SF)
+    rows = out.collect()
+    docs = REGISTRY["dedup_exact"].fn(spark, SF)  # any doc-table query
+    # total partition: every doc appears exactly once
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    # cluster representative is a member of the cluster
+    ids = {r["doc_id"] for r in rows}
+    assert all(r["cluster_id"] in ids for r in rows)
+    # cluster_id is the min member (so doc_id == cluster_id picks one
+    # canonical doc per cluster)
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert all(cid == min(members) for cid, members in by_cluster.items())
+
+
+def test_doc_chunking_windows(spark):
+    out = REGISTRY["doc_chunking"].fn(spark, SF)
+    toks = {r["doc_id"]: r["toks"] for r in
+            out.sparkSession.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+            .collect()}
+    chunks: dict[int, dict[int, str]] = {}
+    for r in out.collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+    for doc_id, by_id in chunks.items():
+        t = [x for x in toks[doc_id] if x]
+        n = len(t)
+        expect_chunks = 1 if n <= 32 else (n - 32 + 23) // 24 + 1
+        assert sorted(by_id) == list(range(expect_chunks))
+        # chunk 0 is exactly the first min(n, 32) tokens
+        assert by_id[0] == " ".join(t[:32])
+        # consecutive chunks overlap by chunk-minus-stride tokens
+        if expect_chunks > 1:
+            assert by_id[1] == " ".join(t[24:24 + 32])
+
+
+def test_dataset_split_deterministic_and_total(spark):
+    fn = REGISTRY["dataset_split"].fn
+    a = {r["doc_id"]: r["split"] for r in fn(spark, SF).collect()}
+    b = {r["doc_id"]: r["split"] for r in fn(spark, SF).collect()}
+    assert a == b  # stable across runs (hash-based, not rand())
+    assert set(a.values()) <= {"train", "validation", "test"}
+    # roughly 80/10/10 (hash uniformity; loose bounds for 500 docs)
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.7 * n < train < 0.9 * n
+
+
+def test_vocab_and_tfidf_shapes(spark):
+    vocab = REGISTRY["vocab_topk"].fn(spark, SF).collect()
+    assert [r["rank"] for r in vocab] == list(range(1, len(vocab) + 1))
+    counts = [r["cnt"] for r in vocab]
+    assert counts == sorted(counts, reverse=True)
+    tfidf = REGISTRY["tfidf_topk"].fn(spark, SF)
+    per_doc = (tfidf.groupBy("doc_id").count().select(F.max("count"))
+               .first()[0])
+    assert per_doc <= 3
+
+
+def test_redact_removes_injected_pii(spark):
+    out = REGISTRY["text_redact_pii"].fn(spark, SF).collect()
+    for r in out:
+        assert "@example.com" not in r["redacted"]
+        assert "<EMAIL>" in r["redacted"]
+        assert "<PHONE>" in r["redacted"]
+        assert r["n_emails"] >= 1
