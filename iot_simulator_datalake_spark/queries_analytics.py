@@ -1,0 +1,234 @@
+"""Window-function and aggregate-shape breadth: running totals, lag
+deltas, interval-range moving averages, argmax, ROLLUP+GROUPING,
+filtered aggregates, histograms, deterministic sampling.
+
+These extend the declared surface past SURVEY §2.5's W1-W3 (the
+reference's only window use is ROW_NUMBER dedup — README_DBT.md:242-244)
+with the frame/offset/ordered-set shapes any analytics engine needs.
+Scale notes inline per query; all stay fully JVM-side (no Python UDFs).
+
+Float determinism: every windowed/grouped sum over doubles goes through
+DECIMAL(25,4) exactly like queries.dsum (see queries.py module
+docstring); averages divide the decimal-sum (as double) by the frame
+count and round to 6 dp on both engines.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .queries import load, oavg, osum, q
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+# =========================================================================
+# Window frames (running / offset / range) — beyond W1's ROW_NUMBER
+# =========================================================================
+
+@q("window_running_total", ("W1", "F7"), bench=True, oracle="""
+SELECT o_custkey AS customer, o_orderkey AS order_id,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend
+FROM orders
+""")
+def window_running_total(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-customer cumulative spend (running SUM frame).  One shuffle
+    on the partition key, then a per-partition sort — at 100 TB the
+    partition key (customer) is high-cardinality so partitions stay
+    small and the sort is in-memory; the frame itself is O(1) running
+    state, never a re-scan.  Ties broken by orderkey so the running
+    prefix is deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select(
+        F.col("o_custkey").alias("customer"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)")).over(w)
+         .cast("double").alias("running_spend"))
+
+
+@q("window_lag_delta", ("W1", "F2"), oracle="""
+SELECT event_id, user_id, ts,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+FROM events
+""")
+def window_lag_delta(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Inter-event gap per device (LAG offset window) — the IoT
+    heartbeat/dropout primitive.  Same single-shuffle profile as the
+    running total; the offset lookup is O(1) per row.  Gap computed in
+    epoch microseconds (bigint) so both engines agree bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id", "user_id", "ts",
+        (us - F.lag(us).over(w)).alias("delta_us"))
+
+
+@q("moving_avg_7d", ("W1", "A6", "F7"), oracle=f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day_n,
+           {osum('o_totalprice')} AS day_total,
+           COUNT(*) AS day_orders
+    FROM orders GROUP BY 1, 2
+)
+SELECT order_date, day_total,
+       ROUND(CAST(SUM(CAST(day_total AS DECIMAL(25,4))) OVER w AS DOUBLE)
+             / SUM(day_orders) OVER w, 6) AS avg_order_7d
+FROM daily
+WINDOW w AS (ORDER BY day_n
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""")
+def moving_avg_7d(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Trailing-7-day average order value (RANGE frame over a computed
+    day number).  Two-phase: a daily pre-aggregate shrinks the input to
+    one row per day BEFORE the window, so the range frame slides over
+    ~2500 rows regardless of fact size — the at-scale pattern for
+    calendar-window metrics (never a range frame over raw facts).
+    RANGE (not ROWS) handles calendar gaps correctly."""
+    o = load(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+                  .cast("double").alias("day_total"),
+                  F.count(F.lit(1)).alias("day_orders"))
+             .withColumn("day_n", F.datediff("order_date",
+                                             F.lit("1970-01-01"))))
+    w = (W.orderBy("day_n").rangeBetween(-6, 0))
+    return daily.select(
+        "order_date", "day_total",
+        F.round(F.sum(F.col("day_total").cast("decimal(25,4)")).over(w)
+                 .cast("double") / F.sum("day_orders").over(w), 6)
+         .alias("avg_order_7d"))
+
+
+# =========================================================================
+# Ordered-set / argmax aggregates
+# =========================================================================
+
+@q("argmax_latest_event", ("A7", "W1"), oracle="""
+SELECT user_id,
+       arg_max(event_type,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type,
+       MAX(ts) AS last_ts, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""")
+def argmax_latest_event(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Latest event type per device via MAX_BY (argmax aggregate) — the
+    single-pass alternative to the ROW_NUMBER dedup (cdc_latest_wins)
+    when only ONE column is wanted: no window shuffle+sort of whole
+    rows, just a two-phase aggregate with map-side partials, so at
+    scale it's strictly cheaper than W1.
+    The ordering key is (ts, event_id) encoded as a zero-padded string
+    because argmax tiebreaks must be total for cross-engine
+    determinism."""
+    e = load(spark, sf_dir, "events")
+    ordkey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return (e.groupBy("user_id")
+            .agg(F.max_by("event_type", ordkey).alias("last_type"),
+                 F.max("ts").alias("last_ts"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# =========================================================================
+# Grouping-set metadata, filtered aggregates, histograms
+# =========================================================================
+
+@q("rollup_grouping_id", ("A1", "F7"), oracle=f"""
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       {osum('l_quantity')} AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_grouping_id(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """ROLLUP with GROUPING_ID — hierarchical subtotals whose level is
+    identified by the grouping bitmask (needed by any BI layer consuming
+    grouping sets).  Single Expand + one shuffle, same plan family as
+    cube_rollup_totals."""
+    li = load(spark, sf_dir, "lineitem")
+    from .queries import dsum
+    return (li.rollup(F.col("l_returnflag").alias("flag"),
+                      F.col("l_linestatus").alias("status"))
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 dsum("l_quantity").alias("qty")))
+
+
+@q("conditional_agg_filter", ("A1", "P6", "F7"), oracle=f"""
+SELECT o_custkey AS customer,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+            FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE)
+         AS urgent_spend
+FROM orders GROUP BY 1
+""")
+def conditional_agg_filter(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Filtered/conditional aggregates (FILTER clause ⇔ count_if /
+    sum(CASE)) — many metrics over one scan instead of N self-joins.
+    One pass, one shuffle, all map-side combinable."""
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_custkey").alias("customer"))
+            .agg(F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+                 F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+                 F.coalesce(
+                     F.sum(F.when(F.col("o_orderpriority") == "1-URGENT",
+                                  F.col("o_totalprice"))
+                           .cast("decimal(25,4)")),
+                     F.lit(0).cast("decimal(25,4)"))
+                 .cast("double").alias("urgent_spend")))
+
+
+@q("histogram_price_bins", ("A1", "F7"), oracle="""
+SELECT CAST(FLOOR(l_extendedprice / 500) AS BIGINT) AS bin,
+       COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+FROM lineitem GROUP BY 1
+""")
+def histogram_price_bins(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Equi-width histogram via floor-division binning — the profiling
+    primitive behind data-quality drift checks.  Bin count is bounded
+    (price range / width) so the agg output is tiny no matter the input
+    scale; floor() on doubles is exact for these 2-dp values."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.floor(F.col("l_extendedprice") / 500)
+                       .cast("bigint").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("l_extendedprice").alias("lo"),
+                 F.max("l_extendedprice").alias("hi")))
+
+
+@q("hash_sample_stratified", ("P5", "A5"), oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000 < 100
+""")
+def hash_sample_stratified(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic ~10% Bernoulli sample keyed on md5(event_id) — the
+    repeatable-sampling primitive for eval-set carving and profiling
+    (same md5-bucket technique as dataset_split, applied as a sampling
+    filter).  Pure narrow filter: no shuffle, prunes at the scan, and
+    the same rows are selected on any engine, any partitioning, any
+    run — unlike rand()-based sampling."""
+    e = load(spark, sf_dir, "events")
+    bucket = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                 1, 15), 16, 10)
+              .cast("bigint") % 1000)
+    return (e.filter(bucket < 100)
+            .select("event_id", "user_id", "event_type", "value"))

@@ -82,6 +82,103 @@ def tpch_q3_shipping_priority(spark: "SparkSession",
             .orderBy(F.col("revenue").desc(), "order_id").limit(10))
 
 
+@q("tpch_q6_forecast_revenue", ("P5", "A4", "F7"), bench=True, oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))
+              * CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6_forecast_revenue(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q6 silhouette: pure filter + global aggregate, zero joins — the
+    canonical predicate-pushdown benchmark.  All three predicates reach
+    the parquet scan (PushedFilters) and only 4 columns are read; the
+    agg is a single partial→final reduction with no wide shuffle.
+    (Constants adapted to the driver data's 1995-2001 shipdate range.)"""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(25,4)") *
+           F.col("l_discount").cast("decimal(25,4)"))
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01") &
+                      (F.col("l_shipdate") < "1997-01-01") &
+                      (F.col("l_discount").between(0.05, 0.07)) &
+                      (F.col("l_quantity") < 24))
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@q("tpch_q4_order_priority", ("J3", "A1", "F2"), oracle="""
+SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+""")
+def tpch_q4_order_priority(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q4 silhouette: EXISTS with a cross-table predicate → left-semi
+    join whose condition references both sides, then a tiny agg.  The
+    semi join shuffles both sides on orderkey once; the count-by-
+    priority agg is over the already-reduced orders side.  (The driver
+    lineitem has no commit/receipt dates, so the "late" predicate is
+    adapted to shipdate > orderdate + 60 days.)"""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((o["o_orderkey"] == li["l_orderkey"]) &
+            (li["l_shipdate"] > F.col("o_orderdate") +
+             F.expr("INTERVAL 60 DAYS")))
+    return (o.join(li, cond, "left_semi")
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@q("tpch_q18_large_volume", ("A4", "J1", "W3"), oracle=f"""
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_name AS name, c.c_custkey AS customer,
+       o.o_orderkey AS order_id, CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_totalprice AS total_price,
+       {osum('l.l_quantity')} AS sum_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY total_price DESC, order_id LIMIT 100
+""")
+def tpch_q18_large_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q18 silhouette: aggregate-derived semi filter (orders whose line
+    quantity total clears a threshold) joined back to the fact.  The
+    `big` set is small after the HAVING, so it broadcasts into the
+    orders probe; lineitem is aggregated once on its natural key (no
+    re-shuffle for the second join at scale with AQE).  Top-100 via
+    TakeOrderedAndProject, never a global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    # distinct lineage for the semi side: the filter-join below would
+    # otherwise be an ambiguous self-join against `li`
+    big = (load(spark, sf_dir, "lineitem")
+           .groupBy(F.col("l_orderkey").alias("big_orderkey"))
+           .agg(dsum("l_quantity").alias("_q"))
+           .filter(F.col("_q") > 150)
+           .select("big_orderkey"))
+    return (o.join(F.broadcast(big), o["o_orderkey"] == big["big_orderkey"])
+            .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+            .join(li, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy(c["c_name"].alias("name"),
+                     c["c_custkey"].alias("customer"),
+                     o["o_orderkey"].alias("order_id"),
+                     o["o_orderdate"].cast("date").alias("order_date"),
+                     o["o_totalprice"].alias("total_price"))
+            .agg(dsum(li["l_quantity"]).alias("sum_qty"))
+            .orderBy(F.col("total_price").desc(), "order_id").limit(100))
+
+
 @q("tpch_q5_local_volume", ("J1", "A1", "F7"), bench=True, oracle=f"""
 SELECT n.n_name AS nation,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))

@@ -67,3 +67,47 @@ def test_brute_force_topk_broadcasts_probes(spark):
     # the corpus side must not shuffle for the scoring join: the probe
     # set is broadcast (nested-loop is fine — it IS the cross score)
     assert "BroadcastExchange" in plan
+
+
+def test_q6_pushes_filters_and_prunes(spark):
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    # all predicates must reach the parquet scan, and only the 4 needed
+    # columns may be read
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    assert "l_returnflag" not in plan
+    assert "Exchange" in plan  # exactly the partial->final agg exchange
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_broadcasts_semi_filter(spark):
+    plan = plan_of(spark, "tpch_q18_large_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_running_total_single_shuffle(spark):
+    plan = plan_of(spark, "window_running_total")
+    # one hashpartitioning exchange on the window key, nothing else
+    assert plan.count("hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_moving_avg_windows_over_preagg(spark):
+    plan = plan_of(spark, "moving_avg_7d")
+    # the window must consume the daily aggregate, not raw orders:
+    # HashAggregate appears below Window in the plan tree (higher id)
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_argmax_is_pure_hash_agg(spark):
+    plan = plan_of(spark, "argmax_latest_event")
+    # no window: max_by runs as a two-phase (partial+final) aggregate
+    # (SortAggregate — the ordering-key buffer isn't hash-compatible)
+    assert "Window" not in plan
+    assert plan.count("Aggregate (") >= 2  # partial + final
+
+
+def test_hash_sample_no_shuffle(spark):
+    plan = plan_of(spark, "hash_sample_stratified")
+    assert "Exchange" not in plan  # pure narrow filter
