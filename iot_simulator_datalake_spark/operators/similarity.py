@@ -45,16 +45,24 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     Output: (probe_id, vec_id, score, rank), rank 1..k, ties broken by
     vec_id so results are deterministic.
     """
+    # Norms are precomputed per side (N + P folds) so the pair loop
+    # runs ONE interpreted array fold (the dot product) instead of
+    # three — the dot fold itself stays a sequential sum, bit-identical
+    # to the naive form, so the rounded score matches the oracle.
+    from ..functions.vector import dot, l2_norm
     p = probes.select(
         F.col(probe_id_col or id_col).alias("probe_id"),
-        F.col(probe_vec_col or vec_col).alias("probe_vec"))
+        F.col(probe_vec_col or vec_col).alias("probe_vec"),
+        l2_norm(F.col(probe_vec_col or vec_col)).alias("probe_norm"))
     c = corpus.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("vec"))
+                      F.col(vec_col).alias("vec"),
+                      l2_norm(F.col(vec_col)).alias("norm"))
     scored = (c.crossJoin(F.broadcast(p))
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",
-                      cosine_similarity(F.col("probe_vec"),
-                                        F.col("vec")).alias("score")))
+                      F.round(dot(F.col("probe_vec"), F.col("vec")) /
+                              (F.col("probe_norm") * F.col("norm")), 6)
+                      .alias("score")))
     return _rank_topk(scored, k)
 
 
@@ -108,15 +116,18 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     cents = (corpus.orderBy(id_col).limit(n_centroids)
              .select(F.col(id_col).alias("cent_id"),
                      F.col(vec_col).alias("cent_vec")))
+    from ..functions.vector import dot, l2_norm
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("vec")),
+                      F.col(vec_col).alias("vec"),
+                      l2_norm(F.col(vec_col)).alias("norm")),
         cents, vec_col="vec")
     # multi-probe: each probe searches its n_probe nearest cells —
     # recall rises with n_probe at a linear cost in scored candidates
     # (n_probe/n_centroids of the corpus per probe)
     p = probes.select(F.col(id_col).alias("probe_id"),
-                      F.col(vec_col).alias("probe_vec"))
+                      F.col(vec_col).alias("probe_vec"),
+                      l2_norm(F.col(vec_col)).alias("probe_norm"))
     p_scored = (p.crossJoin(F.broadcast(cents))
                 .withColumn("_dist",
                             -cosine_similarity(F.col("probe_vec"),
@@ -125,7 +136,7 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     p_cells = (p_scored
                .withColumn("_r", F.row_number().over(w))
                .filter(F.col("_r") <= n_probe)
-               .select("probe_id", "probe_vec",
+               .select("probe_id", "probe_vec", "probe_norm",
                        F.col("cent_id").alias("cluster")))
     # no dedup needed: every corpus vector lives in exactly one cell and
     # a probe's n_probe cells are distinct, so (probe_id, vec_id) pairs
@@ -133,8 +144,9 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     scored = (c.join(F.broadcast(p_cells), "cluster")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",
-                      cosine_similarity(F.col("probe_vec"),
-                                        F.col("vec")).alias("score")))
+                      F.round(dot(F.col("probe_vec"), F.col("vec")) /
+                              (F.col("probe_norm") * F.col("norm")), 6)
+                      .alias("score")))
     return _rank_topk(scored, k)
 
 
@@ -152,15 +164,18 @@ def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     exactly where the operator is aimed.  Multi-probe (flipping one
     plane) trades compute for the residual recall if needed.
     """
+    from ..functions.vector import dot, l2_norm
     v = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-         .withColumn("bucket", sign_bucket(F.col("vec"), n_planes)))
+         .withColumn("bucket", sign_bucket(F.col("vec"), n_planes))
+         .withColumn("norm", l2_norm(F.col("vec"))))
     a, b = v.alias("a"), v.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
                    (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    cosine_similarity(F.col("a.vec"),
-                                      F.col("b.vec")).alias("cosine"))
+                    F.round(dot(F.col("a.vec"), F.col("b.vec")) /
+                            (F.col("a.norm") * F.col("b.norm")), 6)
+                    .alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 
@@ -172,15 +187,19 @@ def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     At 100 TB the corpus partitions by bucket once (reusable across
     probe batches); each probe touches ~1/2^n_planes of the corpus.
     """
+    from ..functions.vector import dot, l2_norm
     c = (corpus.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("vec"))
-         .withColumn("bucket", sign_bucket(F.col("vec"), n_planes)))
+         .withColumn("bucket", sign_bucket(F.col("vec"), n_planes))
+         .withColumn("norm", l2_norm(F.col("vec"))))
     p = (probes.select(F.col(id_col).alias("probe_id"),
                        F.col(vec_col).alias("probe_vec"))
-         .withColumn("bucket", sign_bucket(F.col("probe_vec"), n_planes)))
+         .withColumn("bucket", sign_bucket(F.col("probe_vec"), n_planes))
+         .withColumn("probe_norm", l2_norm(F.col("probe_vec"))))
     scored = (c.join(F.broadcast(p), "bucket")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",
-                      cosine_similarity(F.col("probe_vec"),
-                                        F.col("vec")).alias("score")))
+                      F.round(dot(F.col("probe_vec"), F.col("vec")) /
+                              (F.col("probe_norm") * F.col("norm")), 6)
+                      .alias("score")))
     return _rank_topk(scored, k)

@@ -78,17 +78,18 @@ def window_lag_delta(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         (us - F.lag(us).over(w)).alias("delta_us"))
 
 
-@q("moving_avg_7d", ("W1", "A6", "F7"), oracle=f"""
+@q("moving_avg_7d", ("W1", "A6", "F7"), oracle="""
 WITH daily AS (
     SELECT CAST(o_orderdate AS DATE) AS order_date,
            (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day_n,
-           {osum('o_totalprice')} AS day_total,
+           SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS day_total_dec,
            COUNT(*) AS day_orders
     FROM orders GROUP BY 1, 2
 )
-SELECT order_date, day_total,
-       ROUND(CAST(SUM(CAST(day_total AS DECIMAL(25,4))) OVER w AS DOUBLE)
-             / SUM(day_orders) OVER w, 6) AS avg_order_7d
+SELECT order_date, CAST(day_total_dec AS DOUBLE) AS day_total,
+       CAST((CAST(SUM(day_total_dec) OVER w * 10000 AS BIGINT) * 100)
+            // (SUM(day_orders) OVER w) AS DOUBLE) / 1000000.0
+         AS avg_order_7d
 FROM daily
 WINDOW w AS (ORDER BY day_n
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -99,20 +100,30 @@ def moving_avg_7d(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     one row per day BEFORE the window, so the range frame slides over
     ~2500 rows regardless of fact size — the at-scale pattern for
     calendar-window metrics (never a range frame over raw facts).
-    RANGE (not ROWS) handles calendar gaps correctly."""
+    RANGE (not ROWS) handles calendar gaps correctly.  The daily total
+    stays DECIMAL through the frame sum, and the average is computed in
+    exact integer micro-units with truncating division — ROUND(double)
+    half-ties land differently per engine when the frame's day count is
+    a power of two (exact binary quotients), so rounding is defined as
+    truncation at 1e-6 instead."""
     o = load(spark, sf_dir, "orders")
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
              .agg(F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
-                  .cast("double").alias("day_total"),
+                  .alias("day_total_dec"),
                   F.count(F.lit(1)).alias("day_orders"))
              .withColumn("day_n", F.datediff("order_date",
                                              F.lit("1970-01-01"))))
     w = (W.orderBy("day_n").rangeBetween(-6, 0))
-    return daily.select(
-        "order_date", "day_total",
-        F.round(F.sum(F.col("day_total").cast("decimal(25,4)")).over(w)
-                 .cast("double") / F.sum("day_orders").over(w), 6)
-         .alias("avg_order_7d"))
+    return (daily
+            .withColumn("_sum_units",
+                        (F.sum("day_total_dec").over(w) * 10000)
+                        .cast("long"))
+            .withColumn("_cnt", F.sum("day_orders").over(w))
+            .select(
+                "order_date",
+                F.col("day_total_dec").cast("double").alias("day_total"),
+                (F.expr("(_sum_units * 100) div _cnt").cast("double") /
+                 F.lit(1000000.0)).alias("avg_order_7d")))
 
 
 # =========================================================================
@@ -232,3 +243,28 @@ def hash_sample_stratified(spark: "SparkSession", sf_dir: str) -> "DataFrame":
               .cast("bigint") % 1000)
     return (e.filter(bucket < 100)
             .select("event_id", "user_id", "event_type", "value"))
+
+
+@q("ntile_value_quartiles", ("W3", "A1"), oracle="""
+SELECT tile::INT AS tile, COUNT(*) AS n,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM (
+    SELECT value, NTILE(4) OVER (ORDER BY value, event_id) AS tile
+    FROM events
+) GROUP BY 1
+""")
+def ntile_value_quartiles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """NTILE bucketing → per-quartile stats — the eval-set binning /
+    decile-report primitive.  A global NTILE needs a total order (one
+    single-partition window: acceptable because it feeds an aggregate
+    that collapses immediately; at 100 TB scale the same report uses
+    percentile_approx cutpoints instead — see percentile_by_group).
+    event_id tiebreak keeps the tile assignment total and
+    cross-engine deterministic."""
+    e = load(spark, sf_dir, "events")
+    w = W.orderBy("value", "event_id")
+    return (e.select("value", F.ntile(4).over(w).alias("tile"))
+            .groupBy("tile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("value").alias("lo"),
+                 F.max("value").alias("hi")))

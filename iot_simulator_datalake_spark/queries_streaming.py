@@ -105,6 +105,55 @@ def streaming_sessionization(spark: "SparkSession",
                     "n_events"))
 
 
+@q("streaming_interval_join", ("ST2", "ST5", "J4"), oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       a.user_id AS user_id, a.ts AS click_ts, b.ts AS purchase_ts
+FROM events a JOIN events b ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""")
+def streaming_interval_join(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """Stream-stream interval join (click→purchase attribution within
+    1 h): both sides watermarked, join condition bounds event time on
+    both ends so Spark can expire join state — the canonical
+    stream-stream join shape.  Drained availableNow in append mode,
+    the emitted pairs equal the batch time-bounded self-join oracle.
+    At scale, state size is bounded by (watermark + interval) × input
+    rate per key, never the full history."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        s = (spark.readStream.schema(raw_schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    clicks = (stream().filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    buys = (stream().filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("user_id"),
+                    F.col("ts").alias("purchase_ts"))
+            .withWatermark("purchase_ts", "2 hours"))
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("user_id")) &
+        (F.col("purchase_ts") >= F.col("click_ts")) &
+        (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    writer = (joined.select("click_id", "purchase_id", "user_id",
+                            "click_ts", "purchase_ts")
+              .writeStream.outputMode("append")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return spark.table(name)
+
+
 @q("sessionization", ("W1", "A6"), bench=True, oracle="""
 WITH gaps AS (
   SELECT user_id, ts, event_id, value,
@@ -140,3 +189,43 @@ def sessionization(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end")))
+
+
+@q("streaming_enriched_rollup", ("ST2", "ST4", "J1", "A6"), oracle=f"""
+SELECT n.n_name AS nation, e.event_type AS event_type,
+       COUNT(*) AS n_events, {osum('e.value')} AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+""")
+def streaming_enriched_rollup(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Stream-static join: a streaming fact enriched against BATCH dim
+    tables (customer→nation, both broadcast — the per-micro-batch
+    lookup-table pattern), then aggregated.  No watermark needed:
+    stream-static joins keep no join state, the static side is just
+    re-probed each micro-batch, which is why this shape scales to any
+    stream rate as long as the dim broadcasts."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    dim = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+           .select(F.col("c_custkey").alias("user_key"),
+                   F.col("n_name").alias("nation")))
+    agg = (stream.join(F.broadcast(dim),
+                       stream["user_id"] == dim["user_key"])
+           .groupBy("nation", "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,4)"))
+                .cast("double").alias("total_value")))
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    writer = (agg.writeStream.outputMode("complete")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return spark.table(name)

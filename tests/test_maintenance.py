@@ -40,3 +40,43 @@ def test_compact_preserves_partitions(spark, tmp_path):
     assert (path / "dt=0").exists() and (path / "dt=1").exists()
     out = spark.read.parquet(str(path))
     assert out.filter(F.col("dt") == "0").count() == 4000
+
+
+def test_cluster_makes_file_stats_disjoint(spark, tmp_path):
+    """After range-clustering on a key, each file's parquet footer
+    min/max for that key must be pairwise disjoint — the property that
+    makes footer-based data skipping effective."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+    from iot_simulator_datalake_spark.engine.maintenance import cluster
+
+    path = tmp_path / "ctbl"
+    # interleaved writes: every file initially spans the full key range
+    df = spark.range(20000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("payload"))
+    for i in range(4):
+        df.filter(F.col("id") % 4 == i).repartition(3) \
+          .write.mode("append").parquet(str(path))
+    checksum = spark.read.parquet(str(path)) \
+        .agg(F.sum("payload"), F.count(F.lit(1))).collect()[0]
+
+    n = cluster(spark, path, ["k"], target_file_bytes=40 * 1024)
+    assert n >= 2  # small target forces a multi-file clustered layout
+
+    ranges = []
+    for f in Path(path).rglob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary key may straddle)
+
+    # data unchanged
+    assert spark.read.parquet(str(path)) \
+        .agg(F.sum("payload"), F.count(F.lit(1))).collect()[0] == checksum
