@@ -287,3 +287,32 @@ def text_redact_pii(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     n_emails = F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0)))
     return d.select("doc_id", red.alias("redacted"),
                     n_emails.cast("long").alias("n_emails"))
+
+
+@q("per_source_cap", ("W3", "P5"), oracle="""
+SELECT doc_id, source, pri
+FROM (
+    SELECT doc_id, source,
+           md5(CAST(doc_id AS VARCHAR)) AS pri,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 10
+""")
+def per_source_cap(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source document cap — the domain-balancing policy step of a
+    training-data pipeline (cap N docs per domain so no single source
+    dominates the mixture).  Selection priority is md5(doc_id): a
+    deterministic uniform shuffle WITHIN each source, so the kept
+    subset is an unbiased sample yet identical across engines and
+    runs.  Plan: one shuffle on source + WindowGroupLimit partial
+    top-K per partition — the cap never sees more than K rows per
+    source per map task."""
+    d = load(spark, sf_dir, "documents")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(pri, "doc_id")
+    return (d.select("doc_id", "source", pri.alias("pri"),
+                     F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 10)
+            .select("doc_id", "source", "pri"))
