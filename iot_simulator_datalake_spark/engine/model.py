@@ -47,6 +47,9 @@ class Model:
     #: (n_buckets, col, ...) — hash-bucket the table sink so later joins/
     #: aggs on these cols co-locate without a shuffle (table mat. only)
     bucket_by: tuple = ()
+    #: keep the last N versions of the table sink (snapshots.py) and
+    #: register the newest; None → plain overwrite (table mat. only)
+    snapshot_keep: int | None = None
     description: str = ""
     meta: dict[str, Any] = field(default_factory=dict)
 
@@ -148,6 +151,7 @@ def model(registry: Registry, *, name: str, layer: str,
           schema: str | None = None,
           partition_by: Iterable[str] = (),
           bucket_by: Iterable = (),
+          snapshot_keep: int | None = None,
           description: str = "",
           **meta: Any) -> Callable:
     """Decorator: register a builder function as a Model."""
@@ -158,6 +162,7 @@ def model(registry: Registry, *, name: str, layer: str,
             materialization=materialization,
             depends_on=tuple(depends_on), schema=schema,
             partition_by=tuple(partition_by), bucket_by=tuple(bucket_by),
+            snapshot_keep=snapshot_keep,
             description=description or (fn.__doc__ or ""), meta=meta))
 
     return wrap

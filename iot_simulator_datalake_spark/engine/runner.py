@@ -96,6 +96,17 @@ class Engine:
             df = m.builder(ctx)
             if m.materialization == "table":
                 path = self.table_path(m)
+                if m.snapshot_keep is not None:
+                    # versioned sink: append an immutable version dir +
+                    # atomic manifest swap; time travel via
+                    # snapshots.read_snapshot[_as_of]
+                    from .snapshots import read_snapshot, write_snapshot
+                    write_snapshot(df, path,
+                                   partition_by=m.partition_by,
+                                   keep=m.snapshot_keep)
+                    self.register(m.qualified_name,
+                                  read_snapshot(self.spark, path))
+                    return
                 writer = df.write.mode("overwrite")
                 if m.partition_by:
                     writer = writer.partitionBy(*m.partition_by)
