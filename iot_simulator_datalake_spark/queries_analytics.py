@@ -268,3 +268,58 @@ def ntile_value_quartiles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("value").alias("lo"),
                  F.max("value").alias("hi")))
+
+
+@q("collect_types_per_user", ("A2", "F9"), oracle="""
+SELECT user_id,
+       list_aggr(list_sort(list(DISTINCT event_type)), 'string_agg', ',')
+         AS types_csv,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""")
+def collect_types_per_user(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Array aggregation: distinct event types per device as a sorted
+    CSV (collect_set → array_sort → array_join).  The collection stays
+    bounded (≤ |event-type vocabulary| per key) so the agg buffer is
+    O(distinct values), map-side combinable — the safe shape for
+    collect_* at scale (never collect unbounded raw rows per key)."""
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy("user_id")
+            .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+                 .alias("types_csv"),
+                 F.countDistinct("event_type").alias("n_types")))
+
+
+@q("stats_exact_moments", ("A8", "F7"), oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS s1,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))
+                * CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS s2,
+       ROUND(SQRT((CAST(SUM(CAST(value AS DECIMAL(25,4))
+                            * CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+                   - CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+                     * CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+                     / COUNT(*))
+                  / (COUNT(*) - 1)), 6) AS stddev_value
+FROM events GROUP BY event_type
+""")
+def stats_exact_moments(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Sample stddev from EXACT decimal moment sums (n, Σx, Σx²) —
+    the cross-engine-deterministic form of STDDEV_SAMP: builtin
+    implementations (Welford / naive two-pass) sum doubles in
+    engine-specific order and diverge in low bits, but decimal moments
+    are exact, and the final double arithmetic is then identical on
+    both sides.  Moment sums are also THE at-scale shape: one pass,
+    map-side combinable, mergeable across partitions — the same
+    (n, Σx, Σx²) triple serves mean/var/stddev and incremental
+    maintenance (add/subtract partial moments)."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(25,4)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(v).cast("double")
+    s2 = F.sum(v * v).cast("double")
+    return (e.groupBy("event_type")
+            .agg(n.alias("n"), s1.alias("s1"), s2.alias("s2"),
+                 F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 6)
+                 .alias("stddev_value")))
