@@ -323,3 +323,28 @@ def stats_exact_moments(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(n.alias("n"), s1.alias("s1"), s2.alias("s2"),
                  F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 6)
                  .alias("stddev_value")))
+
+
+@q("skew_salted_agg", ("A1", "F7"), oracle=f"""
+SELECT event_type, COUNT(*) AS n, {osum('value')} AS total_value
+FROM events GROUP BY event_type
+""")
+def skew_salted_agg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Salted two-phase aggregation (operators/skew.py) under the gate:
+    events has only 5 event_type groups — genuinely skewed for a
+    32-reducer stage, each hot group spreads over 32 salt partials
+    before the tiny per-key merge.  Count and DECIMAL-sum partials are
+    associative and exact, so the result is independent of the random
+    salt assignment and hash-matches the plain GROUP BY oracle —
+    the invariant that makes salting safe to apply mechanically."""
+    from .operators.skew import salted_agg
+    e = load(spark, sf_dir, "events")
+    out = salted_agg(
+        e, ["event_type"],
+        partials={"n": F.count(F.lit(1)),
+                  "tv": F.sum(F.col("value").cast("decimal(25,4)"))},
+        combines={"n": F.sum("n"),
+                  "tv": F.sum("tv")},
+        salts=32)
+    return out.select("event_type", F.col("n").alias("n"),
+                      F.col("tv").cast("double").alias("total_value"))
