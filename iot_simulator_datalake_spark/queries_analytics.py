@@ -348,3 +348,53 @@ def skew_salted_agg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         salts=32)
     return out.select("event_type", F.col("n").alias("n"),
                       F.col("tv").cast("double").alias("total_value"))
+
+
+@q("pivot_type_counts", ("A1", "A2"), oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+""")
+def pivot_type_counts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """PIVOT: long→wide event-type count matrix per device (the
+    feature-vector shape every downstream model join wants).  The pivot
+    value list is passed EXPLICITLY — without it Spark runs an extra
+    collect-distinct job over the fact to discover columns, a full scan
+    you never want at 100 TB.  With fixed values the plan is one scan →
+    partial-combinable (user,type) count → pivotfirst on user; the
+    second shuffle moves only the collapsed (user × ≤5 types) rows, so
+    the wide fact is read and shuffled exactly once."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (e.groupBy("user_id")
+            .pivot("event_type", types)
+            .count()
+            .na.fill(0, types))
+    return wide.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+
+
+@q("cube_status_priority", ("A1", "F7"), oracle=f"""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n, {osum('o_totalprice')} AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_status_priority(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """CUBE over (status, priority): all four grouping sets in one pass
+    — completes the grouping-set family next to rollup_grouping_id.
+    One Expand (4× row multiplication BEFORE the shuffle) then a single
+    aggregate; with low-cardinality keys like these the expanded rows
+    collapse in the map-side combine, so the shuffle stays tiny no
+    matter the fact size."""
+    o = load(spark, sf_dir, "orders")
+    from .queries import dsum
+    return (o.cube(F.col("o_orderstatus").alias("status"),
+                   F.col("o_orderpriority").alias("priority"))
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice").alias("total_price")))

@@ -215,3 +215,140 @@ def tpch_q5_local_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
             .groupBy(n["n_name"].alias("nation"))
             .agg(F.sum(disc_price).cast("double").alias("revenue")))
+
+
+@q("tpch_q7_volume_shipping", ("J1", "A1", "F2"), oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
+                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+         AS volume
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_10') OR
+       (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_9'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""")
+def tpch_q7_volume_shipping(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q7 silhouette: bilateral trade volume — the same dimension table
+    (nation) joined twice under different roles, with a disjunctive
+    cross-role predicate.  Both nation copies broadcast (25 rows), and
+    the nation-pair filter applies after the broadcasts but before the
+    aggregate, so the only shuffle is lineitem⋈orders plus the final
+    4-group agg.  Year extraction keeps the group key small (bigint,
+    not a date)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") &
+        (F.col("l_shipdate") < "1998-01-01"))
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    pair = (((F.col("supp_nation") == "NATION_9") &
+             (F.col("cust_nation") == "NATION_10")) |
+            ((F.col("supp_nation") == "NATION_10") &
+             (F.col("cust_nation") == "NATION_9")))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+            .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("bigint").alias("ship_year"))
+            .agg(F.sum(disc_price).cast("double").alias("volume")))
+
+
+@q("tpch_q10_returned_items", ("J1", "A1", "W3"), oracle="""
+SELECT c.c_custkey AS customer, c.c_name AS name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
+                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+         AS revenue,
+       c.c_acctbal AS acctbal, n.n_name AS nation
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, customer LIMIT 20
+""")
+def tpch_q10_returned_items(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q10 silhouette: lost-revenue report over returned items in one
+    quarter.  The returnflag filter pushes to the lineitem scan and the
+    date range to the orders scan BEFORE their shuffle join — at 100 TB
+    the quarter+flag selectivity (~1/24 of rows on each side) is the
+    difference between joining terabytes and joining everything.
+    customer and nation broadcast; top-20 via TakeOrderedAndProject."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") &
+        (F.col("o_orderdate") < "1996-04-01"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy(c["c_custkey"].alias("customer"),
+                     c["c_name"].alias("name"),
+                     c["c_acctbal"].alias("acctbal"),
+                     n["n_name"].alias("nation"))
+            .agg(F.sum(disc_price).cast("double").alias("revenue"))
+            .select("customer", "name", "revenue", "acctbal", "nation")
+            .orderBy(F.col("revenue").desc(), "customer").limit(20))
+
+
+@q("tpch_q14_promo_revenue", ("J1", "A1", "P6"), oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
+               * CAST(1 - l.l_discount AS DECIMAL(25,4)))
+            FILTER (WHERE p.p_type = 'PROMO') AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
+                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+         AS total_revenue,
+       ROUND(100.0 * CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
+                              * CAST(1 - l.l_discount AS DECIMAL(25,4)))
+                          FILTER (WHERE p.p_type = 'PROMO') AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE),
+             6) AS promo_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+""")
+def tpch_q14_promo_revenue(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q14 silhouette: promotion share of one month's revenue — a
+    fact⋈dim join feeding a conditional global aggregate.  part
+    broadcasts (it's a pure lookup of p_type); the month filter pushes
+    to the lineitem scan, and both revenue sums run in exact decimal so
+    the final ratio's operands are bit-identical across engines before
+    the one double division."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") &
+        (F.col("l_shipdate") < "1996-10-01"))
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price)) \
+             .cast("double")
+    total = F.sum(disc_price).cast("double")
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .agg(promo.alias("promo_revenue"),
+                 total.alias("total_revenue"),
+                 F.round(F.lit(100.0) * promo / total, 6)
+                 .alias("promo_pct")))

@@ -111,3 +111,37 @@ def test_argmax_is_pure_hash_agg(spark):
 def test_hash_sample_no_shuffle(spark):
     plan = plan_of(spark, "hash_sample_stratified")
     assert "Exchange" not in plan  # pure narrow filter
+
+
+def test_q10_pushes_filters_broadcasts_dims(spark):
+    plan = plan_of(spark, "tpch_q10_returned_items")
+    # quarter + returnflag predicates reach their scans pre-join
+    assert "IsNotNull(l_returnflag)" in plan or "l_returnflag" in plan
+    assert "PushedFilters: [" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_broadcasts_part_lookup(spark):
+    plan = plan_of(spark, "tpch_q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    # part scan pruned to the two lookup columns
+    assert "p_partkey" in plan and "p_retailprice" not in plan
+
+
+def test_pivot_no_discovery_scan(spark):
+    plan = plan_of(spark, "pivot_type_counts")
+    # explicit value list → pivotfirst aggregate, never a distinct-
+    # discovery job: exactly ONE scan of events feeds the whole plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    # both aggregate levels are map-side combinable (partial_* present),
+    # and the second shuffle moves only (user × ≤5 types) collapsed rows
+    assert "partial_pivotfirst" in plan
+    assert plan.count("hashpartitioning") == 2
+
+
+def test_cube_expands_once(spark):
+    plan = plan_of(spark, "cube_status_priority")
+    assert "Expand" in plan
+    assert plan.count("hashpartitioning") == 1
