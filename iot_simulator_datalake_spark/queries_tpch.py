@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .queries import davg, dsum, load, oavg, osum, q
@@ -352,3 +353,122 @@ def tpch_q14_promo_revenue(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  total.alias("total_revenue"),
                  F.round(F.lit(100.0) * promo / total, 6)
                  .alias("promo_pct")))
+
+
+@q("tpch_q13_customer_distribution", ("J1", "A1", "A5"), oracle="""
+WITH pc AS (
+    SELECT c.c_custkey,
+           COALESCE(oc.n, 0) AS c_count
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n
+               FROM orders GROUP BY 1) oc
+      ON oc.o_custkey = c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM pc GROUP BY 1
+""")
+def tpch_q13_customer_distribution(spark: "SparkSession",
+                                   sf_dir: str) -> "DataFrame":
+    """Q13 silhouette: order-count distribution over ALL customers
+    (zero-order customers included).  Aggregate-before-join: orders
+    collapses to one row per customer BEFORE the left join, so the join
+    moves |customers| + |distinct custkeys| rows instead of every order
+    — at 100 TB that pre-aggregation is the difference between joining
+    billions of orders and joining millions of counts.  The final
+    distribution agg is over a handful of distinct counts."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    oc = (load(spark, sf_dir, "orders")
+          .groupBy(F.col("o_custkey"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    return (c.join(oc, c["c_custkey"] == oc["o_custkey"], "left")
+            .select(F.coalesce(F.col("n"), F.lit(0).cast("bigint"))
+                    .alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@q("tpch_q17_small_quantity", ("J4", "A1", "W1"), oracle="""
+WITH fl AS (
+    SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+), w AS (
+    SELECT l_extendedprice, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)))
+                OVER (PARTITION BY l_partkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+    FROM fl
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_items
+FROM w WHERE l_quantity < 0.2 * avg_qty
+""")
+def tpch_q17_small_quantity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q17 silhouette: the correlated scalar subquery ("below 20% of
+    this part's average quantity") decorrelated into a per-partkey
+    window over the ALREADY part-filtered fact.  The brand filter
+    broadcasts and prunes lineitem to ~1/25 of rows BEFORE the one
+    shuffle on partkey; the window then computes each part's average
+    in the same pass that filters against it — no second scan, no
+    self-join.  The average is decimal-sum ÷ count in double (both
+    engines bit-identical), and 0.2·avg can never tie an integral
+    quantity exactly (0.2 has no finite binary form)."""
+    p = (load(spark, sf_dir, "part")
+         .filter(F.col("p_brand") == "Brand#1")
+         .select("p_partkey"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    w = W.partitionBy("l_partkey")
+    avg_qty = (F.sum(F.col("l_quantity").cast("decimal(25,4)")).over(w)
+               .cast("double") / F.count(F.lit(1)).over(w))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .withColumn("avg_qty", avg_qty)
+            .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(25,4)"))
+                  .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@q("tpch_q22_dormant_accounts", ("J3", "A1", "F7"), oracle=f"""
+WITH a AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+           / COUNT(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey AS nation_key, COUNT(*) AS numcust,
+       {osum('c.c_acctbal')} AS totacctbal
+FROM customer c, a
+WHERE c.c_acctbal > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""")
+def tpch_q22_dormant_accounts(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Q22 silhouette: rich-but-dormant accounts — a GLOBAL scalar
+    aggregate (average positive balance) applied as a filter via a
+    broadcast cross join of its single row, then an anti join against
+    recent orders.  (The driver's customer table has no phone column,
+    so TPC-H's country-code grouping is adapted to nationkey, and
+    "never ordered" to "no order since 2000-01-01" so the anti side is
+    non-trivial.)  The recent-orders anti side is date-pruned at its
+    scan; at 100 TB both the scalar row and nothing else broadcasts —
+    the customer side never shuffles until the final tiny nationkey
+    agg."""
+    cust = load(spark, sf_dir, "customer")
+    avg_row = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(25,4)"))
+                     .cast("double") / F.count(F.lit(1))).alias("avg_bal")))
+    recent = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(avg_row))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, cust["c_custkey"] == recent["o_custkey"],
+                  "left_anti")
+            .groupBy(F.col("c_nationkey").alias("nation_key"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dsum("c_acctbal").alias("totacctbal")))

@@ -145,3 +145,31 @@ def test_cube_expands_once(spark):
     plan = plan_of(spark, "cube_status_priority")
     assert "Expand" in plan
     assert plan.count("hashpartitioning") == 1
+
+
+def test_q13_aggregates_orders_before_join(spark):
+    plan = plan_of(spark, "tpch_q13_customer_distribution")
+    # orders must collapse to per-customer counts BEFORE the left join:
+    # an aggregate exists on the build/right side of the join subtree
+    assert "Aggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_window_over_filtered_join(spark):
+    plan = plan_of(spark, "tpch_q17_small_quantity")
+    # brand filter broadcasts; the per-part average is a Window over the
+    # already-joined subset — exactly two scans (lineitem + part), no
+    # self-join of lineitem
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_q22_broadcast_scalar_and_anti_join(spark):
+    plan = plan_of(spark, "tpch_q22_dormant_accounts")
+    # the global-average row broadcasts (nested-loop of a 1-row side),
+    # the dormancy check is a LeftAnti, and the recent-orders side is
+    # date-pruned at its scan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "PushedFilters: [" in plan
