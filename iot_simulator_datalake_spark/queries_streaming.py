@@ -229,3 +229,44 @@ def streaming_enriched_rollup(spark: "SparkSession",
               .format("memory").queryName(name))
     run_stream_available_now(writer)
     return spark.table(name)
+
+
+@q("streaming_dedup_rollup", ("ST1", "ST3", "ST4", "A6", "W2"), oracle=f"""
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, {osum('value')} AS total_value
+FROM events GROUP BY 1, 2
+""")
+def streaming_dedup_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """In-stream exact dedup under at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` keyed on event_id over the UNION
+    of two identical file streams (every event arrives twice — the
+    duplicate-delivery profile of any at-least-once ingest bus), drained
+    availableNow in append mode, then rolled up batch-side.  Because
+    dedup state is evicted by the watermark instead of growing forever,
+    this is THE scale-safe streaming dedup: state is bounded by
+    (watermark window × input rate), not by stream history — unlike
+    plain ``dropDuplicates``, which never forgets.  The deduped stream
+    must hash-match the batch rollup over the ORIGINAL (single-copy)
+    events — duplicates in, exact semantics out."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        s = (spark.readStream.schema(raw_schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    deduped = (stream().union(stream())
+               .withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    writer = (deduped.writeStream.outputMode("append")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return (spark.table(name)
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(25,4)"))
+                 .cast("double").alias("total_value")))
