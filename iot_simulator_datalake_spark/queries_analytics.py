@@ -398,3 +398,31 @@ def cube_status_priority(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.grouping_id().cast("bigint").alias("gid"),
                  F.count(F.lit(1)).alias("n"),
                  dsum("o_totalprice").alias("total_price")))
+
+
+@q("hll_mergeable_rollup", ("A8", "A6"), oracle="""
+SELECT CAST(DATE_TRUNC('week', DATE_TRUNC('day', ts)) AS TIMESTAMP)
+         AS week,
+       event_type,
+       COUNT(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY 1, 2
+""")
+def hll_mergeable_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Re-aggregatable distinct counts via HLL sketches: per-day
+    ``hll_sketch_agg`` partials merged upward with ``hll_union_agg`` —
+    THE 100 TB pattern for distinct-count rollup hierarchies
+    (hour→day→week→month): sketches are tiny (KB), mergeable, and each
+    level re-aggregates the level below WITHOUT touching raw data,
+    which exact COUNT(DISTINCT) fundamentally cannot do.  At this test
+    cardinality (150 devices) the sketch is in sparse mode and the
+    estimate is exact, so the merged result sits under the exact
+    COUNT(DISTINCT) oracle — the gate certifies the merge algebra, and
+    at real scale only the estimate error (±~2%) changes, not the
+    plan."""
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    return (daily
+            .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("distinct_users")))
