@@ -745,3 +745,251 @@ def tpch_q12_late_shipment_priority(spark: "SparkSession",
             .groupBy(F.col("l_linestatus").alias("status"))
             .agg(F.count(F.when(high, 1)).alias("high_line_count"),
                  F.count(F.when(~high, 1)).alias("low_line_count")))
+
+
+@q("tpch_q15_top_supplier", ("A4", "J3", "F7"), oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))
+                    * CAST(1 - l_discount AS DECIMAL(25,4))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s.s_suppkey AS supplier, s.s_name AS name,
+       r.total_revenue AS total_revenue
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""")
+def tpch_q15_top_supplier(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Q15 silhouette: the supplier(s) with maximum quarterly revenue —
+    a derived revenue view compared against its own scalar MAX.  The
+    view aggregates once (date filter pushed to the scan, ~1/26 of
+    rows); the MAX re-aggregates the view's 100 rows and broadcasts a
+    single scalar back as the filter, so the fact is scanned exactly
+    once.  Revenue is an exact decimal sum surfaced as double, making
+    the equality comparison bit-safe across engines.  The oracle keeps
+    the scalar-subquery form; the builder decorrelates it into a
+    broadcast cross join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") &
+        (F.col("l_shipdate") < "1996-04-01"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.sum(disc_price).cast("double")
+                    .alias("total_revenue")))
+    best = revenue.agg(F.max("total_revenue").alias("_best"))
+    s = load(spark, sf_dir, "supplier")
+    return (revenue.crossJoin(F.broadcast(best))
+            .filter(F.col("total_revenue") == F.col("_best"))
+            .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+            .select(F.col("s_suppkey").alias("supplier"),
+                    F.col("s_name").alias("name"), "total_revenue"))
+
+
+@q("tpch_q16_supplier_diversity", ("J3", "A8", "P8"), oracle="""
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""")
+def tpch_q16_supplier_diversity(spark: "SparkSession",
+                                sf_dir: str) -> "DataFrame":
+    """Q16 silhouette: how many distinct suppliers can provide each
+    (brand, type, size) combination, excluding a blocklisted supplier
+    set — NOT IN over a non-null subquery compiled to an anti join,
+    plus an exact COUNT(DISTINCT) per group.  (The driver supplier has
+    no comment column, so 'complaints' is modeled as negative account
+    balance.)  The blocklist anti side is ~100 rows → broadcast anti
+    join, zero shuffle; part's triple filter prunes before broadcast;
+    the only exchange is the distinct-count agg, which Spark executes
+    as a two-phase expand+agg.  At 100 TB, swap the exact distinct for
+    approx_count_distinct (A8) if 2% error is acceptable — noted, not
+    done, because the oracle checks exact."""
+    bad = (load(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    p = (load(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1") &
+                 (F.col("p_type") != "PROMO") &
+                 F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+                    "left_anti")
+            .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy(F.col("p_brand").alias("brand"),
+                     F.col("p_type").alias("type"),
+                     F.col("p_size").alias("size"))
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@q("tpch_q19_disjunctive_revenue", ("J4", "P5", "A4"), oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
+               * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+""")
+def tpch_q19_disjunctive_revenue(spark: "SparkSession",
+                                 sf_dir: str) -> "DataFrame":
+    """Q19 silhouette: revenue under a disjunction of three conjunctive
+    (brand, size-range, quantity-range) clauses spanning both join
+    sides.  The implied single-side predicates are factored out and
+    applied BEFORE the join — part to brand∈{1,2,3} (broadcast shrinks
+    25×), lineitem to quantity∈[1,40] (pushed to the parquet scan) —
+    so the OR only evaluates on rows that already passed the envelope;
+    Catalyst cannot always derive these from an OR, so the builder
+    states them explicitly.  This is the canonical 'disjunctive
+    pushdown' shape: at 100 TB the factored envelope is the difference
+    between broadcasting 3/25 of part and all of it."""
+    p = (load(spark, sf_dir, "part")
+         .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+         .select("p_partkey", "p_brand", "p_size"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity").between(1, 40))
+          .select("l_partkey", "l_quantity", "l_extendedprice",
+                  "l_discount"))
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) &
+         F.col("l_quantity").between(1, 20)) |
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) &
+         F.col("l_quantity").between(10, 30)) |
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) &
+         F.col("l_quantity").between(20, 40)))
+    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    return (li.join(F.broadcast(p),
+                    (li["l_partkey"] == p["p_partkey"]) & clause)
+            .agg(F.sum(disc_price).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@q("tpch_q20_heavy_shippers", ("J3", "A4", "P6"), oracle="""
+SELECT s.s_name AS name, s.s_suppkey AS supplier
+FROM supplier s
+WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 25)
+  AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_regionkey = (SELECT r_regionkey FROM region
+                                             WHERE r_name = 'ASIA'))
+ORDER BY name
+""")
+def tpch_q20_heavy_shippers(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """Q20 silhouette: regional suppliers who moved serious volume of a
+    product family in one year — TPC-H's deepest subquery nest (IN →
+    grouped HAVING → IN → scalar), decorrelated into a chain of
+    broadcast semi joins.  (No partsupp: 'availqty excess' is modeled
+    as shipped quantity per (supplier, part) over a threshold.)  The
+    'small%' part list broadcasts into the year-pruned lineitem scan;
+    the (suppkey, partkey) agg is the only shuffle; its surviving
+    supplier keys collapse to ≤100 distinct values that broadcast-semi
+    into supplier, as does the nation-in-region list.  Quantity sums
+    are integral doubles — exact in both engines, so the >25 threshold
+    can't straddle an ulp."""
+    pp = (load(spark, sf_dir, "part")
+          .filter(F.col("p_name").like("small%")).select("p_partkey"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01") &
+                  (F.col("l_shipdate") < "1997-01-01"))
+          .select("l_suppkey", "l_partkey", "l_quantity"))
+    heavy = (li.join(F.broadcast(pp), li["l_partkey"] == pp["p_partkey"])
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum("l_quantity").alias("_qty"))
+             .filter(F.col("_qty") > 25)
+             .select("l_suppkey").distinct())
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (load(spark, sf_dir, "nation")
+         .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+         .select("n_nationkey"))
+    s = load(spark, sf_dir, "supplier")
+    return (s.join(F.broadcast(heavy),
+                   s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+            .join(F.broadcast(n),
+                  s["s_nationkey"] == n["n_nationkey"], "left_semi")
+            .select(F.col("s_name").alias("name"),
+                    F.col("s_suppkey").alias("supplier"))
+            .orderBy("name"))
+
+
+@q("tpch_q21_waiting_orders", ("J3", "A1", "W3"), oracle="""
+SELECT s.s_name AS name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+ORDER BY numwait DESC, name LIMIT 25
+""")
+def tpch_q21_waiting_orders(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """Q21 silhouette: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders — TPC-H's EXISTS + NOT-EXISTS pair
+    over the same fact.  (Lateness adapted to shipdate > orderdate +
+    60 days; no commit/receipt dates in the driver data.)  Instead of
+    two correlated self-join passes, the builder computes per-order
+    supplier stats ONCE — distinct suppliers and distinct LATE
+    suppliers via conditional count-distinct in a single orderkey
+    aggregation — and rejoins them to the late lines: EXISTS becomes
+    n_supp > 1, NOT EXISTS becomes n_late_supp = 1 (the late line's
+    own supplier is then necessarily the only one).  Three scans and
+    two correlated probes collapse to one shuffle reused twice
+    (AQE-local rejoin on the same orderkey partitioning).  The oracle
+    keeps the correlated EXISTS form, so the gate certifies this
+    rewrite."""
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    flagged = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+               .withColumn("_late",
+                           F.col("l_shipdate") > F.col("o_orderdate") +
+                           F.expr("INTERVAL 60 DAYS")))
+    stats = (flagged.groupBy("l_orderkey")
+             .agg(F.countDistinct("l_suppkey").alias("_n_supp"),
+                  F.countDistinct(F.when(F.col("_late"),
+                                         F.col("l_suppkey")))
+                  .alias("_n_late_supp")))
+    late = flagged.filter(F.col("_late")).select(
+        F.col("l_orderkey").alias("late_orderkey"), "l_suppkey")
+    s = load(spark, sf_dir, "supplier")
+    return (late.join(stats,
+                      late["late_orderkey"] == stats["l_orderkey"])
+            .filter((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+            .join(F.broadcast(s), late["l_suppkey"] == s["s_suppkey"])
+            .groupBy(F.col("s_name").alias("name"))
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "name").limit(25))
