@@ -1,0 +1,328 @@
+"""Declared queries for LLM pre-training corpus preparation, layered on
+the training-data surface of ``queries_training.py``: deterministic
+corpus shuffle/sharding, GPT-style sequence packing (concatenate the
+corpus, cut fixed-size token blocks), benchmark-contamination
+detection (eval-set n-gram overlap), token-length quantile gating, and
+int8 embedding quantization.
+
+Everything here follows the repo's two standing policies:
+
+* **Determinism** — nothing depends on row order, partitioning, or
+  ``rand()``; order-sensitive steps (shuffle position, packing offset)
+  are derived from md5 hashes or explicit sort keys, so the result is
+  identical across engines, retries, and cluster layouts.  Floats only
+  appear where float→double promotion keeps both engines bit-identical.
+* **Oracle parity** — every query has a DuckDB twin built from the same
+  constants, with identical output column names (the driver hashes by
+  sorted column name).
+
+Reference parity note: the reference (dbt/Databricks IoT lake) has no
+LLM-prep surface; these are [EXT] operators mandated by the north star
+(BASELINE.json: dedup / similarity / multimodal / text analysis for
+training-data pipelines at 100 TB).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .functions.text import ngrams, tokens
+from .queries import load, q
+from .queries_ext import O_TOKENS
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def _hash_bucket(col, seed: str, mod: int):
+    """Deterministic engine-portable bucket: md5(seed:key) % mod."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % mod
+
+
+def _o_hash_bucket(col: str, seed: str, mod: int) -> str:
+    return (f"(('0x' || substr(md5('{seed}:' || CAST({col} AS VARCHAR)),"
+            f" 1, 15))::BIGINT % {mod})")
+
+
+# =========================================================================
+# Deterministic corpus shuffle + sharding ([EXT])
+# =========================================================================
+
+_SHUF = dict(seed="shuf42", shards=8)
+
+
+@q("corpus_shard_shuffle", ("W2", "F9"), oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         md5('{_SHUF["seed"]}:' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(hk, 1, 15))::BIGINT % {_SHUF["shards"]}
+            AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY ('0x' || substr(hk, 1, 15))::BIGINT % {_SHUF["shards"]}
+         ORDER BY hk) AS INT) AS pos
+FROM h
+""")
+def corpus_shard_shuffle(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(doc_id, shard, pos): deterministic global shuffle of the corpus
+    into {shards} shards with a stable within-shard order.
+
+    Training pipelines must randomize document order (adjacent crawl
+    pages are correlated) but reproducibly — so the "random" key is
+    ``md5(seed:doc_id)``, not ``rand()``: re-runs, retries, and engine
+    swaps give byte-identical shard files.
+
+    Scale: the hash is map-side; the only shuffle is the per-shard
+    ``row_number`` sort, which at 100 TB becomes
+    ``repartitionByRange(shard, hk)`` + ``sortWithinPartitions`` —
+    one range shuffle of slim (doc_id, hk) pairs, never the text.
+    """
+    d = load(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit(f"{_SHUF['seed']}:"),
+                        F.col("doc_id").cast("string")))
+    sh = (F.conv(F.substring(hk, 1, 15), 16, 10).cast("long")
+          % _SHUF["shards"]).cast("int")
+    return (d.select("doc_id", hk.alias("hk"), sh.alias("shard"))
+            .withColumn("pos", F.row_number().over(
+                W.partitionBy("shard").orderBy("hk")).cast("int"))
+            .drop("hk"))
+
+
+# =========================================================================
+# Sequence packing: concatenate-and-chunk ([EXT])
+# =========================================================================
+
+_PACK = dict(block=64, shards=4, seed="pack7")
+
+
+@q("seq_packing", ("F9", "W1"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+), sh AS (
+  SELECT *, CAST({_o_hash_bucket('doc_id', _PACK["seed"], _PACK["shards"])}
+                 AS INT) AS shard
+  FROM sized
+), pos AS (
+  SELECT *, CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM sh
+), spans AS (
+  SELECT doc_id, shard, toks, e - n AS s, e,
+         unnest(generate_series((e - n) // {_PACK["block"]},
+                                (e - 1) // {_PACK["block"]})) AS blk
+  FROM pos
+)
+SELECT shard, blk AS seq_id, doc_id,
+       CAST(GREATEST(blk * {_PACK["block"]}, s) - s AS INT) AS tok_off,
+       array_to_string(
+         toks[GREATEST(blk * {_PACK["block"]}, s) - s + 1 :
+              LEAST((blk + 1) * {_PACK["block"]}, e) - s], ' ') AS piece
+FROM spans
+""")
+def seq_packing(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """GPT-style sequence packing: concatenate every document's tokens
+    (within a deterministic shard, in doc_id order) and cut the stream
+    into fixed {block}-token training sequences; docs spanning a block
+    boundary are split across sequences.
+
+    Output: (shard, seq_id, doc_id, tok_off, piece) — each row is the
+    contiguous piece of one document that lands in one training
+    sequence; ``tok_off`` is the piece's offset inside the document.
+    Every sequence except the last of each shard has exactly {block}
+    tokens, and no token is dropped or duplicated (asserted in
+    tests/test_llmprep.py).
+
+    Scale design: a single global concatenation would serialize on one
+    cumulative sum, so the corpus is first hash-sharded ({shards} here,
+    thousands at 100 TB) and packed per shard — the window sum is
+    per-shard and the shards are embarrassingly parallel.  The explode
+    emits block *indices*, never replicated token arrays, so the row
+    blow-up is ~n/block and the token text is sliced exactly once.
+    """
+    b = _PACK["block"]
+    d = load(spark, sf_dir, "documents")
+    t = (d.select("doc_id", tokens(F.col("text")).alias("toks"))
+         .withColumn("n", F.size("toks").cast("long"))
+         .where(F.col("n") > 0)
+         .withColumn("shard", _hash_bucket(
+             F.col("doc_id"), _PACK["seed"], _PACK["shards"]).cast("int")))
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    t = (t.withColumn("e", F.sum("n").over(w))
+         .withColumn("s", F.col("e") - F.col("n")))
+    t = t.withColumn("blk", F.explode(F.sequence(
+        F.expr(f"s div {b}"), F.expr(f"(e - 1) div {b}"))))
+    g = F.greatest(F.col("blk") * b, F.col("s"))
+    e_in = F.least((F.col("blk") + 1) * b, F.col("e"))
+    off = (g - F.col("s")).cast("int")
+    return t.select(
+        "shard", F.col("blk").alias("seq_id"), "doc_id",
+        off.alias("tok_off"),
+        F.array_join(F.slice("toks", off + 1, (e_in - g).cast("int")),
+                     " ").alias("piece"))
+
+
+# =========================================================================
+# Benchmark-contamination detection ([EXT])
+# =========================================================================
+
+_CONTAM = dict(ngram=5, seed="", eval_lo=90, train_hi=80)
+# buckets reuse dataset_split's md5(doc_id) % 100: test split = [90, 100)
+
+
+@q("contamination_ngram", ("J5", "F9"), oracle=f"""
+WITH b AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 AS bkt
+  FROM documents
+), tok AS (
+  SELECT doc_id, bkt, {O_TOKENS.format(c='text')} AS toks FROM b
+), sh AS (
+  SELECT doc_id, bkt,
+         unnest(list_distinct(CASE WHEN len(toks) <= {_CONTAM["ngram"]}
+           THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+{_CONTAM["ngram"] - 1}], ' ')
+                 for i in generate_series(1,
+                                          len(toks) - {_CONTAM["ngram"] - 1})]
+         END)) AS g
+  FROM tok
+)
+SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+       COUNT(*) AS n_shared
+FROM (SELECT doc_id, md5(g) AS gh FROM sh
+      WHERE bkt < {_CONTAM["train_hi"]}) t
+JOIN (SELECT doc_id, md5(g) AS gh FROM sh
+      WHERE bkt >= {_CONTAM["eval_lo"]}) e
+  ON t.gh = e.gh
+GROUP BY 1, 2
+""")
+def contamination_ngram(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(train_doc_id, eval_doc_id, n_shared): training documents that
+    share {ngram}-gram shingles with held-out eval documents — the
+    standard benchmark-contamination / test-set-leakage check run
+    before training.  Splits reuse dataset_split's md5 buckets (train
+    < 80, eval ≥ 90), so the check composes with the split it guards.
+
+    Scale design: shingles are hashed to 16-byte md5 keys BEFORE the
+    join, so the shuffle moves (doc_id, 16B) pairs, never text.  The
+    eval side is a tiny fraction of the corpus (≤10% of docs, and in
+    practice a fixed benchmark suite) → Spark broadcasts it and the
+    100 TB train side never shuffles.  Per-doc ``list_distinct``
+    bounds the pair count by distinct-shingle overlap, immune to
+    within-doc repetition.
+    """
+    n = _CONTAM["ngram"]
+    d = load(spark, sf_dir, "documents")
+    bkt = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                 16, 10).cast("long") % 100
+    sh = (d.select("doc_id", bkt.alias("bkt"),
+                   tokens(F.col("text")).alias("toks"))
+          .select("doc_id", "bkt",
+                  F.explode(F.array_distinct(
+                      ngrams(F.col("toks"), n))).alias("g"))
+          .select("doc_id", "bkt", F.md5("g").alias("gh")))
+    train = (sh.where(F.col("bkt") < _CONTAM["train_hi"])
+             .select(F.col("doc_id").alias("train_doc_id"), "gh"))
+    ev = (sh.where(F.col("bkt") >= _CONTAM["eval_lo"])
+          .select(F.col("doc_id").alias("eval_doc_id"), "gh"))
+    return (train.join(F.broadcast(ev), "gh")
+            .groupBy("train_doc_id", "eval_doc_id")
+            .agg(F.count("*").alias("n_shared")))
+
+
+# =========================================================================
+# Token-length quantile gate ([EXT])
+# =========================================================================
+
+_QGATE = dict(lo=0.05, hi=0.95)
+
+
+@q("length_quantile_filter", ("P6", "A8"), oracle=f"""
+WITH n AS (
+  SELECT doc_id, len({O_TOKENS.format(c='text')}) AS n_toks FROM documents
+), b AS (
+  SELECT ROUND(quantile_cont(n_toks, {_QGATE["lo"]}), 6) AS lo,
+         ROUND(quantile_cont(n_toks, {_QGATE["hi"]}), 6) AS hi
+  FROM n
+)
+SELECT doc_id, CAST(n_toks AS INT) AS n_toks
+FROM n, b
+WHERE n_toks >= b.lo AND n_toks <= b.hi
+""")
+def length_quantile_filter(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Docs whose token count lies within the corpus's [p05, p95] —
+    the distribution-relative length gate (absolute thresholds from
+    text_quality_score don't transfer across corpora; quantiles do).
+
+    Shape: one tiny global aggregate (two exact interpolated
+    percentiles — both engines use the same (1-g)·a + g·b formula,
+    rounded to 6 dp for stability) cross-joined back as a 1-row
+    broadcast, then a map-side filter.  At 100 TB the percentile
+    becomes ``approx_percentile`` (KLL/GK sketch) with the same plan
+    shape — the gate stays two passes, no wide shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    nt = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_toks"))
+    bounds = nt.agg(
+        F.round(F.percentile("n_toks", _QGATE["lo"]), 6).alias("lo"),
+        F.round(F.percentile("n_toks", _QGATE["hi"]), 6).alias("hi"))
+    return (nt.crossJoin(F.broadcast(bounds))
+            .where((F.col("n_toks") >= F.col("lo"))
+                   & (F.col("n_toks") <= F.col("hi")))
+            .select("doc_id", F.col("n_toks").cast("int").alias("n_toks")))
+
+
+# =========================================================================
+# int8 embedding quantization ([EXT] F10)
+# =========================================================================
+
+@q("embedding_quantize_int8", ("F10",), oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), m AS (
+  SELECT vec_id, vd,
+         list_max(list_transform(vd, x -> abs(x))) AS mx
+  FROM v
+)
+SELECT vec_id,
+       mx / 127.0 AS scale,
+       array_to_string(
+         list_transform(vd, x -> CAST(CAST(FLOOR(
+           x / (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END) + 0.5)
+           AS INT) AS VARCHAR)), ',') AS qvec
+FROM m
+""")
+def embedding_quantize_int8(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(vec_id, scale, qvec): symmetric per-vector int8 quantization —
+    scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127] — the
+    standard 4× shrink applied to embedding stores before ANN serving.
+
+    Determinism: floats promote to double exactly, max/divide are
+    single IEEE ops (bit-identical across engines), and rounding is
+    the explicit ``floor(x + 0.5)`` so no engine-specific half-even /
+    half-away behavior leaks in.  Zero vectors quantize to zeros via a
+    guarded scale (emitted scale stays 0).  qvec is emitted as a CSV
+    string because the driver's value hash is defined over scalars.
+
+    Map-only: no shuffle, pipelines into the scan at any corpus size.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(vd, F.abs))
+    safe = F.when(mx == 0, F.lit(1.0)).otherwise(mx / 127.0)
+    qv = F.transform(vd, lambda x: F.floor(x / safe + 0.5).cast("int"))
+    return e.select(
+        "vec_id", (mx / 127.0).alias("scale"),
+        F.array_join(F.transform(qv, lambda x: x.cast("string")),
+                     ",").alias("qvec"))

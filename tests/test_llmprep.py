@@ -1,0 +1,124 @@
+"""Invariant tests for the LLM corpus-prep queries (queries_llmprep.py).
+
+The DuckDB oracle gate certifies cross-engine value equality; these
+tests assert the *semantic* invariants the oracles can't state —
+conservation (packing loses no token), bounds (int8 range, quantile
+coverage), and determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.functions.text import tokens
+from iot_simulator_datalake_spark.queries import REGISTRY, load
+from iot_simulator_datalake_spark.queries_llmprep import _PACK, _SHUF
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_seq_packing_conserves_tokens_and_fills_blocks(spark):
+    out = REGISTRY["seq_packing"].fn(spark, SF).cache()
+    docs = (load(spark, SF, "documents")
+            .select(F.size(tokens(F.col("text"))).alias("n"))
+            .where("n > 0"))
+    total_tokens = docs.agg(F.sum("n")).first()[0]
+
+    # conservation: every token appears in exactly one piece
+    piece_tokens = (out.select(F.size(F.filter(
+        F.split("piece", r"\s+"), lambda x: x != "")).alias("k"))
+        .agg(F.sum("k")).first()[0])
+    assert piece_tokens == total_tokens
+
+    # every sequence except the last per shard holds exactly `block`
+    seq = (out.withColumn("k", F.size(F.filter(
+               F.split("piece", r"\s+"), lambda x: x != "")))
+           .groupBy("shard", "seq_id").agg(F.sum("k").alias("k")))
+    last = seq.groupBy("shard").agg(F.max("seq_id").alias("last_seq"))
+    full = seq.join(last, "shard").where("seq_id < last_seq")
+    bad = full.where(F.col("k") != _PACK["block"]).count()
+    assert bad == 0
+
+    # a doc split across blocks re-assembles in tok_off order
+    joined = (out.groupBy("doc_id")
+              .agg(F.array_join(F.array_sort(F.collect_list(
+                  F.struct("tok_off", "piece"))).piece, " ").alias("re"))
+              )
+    orig = (load(spark, SF, "documents")
+            .select("doc_id", F.array_join(tokens(F.col("text")), " ")
+                    .alias("txt"))
+            .where(F.length("txt") > 0))
+    mism = joined.join(orig, "doc_id").where("re <> txt").count()
+    assert mism == 0
+    out.unpersist()
+
+
+def test_corpus_shuffle_is_a_permutation(spark):
+    out = REGISTRY["corpus_shard_shuffle"].fn(spark, SF).cache()
+    n_docs = load(spark, SF, "documents").count()
+    assert out.count() == n_docs
+    # pos is 1..count(shard) within every shard, no gaps or dupes
+    per = (out.groupBy("shard")
+           .agg(F.count("*").alias("c"), F.min("pos").alias("lo"),
+                F.max("pos").alias("hi"),
+                F.count_distinct("pos").alias("d")))
+    bad = per.where("lo <> 1 or hi <> c or d <> c").count()
+    assert bad == 0
+    assert out.select("shard").distinct().count() <= _SHUF["shards"]
+    out.unpersist()
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    out = REGISTRY["embedding_quantize_int8"].fn(spark, SF)
+    q = out.select(
+        "vec_id", "scale",
+        F.transform(F.split("qvec", ","),
+                    lambda x: x.cast("int")).alias("q"))
+    # range bound: |q_i| <= 127
+    over = q.select(F.array_max(F.transform(
+        "q", lambda x: F.abs(x))).alias("m")).where("m > 127").count()
+    assert over == 0
+    # roundtrip bound: |x - q*scale| <= scale/2 per element
+    e = load(spark, SF, "embeddings")
+    j = (q.join(e, "vec_id")
+         .select("scale", F.zip_with(
+             "embedding", "q",
+             lambda x, qi: F.abs(x.cast("double") - qi * F.col("scale"))
+         ).alias("err"))
+         .select(F.array_max("err").alias("m"), "scale")
+         .where(F.col("m") > F.col("scale") / 2 + 1e-12))
+    assert j.count() == 0
+
+
+def test_length_quantile_filter_coverage(spark):
+    kept = REGISTRY["length_quantile_filter"].fn(spark, SF)
+    docs = load(spark, SF, "documents").count()
+    frac = kept.count() / docs
+    # p05..p95 keeps ~90%; integer ties widen it somewhat
+    assert 0.80 <= frac <= 0.99
+
+
+def test_contamination_detects_planted_dup(spark, tmp_path):
+    """Plant an eval doc's text into a train doc → the pair must be
+    reported with a high shared-shingle count."""
+    import shutil
+    src = f"{SF}/documents.parquet"
+    d = spark.read.parquet(src)
+    bkt = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                  16, 10).cast("long") % 100)
+    d = d.withColumn("bkt", bkt)
+    ev = d.where("bkt >= 90").orderBy("doc_id").first()
+    tr = d.where("bkt < 80").orderBy("doc_id").first()
+    planted = d.drop("bkt").withColumn(
+        "text", F.when(F.col("doc_id") == tr.doc_id,
+                       F.lit(ev.text)).otherwise(F.col("text")))
+    sfdir = tmp_path / "sfplant"
+    sfdir.mkdir()
+    planted.write.parquet(str(sfdir / "documents.parquet"))
+    for t in ("region",):  # load() only touches documents here
+        pass
+    out = REGISTRY["contamination_ngram"].fn(spark, str(sfdir))
+    hit = out.where((F.col("train_doc_id") == tr.doc_id)
+                    & (F.col("eval_doc_id") == ev.doc_id)).first()
+    assert hit is not None and hit.n_shared >= 1
+    shutil.rmtree(str(sfdir), ignore_errors=True)
