@@ -173,3 +173,33 @@ def test_q22_broadcast_scalar_and_anti_join(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
     assert "PushedFilters: [" in plan
+
+
+def test_quantize_int8_is_map_only(spark):
+    plan = plan_of(spark, "embedding_quantize_int8")
+    # pure column transform: no shuffle anywhere in the plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seq_packing_single_shard_shuffle(spark):
+    plan = plan_of(spark, "seq_packing")
+    # one hash shuffle on the shard key feeds the cumulative-sum
+    # window; the block explode happens after it, map-side
+    assert plan.count("hashpartitioning") == 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    plan = plan_of(spark, "contamination_ngram")
+    # the (small) eval shingle set broadcasts: the train side never
+    # shuffles for the join — only the final pair-count aggregates
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_length_gate_broadcasts_bounds(spark):
+    plan = plan_of(spark, "length_quantile_filter")
+    # the 1-row quantile bounds broadcast back over the corpus
+    assert "BroadcastNestedLoopJoin" in plan
