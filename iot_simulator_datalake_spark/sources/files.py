@@ -1,0 +1,103 @@
+"""Generic file-format landing sources: CSV, ORC, Parquet, and plain
+text, batch and streaming.
+
+The reference's only landing format is JSON (``read_files(path,
+format => 'json')``, bronze_iot_events.sql:10-15) — but Databricks
+``read_files`` accepts ``format => csv|orc|parquet|text|json`` with the
+same semantics, so a user switching to this engine keeps every format.
+The streaming paths reuse the infer-once-persist schema discipline of
+``json_source.py`` (the OSS Auto Loader substitute, SURVEY §1.2):
+OSS ``readStream`` needs an explicit schema for CSV, so we infer from a
+bounded sample, persist, and replay the stored contract on re-runs.
+
+Scale notes: schema inference samples ≤ ``sample_files`` files, never
+the full landing volume; CSV parsing is JVM-side (UnivocityParser under
+whole-stage codegen) — no Python in the row path; ORC/Parquet streams
+carry their own schema, so no inference pass is needed at all.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+_CSV_OPTS = {"header": "true"}
+
+
+def infer_csv_schema(spark: "SparkSession", path: str | Path,
+                     schema_store: str | Path,
+                     sample_files: int = 64,
+                     options: dict[str, str] | None = None) -> T.StructType:
+    """Infer a CSV schema from a bounded file sample and persist it;
+    re-runs return the stored contract verbatim (stable across the
+    life of the landing directory)."""
+    store = Path(schema_store)
+    if store.exists():
+        return T.StructType.fromJson(json.loads(store.read_text()))
+    files = sorted(str(p) for p in Path(path).glob("**/*.csv"))[:sample_files]
+    sample = files if files else str(path)
+    opts = {**_CSV_OPTS, "inferSchema": "true", **(options or {})}
+    schema = spark.read.options(**opts).csv(sample).schema
+    store.parent.mkdir(parents=True, exist_ok=True)
+    store.write_text(json.dumps(schema.jsonValue()))
+    return schema
+
+
+def read_csv_batch(spark: "SparkSession", path: str | Path,
+                   schema: T.StructType | None = None,
+                   options: dict[str, str] | None = None) -> "DataFrame":
+    """Batch CSV scan; with an explicit schema the inference pass is
+    skipped entirely (the 100 TB default — always pass the contract)."""
+    opts = {**_CSV_OPTS, **(options or {})}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(str(path))
+
+
+def read_csv_stream(spark: "SparkSession", path: str | Path,
+                    schema_store: str | Path,
+                    max_files_per_trigger: int | None = None,
+                    options: dict[str, str] | None = None) -> "DataFrame":
+    """Incremental exactly-once CSV file stream (schema inferred once
+    then fixed) — pair with streaming/runner.py's checkpointed sink."""
+    schema = infer_csv_schema(spark, path, schema_store, options=options)
+    reader = (spark.readStream.schema(schema)
+              .options(**{**_CSV_OPTS, **(options or {})}))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(str(path))
+
+
+def read_file_batch(spark: "SparkSession", path: str | Path,
+                    fmt: str) -> "DataFrame":
+    """Self-describing columnar formats (parquet/orc) — no inference."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"use read_csv_batch/read_json_batch for {fmt!r}")
+    return spark.read.format(fmt).load(str(path))
+
+
+def read_file_stream(spark: "SparkSession", path: str | Path, fmt: str,
+                     schema: T.StructType | None = None) -> "DataFrame":
+    """Streaming scan of parquet/orc landing dirs.  Structured
+    Streaming still wants a fixed schema: by default we snapshot it
+    from the existing files (one footer read, not a data scan)."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"use read_csv_stream/read_json_stream for {fmt!r}")
+    schema = schema or spark.read.format(fmt).load(str(path)).schema
+    return spark.readStream.schema(schema).format(fmt).load(str(path))
+
+
+def read_text_batch(spark: "SparkSession", path: str | Path,
+                    whole_file: bool = False) -> "DataFrame":
+    """Raw text corpus scan: one row per line, or per file
+    (``whole_file`` — the document-ingest shape for LLM corpora)."""
+    return spark.read.text(str(path), wholetext=whole_file)

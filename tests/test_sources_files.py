@@ -1,0 +1,98 @@
+"""CSV / ORC / parquet / text landing-source tests (sources/files.py):
+schema infer-once persistence, streaming exactly-once over CSV, and
+columnar round-trips."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.sources.files import (
+    infer_csv_schema, read_csv_batch, read_csv_stream, read_file_batch,
+    read_file_stream, read_text_batch)
+from iot_simulator_datalake_spark.streaming.runner import (
+    materialize_streaming_table)
+
+
+def _write_csv_wave(landing, name: str, rows):
+    lines = ["device_id,value"] + [f"{d},{v}" for d, v in rows]
+    (landing / name).write_text("\n".join(lines))
+
+
+def test_csv_schema_inferred_once_and_persisted(spark, tmp_path):
+    landing = tmp_path / "csv_landing"
+    landing.mkdir()
+    _write_csv_wave(landing, "a.csv", [("dev-1", 1.5), ("dev-2", 2.0)])
+    store = tmp_path / "schema.json"
+    s1 = infer_csv_schema(spark, landing, store)
+    assert [f.name for f in s1.fields] == ["device_id", "value"]
+    assert store.exists()
+    # second call returns the stored contract without re-inferring,
+    # even if later files would infer differently
+    _write_csv_wave(landing, "b.csv", [("dev-3", "not-a-number")])
+    s2 = infer_csv_schema(spark, landing, store)
+    assert s2 == s1
+    # and the persisted JSON is the schema itself
+    assert s1 == type(s1).fromJson(json.loads(store.read_text()))
+
+
+def test_csv_batch_with_explicit_schema_skips_inference(spark, tmp_path):
+    landing = tmp_path / "csv2"
+    landing.mkdir()
+    _write_csv_wave(landing, "a.csv", [("dev-1", 1.5)])
+    store = tmp_path / "s.json"
+    schema = infer_csv_schema(spark, landing, store)
+    df = read_csv_batch(spark, landing, schema=schema)
+    assert df.schema == schema
+    assert df.count() == 1
+
+
+def test_csv_stream_two_waves_exactly_once(spark, tmp_path):
+    landing = tmp_path / "csv_stream"
+    landing.mkdir()
+    store = tmp_path / "schema.json"
+    out = str(tmp_path / "out")
+    _write_csv_wave(landing, "w1.csv", [("dev-1", 1.0), ("dev-2", 2.0)])
+
+    def run():
+        df = read_csv_stream(spark, landing, store)
+        materialize_streaming_table(spark, df, path=tmp_path / "out",
+                                    checkpoint=tmp_path / "ckpt")
+
+    run()
+    assert spark.read.parquet(out).count() == 2
+    # wave 2 appends only the new file's rows; re-run is a no-op
+    _write_csv_wave(landing, "w2.csv", [("dev-3", 3.0)])
+    run()
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.agg(F.count_distinct("device_id")).first()[0] == 3
+
+
+def test_orc_round_trip_and_stream(spark, tmp_path):
+    src = spark.range(10).withColumn("k", F.col("id") % 3)
+    p = str(tmp_path / "orc_dir")
+    src.write.format("orc").save(p)
+    back = read_file_batch(spark, p, "orc")
+    assert back.count() == 10
+    assert dict(back.dtypes) == {"id": "bigint", "k": "bigint"}
+    # streaming read over the same dir (schema snapshotted from footers)
+    stream = read_file_stream(spark, p, "orc")
+    got = materialize_streaming_table(spark, stream,
+                                      path=tmp_path / "out_orc",
+                                      checkpoint=tmp_path / "ckpt_orc")
+    assert got.count() == 10
+
+
+def test_text_source_line_and_whole_file(spark, tmp_path):
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two")
+    (d / "b.txt").write_text("solo")
+    by_line = read_text_batch(spark, d)
+    assert by_line.count() == 3
+    by_file = read_text_batch(spark, d, whole_file=True)
+    assert by_file.count() == 2
+    assert by_file.where(F.col("value").contains("line two")).count() == 1
