@@ -98,3 +98,31 @@ class ApplyChanges:
             return state
         return state.filter(
             ~F.coalesce(F.col(self.deleted_col), F.lit(False)))
+
+
+def scd2_history(changes: DataFrame, key: str, order_col: str = "op_ts",
+                 tiebreak: str | None = None,
+                 deleted_col: str = "_is_deleted") -> DataFrame:
+    """SCD Type 2 version history (⇔ dbt snapshots / DLT APPLY CHANGES
+    ``STORED AS SCD TYPE 2``): every change opens a version valid
+    [``order_col``, next change); delete events close the prior
+    version without opening one, so a key whose last op is a delete
+    has no current row.
+
+    Adds ``valid_from``, ``valid_to`` (NULL while open) and
+    ``is_current``.  One shuffle on the entity key — the lead() window
+    reuses the same partitioning as SCD1's dedup, so maintaining both
+    views costs one exchange total.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(order_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = W.partitionBy(key).orderBy(*order)
+    out = (changes
+           .withColumn("valid_from", F.col(order_col))
+           .withColumn("valid_to", F.lead(order_col).over(w)))
+    if deleted_col in changes.columns:
+        out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+    return out.withColumn("is_current", F.col("valid_to").isNull())

@@ -602,3 +602,47 @@ def global_topn(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (o.select(F.col("o_orderkey").alias("order_id"),
                      F.col("o_totalprice").alias("total"))
             .orderBy(F.col("total").desc(), "order_id").limit(10))
+
+
+@q("set_ops_intersect", ("A2",), oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""")
+def set_ops_intersect(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """INTERSECT (distinct) — completes the §2.6 set-op family with
+    UNION/EXCEPT (set_ops_union_except).  Spark plans INTERSECT as a
+    left-semi hash join over the two distinct sets: both sides reduce
+    map-side before any shuffle, so the wire carries distinct keys
+    only — at 100 TB the cost is two key-distinct shuffles, never the
+    fact rows."""
+    e = load(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = e.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(erroring)
+
+
+@q("scd2_version_history", ("W1",), oracle="""
+SELECT user_id, event_id, ts AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current, event_type, value
+FROM (
+  SELECT *, LEAD(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events
+) WHERE event_type <> 'error'
+""")
+def scd2_version_history(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SCD Type 2 full version history from a CDC-style stream (⇔ dbt
+    snapshots): each change is valid from its own timestamp until the
+    key's next change; 'error' ops act as soft deletes — they close
+    the prior version (its valid_to = the delete time) and open
+    nothing, so deleted keys carry no current row
+    (operators/scd.py:scd2_history)."""
+    e = (load(spark, sf_dir, "events")
+         .withColumn("_is_deleted", F.col("event_type") == "error"))
+    from .operators.scd import scd2_history
+    h = scd2_history(e, key="user_id", order_col="ts",
+                     tiebreak="event_id")
+    return h.select("user_id", "event_id",
+                    F.col("ts").alias("valid_from"), "valid_to",
+                    "is_current", "event_type", "value")

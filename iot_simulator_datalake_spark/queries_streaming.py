@@ -270,3 +270,109 @@ def streaming_dedup_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col("value").cast("decimal(25,4)"))
                  .cast("double").alias("total_value")))
+
+
+@q("streaming_interval_join_left", ("ST2", "ST5", "J4"), oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       a.user_id AS user_id, a.ts AS click_ts, b.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""")
+def streaming_interval_join_left(spark: "SparkSession",
+                                 sf_dir: str) -> "DataFrame":
+    """Stream-stream LEFT OUTER interval join — clicks with their
+    attributed purchase, or NULLs once the watermark proves no
+    purchase can still arrive.  The outer semantics are the hard part
+    of streaming joins: unmatched rows may only emit when the global
+    watermark passes their eviction bound, and a drained finite input
+    leaves the watermark just below its own tail — so real pipelines
+    append a WATERMARK HEARTBEAT (a sentinel event past the horizon)
+    to flush end-of-stream state.  Two subtleties, both load-bearing:
+    state evicted against batch N's watermark only *emits* in batch
+    N+1, and ``availableNow`` stops after the last data batch without
+    a final no-data flush — so ONE heartbeat still strands the tail.
+    We therefore stage TWO heartbeat files (+10 h and +20 h, user_id
+    −1) after the base data, force one file per micro-batch, and drop
+    the sentinels on output; the emitted rows then hash-match the
+    batch LEFT JOIN oracle exactly.
+
+    One more quirk, discovered empirically: when BOTH join inputs are
+    the same file source (a self-join), only one of the two
+    EventTimeWatermark trackers reports its per-batch max, so under
+    the default ``multipleWatermarkPolicy=min`` the global watermark
+    sticks at the stuck tracker's pre-heartbeat value and the tail
+    never flushes.  Scoped to this query we set the policy to
+    ``max`` — safe HERE because both sides drain the identical
+    bounded landing dir with shared heartbeats (the true per-side
+    watermarks are equal, so max == min over live trackers); it is
+    NOT a general substitute for fixing skewed dual-source inputs.
+
+    Scale: identical state bounds to the inner variant — retention is
+    (watermark + interval) per key — plus one tombstone row per
+    evicted unmatched click; the heartbeat pattern costs one row per
+    source per trigger, independent of data size."""
+    import tempfile
+
+    raw = spark.read.option("pathGlobFilter", "events.parquet") \
+        .parquet(sf_dir)
+    raw_schema = raw.schema
+    ts_is_long = dict(raw.dtypes).get("ts") == "bigint"
+    max_ts = raw.agg(F.max("ts")).first()[0]
+
+    def plus_hours(h: int):
+        if ts_is_long:                       # raw long nanoseconds
+            return max_ts + h * 3600 * 10 ** 9
+        from datetime import timedelta
+        return max_ts + timedelta(hours=h)
+
+    land = tempfile.mkdtemp(prefix="ij_left_")
+    raw.coalesce(1).write.mode("overwrite").parquet(f"{land}/0_base.parquet")
+    for i, hours in enumerate((10, 20), start=1):
+        hb = spark.createDataFrame(
+            [(-1, plus_hours(hours), -1, "click", 0.0, None),
+             (-2, plus_hours(hours), -1, "purchase", 0.0, None)],
+            schema=raw_schema)
+        hb.coalesce(1).write.mode("overwrite").parquet(
+            f"{land}/{i}_heartbeat.parquet")
+
+    def stream():
+        s = (spark.readStream.schema(raw_schema)
+             .option("recursiveFileLookup", "true")
+             .option("maxFilesPerTrigger", 1).parquet(land))
+        if ts_is_long:
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    clicks = (stream().filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    buys = (stream().filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("user_id"),
+                    F.col("ts").alias("purchase_ts"))
+            .withWatermark("purchase_ts", "2 hours"))
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("user_id")) &
+        (F.col("purchase_ts") >= F.col("click_ts")) &
+        (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer")
+    name = f"stream_ij_left_{uuid.uuid4().hex[:8]}"
+    writer = (joined.filter(F.col("click_id") >= 0)
+              .select("click_id", "purchase_id",
+                      F.col("c_user").alias("user_id"),
+                      "click_ts", "purchase_ts")
+              .writeStream.outputMode("append")
+              .format("memory").queryName(name))
+    policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    prev = spark.conf.get(policy_key, "min")
+    spark.conf.set(policy_key, "max")
+    try:
+        run_stream_available_now(writer)
+    finally:
+        spark.conf.set(policy_key, prev)
+    return spark.table(name)

@@ -58,3 +58,24 @@ def test_foreachbatch_wiring(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert ac.read().count() == 1
+
+
+def test_scd2_history_versions_and_soft_delete(spark):
+    from iot_simulator_datalake_spark.operators.scd import scd2_history
+    from pyspark.sql import functions as F
+
+    changes = spark.createDataFrame(
+        [("A", 1, "v1", False), ("A", 2, "v2", False), ("A", 3, None, True),
+         ("B", 5, "b1", False)],
+        "k string, op_ts long, val string, _is_deleted boolean")
+    h = (scd2_history(changes, key="k", order_col="op_ts")
+         .select("k", "op_ts", "val", "valid_from", "valid_to",
+                 "is_current").orderBy("k", "op_ts").collect())
+    # A: v1 valid [1,2), v2 valid [2,3) closed by the delete, no current
+    a = [r for r in h if r.k == "A"]
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in a] == \
+        [(1, 2, False), (2, 3, False)]
+    # B: single open version
+    b = [r for r in h if r.k == "B"]
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in b] == \
+        [(5, None, True)]
