@@ -147,6 +147,41 @@ class Engine:
                 result.seconds[qn] = dt
         return result
 
+    def backfill(self, qualified_name: str, where: str) -> "DataFrame":
+        """Partition-scoped re-materialization of a partitioned table
+        model: recompute only the slice matched by ``where`` (a SQL
+        predicate over the model's partition columns) and swap exactly
+        the partitions that slice produces — the late-data / bug-fix
+        rerun every lake pipeline needs, without recomputing or
+        rewriting the rest of the table.
+
+        Uses Spark's dynamic partition-overwrite so untouched
+        partitions are left in place byte-for-byte; the predicate is
+        pushed into the builder's plan, so at 100 TB the recompute
+        reads only the affected input partitions (partition pruning),
+        not the history.
+        """
+        m = self.registry[qualified_name]
+        if m.materialization != "table" or not m.partition_by:
+            raise ValueError(
+                f"backfill targets partitioned table models; "
+                f"{qualified_name} is {m.materialization!r} "
+                f"partitioned by {m.partition_by!r}")
+        ctx = ModelContext(self.spark, self, m)
+        df = m.builder(ctx).filter(where)
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, "static")
+        self.spark.conf.set(key, "dynamic")
+        try:
+            (df.write.mode("overwrite")
+             .partitionBy(*m.partition_by)
+             .parquet(str(self.table_path(m))))
+        finally:
+            self.spark.conf.set(key, prev)
+        out = self.spark.read.parquet(str(self.table_path(m)))
+        self.register(m.qualified_name, out)
+        return out
+
     # -- checks ------------------------------------------------------------
 
     def add_check(self, check: Check) -> Check:

@@ -326,3 +326,58 @@ def embedding_quantize_int8(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "vec_id", (mx / 127.0).alias("scale"),
         F.array_join(F.transform(qv, lambda x: x.cast("string")),
                      ",").alias("qvec"))
+
+
+# =========================================================================
+# One-pass column profiling ([EXT] — data-quality reconnaissance)
+# =========================================================================
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_val,
+       MAX(CAST({c} AS VARCHAR)) AS max_val
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@q("dataset_profile", ("A5", "A8"), oracle=_profile_oracle())
+def dataset_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-column profile of the documents table — null count, distinct
+    count, lexicographic min/max — the reconnaissance pass run before
+    any pipeline touches a new corpus (⇔ ``DataFrame.summary`` /
+    dbt-style source freshness+volume checks, but deterministic and
+    oracle-checked).
+
+    Shape: ONE scan computes every column's aggregates in a single
+    multi-distinct hash aggregate (Catalyst plans the distincts via one
+    Expand), then a ``stack`` unpivots the 1-row result to long form —
+    driver-side work is O(columns).  At 100 TB swap the exact distincts
+    for ``approx_count_distinct`` (HLL) and the profile becomes one
+    map-side-combining pass with no Expand; min/max/null-count are
+    already mergeable partials.
+    """
+    d = load(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = load(spark, sf_dir, "documents").agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS)
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        f"(col_name, n_nulls, n_distinct, min_val, max_val)")

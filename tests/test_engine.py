@@ -108,3 +108,42 @@ def test_config_vars(spark, tmp_path):
     eng = Engine(spark, r, config={"n": 7}, warehouse=tmp_path / "wh")
     eng.run()
     assert eng.table("bronze.v").count() == 7
+
+
+def test_backfill_rewrites_only_selected_partitions(spark, tmp_path):
+    """Backfill recomputes one partition; sibling partition files stay
+    byte-identical (dynamic partition overwrite)."""
+    import os
+
+    src = {"rows": [("a", 1), ("a", 2), ("b", 10)]}
+    r = Registry()
+
+    @model(r, name="agg", layer="gold", materialization="table",
+           partition_by=("p",))
+    def agg(ctx):
+        return ctx.spark.createDataFrame(src["rows"], "p string, v long")
+
+    eng = Engine(spark, r, warehouse=tmp_path / "wh")
+    eng.run()
+    table_dir = eng.table_path(r["gold.agg"])
+
+    def part_files(p):
+        d = table_dir / f"p={p}"
+        return sorted((f, os.path.getmtime(d / f)) for f in os.listdir(d)
+                      if f.endswith(".parquet"))
+
+    before_b = part_files("b")
+    # late data lands for partition a only → backfill just that slice
+    src["rows"] = [("a", 1), ("a", 2), ("a", 3), ("b", 999)]
+    out = eng.backfill("gold.agg", "p = 'a'")
+    got = {(row.p, row.v) for row in out.collect()}
+    # a recomputed (3 rows), b untouched (still 10, not 999)
+    assert got == {("a", 1), ("a", 2), ("a", 3), ("b", 10)}
+    assert part_files("b") == before_b
+
+    # guard: non-partitioned / non-table models refuse
+    @model(r, name="v", layer="gold")
+    def v(ctx):
+        return ctx.spark.range(1)
+    with pytest.raises(ValueError):
+        eng.backfill("gold.v", "1=1")
