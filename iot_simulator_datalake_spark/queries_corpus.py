@@ -1,0 +1,99 @@
+"""The LLM corpus pipeline inside the correctness gate.
+
+``engine_corpus_pipeline`` runs the REAL four-model corpus DAG
+(pipeline/corpus_models.py) through the Engine — bronze parquet
+landing → silver tokenize/gate/dedup contract → gold splits + packed
+sequences — then reports one row per (shard, split): document count,
+packed-sequence count, and total packed tokens.  The DuckDB oracle
+replays the whole pipeline in SQL (QUALIFY dedup, md5 sharding,
+windowed concat-and-chunk arithmetic), so the driver's hash compare
+certifies DAG execution, materializations, the dedup/gate contract,
+the packing operator, and the split assignment together — the corpus
+twin of engine_pipeline_fact.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from .engine import Engine
+from .pipeline.corpus_models import (CORPUS, attach_corpus_checks,
+                                     build_corpus_registry)
+from .queries import q
+from .queries_ext import O_TOKENS
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def _corpus_oracle() -> str:
+    c = CORPUS
+    bucket = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+              "::BIGINT % 100")
+    shard = (f"('0x' || substr(md5('{c['seed']}:' || "
+             f"CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {c['shards']}")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks, text
+  FROM documents WHERE lang IS NOT NULL
+), gated AS (
+  SELECT doc_id, len(toks) AS n, text FROM tok
+  WHERE len(toks) BETWEEN {c["min_toks"]} AND {c["max_toks"]}
+), silver AS (
+  SELECT doc_id, n FROM gated
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), sharded AS (
+  SELECT doc_id, n, CAST({shard} AS INT) AS shard,
+         CASE WHEN {bucket} < {c["train_hi"]} THEN 'train'
+              WHEN {bucket} < {c["val_hi"]} THEN 'validation'
+              ELSE 'test' END AS split
+  FROM silver
+), packed AS (
+  SELECT shard, split, doc_id, n,
+         CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM sharded
+)
+SELECT shard, split,
+       COUNT(*) AS n_docs,
+       {{sum_pieces}} AS n_pieces,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM packed
+GROUP BY shard, split
+""".replace("{sum_pieces}",
+            f"CAST(SUM((e - 1) // {c['block']} "
+            f"- (e - n) // {c['block']} + 1) AS BIGINT)")
+
+
+@q("engine_corpus_pipeline",
+   ("O1", "O5", "W2", "F9", "P6", "A1"), oracle=_corpus_oracle())
+def engine_corpus_pipeline(spark: "SparkSession",
+                           sf_dir: str) -> "DataFrame":
+    """Run the corpus-prep DAG end to end; per (shard, split) report
+    docs, packed pieces, and packed tokens from the materialized gold
+    tables.  ``n_pieces`` counts document-pieces after block cutting —
+    each doc contributes one piece per block it spans, so the count is
+    derivable in closed form for the oracle while fully exercising the
+    explode path Spark-side."""
+    workdir = tempfile.mkdtemp(prefix="corpus_pipeline_")
+    eng = Engine(spark, build_corpus_registry(),
+                 config={"documents_path": f"{sf_dir}/documents.parquet"},
+                 warehouse=f"{workdir}/wh")
+    attach_corpus_checks(eng)
+    eng.run()
+    failures = [r for r in eng.test() if not r.passed]
+    if failures:  # the gate must also prove the quality contract holds
+        raise AssertionError(f"corpus checks failed: {failures}")
+    packed = eng.table("gold.packed_sequences")
+    splits = eng.table("gold.corpus_splits")
+    pieces = (packed
+              .withColumn("k", F.size(F.filter(
+                  F.split("piece", r"\s+"), lambda x: x != "")))
+              .join(splits, "doc_id"))
+    return (pieces.groupBy("shard", "split")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_pieces"),
+                 F.sum("k").alias("n_tokens")))

@@ -147,27 +147,11 @@ def seq_packing(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     emits block *indices*, never replicated token arrays, so the row
     blow-up is ~n/block and the token text is sliced exactly once.
     """
-    b = _PACK["block"]
+    from .operators.packing import pack_sequences
     d = load(spark, sf_dir, "documents")
-    t = (d.select("doc_id", tokens(F.col("text")).alias("toks"))
-         .withColumn("n", F.size("toks").cast("long"))
-         .where(F.col("n") > 0)
-         .withColumn("shard", _hash_bucket(
-             F.col("doc_id"), _PACK["seed"], _PACK["shards"]).cast("int")))
-    w = (W.partitionBy("shard").orderBy("doc_id")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    t = (t.withColumn("e", F.sum("n").over(w))
-         .withColumn("s", F.col("e") - F.col("n")))
-    t = t.withColumn("blk", F.explode(F.sequence(
-        F.expr(f"s div {b}"), F.expr(f"(e - 1) div {b}"))))
-    g = F.greatest(F.col("blk") * b, F.col("s"))
-    e_in = F.least((F.col("blk") + 1) * b, F.col("e"))
-    off = (g - F.col("s")).cast("int")
-    return t.select(
-        "shard", F.col("blk").alias("seq_id"), "doc_id",
-        off.alias("tok_off"),
-        F.array_join(F.slice("toks", off + 1, (e_in - g).cast("int")),
-                     " ").alias("piece"))
+    return pack_sequences(
+        d.select("doc_id", tokens(F.col("text")).alias("toks")),
+        block=_PACK["block"], shards=_PACK["shards"], seed=_PACK["seed"])
 
 
 # =========================================================================

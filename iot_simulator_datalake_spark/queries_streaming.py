@@ -376,3 +376,53 @@ def streaming_interval_join_left(spark: "SparkSession",
     finally:
         spark.conf.set(policy_key, prev)
     return spark.table(name)
+
+
+@q("streaming_hopping_rollup", ("ST5", "A6"), oracle=f"""
+SELECT ws AS window_start, event_type,
+       COUNT(*) AS n_events, {osum('value')} AS total_value
+FROM (
+  SELECT e.*, time_bucket(INTERVAL 15 MINUTE, e.ts)
+                - t.k * INTERVAL 15 MINUTE AS ws
+  FROM events e, LATERAL unnest(generate_series(0, 3)) AS t(k)
+)
+GROUP BY 1, 2
+""")
+def streaming_hopping_rollup(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """Hopping (sliding) streaming windows: 1-hour windows advancing
+    every 15 minutes, so each event lands in exactly 4 overlapping
+    windows — the smoothing rollup tumbling windows can't express
+    (ST5 breadth next to streaming_hourly_rollup's tumbling form).
+
+    The batch oracle states the same semantics from first principles:
+    every event joins the 4 window starts that cover it.
+
+    Scale: Spark's window() expands each row to its 4 windows BEFORE
+    the map-side partial aggregate, so the shuffle carries per-window
+    partials, not 4× events; state is (windows alive within watermark)
+    × groups.  The overlap factor (window ÷ slide) multiplies Expand
+    rows and state linearly — keep it small (4 here) at 100 TB, or
+    pre-aggregate to the slide granularity and re-window in batch.
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                    "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,4)"))
+                .cast("double").alias("total_value")))
+    name = f"stream_hop_{uuid.uuid4().hex[:8]}"
+    writer = (agg.writeStream.outputMode("complete")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return (spark.table(name)
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))

@@ -23,8 +23,8 @@ if TYPE_CHECKING:  # pragma: no cover
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {osum('l_quantity')} AS sum_qty,
        {osum('l_extendedprice')} AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))
-                * CAST(1 - l_discount AS DECIMAL(25,4))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS sum_disc_price,
        {oavg('l_quantity')} AS avg_qty,
        {oavg('l_discount')} AS avg_disc,
@@ -38,14 +38,14 @@ def tpch_q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     the canonical map-side-combine stress test.  The discount product
     runs in exact decimal (decimal×decimal) for oracle determinism."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     return (li.filter(F.col("l_shipdate") <= "1998-09-02")
             .groupBy(F.col("l_returnflag").alias("flag"),
                      F.col("l_linestatus").alias("status"))
             .agg(dsum("l_quantity").alias("sum_qty"),
                  dsum("l_extendedprice").alias("sum_base_price"),
-                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
                  davg("l_quantity").alias("avg_qty"),
                  davg("l_discount").alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
@@ -53,8 +53,8 @@ def tpch_q1_pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 @q("tpch_q3_shipping_priority", ("J1", "A1", "W3"), oracle=f"""
 SELECT l.l_orderkey AS order_id,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS revenue,
        CAST(o.o_orderdate AS DATE) AS order_date
 FROM customer c
@@ -73,19 +73,19 @@ def tpch_q3_shipping_priority(spark: "SparkSession",
         F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
             .groupBy(li["l_orderkey"].alias("order_id"),
                      o["o_orderdate"].cast("date").alias("order_date"))
-            .agg(F.sum(disc_price).cast("double").alias("revenue"))
+            .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
             .orderBy(F.col("revenue").desc(), "order_id").limit(10))
 
 
 @q("tpch_q6_forecast_revenue", ("P5", "A4", "F7"), bench=True, oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))
-              * CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -100,13 +100,13 @@ def tpch_q6_forecast_revenue(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     agg is a single partial→final reduction with no wide shuffle.
     (Constants adapted to the driver data's 1995-2001 shipdate range.)"""
     li = load(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice").cast("decimal(25,4)") *
-           F.col("l_discount").cast("decimal(25,4)"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") *
+           F.col("l_discount").cast("decimal(18,4)"))
     return (li.filter((F.col("l_shipdate") >= "1996-01-01") &
                       (F.col("l_shipdate") < "1997-01-01") &
                       (F.col("l_discount").between(0.05, 0.07)) &
                       (F.col("l_quantity") < 24))
-            .agg(F.sum(rev).cast("double").alias("revenue"),
+            .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
 
 
@@ -182,8 +182,8 @@ def tpch_q18_large_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 @q("tpch_q5_local_volume", ("J1", "A1", "F7"), bench=True, oracle=f"""
 SELECT n.n_name AS nation,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -205,8 +205,8 @@ def tpch_q5_local_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(s),
@@ -215,14 +215,14 @@ def tpch_q5_local_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
             .groupBy(n["n_name"].alias("nation"))
-            .agg(F.sum(disc_price).cast("double").alias("revenue")))
+            .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue")))
 
 
 @q("tpch_q7_volume_shipping", ("J1", "A1", "F2"), oracle="""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS volume
 FROM lineitem l
 JOIN orders o    ON o.o_orderkey = l.l_orderkey
@@ -254,8 +254,8 @@ def tpch_q7_volume_shipping(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     cn = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     pair = (((F.col("supp_nation") == "NATION_9") &
              (F.col("cust_nation") == "NATION_10")) |
             ((F.col("supp_nation") == "NATION_10") &
@@ -268,13 +268,13 @@ def tpch_q7_volume_shipping(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .filter(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").cast("bigint").alias("ship_year"))
-            .agg(F.sum(disc_price).cast("double").alias("volume")))
+            .agg(F.round(F.sum(disc_price), 4).cast("double").alias("volume")))
 
 
 @q("tpch_q10_returned_items", ("J1", "A1", "W3"), oracle="""
 SELECT c.c_custkey AS customer, c.c_name AS name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS revenue,
        c.c_acctbal AS acctbal, n.n_name AS nation
 FROM customer c
@@ -300,8 +300,8 @@ def tpch_q10_returned_items(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         (F.col("o_orderdate") < "1996-04-01"))
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
@@ -309,23 +309,23 @@ def tpch_q10_returned_items(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                      c["c_name"].alias("name"),
                      c["c_acctbal"].alias("acctbal"),
                      n["n_name"].alias("nation"))
-            .agg(F.sum(disc_price).cast("double").alias("revenue"))
+            .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
             .select("customer", "name", "revenue", "acctbal", "nation")
             .orderBy(F.col("revenue").desc(), "customer").limit(20))
 
 
 @q("tpch_q14_promo_revenue", ("J1", "A1", "P6"), oracle="""
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-               * CAST(1 - l.l_discount AS DECIMAL(25,4)))
-            FILTER (WHERE p.p_type = 'PROMO') AS DOUBLE) AS promo_revenue,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l.l_discount AS DECIMAL(18,4)))
+            FILTER (WHERE p.p_type = 'PROMO'), 4) AS DOUBLE) AS promo_revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS total_revenue,
-       ROUND(100.0 * CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                              * CAST(1 - l.l_discount AS DECIMAL(25,4)))
-                          FILTER (WHERE p.p_type = 'PROMO') AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                        * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE),
+       ROUND(100.0 * CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l.l_discount AS DECIMAL(18,4)))
+                          FILTER (WHERE p.p_type = 'PROMO'), 4) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE),
              6) AS promo_pct
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -343,11 +343,11 @@ def tpch_q14_promo_revenue(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         (F.col("l_shipdate") >= "1996-09-01") &
         (F.col("l_shipdate") < "1996-10-01"))
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price)) \
-             .cast("double")
-    total = F.sum(disc_price).cast("double")
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    promo = F.round(F.sum(F.when(F.col("p_type") == "PROMO",
+                                 disc_price)), 4).cast("double")
+    total = F.round(F.sum(disc_price), 4).cast("double")
     return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
             .agg(promo.alias("promo_revenue"),
                  total.alias("total_revenue"),
@@ -545,19 +545,18 @@ def tpch_q2_min_cost_supplier(spark: "SparkSession",
 
 @q("tpch_q8_market_share", ("J1", "A1", "P6"), oracle="""
 SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                * CAST(1 - l.l_discount AS DECIMAL(25,4)))
-            FILTER (WHERE sn.n_name = 'NATION_5') AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4)))
+            FILTER (WHERE sn.n_name = 'NATION_5'), 4) AS DOUBLE)
          AS nation_volume,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS total_volume,
-       ROUND(COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                       * CAST(1 - l.l_discount AS DECIMAL(25,4)))
-                   FILTER (WHERE sn.n_name = 'NATION_5') AS DOUBLE), 0.0)
-             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                        * CAST(1 - l.l_discount AS DECIMAL(25,4)))
-                    AS DOUBLE), 6) AS mkt_share
+       ROUND(COALESCE(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l.l_discount AS DECIMAL(18,4)))
+                   FILTER (WHERE sn.n_name = 'NATION_5'), 4) AS DOUBLE), 0.0)
+             / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE), 6) AS mkt_share
 FROM lineitem l
 JOIN orders o   ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -595,11 +594,11 @@ def tpch_q8_market_share(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     p = (load(spark, sf_dir, "part")
          .filter(F.col("p_type") == "PROMO").select("p_partkey"))
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
-    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_5",
-                              disc_price)).cast("double")
-    total_vol = F.sum(disc_price).cast("double")
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    nation_vol = F.round(F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                                      disc_price)), 4).cast("double")
+    total_vol = F.round(F.sum(disc_price), 4).cast("double")
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
@@ -618,14 +617,13 @@ def tpch_q8_market_share(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 @q("tpch_q9_product_profit", ("J1", "A1", "F3"), oracle="""
 SELECT n.n_name AS nation,
        CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS profit_year,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS gross_revenue,
-       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-                      * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
-             - 0.1 * CAST(SUM(CAST(p.p_retailprice AS DECIMAL(25,4))
-                              * CAST(l.l_quantity AS DECIMAL(25,4)))
-                          AS DOUBLE), 6) AS profit
+       ROUND(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+             - 0.1 * CAST(ROUND(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))
+                              * CAST(l.l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE), 6) AS profit
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -648,11 +646,11 @@ def tpch_q9_product_profit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     p = (load(spark, sf_dir, "part")
          .filter(F.col("p_name").like("%gear%"))
          .select("p_partkey", "p_retailprice"))
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
-    cost = (F.col("p_retailprice").cast("decimal(25,4)") *
-            F.col("l_quantity").cast("decimal(25,4)"))
-    gross = F.sum(disc_price).cast("double")
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    cost = (F.col("p_retailprice").cast("decimal(18,4)") *
+            F.col("l_quantity").cast("decimal(18,4)"))
+    gross = F.round(F.sum(disc_price), 4).cast("double")
     return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
             .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
             .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
@@ -667,8 +665,8 @@ def tpch_q9_product_profit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 @q("tpch_q11_important_parts", ("A4", "P6", "J3"), oracle="""
 WITH nat_lines AS (
     SELECT l.l_partkey,
-           CAST(l.l_extendedprice AS DECIMAL(25,4))
-           * CAST(1 - l.l_discount AS DECIMAL(25,4)) AS val
+           CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS val
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -697,8 +695,8 @@ def tpch_q11_important_parts(spark: "SparkSession",
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     nat_supp = (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
                 .select("s_suppkey"))
-    val = (F.col("l_extendedprice").cast("decimal(25,4)") *
-           (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    val = (F.col("l_extendedprice").cast("decimal(18,4)") *
+           (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     per_part = (li.join(F.broadcast(nat_supp),
                         li["l_suppkey"] == F.col("s_suppkey"))
                 .groupBy(F.col("l_partkey").alias("part_id"))
@@ -750,8 +748,8 @@ def tpch_q12_late_shipment_priority(spark: "SparkSession",
 @q("tpch_q15_top_supplier", ("A4", "J3", "F7"), oracle="""
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))
-                    * CAST(1 - l_discount AS DECIMAL(25,4))) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
              AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -777,10 +775,10 @@ def tpch_q15_top_supplier(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") &
         (F.col("l_shipdate") < "1996-04-01"))
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-               .agg(F.sum(disc_price).cast("double")
+               .agg(F.round(F.sum(disc_price), 4).cast("double")
                     .alias("total_revenue")))
     best = revenue.agg(F.max("total_revenue").alias("_best"))
     s = load(spark, sf_dir, "supplier")
@@ -833,8 +831,8 @@ def tpch_q16_supplier_diversity(spark: "SparkSession",
 
 
 @q("tpch_q19_disjunctive_revenue", ("J4", "P5", "A4"), oracle="""
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))
-               * CAST(1 - l.l_discount AS DECIMAL(25,4))) AS DOUBLE)
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l
@@ -872,11 +870,11 @@ def tpch_q19_disjunctive_revenue(spark: "SparkSession",
          F.col("l_quantity").between(10, 30)) |
         ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) &
          F.col("l_quantity").between(20, 40)))
-    disc_price = (F.col("l_extendedprice").cast("decimal(25,4)") *
-                  (F.lit(1) - F.col("l_discount")).cast("decimal(25,4)"))
+    disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
+                  (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     return (li.join(F.broadcast(p),
                     (li["l_partkey"] == p["p_partkey"]) & clause)
-            .agg(F.sum(disc_price).cast("double").alias("revenue"),
+            .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
 
 

@@ -122,3 +122,38 @@ def test_contamination_detects_planted_dup(spark, tmp_path):
                     & (F.col("eval_doc_id") == ev.doc_id)).first()
     assert hit is not None and hit.n_shared >= 1
     shutil.rmtree(str(sfdir), ignore_errors=True)
+
+
+def test_corpus_pipeline_dag_contract(spark, tmp_path):
+    """The corpus DAG materializes, its checks pass, and the packed
+    gold table conserves every silver token."""
+    from iot_simulator_datalake_spark.engine import Engine
+    from iot_simulator_datalake_spark.pipeline.corpus_models import (
+        CORPUS, attach_corpus_checks, build_corpus_registry)
+
+    eng = Engine(spark, build_corpus_registry(),
+                 config={"documents_path": f"{SF}/documents.parquet"},
+                 warehouse=tmp_path / "wh")
+    attach_corpus_checks(eng)
+    res = eng.run()
+    assert set(res.materialized) >= {
+        "bronze.documents", "silver.documents", "gold.corpus_splits",
+        "gold.packed_sequences"}
+    assert all(r.passed for r in eng.test())
+
+    silver = eng.table("silver.documents")
+    packed = eng.table("gold.packed_sequences")
+    total = silver.agg(F.sum("n_toks")).first()[0]
+    packed_total = (packed.select(F.size(F.filter(
+        F.split("piece", r"\s+"), lambda x: x != "")).alias("k"))
+        .agg(F.sum("k")).first()[0])
+    assert packed_total == total
+    # dedup kept the lowest doc_id per duplicate group → doc_ids unique
+    assert silver.count() == silver.select("doc_id").distinct().count()
+    # every silver doc got a split
+    assert eng.table("gold.corpus_splits").count() == silver.count()
+    # partitioned gold sink: one dir per shard
+    import os
+    parts = [d for d in os.listdir(eng.table_path(
+        eng.registry["gold.packed_sequences"])) if d.startswith("shard=")]
+    assert len(parts) <= CORPUS["shards"] and parts
