@@ -1,0 +1,281 @@
+"""Declared queries for training-corpus composition: weighted domain
+mixing, epoch upsampling, curriculum ordering, and BPE merge
+statistics.
+
+These extend ``queries_llmprep.py`` with the *composition* half of a
+pre-training data pipeline: once documents are cleaned, deduped, and
+gated, a real pipeline decides HOW MUCH of each source to take
+(domain mixing — e.g. the weights table in GPT-3/The Pile), how many
+times high-value sources repeat per training run (epoch upsampling),
+what order examples are seen in (curriculum), and which token merges a
+BPE tokenizer would learn from the corpus (pair statistics).
+
+Standing policies (see queries_llmprep.py): determinism — acceptance
+and ordering decisions come from md5 hashes and integer arithmetic,
+never ``rand()`` or floats, so results are identical across engines,
+retries, and partitionings; oracle parity — every query has a DuckDB
+twin built from the same constants with identical column names.
+
+Reference parity note: the reference (dbt/Databricks IoT lake,
+/root/reference) has no corpus-composition surface; these are [EXT]
+operators from the north star (BASELINE.json: training-data pipeline
+operators at 100 TB scale).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .functions.text import tokens
+from .queries import load, q
+from .queries_ext import O_TOKENS
+from .queries_llmprep import _hash_bucket, _o_hash_bucket
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+# =========================================================================
+# Weighted domain mixing ([EXT])
+# =========================================================================
+
+#: Target mixture: per-source acceptance rate in basis points (of 10k).
+#: Sources not listed take DEFAULT_BP.  Basis points, not floats, so
+#: the accept predicate is pure integer comparison on both engines.
+MIX_BP: dict[str, int] = {"src0": 10_000, "src1": 2_500, "src2": 5_000,
+                          "src3": 7_500, "src4": 1_000}
+MIX_DEFAULT_BP = 6_000
+MIX_SEED = "mix13"
+
+
+def _mix_rate_spark():
+    r = F.lit(MIX_DEFAULT_BP)
+    for s, bp in sorted(MIX_BP.items()):
+        r = F.when(F.col("source") == s, F.lit(bp)).otherwise(r)
+    return r
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {bp}"
+                     for s, bp in sorted(MIX_BP.items()))
+    return f"CASE source {whens} ELSE {MIX_DEFAULT_BP} END"
+
+
+@q("domain_mix_weighted", ("W2", "F9"), oracle=f"""
+SELECT doc_id, source,
+       CAST({_mix_rate_sql()} AS INT) AS rate_bp
+FROM documents
+WHERE {_o_hash_bucket('doc_id', MIX_SEED, 10_000)} < {_mix_rate_sql()}
+""")
+def domain_mix_weighted(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Weighted domain mixing: keep each document with its source's
+    target rate, decided by ``md5(seed:doc_id) % 10k < rate_bp``.
+
+    This is the deterministic form of the per-source sampling weights
+    every large pre-training corpus applies (downweight crawl,
+    upweight books/reference).  Unlike ``sample()``/``rand()`` the
+    decision is a pure function of the row, so retried tasks, AQE
+    re-plans, and engine swaps keep the exact same rows, and the same
+    doc keeps/drops consistently across incremental runs.
+
+    Scale: map-only — the rate lookup is a literal CASE expression
+    (beyond ~10³ sources, a broadcast-joined rates dim), the accept
+    test is one md5 per row; no shuffle, fully pipelined into the
+    scan, and the filter prunes before any downstream exchange.
+    """
+    d = load(spark, sf_dir, "documents")
+    rate = _mix_rate_spark()
+    return (d.select("doc_id", "source", rate.cast("int").alias("rate_bp"))
+            .where(_hash_bucket(F.col("doc_id"), MIX_SEED, 10_000) < rate))
+
+
+# =========================================================================
+# Epoch upsampling ([EXT])
+# =========================================================================
+
+#: Epochs per source in basis points: 25_000 = 2.5 epochs (2 full
+#: passes + 50% chance of a third), 10_000 = exactly once.
+EPOCH_BP: dict[str, int] = {"src0": 25_000, "src1": 10_000,
+                            "src2": 17_500}
+EPOCH_DEFAULT_BP = 12_500
+EPOCH_SEED = "epoch29"
+
+
+def _epoch_rate_sql() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {bp}"
+                     for s, bp in sorted(EPOCH_BP.items()))
+    return f"CASE source {whens} ELSE {EPOCH_DEFAULT_BP} END"
+
+
+@q("epoch_upsample", ("W2", "F9"), oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         {_epoch_rate_sql()} AS bp,
+         {_o_hash_bucket('doc_id', EPOCH_SEED, 10_000)} AS h
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         (bp // 10000) + CASE WHEN h < (bp % 10000) THEN 1 ELSE 0 END
+           AS n_epochs
+  FROM w
+)
+SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+FROM n, LATERAL unnest(generate_series(0, n_epochs - 1)) AS t(epoch)
+WHERE n_epochs > 0
+""")
+def epoch_upsample(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Epoch upsampling: replicate each document ``floor(w)`` times
+    plus one more with probability ``frac(w)``, where w is the
+    per-source epoch weight — (doc_id, source, epoch) rows.
+
+    Fractional epochs are how mixture weights are actually realized
+    (e.g. "Wikipedia ×2.5"): every doc gets the integer passes, and a
+    deterministic hash coin decides membership in the partial pass —
+    so the SAME docs join the partial epoch on every run, which keeps
+    loss curves reproducible.
+
+    Scale: map-side explode with blow-up factor = Σw (bounded, chosen
+    by config); emits only (doc_id, source, epoch) — replication of
+    the text itself happens at pack/write time downstream (never
+    materialize N copies of 100 TB).  No shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    bp = F.lit(EPOCH_DEFAULT_BP)
+    for s, v in sorted(EPOCH_BP.items()):
+        bp = F.when(F.col("source") == s, F.lit(v)).otherwise(bp)
+    h = _hash_bucket(F.col("doc_id"), EPOCH_SEED, 10_000)
+    n_epochs = (bp.cast("long") / F.lit(10_000)).cast("long") + \
+        F.when(h < bp % 10_000, F.lit(1)).otherwise(F.lit(0))
+    return (d.select("doc_id", "source", n_epochs.alias("n_epochs"))
+            .where(F.col("n_epochs") > 0)
+            .select("doc_id", "source",
+                    F.explode(F.sequence(
+                        F.lit(0), (F.col("n_epochs") - 1).cast("int")))
+                    .alias("epoch"))
+            .withColumn("epoch", F.col("epoch").cast("int")))
+
+
+# =========================================================================
+# Curriculum ordering ([EXT])
+# =========================================================================
+
+CURR_SEED = "curr7"
+#: ceil(q*n) rank targets for quartile thresholds, as integer exprs.
+_RANKS = {"t1": "(n + 3) // 4", "t2": "(n + 1) // 2",
+          "t3": "(3 * n + 3) // 4"}
+
+
+@q("curriculum_order", ("W3", "A6"), oracle=f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+hist AS (SELECT n_chars AS s, COUNT(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT s, SUM(c) OVER (ORDER BY s) AS cc FROM hist),
+thr AS (
+  SELECT MIN(CASE WHEN cc >= {_RANKS['t1']} THEN s END) AS t1,
+         MIN(CASE WHEN cc >= {_RANKS['t2']} THEN s END) AS t2,
+         MIN(CASE WHEN cc >= {_RANKS['t3']} THEN s END) AS t3
+  FROM cum, n
+)
+SELECT doc_id,
+       CAST(1 + CASE WHEN n_chars > t1 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > t2 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > t3 THEN 1 ELSE 0 END AS INT)
+         AS bucket,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY 1 + CASE WHEN n_chars > t1 THEN 1 ELSE 0 END
+                        + CASE WHEN n_chars > t2 THEN 1 ELSE 0 END
+                        + CASE WHEN n_chars > t3 THEN 1 ELSE 0 END
+         ORDER BY md5('{CURR_SEED}:' || CAST(doc_id AS VARCHAR)))
+         AS INT) AS pos
+FROM documents, thr
+""")
+def curriculum_order(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Curriculum ordering: quartile difficulty buckets (by document
+    length as the difficulty proxy) with a deterministic shuffle
+    inside each bucket — (doc_id, bucket, pos).
+
+    The quartile thresholds are EXACT nearest-rank quantiles computed
+    scalably: a per-value histogram (one shuffle on the score value —
+    cardinality = distinct lengths, not documents), a running-sum
+    window over that tiny relation, then ``min(score where cumcount >=
+    ceil(q*n))``.  All integer arithmetic — no interpolated-quantile
+    float drift between engines, unlike percentile_cont.
+
+    Scale: the histogram aggregate is the only data-sized shuffle; the
+    cumsum window runs over |distinct scores| rows (thousands at
+    100 TB, fine on one partition); thresholds broadcast back as a
+    1-row dim.  Within-bucket pos is a 4-partition row_number here for
+    oracle parity — at scale the order is realized instead by
+    ``repartitionByRange(bucket, hk)`` + ``sortWithinPartitions`` at
+    write time (same deterministic key, no single-reducer sort).
+    """
+    d = load(spark, sf_dir, "documents")
+    hist = d.groupBy(F.col("n_chars").alias("s")).agg(
+        F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn("cc", F.sum("c").over(
+        W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    thr = (cum.crossJoin(F.broadcast(n))
+           .agg(*[F.min(F.when(F.col("cc") >= F.expr(r.replace("//", " div ")),
+                               F.col("s"))).alias(t)
+                  for t, r in _RANKS.items()]))
+    bucket = (F.lit(1)
+              + (F.col("n_chars") > F.col("t1")).cast("int")
+              + (F.col("n_chars") > F.col("t2")).cast("int")
+              + (F.col("n_chars") > F.col("t3")).cast("int")).cast("int")
+    hk = F.md5(F.concat(F.lit(f"{CURR_SEED}:"),
+                        F.col("doc_id").cast("string")))
+    return (d.crossJoin(F.broadcast(thr))
+            .select("doc_id", bucket.alias("bucket"), hk.alias("hk"))
+            .withColumn("pos", F.row_number().over(
+                W.partitionBy("bucket").orderBy("hk")).cast("int"))
+            .drop("hk"))
+
+
+# =========================================================================
+# BPE merge statistics ([EXT])
+# =========================================================================
+
+BPE_TOP = 50
+
+
+@q("bpe_pair_stats", ("F9", "A1"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), pairs AS (
+  SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                 for i in generate_series(1, len(toks) - 1)]) AS pair
+  FROM tok WHERE len(toks) >= 2
+)
+SELECT pair, COUNT(*) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
+""")
+def bpe_pair_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Top-{N} adjacent token pairs — the statistic one BPE merge
+    round maximizes (tokenizer induction over the corpus).
+
+    Pairs keep multiplicity (unlike the MinHash shingle path, which
+    distincts): BPE merge choice is frequency-weighted.  The pair
+    array is built by zipping the token array against itself shifted
+    by one — no per-element lambda, no explode before the array is
+    formed.
+
+    Scale: explode → partial (map-side) count → final count is the
+    canonical word-count shape; the shuffle carries (pair, partial
+    count), already heavily combined.  Top-N is
+    TakeOrderedAndProject — no global sort.  Iterated BPE training
+    re-runs this with the previous round's merges applied; each round
+    is the same plan.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    return (d.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair").limit(BPE_TOP))
