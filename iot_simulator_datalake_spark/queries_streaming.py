@@ -426,3 +426,52 @@ def streaming_hopping_rollup(spark: "SparkSession",
     return (spark.table(name)
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events", "total_value"))
+
+
+@q("streaming_stateful_totals", ("ST4", "A7"), oracle="""
+SELECT user_id AS key, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+""")
+def streaming_stateful_totals(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py:running_totals_micro): per-user running
+    (count, sum) maintained in keyed state across micro-batches,
+    drained with Trigger.AvailableNow.
+
+    Determinism: values are quantized to int64 micro-units JVM-side
+    before crossing the Arrow boundary, so the Python processor only
+    adds integers (order-independent); the final division back to
+    double and DuckDB's decimal→double cast are both correctly
+    rounded, hence bit-equal.
+
+    Scale: state is O(distinct keys) in the executor state store;
+    update-mode emissions are one row per key per batch.  The memory
+    sink accumulates one row per (key, batch) — latest-wins dedup by
+    the monotone n_events picks each key's final state, exactly the
+    CDC W1 pattern.
+
+    The Spark 4 ``transformWithStateInPandas`` twin of this operator
+    (named typed state + timers) is plumbed in streaming/stateful_v2.py
+    but needs protobuf, absent from this container — see
+    tests/test_streaming.py::test_stateful_v2_import_gated.
+    """
+    from .streaming.stateful import quantize_micro, running_totals_micro
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    out = running_totals_micro(
+        quantize_micro(stream, "user_id", "value").groupBy("key"))
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    writer = (out.writeStream.outputMode("update")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    final = (spark.table(name)
+             .withColumn("rn", F.row_number().over(
+                 W.partitionBy("key").orderBy(F.col("n_events").desc())))
+             .where("rn = 1"))
+    return final.select(
+        "key", "n_events",
+        (F.col("total_micro") / F.lit(10_000.0)).alias("total_value"))

@@ -55,3 +55,50 @@ def running_totals(grouped, key_col: str, value_col: str) -> "DataFrame":
         update, outputStructType=RUNNING_SCHEMA,
         stateStructType=_STATE_SCHEMA, outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+MICRO_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_micro", T.LongType()),
+])
+_MICRO_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.LongType()),
+])
+
+
+def running_totals_micro(grouped) -> "DataFrame":
+    """Per-key running (count, Σ int64 micro-units) across batches.
+
+    Deterministic twin of ``running_totals``: expects a pre-quantized
+    ``v_micro`` int64 column (see ``quantize_micro``) so the Python
+    side only ever adds integers — order-independent, hence bit-equal
+    across partitionings, batch splits, and retries.
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["v_micro"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n],
+                            "total_micro": [total]})
+
+    return grouped.applyInPandasWithState(
+        update, outputStructType=MICRO_OUTPUT_SCHEMA,
+        stateStructType=_MICRO_STATE_SCHEMA, outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def quantize_micro(stream: "DataFrame", key_col: str,
+                   value_col: str) -> "DataFrame":
+    """JVM-side quantization (decimal(25,4) → int64 micro-units) so
+    quantization runs in codegen before rows cross the Arrow boundary."""
+    from pyspark.sql import functions as F
+    return stream.select(
+        F.col(key_col).alias("key"),
+        (F.col(value_col).cast("decimal(25,4)") * 10_000)
+        .cast("long").alias("v_micro"))
