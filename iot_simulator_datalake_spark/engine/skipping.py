@@ -1,0 +1,134 @@
+"""File-level data skipping from a min/max stats manifest — the OSS
+analog of the Delta-transaction-log data skipping the reference's
+Databricks tier provides implicitly (README_DBT.md:103-104's managed
+OPTIMIZE exists precisely to make this pruning effective).
+
+Spark's parquet reader already does ROW-GROUP pruning from footers,
+but it must still open every file to read the footer.  At 100 TB /
+~10⁶ files the per-file open+footer round trip (especially on object
+storage) dominates selective scans.  A stats manifest fixes that: one
+small table of per-file (min, max) per indexed column, consulted at
+plan time to hand Spark only the files that can match.
+
+Pairs with :func:`engine.maintenance.cluster`: range-clustering makes
+per-file ranges narrow and disjoint, which is what makes file-level
+skipping selective (an unclustered table has every file spanning the
+full key range, so nothing skips).
+
+The manifest is rebuilt after compaction/clustering (both rewrite the
+directory); writers that append incrementally add rows for new files
+only — footers are read once per file ever, not once per query.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+STATS_MANIFEST = "_file_stats.json"
+
+
+def _norm(v):
+    """JSON-portable normalization for min/max values."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def build_stats_manifest(path: str | Path, cols: list[str]) -> int:
+    """Collect per-file min/max for ``cols`` from parquet footers into
+    ``<path>/_file_stats.json``; returns the number of files indexed.
+
+    Footer statistics aggregate over row groups (file min = min over
+    row-group mins).  Runs driver-side with pyarrow: at 10⁶ files this
+    becomes a small Spark job over the file list (mapPartitions of
+    footer reads) writing a parquet manifest — same shape, same
+    consumer.
+    """
+    import pyarrow.parquet as pq
+
+    root = Path(path)
+    entries = {}
+    for f in sorted(root.rglob("*.parquet")):
+        if not f.is_file():
+            continue
+        meta = pq.ParquetFile(str(f)).metadata
+        idx = {meta.schema.column(i).name: i
+               for i in range(meta.num_columns)}
+        stats: dict[str, list] = {}
+        for c in cols:
+            if c not in idx:
+                continue  # partition column or absent — no file stats
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                s = meta.row_group(rg).column(idx[c]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                stats[c] = [_norm(lo), _norm(hi)]
+        entries[str(f.relative_to(root))] = stats
+    out = {"columns": cols, "files": entries}
+    tmp = root / (STATS_MANIFEST + ".tmp")
+    tmp.write_text(json.dumps(out, indent=1, sort_keys=True))
+    tmp.replace(root / STATS_MANIFEST)
+    return len(entries)
+
+
+def read_stats_manifest(path: str | Path) -> dict:
+    p = Path(path) / STATS_MANIFEST
+    return json.loads(p.read_text())
+
+
+def prune_files(path: str | Path, col: str, lo=None, hi=None) -> list[str]:
+    """Files whose [min, max] range on ``col`` intersects [lo, hi]
+    (either bound may be None = unbounded).  Files with no stats for
+    ``col`` are conservatively kept — skipping must never drop rows.
+    """
+    root = Path(path)
+    manifest = read_stats_manifest(root)
+    kept = []
+    for rel, stats in manifest["files"].items():
+        rng = stats.get(col)
+        if rng is None:
+            kept.append(str(root / rel))
+            continue
+        fmin, fmax = rng
+        if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+            kept.append(str(root / rel))
+    return kept
+
+
+def scan_with_skipping(spark: "SparkSession", path: str | Path, col: str,
+                       lo=None, hi=None) -> tuple["DataFrame", int, int]:
+    """Range-filtered scan that hands Spark only the files that can
+    match: returns (df, n_files_read, n_files_total).
+
+    The residual predicate is re-applied on the pruned scan — the
+    manifest only eliminates files, it never substitutes for the
+    filter (row groups inside a kept file still prune via footers,
+    and exact row filtering happens in the scan).
+    """
+    from pyspark.sql import functions as F
+
+    files = prune_files(path, col, lo, hi)
+    total = len(read_stats_manifest(path)["files"])
+    if not files:
+        # degenerate: nothing can match; preserve schema via empty read
+        df = spark.read.parquet(str(path)).limit(0)
+        return df, 0, total
+    df = spark.read.parquet(*files)
+    c = F.col(col)
+    if lo is not None:
+        df = df.filter(c >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(c <= F.lit(hi))
+    return df, len(files), total

@@ -203,3 +203,31 @@ def test_length_gate_broadcasts_bounds(spark):
     plan = plan_of(spark, "length_quantile_filter")
     # the 1-row quantile bounds broadcast back over the corpus
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_domain_mix_is_map_only(spark):
+    plan = plan_of(spark, "domain_mix_weighted")
+    assert "Exchange" not in plan          # pure scan→filter→project
+    assert "text" not in plan              # column pruning reaches scan
+
+
+def test_epoch_upsample_is_map_only(spark):
+    plan = plan_of(spark, "epoch_upsample")
+    assert "Exchange" not in plan          # explode is map-side
+    assert "Generate" in plan
+    assert "text" not in plan
+
+
+def test_curriculum_broadcasts_thresholds(spark):
+    plan = plan_of(spark, "curriculum_order")
+    # thresholds are a 1-row dim: must broadcast, never shuffle docs
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "text" not in plan              # only doc_id + n_chars read
+
+
+def test_bpe_pairs_partial_agg_and_topn(spark):
+    plan = plan_of(spark, "bpe_pair_stats")
+    # partial (map-side) count before the single pair shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,74 @@
+"""File-level data skipping (engine/skipping.py): manifest build,
+pruning correctness (never drops rows), and the cluster→skip synergy
+(range-clustered tables prune most files on selective scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.engine.maintenance import cluster
+from iot_simulator_datalake_spark.engine.skipping import (
+    build_stats_manifest, prune_files, read_stats_manifest,
+    scan_with_skipping)
+
+
+def _write_interleaved(spark, path, n=20_000, files=12):
+    df = spark.range(n).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("payload"))
+    df.repartition(files).write.mode("overwrite").parquet(str(path))
+    return df
+
+
+def test_manifest_covers_all_files(spark, tmp_path):
+    path = tmp_path / "t"
+    _write_interleaved(spark, path)
+    n = build_stats_manifest(path, ["k"])
+    m = read_stats_manifest(path)
+    assert n == len(m["files"]) > 1
+    assert all("k" in s for s in m["files"].values())
+
+
+def test_skipping_never_drops_rows(spark, tmp_path):
+    """Unclustered table: pruning keeps everything (every file spans
+    the key range) but results still match the plain filtered scan."""
+    path = tmp_path / "t"
+    _write_interleaved(spark, path)
+    build_stats_manifest(path, ["k"])
+    df, n_read, n_total = scan_with_skipping(spark, path, "k", lo=10, hi=20)
+    expect = (spark.read.parquet(str(path))
+              .filter(F.col("k").between(10, 20)))
+    assert df.count() == expect.count()
+    assert n_read == n_total  # interleaved → nothing skippable
+
+
+def test_cluster_then_skip_prunes_most_files(spark, tmp_path):
+    path = tmp_path / "t"
+    _write_interleaved(spark, path)
+    full = spark.read.parquet(str(path))
+    expect_cnt = full.filter(F.col("k").between(10, 20)).count()
+    expect_sum = full.filter(F.col("k").between(10, 20)) \
+        .agg(F.sum("payload")).first()[0]
+
+    cluster(spark, path, ["k"], target_file_bytes=12_000)
+    n = build_stats_manifest(path, ["k"])
+    assert n > 4  # enough files for skipping to mean something
+
+    df, n_read, n_total = scan_with_skipping(spark, path, "k", lo=10, hi=20)
+    assert df.count() == expect_cnt
+    assert df.agg(F.sum("payload")).first()[0] == expect_sum
+    # the point of clustering: a narrow range touches few files
+    assert n_read < n_total / 2
+
+    # file list from prune_files matches what the scan used
+    assert len(prune_files(path, "k", 10, 20)) == n_read
+
+
+def test_empty_range_reads_zero_files(spark, tmp_path):
+    path = tmp_path / "t"
+    _write_interleaved(spark, path)
+    cluster(spark, path, ["k"], target_file_bytes=12_000)
+    build_stats_manifest(path, ["k"])
+    df, n_read, _ = scan_with_skipping(spark, path, "k", lo=10_000)
+    assert n_read == 0 and df.count() == 0
+    assert df.columns == ["k", "payload"]

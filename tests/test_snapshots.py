@@ -70,3 +70,29 @@ def test_engine_snapshot_materialization(spark, tmp_path):
     # …and the old one is still queryable (time travel)
     assert (read_snapshot(spark, path, 0)
             .agg(F.max("tag")).collect()[0][0] == "first")
+
+
+def test_snapshot_diff_multiset_and_keyed(spark, tmp_path):
+    """snapshot_diff: exceptAll multiset diff without keys; CDF-style
+    update_pre/postimage classification with keys."""
+    from iot_simulator_datalake_spark.engine.snapshots import (
+        snapshot_diff, write_snapshot)
+    tbl = tmp_path / "t"
+    v0 = write_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]), tbl)
+    v1 = write_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["id", "val"]), tbl)
+
+    plain = snapshot_diff(spark, tbl, v0, v1)
+    got = {(r["id"], r["val"], r["_change_type"]) for r in plain.collect()}
+    assert got == {(2, "B", "insert"), (4, "d", "insert"),
+                   (2, "b", "delete"), (3, "c", "delete")}
+
+    keyed = snapshot_diff(spark, tbl, v0, v1, keys=("id",))
+    got = {(r["id"], r["val"], r["_change_type"]) for r in keyed.collect()}
+    assert got == {(2, "b", "update_preimage"),
+                   (2, "B", "update_postimage"),
+                   (4, "d", "insert"), (3, "c", "delete")}
+
+    # unchanged rows never appear
+    assert not [r for r in got if r[0] == 1]
