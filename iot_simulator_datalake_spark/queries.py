@@ -566,3 +566,4 @@ from . import queries_analytics  # noqa: E402,F401  (import side effect)
 from . import queries_llmprep  # noqa: E402,F401  (import side effect)
 from . import queries_corpus  # noqa: E402,F401  (import side effect)
 from . import queries_mixing  # noqa: E402,F401  (import side effect)
+from . import queries_lake  # noqa: E402,F401  (import side effect)

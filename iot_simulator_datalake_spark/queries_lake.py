@@ -1,0 +1,126 @@
+"""Declared queries that put the lake-layout/versioning machinery
+itself under the oracle gate: file-level data skipping and snapshot
+diff run end-to-end inside the query (real writes to a scratch dir,
+real manifests), and the RESULT is hash-matched against a DuckDB
+oracle that states the same semantics relationally.
+
+These certify the engine plumbing the same way engine_pipeline_fact
+certifies the DAG runner: the oracle can't see files or manifests, so
+the queries are written to make any skipping/versioning bug change
+the visible rows (and the skipping query additionally raises if the
+layout failed to prune — the scale property is part of the contract).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from .queries import load, q
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+_SKIP_LO, _SKIP_HI = 30, 60
+
+
+@q("data_skipping_scan", ("S9", "P5", "A1"), oracle=f"""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM events
+WHERE user_id BETWEEN {_SKIP_LO} AND {_SKIP_HI}
+GROUP BY 1
+""")
+def data_skipping_scan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """End-to-end data-skipping path: export events to a scratch
+    table, range-cluster on user_id (OPTIMIZE/ZORDER analog), build
+    the min/max stats manifest, then answer a selective range query
+    through :func:`engine.skipping.scan_with_skipping`.
+
+    The query RAISES unless pruning actually skipped more than half
+    the files — the gate certifies the layout property, not just row
+    values.  Correctness guard is structural: pruning only drops
+    whole files whose [min,max] can't intersect, and the residual
+    predicate still applies, so a manifest bug surfaces as missing or
+    extra rows vs the oracle.
+
+    Scale: this is the 100 TB selective-scan shape — clustering makes
+    per-file ranges disjoint, the manifest turns file listing into an
+    O(files) driver lookup instead of 10⁶ footer round trips, and the
+    aggregate runs over ~range/table_range of the data.
+    """
+    from .engine.maintenance import cluster
+    from .engine.skipping import build_stats_manifest, scan_with_skipping
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    work = Path(tempfile.mkdtemp(prefix="skip_scan_")) / "events"
+    e.repartition(8).write.mode("overwrite").parquet(str(work))
+    cluster(spark, work, ["user_id"], target_file_bytes=64 * 1024)
+    build_stats_manifest(work, ["user_id"])
+    df, n_read, n_total = scan_with_skipping(
+        spark, work, "user_id", lo=_SKIP_LO, hi=_SKIP_HI)
+    if n_total >= 4 and n_read * 2 > n_total:
+        raise AssertionError(
+            f"data skipping ineffective: read {n_read}/{n_total} files")
+    return (df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(25,4)"))
+                 .cast("double").alias("total_value")))
+
+
+@q("snapshot_changes", ("W1", "S6"), oracle="""
+WITH v0 AS (
+  SELECT o_orderkey AS order_id, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 4 <> 0
+), v1 AS (
+  SELECT o_orderkey AS order_id,
+         CASE WHEN o_orderkey % 10 = 2 THEN 'X' ELSE o_orderstatus END
+           AS status
+  FROM orders WHERE o_orderkey % 4 <> 1
+)
+SELECT order_id, status, 'insert' AS change_type
+FROM v1 WHERE order_id NOT IN (SELECT order_id FROM v0)
+UNION ALL
+SELECT order_id, status, 'delete' FROM v0
+WHERE order_id NOT IN (SELECT order_id FROM v1)
+UNION ALL
+SELECT v1.order_id, v1.status, 'update_postimage'
+FROM v1 JOIN v0 USING (order_id) WHERE v1.status <> v0.status
+UNION ALL
+SELECT v0.order_id, v0.status, 'update_preimage'
+FROM v0 JOIN v1 USING (order_id) WHERE v1.status <> v0.status
+""")
+def snapshot_changes(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """End-to-end snapshot versioning + change-data-feed: commit two
+    deterministic versions of an orders slice through the snapshot
+    store (immutable version dirs, atomic manifest swap), then read
+    the row-level changes back with
+    :func:`engine.snapshots.snapshot_diff` keyed on order_id.
+
+    The oracle reconstructs both versions relationally and states the
+    CDF semantics from first principles (key-scoped insert / delete /
+    update pre+postimage) — so manifest bugs, version mix-ups, or
+    misclassification all surface as value mismatches.
+
+    Scale: the diff is two exceptAll shuffles over the changed-rows
+    superset plus one key-join over changed rows only; version commits
+    are metadata-atomic (no table rewrite beyond the snapshot itself).
+    """
+    from .engine.snapshots import snapshot_diff, write_snapshot
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"))
+    v0_df = o.where(F.col("order_id") % 4 != 0)
+    v1_df = (o.where(F.col("order_id") % 4 != 1)
+             .withColumn("status",
+                         F.when(F.col("order_id") % 10 == 2, F.lit("X"))
+                         .otherwise(F.col("status"))))
+    tbl = Path(tempfile.mkdtemp(prefix="snap_cdf_")) / "orders_slice"
+    v0 = write_snapshot(v0_df, tbl)
+    v1 = write_snapshot(v1_df, tbl)
+    return (snapshot_diff(spark, tbl, v0, v1, keys=("order_id",))
+            .withColumnRenamed("_change_type", "change_type"))
