@@ -45,6 +45,11 @@ def load(spark: "SparkSession", sf_dir: str, name: str) -> "DataFrame":
         # timestamp exactly like DuckDB does (truncating division).
         df = df.withColumn("ts", F.timestamp_micros(
             F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # µs parquet inferred as NTZ (if the session was built before
+        # tune_session could pin inferTimestampNTZ=false): same wall
+        # clock, session tz is UTC, so the cast is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

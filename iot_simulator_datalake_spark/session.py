@@ -28,6 +28,11 @@ RUNTIME_CONFS = {
     # which Spark rejects by default; read as long and convert in
     # queries.load (DuckDB converts ns→µs the same way: truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # µs timestamps written by pyarrow carry isAdjustedToUTC=false and
+    # would otherwise infer as TIMESTAMP_NTZ; read them as session-tz
+    # (UTC) instants so unix_micros/watermarks/window() all apply and
+    # wall-clock values match the DuckDB oracle's naive timestamps.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
