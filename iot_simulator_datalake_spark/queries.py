@@ -46,10 +46,26 @@ def load(spark: "SparkSession", sf_dir: str, name: str) -> "DataFrame":
         df = df.withColumn("ts", F.timestamp_micros(
             F.expr("ts div 1000")))
     elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
-        # µs parquet inferred as NTZ (if the session was built before
-        # tune_session could pin inferTimestampNTZ=false): same wall
-        # clock, session tz is UTC, so the cast is value-preserving.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # µs parquet inferred as NTZ (the session was built before
+        # tune_session could pin inferTimestampNTZ=false).  The NTZ→LTZ
+        # cast reinterprets the wall clock in the SESSION timezone, so it
+        # is only value-preserving when that timezone is UTC — and in
+        # this degraded mode the UTC pin itself may have failed too.
+        # Verify rather than assume (ADVICE r1): read the live conf and
+        # convert through the actual zone, raising only if even that is
+        # unavailable.  The NTZ→LTZ cast lands at (wall − offset(tz));
+        # from_utc_timestamp adds offset(tz) back, recovering the
+        # instant whose UTC wall clock equals the stored value —
+        # verified empirically for non-UTC sessions; identity under UTC.
+        tz = spark.conf.get("spark.sql.session.timeZone", None)
+        if tz is None:
+            raise RuntimeError(
+                "events.ts inferred as TIMESTAMP_NTZ and the session "
+                "timezone is unknown; cannot cast to an instant safely. "
+                "Set spark.sql.session.timeZone=UTC (tune_session does "
+                "this) and retry.")
+        df = df.withColumn(
+            "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz))
     return df
 
 

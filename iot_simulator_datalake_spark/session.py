@@ -18,6 +18,16 @@ from pyspark.sql import SparkSession
 #: included).  Session timezone is pinned to UTC so timestamp-derived
 #: columns (year/month/hour buckets) agree bit-for-bit with the DuckDB
 #: oracle, whose timestamps are UTC-naive.
+#: NOTE (ADVICE r1): ``tune_session`` mutates the session it is handed —
+#: including a driver-provided one — so these confs apply to ALL of that
+#: session's subsequent reads, not just this library's tables.  In
+#: particular ``inferTimestampNTZ=false`` changes how plain-µs parquet
+#: timestamps decode session-wide (as UTC instants instead of NTZ).
+#: This is deliberate: the library's query surface requires UTC-instant
+#: semantics, and a per-read escape hatch exists anyway (queries.load
+#: detects an NTZ ``events.ts`` and converts through the live session
+#: timezone), so a driver that objects to the session-wide effect can
+#: skip tune_session and still get correct results.
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
