@@ -588,3 +588,5 @@ from . import queries_llmprep  # noqa: E402,F401  (import side effect)
 from . import queries_corpus  # noqa: E402,F401  (import side effect)
 from . import queries_mixing  # noqa: E402,F401  (import side effect)
 from . import queries_lake  # noqa: E402,F401  (import side effect)
+from . import queries_behavior  # noqa: E402,F401  (import side effect)
+from . import queries_timeseries  # noqa: E402,F401  (import side effect)

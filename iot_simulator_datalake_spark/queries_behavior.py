@@ -1,0 +1,220 @@
+"""Behavioral / event-sequence analytics over the ``events`` table:
+funnel conversion, cohort retention, transition matrices, exact heavy
+hitters, and distribution-rank windows.
+
+The reference's README positions the lake as the substrate for device
+*and* user analytics (``README_DBT.md:189-206`` — ``agg_customer_summary``,
+device health scores); these queries are the event-sequence shapes that
+layer on the same silver events stream.  All stay fully JVM-side.
+
+Scale stance (100 TB): every query here shuffles at most on
+``user_id`` (high cardinality, near-uniform — the natural partition key
+for behavioral data) or on a low-cardinality grouping whose result is
+tiny.  Nothing materializes per-pair state, nothing collects to the
+driver, and the single-row "total" sides of ratio computations are
+broadcast, never recomputed per row via a global window.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .queries import load, q
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+# =========================================================================
+# Funnel conversion — ordered multi-stage min-timestamp chain
+# =========================================================================
+
+@q("funnel_conversion", ("A1", "W1", "F7"), oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), v AS (
+  SELECT e.user_id, MIN(e.ts) AS view_ts
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.signup_ts
+  WHERE e.event_type = 'view' GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_view_after,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after
+""")
+def funnel_conversion(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Ordered funnel signup → view → purchase: a user advances a stage
+    only with an event strictly AFTER their previous stage's first
+    event.  Implemented as one shuffle on ``user_id``: stage timestamps
+    are per-user window minima computed sequentially over the same
+    partitioning (no joins, no re-shuffle — each ``withColumn`` reuses
+    the exchange), then a single global count.  At 100 TB the events
+    scan dominates; per-user state is three timestamps."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    e = e.withColumn(
+        "signup_ts", F.min(F.when(et == "signup", ts)).over(w))
+    e = e.withColumn(
+        "view_ts", F.min(F.when((et == "view") &
+                                (ts > F.col("signup_ts")), ts)).over(w))
+    e = e.withColumn(
+        "purchase_ts", F.min(F.when((et == "purchase") &
+                                    (ts > F.col("view_ts")), ts)).over(w))
+    return e.agg(
+        F.count_distinct(
+            F.when(F.col("signup_ts").isNotNull(), F.col("user_id")))
+         .alias("n_signup"),
+        F.count_distinct(
+            F.when(F.col("view_ts").isNotNull(), F.col("user_id")))
+         .alias("n_view_after"),
+        F.count_distinct(
+            F.when(F.col("purchase_ts").isNotNull(), F.col("user_id")))
+         .alias("n_purchase_after"))
+
+
+# =========================================================================
+# Cohort retention — first-touch cohort × week-offset activity matrix
+# =========================================================================
+
+@q("cohort_retention", ("A1", "W1", "F2"), oracle="""
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(FLOOR(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                    / 7) AS BIGINT) AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_day, week_offset, COUNT(*) AS n_users
+FROM a GROUP BY 1, 2
+""")
+def cohort_retention(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Classic retention triangle: users bucketed by first-activity day
+    (cohort), counted once per (cohort, weeks-since-cohort) cell.  The
+    cohort day is a per-user window MIN over the same ``user_id``
+    shuffle that the de-dup DISTINCT then reuses; the final aggregate's
+    key space (days × weeks) is tiny, so its shuffle is negligible.
+    At 100 TB: no join against a first-touch table is needed — the
+    window form keeps it one pass — but if cohorts were computed from a
+    different (smaller) stream, the two-phase agg + shuffle-join on
+    user_id is the fallback shape."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    d = F.col("ts").cast("date")
+    cohort = F.min(d).over(w)
+    return (e.select(
+                F.col("user_id"),
+                cohort.alias("cohort_day"),
+                F.floor(F.datediff(d, cohort) / 7).cast("bigint")
+                 .alias("week_offset"))
+            .distinct()
+            .groupBy("cohort_day", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+# =========================================================================
+# Event-type transition matrix — per-user consecutive-pair counts
+# =========================================================================
+
+@q("event_transition_matrix", ("W1", "A1"), oracle="""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS p
+FROM cnt
+""")
+def event_transition_matrix(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """First-order Markov transition matrix of event types: LEAD over
+    each user's timeline, pair counts, and a row-normalized probability.
+    One shuffle on ``user_id`` for the LEAD; the pair-count aggregate
+    collapses to |types|² rows, so the normalizing window (partitioned
+    by ``from_type``) runs on a trivially small relation — the
+    anti-pattern to avoid at scale is the reverse order, normalizing
+    over the raw pair stream."""
+    e = load(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(seq).alias("to_type"))
+    cnt = (pairs.filter(F.col("to_type").isNotNull())
+           .groupBy("from_type", "to_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    norm = W.partitionBy("from_type")
+    return cnt.withColumn(
+        "p", F.round(F.col("n").cast("double") /
+                     F.sum("n").over(norm).cast("double"), 6))
+
+
+# =========================================================================
+# Exact heavy hitters — support-threshold frequent items
+# =========================================================================
+
+@q("heavy_hitters_exact", ("A1", "A8", "P6"), oracle="""
+SELECT l_partkey AS item, COUNT(*) AS cnt
+FROM lineitem
+GROUP BY 1
+HAVING COUNT(*) * 1500 > (SELECT COUNT(*) FROM lineitem)
+""")
+def heavy_hitters_exact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Items whose support exceeds 1/1500 of the stream — the exact
+    answer a Misra-Gries / count-min sketch approximates.  Shape: one
+    map-side-combined count aggregate (shuffle carries ≤ |items| partial
+    counts per task, not rows), and the scalar total arrives as a
+    broadcast single-row cross join — NOT a global window over the
+    counts, which would funnel every item through one partition.  This
+    two-agg + broadcast shape is exactly how the threshold generalizes
+    to 100 TB; the sketch variant only becomes necessary when the
+    distinct-item space itself cannot be shuffled."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = (li.groupBy(F.col("l_partkey").alias("item"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    total = li.agg(F.count(F.lit(1)).alias("_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * 1500 > F.col("_total"))
+            .select("item", "cnt"))
+
+
+# =========================================================================
+# Distribution ranks — PERCENT_RANK / CUME_DIST per segment
+# =========================================================================
+
+@q("percent_rank_segment", ("W3", "A7"), oracle="""
+SELECT c_custkey AS customer, c_mktsegment AS segment,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+       ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+""")
+def percent_rank_segment(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Within-segment account-balance percentile of every customer
+    (PERCENT_RANK + CUME_DIST — rank-based, so ties are deterministic
+    without a tiebreaker column).  One shuffle on the segment key; at
+    100 TB a 5-value segment key is skew-prone, so the scale path
+    pre-aggregates by (segment, balance) first or uses ntile over a
+    salted two-level rank — noted here because the naive form is fine
+    only while per-segment rows fit one task's sort."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        F.col("c_custkey").alias("customer"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))

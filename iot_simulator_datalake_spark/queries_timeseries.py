@@ -1,0 +1,227 @@
+"""Time-series repair and anomaly operators over the ``events`` stream:
+date-spine gap filling with linear interpolation, exact-moment z-score
+outlier flagging, and downtime (gap) detection.
+
+These are the sensor-stream shapes the reference's IoT domain implies
+(``README_DBT.md:204-206`` — hourly/daily device rollups, device health
+scores): a real device fleet has missing readings, drift, and outages,
+and the silver→gold hop needs deterministic repair operators.
+
+Float determinism: interpolation and z-scores are scalar IEEE-double
+expressions evaluated identically by Spark and DuckDB, fed from
+exact DECIMAL moment sums (see queries.py module docstring), with a
+final ROUND on both sides.
+
+Scale stance (100 TB): everything shuffles once on ``user_id`` (the
+device key at scale) and uses bounded per-key window state.  The spine
+explode multiplies rows only by days-per-key, and the two
+fill-direction windows reuse the same exchange + sort.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .queries import load, oavg, q
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+# =========================================================================
+# Gap fill + linear interpolation over a per-key date spine
+# =========================================================================
+
+@q("ts_gap_fill_interpolate", ("A6", "W1", "F2", "F7"), oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, {oavg('value')} AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), b AS (
+  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+), s AS (
+  SELECT spine.user_id, spine.d, daily.v
+  FROM spine LEFT JOIN daily
+    ON spine.user_id = daily.user_id AND spine.d = daily.d
+), fill AS (
+  SELECT user_id, d, v,
+         LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wp AS pd,
+         FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wn AS nd
+  FROM s
+  WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+, units AS (
+  SELECT user_id, d, v,
+         CAST(ROUND(pv * 1000000) AS BIGINT) AS pvu,
+         CAST(ROUND(nv * 1000000) AS BIGINT) AS nvu,
+         date_diff('day', pd, d) AS dd_prev,
+         date_diff('day', d, nd) AS dd_next,
+         date_diff('day', pd, nd) AS den
+  FROM fill
+)
+SELECT user_id, d AS day,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE CAST((2 * (pvu * dd_next + nvu * dd_prev) + den)
+                      // (2 * NULLIF(den, 0)) AS DOUBLE) / 1000000.0
+       END AS value_filled,
+       CAST(v IS NULL AS INT) AS interpolated
+FROM units
+""")
+def ts_gap_fill_interpolate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-user daily mean series with missing days restored by linear
+    interpolation between the nearest observed neighbors.  Pipeline:
+    daily aggregate → per-key min/max bounds → ``sequence()`` date
+    spine explode → left join back → two frame windows (last-non-null
+    looking back, first-non-null looking forward) → scalar interp.
+
+    The spine join is co-partitioned with the daily aggregate (same
+    ``user_id`` key), and both windows sort once on (user_id, d) — one
+    exchange end-to-end after the aggregate.  Endpoints are always
+    observed (spine is bounded by the key's own min/max), so interior
+    NULLs always have both neighbors.  At 100 TB the multiplier is
+    days-per-device (bounded, e.g. ≤ a retention window), never
+    rows × rows.
+
+    Determinism: the interpolated value is computed in integer
+    micro-units — neighbors scale to BIGINT by 1e6, the weighted mean
+    rounds half-up as ``(2n + d) div 2d`` entirely in integers, and
+    only the final ÷1e6 touches doubles (same two operands on both
+    engines → identical bits).  A float-side ROUND instead lands on
+    decimal .5 ties (e.g. the midpoint of two 6-dp values) that Spark
+    and DuckDB break differently in binary."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (e.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+             .agg(F.round(
+                 F.sum(F.col("value").cast("decimal(25,4)")).cast("double")
+                 / F.count("value"), 6).alias("v")))
+    spine = (daily.groupBy("user_id")
+             .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+             .select("user_id",
+                     F.explode(F.sequence("d0", "d1")).alias("d")))
+    s = spine.join(daily, ["user_id", "d"], "left")
+    wp = (W.partitionBy("user_id").orderBy("d")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = (W.partitionBy("user_id").orderBy("d")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    v, d = F.col("v"), F.col("d")
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pd_ = F.last(F.when(v.isNotNull(), d), ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    nd = F.first(F.when(v.isNotNull(), d), ignorenulls=True).over(wn)
+    units = (s.withColumn("pv", pv).withColumn("pd", pd_)
+             .withColumn("nv", nv).withColumn("nd", nd)
+             .select(
+                 "user_id", d, v,
+                 F.round(F.col("pv") * 1_000_000).cast("bigint")
+                  .alias("pvu"),
+                 F.round(F.col("nv") * 1_000_000).cast("bigint")
+                  .alias("nvu"),
+                 F.datediff(d, F.col("pd")).cast("bigint").alias("dd_prev"),
+                 F.datediff(F.col("nd"), d).cast("bigint").alias("dd_next"),
+                 F.datediff(F.col("nd"), F.col("pd")).cast("bigint")
+                  .alias("den")))
+    interp_u = F.expr(
+        "(2 * (pvu * dd_next + nvu * dd_prev) + den)"
+        " div (2 * nullif(den, 0))")
+    return units.select(
+        "user_id", d.alias("day"),
+        F.when(v.isNotNull(), v)
+         .otherwise(interp_u.cast("double") / F.lit(1_000_000.0))
+         .alias("value_filled"),
+        v.isNull().cast("int").alias("interpolated"))
+
+
+# =========================================================================
+# Z-score anomaly flags from exact decimal moments
+# =========================================================================
+
+@q("anomaly_zscore", ("A7", "A8", "W1"), oracle="""
+WITH m AS (
+  SELECT event_id, user_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) *
+                       CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+              OVER w AS DOUBLE) AS s2,
+         CAST(COUNT(value) OVER w AS DOUBLE) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id, value,
+       ROUND((value - s1 / n) /
+             SQRT((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
+FROM m
+WHERE ABS(ROUND((value - s1 / n) /
+                SQRT((s2 - s1 * s1 / n) / (n - 1)), 4)) > 1.5
+""")
+def anomaly_zscore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-user z-score outlier flags computed from exact moment sums:
+    Σv and Σv² accumulate as DECIMAL (2-dp inputs square to exactly
+    4 dp, so both sums are exact and order-independent), and only the
+    final mean/variance/sqrt arithmetic runs in doubles — identical
+    expressions on both engines, rounded to 4 dp.
+
+    Shape: one shuffle on ``user_id``; the whole-partition window keeps
+    per-key state to three numbers.  For heavy-hitter keys at 100 TB
+    the same math re-expresses as a two-phase aggregate (map-side
+    partials of (Σv, Σv², n) merge associatively) joined back to the
+    stream — the window form is chosen here because it reuses a single
+    exchange and the per-device row count is bounded."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    v = F.col("value")
+    s1 = F.sum(v.cast("decimal(25,4)")).over(w).cast("double")
+    s2 = F.sum((v.cast("decimal(18,4)") * v.cast("decimal(18,4)"))
+               .cast("decimal(38,8)")).over(w).cast("double")
+    n = F.count(v).over(w).cast("double")
+    z = F.round((v - s1 / n) /
+                F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
+    return (e.select("event_id", "user_id", "value", z.alias("z"))
+            .filter(F.abs(F.col("z")) > 1.5))
+
+
+# =========================================================================
+# Downtime detection — inter-event gaps above threshold
+# =========================================================================
+
+@q("downtime_gaps", ("W1", "F7"), oracle="""
+WITH g AS (
+  SELECT user_id, ts AS gap_start,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS gap_end
+  FROM events
+)
+SELECT user_id, gap_start, gap_end,
+       (epoch_us(gap_end) - epoch_us(gap_start)) // 1000000 AS gap_seconds
+FROM g
+WHERE epoch_us(gap_end) - epoch_us(gap_start) > 43200000000
+""")
+def downtime_gaps(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Outage windows: consecutive same-key events more than 12 h apart
+    (the device-fleet complement of sessionization — the reference's
+    health-score models, README_DBT.md:206, need exactly this).  LEAD
+    over one ``user_id`` shuffle; gap arithmetic in exact integer
+    microseconds (no float drift), floor-divided to whole seconds on
+    both engines."""
+    e = load(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(seq)
+    out = e.select("user_id", F.col("ts").alias("gap_start"),
+                   nxt.alias("gap_end"))
+    gap_us = (F.unix_micros(F.col("gap_end")) -
+              F.unix_micros(F.col("gap_start")))
+    return (out.filter(gap_us > 12 * 3600 * 1_000_000)
+            .withColumn("gap_seconds",
+                        F.floor(gap_us / F.lit(1_000_000)).cast("bigint")))

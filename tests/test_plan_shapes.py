@@ -231,3 +231,53 @@ def test_bpe_pairs_partial_agg_and_topn(spark):
     # partial (map-side) count before the single pair shuffle
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_single_event_shuffle(spark):
+    plan = plan_of(spark, "funnel_conversion")
+    # three chained stage-min windows share ONE user_id exchange; the
+    # only later exchanges belong to the global distinct-count aggregate
+    body = plan.split("\n\n")[0]           # operator tree only
+    assert body.count("Exchange") == 3     # window + distinct-agg pair
+    assert body.count("Window") == 3
+    assert "CartesianProduct" not in plan
+    # pruning: only ts/user_id/event_type leave the scan
+    assert "props" not in plan and "value#" not in plan
+
+
+def test_heavy_hitters_broadcasts_total(spark):
+    plan = plan_of(spark, "heavy_hitters_exact")
+    # the 1-row total joins via broadcast, not a global window
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2   # map-side partial counts
+
+
+def test_transition_matrix_normalizes_post_agg(spark):
+    plan = plan_of(spark, "event_transition_matrix")
+    # the per-from_type normalizing window runs AFTER the pair-count
+    # aggregate (tiny relation), never over the raw pair stream
+    body = plan.split("\n\n")[0]
+    # printed top-down: the normalizing Window sits ABOVE the aggregate
+    assert body.index("Window") < body.index("HashAggregate")
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_co_partitioned_spine_join(spark):
+    plan = plan_of(spark, "ts_gap_fill_interpolate")
+    assert "CartesianProduct" not in plan
+    # props/event_type pruned from the events scan
+    assert "props" not in plan
+
+
+def test_anomaly_zscore_single_exchange(spark):
+    plan = plan_of(spark, "anomaly_zscore")
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1     # one user_id shuffle
+    assert body.count("Window") == 1       # moment sums share one window
+
+
+def test_downtime_gaps_single_exchange(spark):
+    plan = plan_of(spark, "downtime_gaps")
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1
+    assert "props" not in plan and "value#" not in plan
