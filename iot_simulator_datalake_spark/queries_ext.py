@@ -97,6 +97,60 @@ def text_quality_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+@q("text_char_entropy", ("F9", "A1"), oracle="""
+WITH ch AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+), cnt AS (
+  SELECT doc_id, c, COUNT(*) AS k
+  FROM ch WHERE len(c) > 0 GROUP BY 1, 2
+), wn AS (
+  SELECT doc_id, k, SUM(k) OVER (PARTITION BY doc_id) AS n FROM cnt
+), t AS (
+  SELECT doc_id, n,
+         CAST(ROUND(CAST(k AS DOUBLE) *
+                    log2(CAST(n AS DOUBLE) / CAST(k AS DOUBLE))
+                    * 1000) AS BIGINT) AS ti
+  FROM wn
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(ti) AS DOUBLE) /
+             (CAST(MAX(n) AS DOUBLE) * 1000.0), 4) AS entropy_bits
+FROM t GROUP BY 1
+""")
+def text_char_entropy(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Shannon character entropy per document (bits/char) — the classic
+    gibberish / boilerplate / repeated-text signal in corpus curation:
+    natural prose sits ~4 bits, single-char spam near 0, random noise
+    near log2(alphabet).
+
+    Shape: chars explode to rows, per-(doc,char) counts combine
+    map-side, the per-doc total is a window over the already-collapsed
+    count relation (≤ |alphabet| rows per doc, NOT the char stream),
+    and one final per-doc sum.  All shuffles carry counts, never text.
+
+    Determinism: each term k·log2(n/k) quantizes to an integer
+    milli-bit BEFORE summation, so the per-doc sum is exact and
+    order-independent; a raw double Σ p·log p would differ between
+    engines in final ulps (both summation order and libm log2 differ).
+    The 1e3 quantum dwarfs any libm ulp disagreement on the term
+    itself (~1e-9 for these magnitudes)."""
+    d = load(spark, sf_dir, "documents")
+    ch = (d.select("doc_id",
+                   F.explode(F.split(F.col("text"), "")).alias("c"))
+          .filter(F.length("c") > 0))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    n = F.sum("k").over(W.partitionBy("doc_id"))
+    t = cnt.select(
+        "doc_id", n.alias("n"),
+        F.round(F.col("k").cast("double") *
+                F.log2(n.cast("double") / F.col("k").cast("double"))
+                * 1000).cast("bigint").alias("ti"))
+    return (t.groupBy("doc_id")
+            .agg(F.round(F.sum("ti").cast("double") /
+                         (F.max("n").cast("double") * 1000.0), 4)
+                 .alias("entropy_bits")))
+
+
 @q("text_token_stats", ("F9",), oracle=f"""
 SELECT doc_id,
        len({O_TOKENS.format(c='text')})::INT AS ws_tokens,
