@@ -475,3 +475,50 @@ def streaming_stateful_totals(spark: "SparkSession",
     return final.select(
         "key", "n_events",
         (F.col("total_micro") / F.lit(10_000.0)).alias("total_value"))
+
+
+from .queries_timeseries import ANOMALY_ZSCORE_ORACLE  # noqa: E402
+
+
+@q("streaming_anomaly_scores", ("ST2", "ST4", "J1", "A7"),
+   oracle=ANOMALY_ZSCORE_ORACLE)
+def streaming_anomaly_scores(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """Model-scoring-on-stream: per-user moment statistics (Σv, Σv², n
+    — exact decimal sums, the 'model') are computed BATCH-side, then
+    broadcast into a stateless stream-static join that z-scores every
+    arriving event and emits only anomalies.  This is the canonical
+    online-inference shape — features/models refresh on a slow batch
+    cadence, scoring rides the stream with no state and no watermark —
+    and it shares the batch ``anomaly_zscore`` oracle verbatim because
+    triggered draining must converge to the same flags.
+
+    At 100 TB the moments relation is one row per entity; if it
+    outgrows a broadcast, the join falls back to shuffle on user_id,
+    still stateless per micro-batch."""
+    batch = load(spark, sf_dir, "events")
+    mom = (batch.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(25,4)")).cast("double")
+         .alias("s1"),
+        F.sum((F.col("value").cast("decimal(18,4)") *
+               F.col("value").cast("decimal(18,4)")).cast("decimal(38,8)"))
+         .cast("double").alias("s2"),
+        F.count("value").cast("double").alias("n")))
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    v = F.col("value")
+    z = F.round((v - F.col("s1") / F.col("n")) /
+                F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") /
+                        F.col("n")) / (F.col("n") - 1)), 4)
+    scored = (stream.join(F.broadcast(mom), "user_id")
+              .select("event_id", "user_id", "value", z.alias("z"))
+              .filter(F.abs(F.col("z")) > 1.5))
+    name = f"stream_zscore_{uuid.uuid4().hex[:8]}"
+    writer = (scored.writeStream.outputMode("append")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return spark.table(name)

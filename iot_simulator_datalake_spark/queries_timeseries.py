@@ -148,7 +148,8 @@ def ts_gap_fill_interpolate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # Z-score anomaly flags from exact decimal moments
 # =========================================================================
 
-@q("anomaly_zscore", ("A7", "A8", "W1"), oracle="""
+#: shared by the batch query and its streaming stream-static twin
+ANOMALY_ZSCORE_ORACLE = """
 WITH m AS (
   SELECT event_id, user_id, value,
          CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER w AS DOUBLE) AS s1,
@@ -165,7 +166,10 @@ SELECT event_id, user_id, value,
 FROM m
 WHERE ABS(ROUND((value - s1 / n) /
                 SQRT((s2 - s1 * s1 / n) / (n - 1)), 4)) > 1.5
-""")
+"""
+
+
+@q("anomaly_zscore", ("A7", "A8", "W1"), oracle=ANOMALY_ZSCORE_ORACLE)
 def anomaly_zscore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Per-user z-score outlier flags computed from exact moment sums:
     Σv and Σv² accumulate as DECIMAL (2-dp inputs square to exactly
