@@ -111,11 +111,61 @@ def decode_image(df: "DataFrame", payload_col: str = "payload",
         "mapInPandas plumbing with a deterministic metadata fallback")
 
 
-def frame_sample(df: "DataFrame", payload_col: str = "payload",
-                 every_n: int = 30) -> "DataFrame":
-    """Video frame sampling — STUB (needs a video codec; same contract:
-    one input row → k frame rows via mapInPandas yielding exploded
-    batches)."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec library not present in "
-        "this environment")
+FRAME_SCHEMA = ("doc_id long, frame_idx int, offset_bytes long, "
+                "frame_bytes long, frame_digest string")
+
+
+def frame_sample(df: "DataFrame", id_col: str = "doc_id",
+                 payload_col: str = "payload", *,
+                 frame_bytes: int = 256, max_frames: int = 16,
+                 decoder=None) -> "DataFrame":
+    """Frame sampling: one payload row → k frame rows, via mapInPandas
+    yielding exploded batches — the real Spark-side contract for video
+    frame extraction (schema, 1→k batch shape, bounded memory: one
+    Arrow batch of payloads in, one frame batch out, nothing
+    accumulates across batches).
+
+    The codec itself is pluggable: ``decoder(buf) -> iterable of
+    (offset_bytes, frame_payload)``.  The default is a clearly-marked
+    DETERMINISTIC FAKE (no video library exists in this container): it
+    slices the payload into ``frame_bytes`` chunks, capped at
+    ``max_frames`` — honest about not decoding video while keeping
+    every piece of plumbing a real codec would ride, and deterministic
+    enough to sit under the DuckDB oracle gate
+    (``multimodal_frame_sample``).  Swap in a pyav/opencv decoder at
+    deploy time; nothing else changes.
+
+    Scale: upstream ``repartition_by_bytes`` bounds per-task payload
+    volume; output rows carry digests and offsets, never frame bytes,
+    so the downstream shuffle is slim.  Emit the frame payload too
+    (add a binary column) only when the next stage genuinely needs
+    pixels."""
+
+    def fake_decoder(buf: bytes):
+        for i in range(0, min(len(buf), max_frames * frame_bytes),
+                       frame_bytes):
+            yield i, buf[i:i + frame_bytes]
+
+    dec = decoder or fake_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, sizes, digests = [], [], [], [], []
+            for key, raw in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(raw)
+                for i, (off, fr) in enumerate(dec(buf)):
+                    ids.append(key)
+                    idxs.append(i)
+                    offs.append(off)
+                    sizes.append(len(fr))
+                    digests.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "offset_bytes": pd.array(offs, dtype="int64"),
+                "frame_bytes": pd.array(sizes, dtype="int64"),
+                "frame_digest": pd.array(digests, dtype="string"),
+            })
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(run, schema=FRAME_SCHEMA))

@@ -542,6 +542,37 @@ def multimodal_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return extract_features(wrapped, id_col="doc_id")
 
 
+@q("multimodal_frame_sample", ("F10",), oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(LEAST(CEIL(length(text) / 256.0), 16) AS INT) AS k
+  FROM documents
+), idx AS (
+  SELECT doc_id, text, UNNEST(generate_series(0, k - 1)) AS i FROM f
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 256 AS BIGINT) AS offset_bytes,
+       CAST(length(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS BIGINT)
+         AS frame_bytes,
+       md5(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS frame_digest
+FROM idx
+""")
+def multimodal_frame_sample(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """Frame-sampling plumbing under the gate: the 1→k mapInPandas
+    explode (multimodal/transforms.py:frame_sample) with its
+    deterministic fake codec — text bytes stand in for video payloads
+    (pure-ASCII corpus, so byte slices == char slices and DuckDB can
+    twin the digests).  What the oracle certifies is the CONTRACT a
+    real codec plugs into: per-frame rows, offsets, sizes, digests,
+    Arrow-batched, nothing accumulated across batches."""
+    from .multimodal import attach_payload, frame_sample
+    d = load(spark, sf_dir, "documents")
+    wrapped = attach_payload(d, "text", media_type="video", fmt="raw")
+    return frame_sample(wrapped, id_col="doc_id")
+
+
 @q("string_similarity_levenshtein", ("F11", "J5"), oracle="""
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        levenshtein(a.p_name, b.p_name)::INT AS dist

@@ -56,8 +56,39 @@ def test_repartition_by_bytes(spark):
     assert empty.rdd.getNumPartitions() == 1
 
 
-def test_stubbed_codecs_raise(media):
+def test_stubbed_decode_raises(media):
     with pytest.raises(NotImplementedError):
         decode_image(media)
-    with pytest.raises(NotImplementedError):
-        frame_sample(media)
+
+
+def test_frame_sample_explodes_one_to_k(spark):
+    # 600-byte payload / 256-byte frames -> 3 frames (256, 256, 88)
+    df = attach_payload(
+        spark.createDataFrame([(7, "a" * 600)], ["doc_id", "content"]),
+        "content", media_type="video")
+    rows = sorted(frame_sample(df).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    assert [r.offset_bytes for r in rows] == [0, 256, 512]
+    assert [r.frame_bytes for r in rows] == [256, 256, 88]
+    payload = b"a" * 600
+    assert rows[1].frame_digest == hashlib.md5(
+        payload[256:512]).hexdigest()
+    # deterministic across runs
+    assert sorted(r.frame_digest for r in frame_sample(df).collect()) == \
+        sorted(r.frame_digest for r in rows)
+
+
+def test_frame_sample_caps_and_custom_decoder(spark):
+    df = attach_payload(
+        spark.createDataFrame([(1, "x" * 10_000)], ["doc_id", "content"]),
+        "content", media_type="video")
+    assert frame_sample(df, max_frames=4).count() == 4
+
+    def every_other(buf):   # custom codec: every second 100-byte frame
+        for off in range(0, len(buf), 200):
+            yield off, buf[off:off + 100]
+
+    rows = frame_sample(df, decoder=every_other).collect()
+    assert len(rows) == 50
+    assert all(r.frame_bytes == 100 for r in rows)
+    assert rows[0].offset_bytes % 200 == 0
