@@ -542,6 +542,67 @@ def multimodal_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return extract_features(wrapped, id_col="doc_id")
 
 
+@q("entity_resolution_best_match", ("J5", "F11", "W3"), oracle="""
+WITH p AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         0.7 * (1 - CAST(levenshtein(c.c_name, s.s_name) AS DOUBLE) /
+                    CAST(GREATEST(length(c.c_name), length(s.s_name))
+                         AS DOUBLE))
+       + 0.3 * (1 - ABS(c.c_acctbal - s.s_acctbal) /
+                    (ABS(c.c_acctbal) + ABS(s.s_acctbal) + 1.0))
+           AS score
+  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+), r AS (
+  SELECT c_custkey, s_suppkey, score,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY score DESC, s_suppkey) AS rn
+  FROM p
+)
+SELECT c_custkey AS customer, s_suppkey AS supplier,
+       ROUND(score, 6) AS match_score
+FROM r WHERE rn = 1
+""")
+def entity_resolution_best_match(spark: "SparkSession",
+                                 sf_dir: str) -> "DataFrame":
+    """Record linkage: match each customer to its most similar supplier
+    account — the canonical entity-resolution pipeline in three moves:
+    (1) BLOCK on a cheap equality key (nation) so the pair space is
+    Σ block_c × block_s, never |C|×|S|; (2) score candidates with a
+    weighted multi-signal blend (name edit-similarity + balance
+    proximity — all JVM builtins); (3) keep the argmax per left entity
+    via ROW_NUMBER (deterministic: score ties break on supplier key,
+    and scores are bit-identical across engines because both compute
+    the same IEEE expressions).
+
+    Scale: the blocked join broadcasts the smaller side per block; at
+    100 TB with skewed blocks, swap the blocking key for (nation,
+    name-prefix) or an LSH band — same downstream shape.  The argmax
+    window uses WindowGroupLimit (rank ≤ 1 pushdown), so no full
+    per-customer sort materializes."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    pairs = c.join(F.broadcast(s),
+                   c["c_nationkey"] == s["s_nationkey"])
+    sim_name = (F.lit(1.0) -
+                F.levenshtein("c_name", "s_name").cast("double") /
+                F.greatest(F.length("c_name"),
+                           F.length("s_name")).cast("double"))
+    sim_acct = (F.lit(1.0) -
+                F.abs(F.col("c_acctbal") - F.col("s_acctbal")) /
+                (F.abs(F.col("c_acctbal")) + F.abs(F.col("s_acctbal"))
+                 + F.lit(1.0)))
+    scored = pairs.select(
+        F.col("c_custkey").alias("customer"),
+        F.col("s_suppkey").alias("supplier"),
+        (F.lit(0.7) * sim_name + F.lit(0.3) * sim_acct).alias("score"))
+    w = W.partitionBy("customer").orderBy(F.col("score").desc(),
+                                          F.col("supplier"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("customer", "supplier",
+                    F.round(F.col("score"), 6).alias("match_score")))
+
+
 @q("multimodal_frame_sample", ("F10",), oracle="""
 WITH f AS (
   SELECT doc_id, text,
