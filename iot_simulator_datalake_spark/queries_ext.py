@@ -15,7 +15,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .functions.text import (LANG_LEXICONS, TOKEN_REGEX, fingerprint,
+from .functions.text import (LANG_LEXICONS, TOKEN_REGEX, fingerprint, ngrams,
                              language_id, quality_score, regex_token_count,
                              tokens)
 from .operators.dedup import (exact_dedup, minhash_lsh_pairs,
@@ -324,6 +324,49 @@ def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     d = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", block_col="lang",
                                **_JACCARD)
+
+
+@q("text_repetition_ngram", ("F9",), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(toks) <= 3
+           THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]
+         END AS sh
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(sh) AS INT) AS n_ngrams,
+       CAST(len(list_distinct(sh)) AS INT) AS n_distinct,
+       ROUND((len(sh) - len(list_distinct(sh))) /
+             CAST(len(sh) AS DOUBLE), 6) AS rep_ratio
+FROM sh
+""")
+def text_repetition_ngram(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Duplicate-trigram fraction per document — the Gopher-style
+    repetition filter (high rep_ratio ⇒ boilerplate / looped text /
+    listicles; a core pre-training quality rule alongside
+    ``text_quality_score`` and ``text_char_entropy``).  Map-only: the
+    shingle array never explodes, both counts are array-local, and the
+    ratio is int/int in identical IEEE division on both engines.
+
+    Counting detail: ``ngrams()`` returns the DISTINCT shingle set (the
+    right unit for MinHash/Jaccard), so the raw trigram total comes
+    from arithmetic — max(len−2, 1) — which equals the oracle's
+    pre-distinct list length including the ≤3-token whole-doc
+    fallback."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_all = F.greatest(F.size(toks) - 2, F.lit(1))
+    n_dist = F.size(ngrams(toks, 3))
+    return d.select(
+        "doc_id",
+        n_all.alias("n_ngrams"),
+        n_dist.alias("n_distinct"),
+        F.round((n_all - n_dist) / n_all.cast("double"), 6)
+         .alias("rep_ratio"))
 
 
 # =========================================================================
