@@ -522,3 +522,52 @@ def streaming_anomaly_scores(spark: "SparkSession",
               .format("memory").queryName(name))
     run_stream_available_now(writer)
     return spark.table(name)
+
+
+@q("streaming_topk_users_hourly", ("ST5", "W3", "A6"), oracle=f"""
+WITH agg AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour, user_id,
+         {osum('value')} AS total_value
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT hour, user_id, total_value,
+         ROW_NUMBER() OVER (PARTITION BY hour
+                            ORDER BY total_value DESC, user_id) AS rn
+  FROM agg
+)
+SELECT hour, user_id, total_value, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= 3
+""")
+def streaming_topk_users_hourly(spark: "SparkSession",
+                                sf_dir: str) -> "DataFrame":
+    """Streaming leaderboard: watermarked tumbling-window per-user
+    totals accumulate IN the stream (the heavy, unbounded part); the
+    top-K cut runs over the drained/served state (the tiny part) —
+    the standard split, because rank-over-window is not an incremental
+    streaming operator and forcing it in-stream would mean
+    complete-mode recomputes of every window.  Per-hour ties break on
+    user_id; totals are exact decimal sums so ranks are
+    engine-stable.  At scale the serving-side rank is WindowGroupLimit
+    over |windows × keys| aggregated rows, not raw events."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+           .agg(F.sum(F.col("value").cast("decimal(25,4)"))
+                .cast("double").alias("total_value")))
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    writer = (agg.writeStream.outputMode("complete")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    served = (spark.table(name)
+              .select(F.col("w.start").alias("hour"), "user_id",
+                      "total_value"))
+    rank = W.partitionBy("hour").orderBy(F.col("total_value").desc(),
+                                         F.col("user_id"))
+    return (served.withColumn("rnk", F.row_number().over(rank))
+            .filter(F.col("rnk") <= 3)
+            .withColumn("rnk", F.col("rnk").cast("int")))
