@@ -591,3 +591,5 @@ from . import queries_lake  # noqa: E402,F401  (import side effect)
 from . import queries_behavior  # noqa: E402,F401  (import side effect)
 from . import queries_timeseries  # noqa: E402,F401  (import side effect)
 from . import queries_graph  # noqa: E402,F401  (import side effect)
+from . import queries_intervals  # noqa: E402,F401  (import side effect)
+from . import queries_ml  # noqa: E402,F401  (import side effect)

@@ -1,0 +1,164 @@
+"""Iterative ML dataflows over embedding columns: exact Lloyd k-means
+in integer micro-units.
+
+Why it belongs in the surface: the IVF index in
+``operators/similarity.py`` needs a coarse quantizer; hash-derived
+centroids (what ``similarity_topk_ivf`` uses) are the zero-training
+stand-in.  This module implements the real thing — Lloyd iterations as
+repeated join+aggregate rounds, the standard distributed k-means — so
+the engine covers "train the coarse quantizer" too, not just "probe
+it".
+
+Determinism (same discipline as ``queries_graph``): embeddings are
+quantized once to integer milli-units with a +10k shift (all values
+strictly positive, so Spark's truncating ``div`` and DuckDB's ``//``
+agree), distances are exact integer sums of squares, centroid updates
+are integer floor-division means (the shift commutes with flooring:
+``floor(Σ(q+K)/n) = K + floor(Σq/n)``), and argmin ties break to the
+lowest centroid id on both engines.  Every iteration is therefore
+bit-reproducible across engines, partitionings and retries.
+
+Scale design: the points table shuffles ONCE per iteration (the
+per-point argmin aggregate); centroids are k×d rows and always
+broadcast, so no iteration shuffles the big side for the join.  At
+100 TB you run this on a deterministic hash-sample (hash_sample_*
+pattern), mini-batch style, and cut lineage with a checkpoint every
+few rounds — plan shape unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from .queries import load, q
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+_K = 8          # clusters; seeds = vec_id 0..7 (deterministic init)
+_DIMS = 64      # embedding width in the driver's table
+_ITERS = 2      # Lloyd rounds (unrolled in the oracle as chained CTEs)
+_SHIFT = 10_000  # positivity shift so div/// agree (module docstring)
+
+_PTS_SQL = f"""
+  SELECT e.vec_id, ds.d,
+         CAST(ROUND(CAST(e.embedding[ds.d] AS DOUBLE) * 1000) AS BIGINT)
+           + {_SHIFT} AS qv
+  FROM embeddings e
+  CROSS JOIN (SELECT UNNEST(generate_series(1, {_DIMS})) AS d) ds
+"""
+
+_STEP_SQL = """
+, d{k} AS (
+  SELECT p.vec_id, c.cid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist2
+  FROM pts p JOIN {prev} c USING (d) GROUP BY 1, 2
+), m{k} AS (
+  SELECT vec_id, MIN(dist2) AS md FROM d{k} GROUP BY 1
+), a{k} AS (
+  SELECT dd.vec_id, MIN(dd.cid) AS cid
+  FROM d{k} dd JOIN m{k} mm ON dd.vec_id = mm.vec_id AND dd.dist2 = mm.md
+  GROUP BY 1
+), s{k} AS (
+  SELECT a.cid, p.d, CAST(SUM(p.qv) // COUNT(*) AS BIGINT) AS cv
+  FROM pts p JOIN a{k} a USING (vec_id) GROUP BY 1, 2
+), c{k} AS (
+  SELECT c.cid, c.d, CAST(COALESCE(s.cv, c.cv) AS BIGINT) AS cv
+  FROM {prev} c LEFT JOIN s{k} s ON s.cid = c.cid AND s.d = c.d
+)"""
+
+
+def _kmeans_oracle() -> str:
+    steps = "".join(
+        _STEP_SQL.format(k=k, prev=f"c{k - 1}" if k > 1 else "c0")
+        for k in range(1, _ITERS + 1))
+    last = f"c{_ITERS}"
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+c0 AS (SELECT vec_id AS cid, d, qv AS cv FROM pts WHERE vec_id < {_K})
+{steps}
+, dfin AS (
+  SELECT p.vec_id, c.cid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist2
+  FROM pts p JOIN {last} c USING (d) GROUP BY 1, 2
+), mfin AS (
+  SELECT vec_id, MIN(dist2) AS md FROM dfin GROUP BY 1
+), afin AS (
+  SELECT dd.vec_id, MIN(dd.cid) AS cid
+  FROM dfin dd JOIN mfin mm ON dd.vec_id = mm.vec_id AND dd.dist2 = mm.md
+  GROUP BY 1
+), stats AS (
+  SELECT a.cid, COUNT(*) AS n_points, CAST(SUM(m.md) AS BIGINT) AS inertia
+  FROM afin a JOIN mfin m USING (vec_id) GROUP BY 1
+), cs AS (
+  SELECT cid, CAST(SUM(cv) AS BIGINT) AS centroid_sum FROM {last} GROUP BY 1
+)
+SELECT cs.cid, CAST(COALESCE(st.n_points, 0) AS BIGINT) AS n_points,
+       CAST(COALESCE(st.inertia, 0) AS BIGINT) AS inertia,
+       cs.centroid_sum
+FROM cs LEFT JOIN stats st USING (cid)
+"""
+
+
+@q("kmeans_lloyd", ("F10", "A1", "J1", "W3"), oracle=_kmeans_oracle())
+def kmeans_lloyd(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Two exact Lloyd k-means rounds (k=8) over quantized embeddings;
+    returns per-cluster size, inertia and a centroid checksum.  Each
+    round: broadcast-join points to centroids on dim, integer-exact
+    distance aggregate, per-point argmin (ties → lowest cid),
+    floor-division centroid update, empty clusters keep their previous
+    centroid.  See module docstring for determinism + scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    pts = (emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("d"),
+                (F.round(F.col("x") * 1000, 0).cast("bigint")
+                 + F.lit(_SHIFT)).alias("qv")))
+    pts = pts.cache()  # reused by every round: scan+quantize once
+
+    cent = (pts.filter(F.col("vec_id") < _K)
+            .select(F.col("vec_id").alias("cid"), "d",
+                    F.col("qv").alias("cv")))
+
+    def assign(cent: "DataFrame") -> tuple["DataFrame", "DataFrame"]:
+        diff = F.col("qv") - F.col("cv")
+        dist = (pts.join(F.broadcast(cent), "d")
+                .groupBy("vec_id", "cid")
+                .agg(F.sum(diff * diff).alias("dist2")))
+        md = dist.groupBy("vec_id").agg(F.min("dist2").alias("md"))
+        a = (dist.join(md, "vec_id")
+             .where(F.col("dist2") == F.col("md"))
+             .groupBy("vec_id").agg(F.min("cid").alias("cid")))
+        return a, md
+
+    for _ in range(_ITERS):
+        a, _md = assign(cent)
+        sums = (pts.join(a, "vec_id")
+                .groupBy("cid", "d")
+                .agg(F.expr("sum(qv) div count(1)").alias("cv_new")))
+        cent = (cent.join(sums, ["cid", "d"], "left")
+                .select("cid", "d",
+                        F.coalesce("cv_new", "cv").cast("bigint")
+                        .alias("cv")))
+        # Centroids are k×d rows — pin them on the driver between
+        # rounds (what MLlib's k-means does too).  This truncates the
+        # growing iterative lineage so round N's job doesn't replay
+        # rounds 1..N-1, and the next broadcast ships a literal table.
+        cent = spark.createDataFrame(cent.collect(), cent.schema)
+
+    afin, mfin = assign(cent)
+    stats = (afin.join(mfin, "vec_id")
+             .groupBy("cid")
+             .agg(F.count(F.lit(1)).alias("n_points"),
+                  F.sum("md").cast("bigint").alias("inertia")))
+    csum = (cent.groupBy("cid")
+            .agg(F.sum("cv").cast("bigint").alias("centroid_sum")))
+    return (csum.join(stats, "cid", "left")
+            .select("cid",
+                    F.coalesce("n_points", F.lit(0)).cast("bigint")
+                    .alias("n_points"),
+                    F.coalesce("inertia", F.lit(0)).cast("bigint")
+                    .alias("inertia"),
+                    "centroid_sum"))

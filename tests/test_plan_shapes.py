@@ -281,3 +281,37 @@ def test_downtime_gaps_single_exchange(spark):
     body = plan.split("\n\n")[0]
     assert body.count("Exchange") == 1
     assert "props" not in plan and "value#" not in plan
+
+
+def test_interval_merge_single_exchange(spark):
+    # gaps-and-islands: one hash exchange on user_id shared by both
+    # window passes and the island aggregate
+    plan = plan_of(spark, "interval_merge")
+    body = plan.split("\n\n")[0]
+    assert body.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    # the bucket-grid decomposition must plan as a hash/merge equi
+    # join on (user, bucket) — never the nested-loop theta join the
+    # raw overlap predicate would force
+    plan = plan_of(spark, "interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_broadcasts_edge_list(spark):
+    # triangle joins run on the aggregated 25-node edge list — every
+    # join in the plan should be broadcastable; no cartesian blow-up
+    plan = plan_of(spark, "triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    # per-round point⋈centroid join must broadcast the k×d side, and
+    # the points scan is pruned to (vec_id, embedding)
+    plan = plan_of(spark, "kmeans_lloyd")
+    assert "BroadcastHashJoin" in plan
+    assert "label" not in plan  # unused column pruned from scan
