@@ -433,3 +433,78 @@ def hll_mergeable_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                  .alias("distinct_users")))
+
+
+@q("grouping_sets_explicit", ("A1", "F7"), oracle=f"""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       EXTRACT(year FROM o_orderdate)::INT AS year,
+       CAST(GROUPING(o_orderstatus, o_orderpriority,
+                     EXTRACT(year FROM o_orderdate)::INT) AS BIGINT) AS gid,
+       COUNT(*) AS n, {osum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus, EXTRACT(year FROM o_orderdate)::INT),
+                        (EXTRACT(year FROM o_orderdate)::INT))
+""")
+def grouping_sets_explicit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Non-hierarchical GROUPING SETS — the general form that CUBE and
+    ROLLUP are special cases of: three hand-picked sets sharing one
+    scan.  One Expand multiplies each row by the 3 sets BEFORE the
+    shuffle and the map-side combine collapses them, so the exchange
+    carries ≈ Σ per-set group counts — far cheaper than three separate
+    scans+aggregates unioned, which is the rewrite this replaces.
+    GROUPING() disambiguates real NULL keys from set-placeholder
+    NULLs, exactly as in the CUBE/ROLLUP twins."""
+    from .queries import dsum
+    o = load(spark, sf_dir, "orders")
+    proj = o.select(F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.year("o_orderdate").alias("year"),
+                    "o_totalprice")
+    return (proj.groupingSets(
+        [[F.col("status"), F.col("priority")],
+         [F.col("status"), F.col("year")],
+         [F.col("year")]],
+        F.col("status"), F.col("priority"), F.col("year"))
+        .agg(F.grouping_id().cast("bigint").alias("gid"),
+             F.count(F.lit(1)).alias("n"),
+             dsum("o_totalprice").alias("total_price")))
+
+
+@q("full_outer_reconciliation", ("J1", "A6", "F7"), oracle=f"""
+WITH booked AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+         {osum('o_totalprice')} AS booked_total
+  FROM orders GROUP BY 1
+), shipped AS (
+  SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS month,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(25,4))) AS DOUBLE) AS shipped_total
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(b.month, s.month) AS month,
+       b.booked_total, s.shipped_total
+FROM booked b FULL JOIN shipped s ON b.month = s.month
+""")
+def full_outer_reconciliation(spark: "SparkSession", sf_dir: str
+                              ) -> "DataFrame":
+    """Two independently-derived monthly ledgers (order bookings vs
+    shipped revenue) reconciled with a FULL OUTER join — months present
+    on either side survive, with NULL marking the missing ledger.  The
+    one join type the rest of the surface didn't exercise.  Both sides
+    pre-aggregate to month grain BEFORE the join, so the full-outer
+    shuffle moves ≈ #months rows, not two fact tables — the
+    aggregate-then-join ordering that makes reconciliation viable at
+    100 TB.  Exact decimal sums per the float policy."""
+    from .queries import dsum
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    booked = (o.groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                        .alias("month"))
+              .agg(dsum("o_totalprice").alias("booked_total")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    shipped = (li.groupBy(F.date_trunc("month", "l_shipdate").cast("date")
+                          .alias("month"))
+               .agg(F.sum(rev.cast("decimal(25,4)")).cast("double")
+                    .alias("shipped_total")))
+    return booked.join(shipped, "month", "full")

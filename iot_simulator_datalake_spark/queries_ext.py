@@ -835,3 +835,90 @@ def scd2_version_history(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return h.select("user_id", "event_id",
                     F.col("ts").alias("valid_from"), "valid_to",
                     "is_current", "event_type", "value")
+
+
+@q("simhash_hamming_pairs", ("J5", "W2", "F11"), oracle=f"""
+WITH sh AS ({_simhash_oracle()})
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def simhash_hamming_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Near-duplicate pairs at SimHash Hamming distance ≤ 3, found by
+    banding instead of all-pairs comparison.
+
+    Pigeonhole: 3 differing bits can touch at most 3 of the 4 4-bit
+    bands, so every qualifying pair collides in ≥1 band — candidate
+    generation is an equi-join on (band, band_key), bounding the pair
+    space to Σ per-block C(n,2) instead of corpus² (the same blocking
+    argument as MinHash-LSH, but for Hamming space).  Candidates that
+    collide in several bands collapse with DISTINCT, then one exact
+    popcount verifies.  The oracle brute-forces all pairs — exact
+    recall of the banding scheme is what the hash-match proves.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = simhash(d, "text", "doc_id")
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.expr(f"shiftright(simhash, {4 * i}) & 15")
+            for i in range(4)])).alias("band", "bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.bkey") == F.col("b.bkey"),
+                       F.col("a.doc_id") < F.col("b.doc_id")])
+            .select(F.col("a.doc_id").alias("key_a"),
+                    F.col("b.doc_id").alias("key_b"),
+                    F.col("a.simhash").alias("sha"),
+                    F.col("b.simhash").alias("shb"))
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.expr("cast(bit_count(sha ^ shb) as bigint)"))
+            .filter(F.col("hamming") <= 3)
+            .drop("sha", "shb"))
+
+
+@q("set_ops_multiset", ("A2", "A5"), oracle="""
+WITH a AS (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+), b AS (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+), ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b),
+ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+SELECT 'except_all' AS op, l_suppkey AS suppkey, COUNT(*) AS n
+FROM ea GROUP BY 1, 2
+UNION ALL
+SELECT 'intersect_all' AS op, l_suppkey AS suppkey, COUNT(*) AS n
+FROM ia GROUP BY 1, 2
+""")
+def set_ops_multiset(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) between two
+    shipment-year (1996 vs 1997) supplier multisets — multiplicity-aware, unlike the
+    distinct-based set_ops_* twins.  Spark plans both as a single
+    count-per-key aggregate + generate (no sort, no join): each side
+    shuffles once on the value, multiplicities subtract/min in the
+    reduce — exactly the hand rewrite one would do at scale, for free.
+    Aggregated per key afterwards so the declared result is
+    deterministic while the physical bag operators still execute."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def year_keys(y: int) -> "DataFrame":
+        return (li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp")) &
+            (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp")))
+            .select(F.col("l_suppkey").alias("suppkey")))
+
+    a, b = year_keys(1996), year_keys(1997)
+    ea = (a.exceptAll(b).groupBy("suppkey")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("except_all").alias("op"), "suppkey", "n"))
+    ia = (a.intersectAll(b).groupBy("suppkey")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("intersect_all").alias("op"), "suppkey", "n"))
+    return ea.unionAll(ia)

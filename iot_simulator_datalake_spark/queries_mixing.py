@@ -279,3 +279,146 @@ def bpe_pair_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (d.select(F.explode(pairs).alias("pair"))
             .groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pair").limit(BPE_TOP))
+
+
+# =========================================================================
+# BPE merge training — the iterated form of bpe_pair_stats
+# =========================================================================
+
+_BPE_ROUNDS = 2
+_BPE_VOCAB_TOP = 20
+
+_BPE_STEP_SQL = """
+, pc{x} AS (
+  SELECT tok, nxt, COUNT(*) AS cnt FROM (
+    SELECT tok, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+    FROM {prev}
+  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+), top{x} AS (
+  SELECT tok AS a, nxt AS b FROM pc{x} ORDER BY cnt DESC, tok, nxt LIMIT 1
+), m{x} AS (
+  SELECT s.doc_id, s.p, s.tok,
+         LEAD(s.tok) OVER (PARTITION BY s.doc_id ORDER BY s.p) AS nxt,
+         COALESCE(s.tok = t.a AND
+                  LEAD(s.tok) OVER (PARTITION BY s.doc_id ORDER BY s.p)
+                    = t.b, FALSE) AS match
+  FROM {prev} s CROSS JOIN top{x} t
+), r{x} AS (
+  SELECT doc_id, p, tok, nxt, match,
+         CASE WHEN match AND NOT COALESCE(
+                LAG(match) OVER (PARTITION BY doc_id ORDER BY p), FALSE)
+              THEN 1 ELSE 0 END AS run_start
+  FROM m{x}
+), g{x} AS (
+  SELECT doc_id, p, tok, nxt, match,
+         SUM(run_start) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM r{x}
+), h{x} AS (
+  SELECT doc_id, p, tok, nxt, match,
+         MIN(p) OVER (PARTITION BY doc_id, run_id) AS run_first
+  FROM g{x}
+), u{x} AS (
+  SELECT doc_id, p, tok, nxt,
+         (match AND (p - run_first) % 2 = 0) AS mstart
+  FROM h{x}
+), v{x} AS (
+  SELECT doc_id, p, tok, nxt, mstart,
+         COALESCE(LAG(mstart) OVER (PARTITION BY doc_id ORDER BY p),
+                  FALSE) AS absorbed
+  FROM u{x}
+), seq{x} AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+              AS BIGINT) AS p,
+         CASE WHEN mstart THEN tok || ' ' || nxt ELSE tok END AS tok
+  FROM v{x} WHERE NOT absorbed
+)"""
+
+
+def _bpe_merge_oracle() -> str:
+    steps = "".join(
+        _BPE_STEP_SQL.format(x=x, prev=f"seq{x - 1}")
+        for x in range(1, _BPE_ROUNDS + 1))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks,
+         UNNEST(generate_series(1, len(toks))) AS p
+  FROM tok
+), seq0 AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, toks[p] AS tok FROM pos
+)
+{steps}
+SELECT tok, COUNT(*) AS cnt
+FROM seq{_BPE_ROUNDS} GROUP BY tok
+ORDER BY cnt DESC, tok LIMIT {_BPE_VOCAB_TOP}
+"""
+
+
+@q("bpe_apply_merges", ("F9", "W1", "A1"), oracle=_bpe_merge_oracle())
+def bpe_apply_merges(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Two full BPE training rounds: pick the most frequent adjacent
+    token pair (ties → lexicographic), apply the merge greedily
+    left-to-right corpus-wide, recount, repeat; returns the post-merge
+    top-{V} vocabulary.  The iterated loop bpe_pair_stats' docstring
+    promises.
+
+    Greedy-apply is the subtle part: overlapping matches (runs of a
+    repeated token, e.g. ``a a a`` merging ``(a,a)``) must merge at
+    even offsets within each run only.  Runs are found with the same
+    gaps-and-islands windows as interval_merge — match flag → run
+    start → run id → offset parity — all partition-local after the one
+    shuffle on doc_id.  Each round is: pair-count aggregate (map-side
+    combined), a 1-row top-pair reduction pinned to the driver (the
+    merge TABLE is driver state in real BPE trainers too — it IS the
+    tokenizer being built), and a map-side rewrite + renumber.  Plan
+    shape is round-invariant; at 100 TB each round is one shuffle on
+    doc_id plus one word-count shuffle.
+
+    The DuckDB oracle replays both rounds as chained CTEs, computing
+    the top pair relationally (CROSS JOIN of a LIMIT-1 subquery).
+    """
+    wdoc = W.partitionBy("doc_id").orderBy("p")
+    running = wdoc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = load(spark, sf_dir, "documents")
+    seq = (d.select("doc_id",
+                    F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+           .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("p"),
+                   "tok"))
+
+    for _ in range(_BPE_ROUNDS):
+        pc = (seq.withColumn("nxt", F.lead("tok").over(wdoc))
+              .where(F.col("nxt").isNotNull())
+              .groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("cnt")))
+        top = pc.orderBy(F.col("cnt").desc(), "tok", "nxt").limit(1).collect()
+        a, b = top[0]["tok"], top[0]["nxt"]
+
+        df = seq.withColumn("nxt", F.lead("tok").over(wdoc))
+        df = df.withColumn(
+            "match", F.coalesce((F.col("tok") == F.lit(a)) &
+                                (F.col("nxt") == F.lit(b)), F.lit(False)))
+        df = df.withColumn(
+            "run_start",
+            F.when(F.col("match") &
+                   ~F.coalesce(F.lag("match").over(wdoc), F.lit(False)),
+                   1).otherwise(0))
+        df = df.withColumn("run_id", F.sum("run_start").over(running))
+        df = df.withColumn(
+            "run_first", F.min("p").over(W.partitionBy("doc_id", "run_id")))
+        df = df.withColumn(
+            "mstart", F.col("match") &
+            ((F.col("p") - F.col("run_first")) % 2 == 0))
+        df = df.withColumn(
+            "absorbed",
+            F.coalesce(F.lag("mstart").over(wdoc), F.lit(False)))
+        seq = (df.where(~F.col("absorbed"))
+               .select("doc_id",
+                       F.row_number().over(wdoc).cast("bigint").alias("p"),
+                       F.when(F.col("mstart"),
+                              F.concat("tok", F.lit(" "), "nxt"))
+                       .otherwise(F.col("tok")).alias("tok")))
+
+    return (seq.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "tok").limit(_BPE_VOCAB_TOP))
