@@ -249,3 +249,31 @@ def simhash(df: DataFrame, text_col: str, key_col: str,
         fp = contrib if fp is None else fp + contrib
     return votes.select("key", fp.cast("long").alias(out_col)) \
                 .withColumnRenamed("key", key_col)
+
+
+def ngram_containment_pairs(df: DataFrame, text_col: str, key_col: str, *,
+                            block_col: str, shingle_n: int = 2,
+                            threshold: float = 0.5) -> DataFrame:
+    """Blocked asymmetric shingle-containment join:
+    ``|sh(a) ∩ sh(b)| / |sh(a)|`` for ordered pairs in the same block.
+
+    Containment catches what Jaccard structurally cannot: a short
+    document embedded verbatim in a much longer one scores near 1.0
+    containment but near-zero Jaccard (the union is dominated by the
+    long side).  That is the quote/boilerplate/subset-duplication case
+    in corpus dedup.  Same Σ block² bound as ngram_jaccard_pairs; both
+    directions are emitted because containment is directional.
+    """
+    sh = F.array_distinct(ngrams(tokens(F.col(text_col)), shingle_n))
+    docs = df.select(F.col(key_col).alias("key"),
+                     F.col(block_col).alias("block"), sh.alias("sh"))
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (a.join(b, (F.col("a.block") == F.col("b.block")) &
+                    (F.col("a.key") != F.col("b.key")))
+             .filter(F.size("a.sh") > 0)
+             .select(F.col("a.key").alias("key_src"),
+                     F.col("b.key").alias("key_in"),
+                     F.round(
+                         F.size(F.array_intersect("a.sh", "b.sh")) /
+                         F.size("a.sh"), 6).alias("containment")))
+    return pairs.filter(F.col("containment") >= threshold)

@@ -922,3 +922,36 @@ def set_ops_multiset(spark: "SparkSession", sf_dir: str) -> "DataFrame":
           .agg(F.count(F.lit(1)).alias("n"))
           .select(F.lit("intersect_all").alias("op"), "suppkey", "n"))
     return ea.unionAll(ia)
+
+
+_CONTAIN = dict(shingle_n=2, threshold=0.5)
+
+
+@q("dedup_ngram_containment", ("J5", "F11", "W2"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {O_TOKENS.format(c='text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) <= 2
+           THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+1], ' ')
+                 for i in generate_series(1, len(toks) - 1)]
+         END) AS sh
+  FROM tok
+)
+SELECT a.doc_id AS key_src, b.doc_id AS key_in,
+       ROUND(len(list_intersect(a.sh, b.sh)) / len(a.sh), 6) AS containment
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE len(a.sh) > 0
+  AND ROUND(len(list_intersect(a.sh, b.sh)) / len(a.sh), 6)
+      >= {_CONTAIN["threshold"]}
+""")
+def dedup_ngram_containment(spark: "SparkSession", sf_dir: str
+                            ) -> "DataFrame":
+    """Directional shingle containment — the subset-duplication
+    detector Jaccard misses (a short doc quoted inside a long one has
+    high containment, low Jaccard).  Blocked on lang like the Jaccard
+    twin; see operators.dedup.ngram_containment_pairs."""
+    from .operators.dedup import ngram_containment_pairs
+    d = load(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, "text", "doc_id", block_col="lang",
+                                   **_CONTAIN)

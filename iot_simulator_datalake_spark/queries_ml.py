@@ -162,3 +162,36 @@ def kmeans_lloyd(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                     F.coalesce("inertia", F.lit(0)).cast("bigint")
                     .alias("inertia"),
                     "centroid_sum"))
+
+
+@q("embedding_dim_stats", ("F10", "A8", "F7"), oracle=f"""
+WITH pts AS ({_PTS_SQL})
+SELECT d, COUNT(*) AS n,
+       CAST(SUM(qv) // COUNT(*) - {_SHIFT} AS BIGINT) AS mean_milli,
+       CAST((COUNT(*) * SUM(qv * qv) - SUM(qv) * SUM(qv))
+            // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_milli2
+FROM pts GROUP BY d
+""")
+def embedding_dim_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-dimension mean/variance of the embedding column — the
+    fit-stage of feature standardization (the transform is then a
+    map-only ``zip_with``).  Same milli-unit quantization + positivity
+    shift as kmeans_lloyd: the shift commutes with the floored mean
+    and cancels in the variance, so both engines produce identical
+    integers.  One posexplode + one hash aggregate on d (64 groups):
+    map-side combine reduces the shuffle to n_partitions × 64 rows
+    regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    pts = (emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("pos", "x"))
+        .select((F.col("pos") + 1).cast("bigint").alias("d"),
+                (F.round(F.col("x") * 1000, 0).cast("bigint")
+                 + F.lit(_SHIFT)).alias("qv")))
+    return (pts.groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.expr("sum(qv) div count(1)") - F.lit(_SHIFT))
+                 .cast("bigint").alias("mean_milli"),
+                 F.expr("(count(1) * sum(qv * qv) - sum(qv) * sum(qv)) "
+                        "div (count(1) * count(1))")
+                 .cast("bigint").alias("var_milli2")))
