@@ -845,39 +845,58 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """)
 def simhash_hamming_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Near-duplicate pairs at SimHash Hamming distance ≤ 3, found by
-    banding instead of all-pairs comparison.
+    """Near-duplicate pairs at SimHash Hamming distance ≤ 3, via
+    banding over DISTINCT fingerprints + output-bound family expansion.
 
     Pigeonhole: 3 differing bits can touch at most 3 of the 4 4-bit
-    bands, so every qualifying pair collides in ≥1 band — candidate
-    generation is an equi-join on (band, band_key), bounding the pair
-    space to Σ per-block C(n,2) instead of corpus² (the same blocking
-    argument as MinHash-LSH, but for Hamming space).  Candidates that
-    collide in several bands collapse with DISTINCT, then one exact
-    popcount verifies.  The oracle brute-forces all pairs — exact
-    recall of the banding scheme is what the hash-match proves.
+    bands, so every qualifying fingerprint pair collides in ≥1 band.
+    The scale-critical move is WHERE the banding join runs: on the
+    distinct-fingerprint relation, whose size is bounded by the
+    fingerprint space (2^16 here, 2^64 for production SimHash) — NOT
+    by corpus size.  Doc-level banding melts down on template-heavy
+    corpora: every template family shares a fingerprint, band buckets
+    grow with the corpus, and candidate work goes quadratic even
+    though most comparisons repeat the same fingerprint pair (probed
+    empirically at sf0.1: 5k docs → 2.8M qualifying pairs — the JVM
+    died doing ~50M doc-level candidate comparisons for ~5k distinct
+    fingerprints).  With fingerprint-level banding the only
+    corpus-proportional work left is emitting the answer itself:
+    qualifying fingerprint pairs (tiny, broadcast) expand to doc pairs
+    through two equi-joins against the (doc, fingerprint) relation —
+    pair emission is output-bound, which is optimal for an enumerate-
+    the-pairs operator.  Same-fingerprint families self-pair via the
+    fpa = fpb row with doc_a < doc_b ordering; cross-family pairs
+    normalize with least/greatest.  The oracle brute-forces all pairs
+    — exact recall of the banding scheme is what the hash-match
+    proves.
     """
     d = load(spark, sf_dir, "documents")
-    sh = simhash(d, "text", "doc_id")
-    bands = sh.select(
-        "doc_id", "simhash",
+    sh = simhash(d, "text", "doc_id").cache()  # reused by both expansion sides
+    fps = sh.select("simhash").distinct()
+    bands = fps.select(
+        "simhash",
         F.posexplode(F.array(*[
             F.expr(f"shiftright(simhash, {4 * i}) & 15")
             for i in range(4)])).alias("band", "bkey"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
-                       F.col("a.bkey") == F.col("b.bkey"),
-                       F.col("a.doc_id") < F.col("b.doc_id")])
-            .select(F.col("a.doc_id").alias("key_a"),
-                    F.col("b.doc_id").alias("key_b"),
-                    F.col("a.simhash").alias("sha"),
-                    F.col("b.simhash").alias("shb"))
-            .distinct())
-    return (cand
-            .withColumn("hamming",
-                        F.expr("cast(bit_count(sha ^ shb) as bigint)"))
-            .filter(F.col("hamming") <= 3)
-            .drop("sha", "shb"))
+    fa, fb = bands.alias("fa"), bands.alias("fb")
+    qp = (fa.join(fb, [F.col("fa.band") == F.col("fb.band"),
+                       F.col("fa.bkey") == F.col("fb.bkey"),
+                       F.col("fa.simhash") <= F.col("fb.simhash")])
+          .select(F.col("fa.simhash").alias("fpa"),
+                  F.col("fb.simhash").alias("fpb"))
+          .distinct()
+          .withColumn("hamming",
+                      F.expr("cast(bit_count(fpa ^ fpb) as bigint)"))
+          .filter(F.col("hamming") <= 3))
+    da, db = sh.alias("da"), sh.alias("db")
+    return (F.broadcast(qp)
+            .join(da, F.col("da.simhash") == F.col("fpa"))
+            .join(db, F.col("db.simhash") == F.col("fpb"))
+            .filter((F.col("fpa") != F.col("fpb")) |
+                    (F.col("da.doc_id") < F.col("db.doc_id")))
+            .select(F.least("da.doc_id", "db.doc_id").alias("key_a"),
+                    F.greatest("da.doc_id", "db.doc_id").alias("key_b"),
+                    "hamming"))
 
 
 @q("set_ops_multiset", ("A2", "A5"), oracle="""
