@@ -277,3 +277,51 @@ def ngram_containment_pairs(df: DataFrame, text_col: str, key_col: str, *,
                          F.size(F.array_intersect("a.sh", "b.sh")) /
                          F.size("a.sh"), 6).alias("containment")))
     return pairs.filter(F.col("containment") >= threshold)
+
+
+def simhash_hamming_pair_join(sh: DataFrame, *, key_col: str = "doc_id",
+                              fp_col: str = "simhash",
+                              band_bits: int = 4,
+                              bands: int = 4,
+                              max_hamming: int = 3) -> DataFrame:
+    """(key_a < key_b, hamming): pairs within ``max_hamming`` bits, by
+    banding over DISTINCT fingerprints + output-bound family expansion.
+
+    Requires ``max_hamming < bands`` (pigeonhole: d differing bits can
+    touch at most d bands, so every qualifying pair shares ≥1 of
+    ``bands`` bands).  The banding self-join runs on the
+    distinct-fingerprint relation — bounded by the fingerprint space,
+    not the corpus — and qualifying fingerprint pairs (tiny) broadcast
+    into two equi-joins that expand to document pairs.  See SCALE.md
+    (round-2 section) for the probe that motivated this shape: doc-
+    granularity banding goes quadratic on template-heavy corpora.
+    """
+    if max_hamming >= bands:
+        raise ValueError("need max_hamming < bands for pigeonhole recall")
+    sh = sh.select(F.col(key_col).alias("key"),
+                   F.col(fp_col).alias("fp")).cache()
+    fps = sh.select("fp").distinct()
+    mask = (1 << band_bits) - 1
+    bandrel = fps.select(
+        "fp",
+        F.posexplode(F.array(*[
+            F.expr(f"shiftright(fp, {band_bits * i}) & {mask}")
+            for i in range(bands)])).alias("band", "bkey"))
+    fa, fb = bandrel.alias("fa"), bandrel.alias("fb")
+    qp = (fa.join(fb, [F.col("fa.band") == F.col("fb.band"),
+                       F.col("fa.bkey") == F.col("fb.bkey"),
+                       F.col("fa.fp") <= F.col("fb.fp")])
+          .select(F.col("fa.fp").alias("fpa"), F.col("fb.fp").alias("fpb"))
+          .distinct()
+          .withColumn("hamming",
+                      F.expr("cast(bit_count(fpa ^ fpb) as bigint)"))
+          .filter(F.col("hamming") <= max_hamming))
+    da, db = sh.alias("da"), sh.alias("db")
+    return (F.broadcast(qp)
+            .join(da, F.col("da.fp") == F.col("fpa"))
+            .join(db, F.col("db.fp") == F.col("fpb"))
+            .filter((F.col("fpa") != F.col("fpb")) |
+                    (F.col("da.key") < F.col("db.key")))
+            .select(F.least("da.key", "db.key").alias("key_a"),
+                    F.greatest("da.key", "db.key").alias("key_b"),
+                    "hamming"))

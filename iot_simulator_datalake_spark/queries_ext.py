@@ -870,33 +870,10 @@ def simhash_hamming_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     — exact recall of the banding scheme is what the hash-match
     proves.
     """
+    from .operators.dedup import simhash_hamming_pair_join
     d = load(spark, sf_dir, "documents")
-    sh = simhash(d, "text", "doc_id").cache()  # reused by both expansion sides
-    fps = sh.select("simhash").distinct()
-    bands = fps.select(
-        "simhash",
-        F.posexplode(F.array(*[
-            F.expr(f"shiftright(simhash, {4 * i}) & 15")
-            for i in range(4)])).alias("band", "bkey"))
-    fa, fb = bands.alias("fa"), bands.alias("fb")
-    qp = (fa.join(fb, [F.col("fa.band") == F.col("fb.band"),
-                       F.col("fa.bkey") == F.col("fb.bkey"),
-                       F.col("fa.simhash") <= F.col("fb.simhash")])
-          .select(F.col("fa.simhash").alias("fpa"),
-                  F.col("fb.simhash").alias("fpb"))
-          .distinct()
-          .withColumn("hamming",
-                      F.expr("cast(bit_count(fpa ^ fpb) as bigint)"))
-          .filter(F.col("hamming") <= 3))
-    da, db = sh.alias("da"), sh.alias("db")
-    return (F.broadcast(qp)
-            .join(da, F.col("da.simhash") == F.col("fpa"))
-            .join(db, F.col("db.simhash") == F.col("fpb"))
-            .filter((F.col("fpa") != F.col("fpb")) |
-                    (F.col("da.doc_id") < F.col("db.doc_id")))
-            .select(F.least("da.doc_id", "db.doc_id").alias("key_a"),
-                    F.greatest("da.doc_id", "db.doc_id").alias("key_b"),
-                    "hamming"))
+    sh = simhash(d, "text", "doc_id")
+    return simhash_hamming_pair_join(sh)
 
 
 @q("set_ops_multiset", ("A2", "A5"), oracle="""
@@ -974,3 +951,49 @@ def dedup_ngram_containment(spark: "SparkSession", sf_dir: str
     d = load(spark, sf_dir, "documents")
     return ngram_containment_pairs(d, "text", "doc_id", block_col="lang",
                                    **_CONTAIN)
+
+
+@q("asof_forward_join", ("J4", "W1"), oracle="""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p0 AS (
+  SELECT user_id, ts, MIN(event_id) AS event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), m AS (
+  SELECT c.event_id AS click_id, c.user_id, c.ts,
+         MIN(p0.ts) AS next_ts
+  FROM c LEFT JOIN p0 ON p0.user_id = c.user_id AND p0.ts >= c.ts
+  GROUP BY 1, 2, 3
+)
+SELECT m.click_id, m.user_id AS user_id,
+       p0.event_id AS next_purchase_id, m.next_ts AS next_purchase_ts
+FROM m LEFT JOIN p0
+  ON p0.user_id = m.user_id AND p0.ts = m.next_ts
+""")
+def asof_forward_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """FORWARD as-of join — each click attached to the EARLIEST
+    same-user purchase at or after it (time-to-conversion shape); the
+    direction the gated backward variant (asof_threshold_join) leaves
+    untested.  Same union-window plan: one shuffle on user_id, one
+    descending-sorted window, no right-history explosion — the oracle
+    is the unscalable theta-join + double-argmin restatement.  The
+    purchase side is pre-deduped to one row per (user, ts) (min
+    event_id) so the attached payload is deterministic under ties."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.min("event_id").alias("event_id")))
+    joined = asof_join(clicks, purchases, on="user_id", ts="ts",
+                       payload=["event_id"], direction="forward")
+    # forward as-of fills from rows with right.ts >= left.ts; surface
+    # the matched purchase ts by re-deriving it from the payload join
+    return (joined
+            .join(purchases.select("user_id",
+                                   F.col("ts").alias("next_purchase_ts"),
+                                   F.col("event_id").alias("right_event_id")),
+                  ["user_id", "right_event_id"], "left")
+            .select("click_id", "user_id",
+                    F.col("right_event_id").alias("next_purchase_id"),
+                    "next_purchase_ts"))

@@ -315,3 +315,13 @@ def test_kmeans_broadcasts_centroids(spark):
     plan = plan_of(spark, "kmeans_lloyd")
     assert "BroadcastHashJoin" in plan
     assert "label" not in plan  # unused column pruned from scan
+
+
+def test_simhash_pairs_banding_over_distinct_fps(spark):
+    # candidate logic must run on the distinct-fingerprint relation and
+    # the doc-pair expansion must broadcast the qualifying fp pairs —
+    # never a doc-granularity band self-join (quadratic on template
+    # corpora; see SCALE.md round-2 section)
+    plan = plan_of(spark, "simhash_hamming_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -97,3 +97,69 @@ def test_scd1_matches_python_reference(spark, changes):
             latest[k] = (ts, i, d)
     expected = {k: i for k, (ts, i, d) in latest.items() if not d}
     assert got == expected
+
+
+@given(events=st.lists(
+    st.tuples(st.sampled_from("ab"), st.integers(0, 120)),
+    min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_interval_merge_matches_python_reference(spark, events):
+    """Gaps-and-islands merge over [t, t+10] intervals == sweep-line
+    Python reference: islands are disjoint, cover every event, and
+    carry exact (start, end, count)."""
+    width = 10
+    rows = [(u, i, t, t + width) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "s", "e"])
+
+    from pyspark.sql import Window as W
+    ordered = W.partitionBy("user_id").orderBy("s", "event_id")
+    prior = ordered.rowsBetween(W.unboundedPreceding, -1)
+    prev_max = F.max("e").over(prior)
+    flagged = df.withColumn(
+        "ni", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+               .otherwise(0))
+    run = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+    out = (flagged.withColumn("island", F.sum("ni").over(run))
+           .groupBy("user_id", "island")
+           .agg(F.min("s").alias("start"), F.max("e").alias("end"),
+                F.count(F.lit(1)).alias("n"))
+           .collect())
+    got = {(r["user_id"], r["start"], r["end"], r["n"]) for r in out}
+
+    expected = set()
+    for u in set(e[0] for e in events):
+        ts = sorted(t for (uu, t) in events if uu == u)
+        cur_s, cur_e, cur_n = None, None, 0
+        for t in ts:
+            if cur_s is None or t > cur_e:
+                if cur_s is not None:
+                    expected.add((u, cur_s, cur_e, cur_n))
+                cur_s, cur_e, cur_n = t, t + width, 1
+            else:
+                cur_e, cur_n = max(cur_e, t + width), cur_n + 1
+        expected.add((u, cur_s, cur_e, cur_n))
+    assert got == expected
+
+
+@given(texts=st.lists(st.text(alphabet="ab cd", min_size=0, max_size=25),
+                      min_size=2, max_size=14))
+@settings(**SETTINGS)
+def test_simhash_banding_recall_equals_bruteforce(spark, texts):
+    """Fingerprint-banding pair join == brute-force all-pairs popcount
+    (the pigeonhole recall guarantee, on arbitrary corpora including
+    heavy exact-dup families)."""
+    from iot_simulator_datalake_spark.operators.dedup import (
+        simhash, simhash_hamming_pair_join)
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    sh = simhash(df, "text", "doc_id")
+    got = {(r["key_a"], r["key_b"], r["hamming"])
+           for r in simhash_hamming_pair_join(sh).collect()}
+    fps = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    expected = set()
+    for a in fps:
+        for b in fps:
+            if a < b:
+                h = bin(fps[a] ^ fps[b]).count("1")
+                if h <= 3:
+                    expected.add((a, b, h))
+    assert got == expected
