@@ -22,6 +22,7 @@ from .checks import (
     accepted_values,
     expect,
     expect_observed,
+    freshness,
     not_null,
     relationship,
     singular,

@@ -118,6 +118,29 @@ def singular(name: str, relation: str,
     return Check(name=name, relation=relation, builder=builder)
 
 
+def freshness(relation: str, ts_column: str, max_lag_seconds: int,
+              now: Callable[[], Any] | None = None) -> Check:
+    """``dbt source freshness`` analog: fail when the newest row in
+    ``relation`` is older than ``max_lag_seconds``.
+
+    The violation relation is at most ONE row (the global max — an
+    aggregate that pushes down to parquet footer stats on plain scans),
+    so the check costs a metadata-sized job however large the table;
+    ``now`` is injectable for tests and for replaying historical runs.
+    """
+    def build(df: "DataFrame") -> "DataFrame":
+        import datetime as _dt
+        current = now() if now is not None else \
+            _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        return (df.agg(F.max(ts_column).alias("latest"))
+                .filter(F.col("latest").isNull() |
+                        (F.col("latest") <
+                         F.lit(current) - F.expr(
+                             f"INTERVAL {max_lag_seconds} SECONDS"))))
+    return Check(name=f"freshness__{relation}__{ts_column}",
+                 relation=relation, builder=build)
+
+
 # -- inline expectations (P9) ---------------------------------------------
 
 def expect(df: "DataFrame", name: str, condition,

@@ -508,3 +508,32 @@ def full_outer_reconciliation(spark: "SparkSession", sf_dir: str
                .agg(F.sum(rev.cast("decimal(25,4)")).cast("double")
                     .alias("shipped_total")))
     return booked.join(shipped, "month", "full")
+
+
+@q("robust_mad_by_group", ("A8", "A7", "F7"), oracle="""
+WITH med AS (
+  SELECT l_returnflag AS flag, quantile_cont(l_quantity, 0.5) AS med
+  FROM lineitem GROUP BY 1
+)
+SELECT m.flag, m.med,
+       quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+FROM lineitem l JOIN med m ON l.l_returnflag = m.flag
+GROUP BY 1, 2
+""")
+def robust_mad_by_group(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Median absolute deviation per group — the robust (outlier-
+    immune) counterpart of stats_exact_moments' stddev, the scale
+    estimator robust anomaly detection uses where z-scores break.
+    Two-pass: exact medians (one agg), broadcast the tiny per-group
+    medians back, then one agg over |x − med|.  Exactness: l_quantity
+    and its deviations are dyadic rationals, so both engines' linear
+    interpolation is float-exact — the sketch path at 100 TB swaps
+    F.percentile for percentile_approx, unchanged plan."""
+    li = load(spark, sf_dir, "lineitem")
+    med = (li.groupBy(F.col("l_returnflag").alias("flag"))
+           .agg(F.percentile("l_quantity", 0.5).alias("med")))
+    return (li.join(F.broadcast(med),
+                    li["l_returnflag"] == med["flag"])
+            .groupBy("flag", "med")
+            .agg(F.percentile(F.abs(F.col("l_quantity") - F.col("med")),
+                              0.5).alias("mad")))

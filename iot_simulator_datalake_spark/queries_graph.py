@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .queries import load, q
@@ -189,3 +190,92 @@ def triangle_count(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .select(F.col("n_name").alias("nation"),
                     F.coalesce("n_tri", F.lit(0)).cast("bigint")
                     .alias("n_triangles")))
+
+
+# =========================================================================
+# BFS reachability — frontier expansion with visited-set anti-join
+# =========================================================================
+
+_BFS_SRC = 0     # start nation
+_BFS_HOPS = 3
+_BFS_TOPK = 3    # keep each nation's top-3 trade partners (sparsifier)
+
+_TOP_EDGES_SQL = f"""
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY w DESC, dst) AS rn
+    FROM ({_EDGES_SQL})
+    WHERE src <> dst
+  ) WHERE rn <= {_BFS_TOPK}
+"""
+
+
+def _bfs_oracle() -> str:
+    levels = ["v0 AS (SELECT CAST(0 AS BIGINT) AS v, 0 AS hop)"]
+    prev_all = "v0"
+    for h in range(1, _BFS_HOPS + 1):
+        levels.append(f"""
+n{h} AS (
+  SELECT DISTINCT e.dst AS v, {h} AS hop
+  FROM (SELECT v FROM {prev_all} WHERE hop = {h - 1}) f
+  JOIN e ON e.src = f.v
+  WHERE e.dst NOT IN (SELECT v FROM {prev_all})
+), a{h} AS (SELECT * FROM {prev_all} UNION ALL SELECT * FROM n{h})""")
+        prev_all = f"a{h}"
+    body = ",".join(levels)
+    return f"""
+WITH e AS ({_TOP_EDGES_SQL}),
+{body}
+SELECT n.n_name AS nation, r.hop
+FROM {prev_all} r JOIN nation n ON n.n_nationkey = r.v
+"""
+
+
+@q("bfs_reachability", ("J1", "J3", "W3"), oracle=_bfs_oracle())
+def bfs_reachability(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Shortest-hop reachability (≤3 hops) from nation 0 over each
+    nation's top-3 trade-partner edges — the canonical distributed BFS:
+    per round, frontier ⋈ edges expands, an ANTI-JOIN against the
+    visited set keeps only newly-reached nodes, and the new frontier is
+    exactly the hop-h level set (which makes min-hop correctness free —
+    a node can only be reached first at its BFS depth).
+
+    The top-k sparsifier doubles as the W3 shape (WindowGroupLimit) and
+    keeps the oracle scale-invariant.  Scale: frontier and visited are
+    node-sized; each round is one shuffle join on src plus one
+    broadcastable anti-join — at billion-edge scale pre-partition edges
+    by src once so every round reuses the exchange, and checkpoint the
+    visited set every few rounds to cut lineage (same discipline as
+    pagerank_trade_graph)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+
+    wedges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+         .groupBy(s["s_nationkey"].alias("src"),
+                  c["c_nationkey"].alias("dst"))
+         .agg(F.count(F.lit(1)).alias("w"))
+         .filter(F.col("src") != F.col("dst")))
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("w").desc(), "dst"))
+    edges = (wedges.withColumn("rn", rn).filter(F.col("rn") <= _BFS_TOPK)
+             .select("src", "dst"))
+
+    visited = spark.createDataFrame([(_BFS_SRC, 0)], "v bigint, hop int")
+    frontier = visited.select("v")
+    for h in range(1, _BFS_HOPS + 1):
+        reached = (frontier.join(edges, frontier["v"] == edges["src"])
+                   .select(F.col("dst").alias("v")).distinct())
+        new = (reached.join(visited.select("v"), "v", "left_anti")
+               .withColumn("hop", F.lit(h)))
+        visited = visited.unionByName(new)
+        frontier = new.select("v")
+
+    return (visited.join(F.broadcast(n),
+                         visited["v"] == n["n_nationkey"])
+            .select(F.col("n_name").alias("nation"), "hop"))

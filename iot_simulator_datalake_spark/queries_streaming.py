@@ -571,3 +571,59 @@ def streaming_topk_users_hourly(spark: "SparkSession",
     return (served.withColumn("rnk", F.row_number().over(rank))
             .filter(F.col("rnk") <= 3)
             .withColumn("rnk", F.col("rnk").cast("int")))
+
+
+@q("streaming_apply_changes", ("ST1", "ST2", "ST3", "W1"), oracle="""
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def streaming_apply_changes(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """APPLY CHANGES INTO, streaming form — the reference's [DOC] CDC
+    headline (README_DBT.md:242-244) end-to-end: a CDC file stream
+    drained by ``foreachBatch(ApplyChanges.apply)``, whose stored
+    current state must equal the one-shot latest-wins window over all
+    changes.
+
+    The landing dir is staged as THREE files split by ``event_id % 3``
+    — each micro-batch (maxFilesPerTrigger=1) carries a time-
+    INTERLEAVED slice, so convergence genuinely exercises the
+    out-of-order upsert path (an older change arriving after a newer
+    one must lose), not just append order.  Merge cost per batch is
+    O(batch + state-keys); checkpointed source offsets give exactly-
+    once across restarts (test_streaming covers the two-wave rerun).
+    """
+    import tempfile
+
+    from .operators.scd import ApplyChanges
+
+    raw = spark.read.option("pathGlobFilter", "events.parquet") \
+        .parquet(sf_dir)
+    raw_schema = raw.schema
+    ts_is_long = dict(raw.dtypes).get("ts") == "bigint"
+
+    land = tempfile.mkdtemp(prefix="apply_stream_")
+    for i in range(3):
+        (raw.filter(F.col("event_id") % 3 == i).coalesce(1)
+         .write.mode("overwrite").parquet(f"{land}/slice_{i}.parquet"))
+
+    stream = (spark.readStream.schema(raw_schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(land))
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    changes = stream.select("user_id", "event_id", "ts", "event_type")
+
+    ac = ApplyChanges(
+        spark, tempfile.mkdtemp(prefix="apply_stream_state_") + "/state",
+        key="user_id", order_col="ts", tiebreak="event_id")
+    writer = (changes.writeStream
+              .foreachBatch(lambda df, epoch: ac.apply(df, epoch))
+              .option("checkpointLocation", f"{land}/_checkpoint"))
+    run_stream_available_now(writer)
+    return ac.read()

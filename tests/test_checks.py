@@ -125,3 +125,23 @@ def test_partitioned_table_sink(spark, tmp_path):
     assert pruned.collect()[0]["v"] == 2
     # partition filter reached the scan (no data filter on dt)
     assert "PartitionFilters" in plan
+
+
+def test_freshness_check(eng, spark):
+    """dbt-source-freshness analog: stale max(ts) fails, fresh passes,
+    and the violation relation is the 1-row global max."""
+    from datetime import datetime, timedelta
+    from iot_simulator_datalake_spark.engine import freshness
+
+    now = datetime(2024, 6, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, now - timedelta(hours=3)), (2, now - timedelta(hours=2))],
+        ["id", "ts"])
+    df.createOrReplaceTempView("fresh_src")
+
+    stale = freshness("fresh_src", "ts", max_lag_seconds=3600,
+                      now=lambda: now)
+    fresh = freshness("fresh_src", "ts", max_lag_seconds=3 * 3600,
+                      now=lambda: now)
+    assert stale.builder(spark.table("fresh_src")).count() == 1
+    assert fresh.builder(spark.table("fresh_src")).count() == 0
