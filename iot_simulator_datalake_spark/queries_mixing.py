@@ -422,3 +422,79 @@ def bpe_apply_merges(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
     return (seq.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), "tok").limit(_BPE_VOCAB_TOP))
+
+
+# =========================================================================
+# PMI co-occurrence — vocabulary-pruned pairwise association mining
+# =========================================================================
+
+_PMI_VOCAB = 50
+_PMI_MIN_CO = 5
+_PMI_TOP = 30
+
+
+@q("pmi_cooccurrence", ("F9", "J5", "W3"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_distinct({O_TOKENS.format(c='text')})) AS tok
+  FROM documents
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tok GROUP BY 1
+), vocab AS (
+  SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT {_PMI_VOCAB}
+), vt AS (
+  SELECT t.doc_id, t.tok FROM tok t JOIN vocab v ON t.tok = v.tok
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS co
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT p.tok_a, p.tok_b, p.co,
+       CAST(ROUND(1000 * log2(
+            CAST(n.n_docs AS DOUBLE) * p.co /
+            (CAST(va.df AS DOUBLE) * vb.df))) AS BIGINT) AS pmi_milli
+FROM pairs p
+JOIN vocab va ON va.tok = p.tok_a
+JOIN vocab vb ON vb.tok = p.tok_b
+CROSS JOIN n
+WHERE p.co >= {_PMI_MIN_CO}
+ORDER BY pmi_milli DESC, tok_a, tok_b LIMIT {_PMI_TOP}
+""")
+def pmi_cooccurrence(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Top pointwise-mutual-information token pairs — the association
+    statistic behind collocation mining and phrase induction.
+
+    The scale move is the VOCABULARY PRUNE: co-occurrence over an
+    unbounded vocabulary is quadratic per document, so the pair space
+    is restricted to the top-50 document-frequency tokens FIRST
+    (tiny, broadcast into a semi-join filter) and only then self-
+    joined per doc — pairs/doc is bounded by vocab²/2 whatever the corpus
+    looks like.  PMI quantizes to integer milli-bits exactly like
+    text_char_entropy (the 1e-3 quantum dwarfs libm log2 ulp drift),
+    co-support ≥ 5 kills the noise tail, and the final top-30
+    is TakeOrderedAndProject with full tie-break."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.array_distinct(tokens(F.col("text"))))
+                   .alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.col("df").desc(), "tok").limit(_PMI_VOCAB)
+    vt = tok.join(F.broadcast(vocab.select("tok")), "tok")
+    a, b = vt.alias("a"), vt.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) &
+                       (F.col("a.tok") < F.col("b.tok")))
+             .groupBy(F.col("a.tok").alias("tok_a"),
+                      F.col("b.tok").alias("tok_b"))
+             .agg(F.count(F.lit(1)).alias("co"))
+             .filter(F.col("co") >= _PMI_MIN_CO))
+    n_docs = d.count()
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("dfa"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("dfb"))
+    return (pairs.join(F.broadcast(va), "tok_a")
+            .join(F.broadcast(vb), "tok_b")
+            .select("tok_a", "tok_b", "co",
+                    F.round(1000 * F.log2(
+                        F.lit(float(n_docs)) * F.col("co") /
+                        (F.col("dfa").cast("double") * F.col("dfb"))))
+                    .cast("bigint").alias("pmi_milli"))
+            .orderBy(F.col("pmi_milli").desc(), "tok_a", "tok_b")
+            .limit(_PMI_TOP))
