@@ -195,3 +195,121 @@ def embedding_dim_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  F.expr("(count(1) * sum(qv * qv) - sum(qv) * sum(qv)) "
                         "div (count(1) * count(1))")
                  .cast("bigint").alias("var_milli2")))
+
+
+# =========================================================================
+# Product quantization — per-subspace codebooks + encoding (IVF-PQ's PQ)
+# =========================================================================
+
+_PQ_BLOCKS = 4
+_PQ_K = 4
+_PQ_BDIMS = _DIMS // _PQ_BLOCKS   # 16 dims per sub-vector
+
+
+def _pq_oracle() -> str:
+    codes = ", ".join(
+        f"MAX(CASE WHEN a.blk = {b} THEN a.cid END) AS code_{b}"
+        for b in range(_PQ_BLOCKS))
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+bp AS (SELECT vec_id, d, qv, (d - 1) // {_PQ_BDIMS} AS blk FROM pts),
+c0 AS (SELECT blk, vec_id AS cid, d, qv AS cv
+       FROM bp WHERE vec_id < {_PQ_K}),
+d1 AS (
+  SELECT p.vec_id, c.blk, c.cid,
+         SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist2
+  FROM bp p JOIN c0 c ON p.d = c.d GROUP BY 1, 2, 3
+), m1 AS (
+  SELECT vec_id, blk, MIN(dist2) AS md FROM d1 GROUP BY 1, 2
+), a1 AS (
+  SELECT dd.vec_id, dd.blk, MIN(dd.cid) AS cid
+  FROM d1 dd JOIN m1 mm ON dd.vec_id = mm.vec_id AND dd.blk = mm.blk
+                       AND dd.dist2 = mm.md
+  GROUP BY 1, 2
+), s1 AS (
+  SELECT a.blk, a.cid, p.d, CAST(SUM(p.qv) // COUNT(*) AS BIGINT) AS cv
+  FROM bp p JOIN a1 a ON p.vec_id = a.vec_id AND p.blk = a.blk
+  GROUP BY 1, 2, 3
+), c1 AS (
+  SELECT c.blk, c.cid, c.d, CAST(COALESCE(s.cv, c.cv) AS BIGINT) AS cv
+  FROM c0 c LEFT JOIN s1 s ON s.blk = c.blk AND s.cid = c.cid
+                          AND s.d = c.d
+), d2 AS (
+  SELECT p.vec_id, c.blk, c.cid,
+         SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist2
+  FROM bp p JOIN c1 c ON p.d = c.d GROUP BY 1, 2, 3
+), m2 AS (
+  SELECT vec_id, blk, MIN(dist2) AS md FROM d2 GROUP BY 1, 2
+), a2 AS (
+  SELECT dd.vec_id, dd.blk, MIN(dd.cid) AS cid
+  FROM d2 dd JOIN m2 mm ON dd.vec_id = mm.vec_id AND dd.blk = mm.blk
+                       AND dd.dist2 = mm.md
+  GROUP BY 1, 2
+)
+SELECT a.vec_id, {codes},
+       CAST(SUM(m.md) AS BIGINT) AS err_milli2
+FROM a2 a JOIN m2 m ON m.vec_id = a.vec_id AND m.blk = a.blk
+GROUP BY 1
+"""
+
+
+@q("pq_codebook_encode", ("F10", "A1", "W3"), oracle=_pq_oracle())
+def pq_codebook_encode(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Product quantization: train 4 independent 16-dim sub-space
+    codebooks (k=4, one exact Lloyd round from deterministic seeds)
+    and encode every vector as 4 codes + its exact reconstruction
+    error — the PQ half of IVF-PQ, completing the similarity family
+    (brute force → sign-LSH → IVF → PQ compression).
+
+    64 dims × 4 bytes shrink to 4 code bytes (16× at these settings;
+    production PQ with 8-bit codebooks gets 32-64×) while distance
+    queries become per-block table lookups.  Plan shape: identical to
+    kmeans_lloyd with (block, cid) composite centroid keys — centroids
+    stay k×d broadcast rows, points shuffle once per assignment pass,
+    every quantity is an exact shifted-milli-unit integer so both
+    engines agree bit-for-bit.  Empty codes inherit their seed
+    centroid (COALESCE), same as kmeans."""
+    emb = load(spark, sf_dir, "embeddings")
+    bp = (emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("d"),
+                (F.round(F.col("x") * 1000, 0).cast("bigint")
+                 + F.lit(_SHIFT)).alias("qv"))
+        .withColumn("blk", F.expr(f"(d - 1) div {_PQ_BDIMS}"))
+        .cache())
+
+    cent = (bp.filter(F.col("vec_id") < _PQ_K)
+            .select("blk", F.col("vec_id").alias("cid"), "d",
+                    F.col("qv").alias("cv")))
+
+    def assign(cent: "DataFrame") -> tuple["DataFrame", "DataFrame"]:
+        diff = F.col("qv") - F.col("cv")
+        dist = (bp.join(F.broadcast(cent.withColumnRenamed("blk", "cblk")),
+                        "d")
+                .groupBy("vec_id", "cblk", "cid")
+                .agg(F.sum(diff * diff).alias("dist2"))
+                .withColumnRenamed("cblk", "blk"))
+        md = (dist.groupBy("vec_id", "blk")
+              .agg(F.min("dist2").alias("md")))
+        a = (dist.join(md, ["vec_id", "blk"])
+             .where(F.col("dist2") == F.col("md"))
+             .groupBy("vec_id", "blk").agg(F.min("cid").alias("cid")))
+        return a, md
+
+    a1, _ = assign(cent)
+    sums = (bp.join(a1, ["vec_id", "blk"])
+            .groupBy("blk", "cid", "d")
+            .agg(F.expr("sum(qv) div count(1)").alias("cv_new")))
+    cent = (cent.join(sums, ["blk", "cid", "d"], "left")
+            .select("blk", "cid", "d",
+                    F.coalesce("cv_new", "cv").cast("bigint").alias("cv")))
+    cent = spark.createDataFrame(cent.collect(), cent.schema)
+
+    a2, m2 = assign(cent)
+    codes = [F.max(F.when(F.col("blk") == b, F.col("cid")))
+             .alias(f"code_{b}") for b in range(_PQ_BLOCKS)]
+    return (a2.join(m2, ["vec_id", "blk"])
+            .groupBy("vec_id")
+            .agg(*codes, F.sum("md").cast("bigint").alias("err_milli2")))
