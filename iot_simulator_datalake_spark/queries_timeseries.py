@@ -229,3 +229,177 @@ def downtime_gaps(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (out.filter(gap_us > 12 * 3600 * 1_000_000)
             .withColumn("gap_seconds",
                         F.floor(gap_us / F.lit(1_000_000)).cast("bigint")))
+
+
+# =========================================================================
+# Time-weighted average — duration-weighted sensor reading per device
+# =========================================================================
+
+@q("time_weighted_avg", ("A6", "W1", "F7"), oracle="""
+WITH seq AS (
+  SELECT user_id, value, ts,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS nxt
+  FROM events
+), seg AS (
+  SELECT user_id,
+         CAST(ROUND(value * 10000) AS BIGINT) AS vq,
+         (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dur_s
+  FROM seq WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(dur_s) AS BIGINT) AS active_sec,
+       ROUND(CAST(SUM(vq * dur_s) AS DOUBLE)
+             / (10000.0 * SUM(dur_s)), 6) AS twa_value
+FROM seg WHERE dur_s > 0 GROUP BY user_id
+""")
+def time_weighted_avg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Time-weighted average reading per device — each value holds
+    until the next event, so it is weighted by its holding duration
+    (the sample-and-hold semantics plain AVG silently gets wrong when
+    reporting intervals vary, which real sensor fleets always do).
+
+    One shuffle on user_id: LEAD gives the segment end, then a plain
+    aggregate.  Exactness: 4-dp values scale to integer deci-milli
+    units and durations truncate to whole seconds, so the weighted sum
+    is exact int64 arithmetic (max |vq·dur| ≈ 1e13 per segment) and
+    both engines divide the same two integers once, at the end.
+    Zero-length segments (same-second ties) drop on both sides."""
+    ev = load(spark, sf_dir, "events")
+    wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("ts").over(wuser))
+    seg = (seq.filter(F.col("nxt").isNotNull())
+           .select("user_id",
+                   F.round(F.col("value") * 10000, 0).cast("bigint")
+                   .alias("vq"),
+                   F.expr("(unix_micros(nxt) - unix_micros(ts)) "
+                          "div 1000000").alias("dur_s"))
+           .filter(F.col("dur_s") > 0))
+    return (seg.groupBy("user_id")
+            .agg(F.sum("dur_s").cast("bigint").alias("active_sec"),
+                 F.round(F.sum(F.col("vq") * F.col("dur_s"))
+                         .cast("double") /
+                         (F.lit(10000.0) * F.sum("dur_s")), 6)
+                 .alias("twa_value")))
+
+
+# =========================================================================
+# OHLC resampling — open/high/low/close bars per (event_type, day)
+# =========================================================================
+
+@q("ohlc_bars", ("A6", "W1", "F7"), oracle="""
+WITH ranked AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n
+FROM ranked GROUP BY 1, 2
+""")
+def ohlc_bars(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Downsample each event stream to daily OHLC bars — the canonical
+    resampling shape (candlesticks, sensor summaries).  Open/close are
+    first/last by full (ts, event_id) tie-break, so bars are
+    deterministic even with same-timestamp readings — the reason this
+    uses two ROW_NUMBERs over ONE exchange rather than arg_min/arg_max
+    (whose tie behavior is engine-private).  High/low/count are plain
+    aggregates; no value arithmetic at all, so doubles pass through
+    bit-identical on both engines."""
+    ev = load(spark, sf_dir, "events")
+    part = [F.col("event_type"), F.col("ts").cast("date").alias("day")]
+    asc = W.partitionBy("event_type", F.col("ts").cast("date")) \
+           .orderBy("ts", "event_id")
+    desc = W.partitionBy("event_type", F.col("ts").cast("date")) \
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = ev.select(
+        *part, "value",
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"))
+    return (ranked.groupBy("event_type", "day")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# =========================================================================
+# CUSUM change-point detection — drift flagging without any division
+# =========================================================================
+
+@q("cusum_changepoints", ("W1", "A8", "F7"), oracle="""
+WITH q AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS vq
+  FROM events
+), r AS (
+  SELECT user_id, event_id, vq,
+         SUM(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i,
+         SUM(vq) OVER (PARTITION BY user_id) AS s,
+         SUM(vq * vq) OVER (PARTITION BY user_id) AS q2,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM q
+), d AS (
+  SELECT user_id, event_id,
+         CAST(n * c - i * s AS DECIMAL(19,0)) AS dev,
+         CAST(16 * (n * q2 - s * s) AS DECIMAL(38,0)) AS rhs
+  FROM r
+)
+SELECT user_id, event_id,
+       CASE WHEN dev > 0 THEN 'up' ELSE 'down' END AS direction
+FROM d WHERE dev * dev > rhs
+""")
+def cusum_changepoints(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """CUSUM drift detection per device: flag readings where the
+    cumulative deviation from the device's own mean exceeds 4σ — the
+    classic change-point/drift monitor (sensor recalibration, sudden
+    baseline shift).
+
+    Division-free exactness: the textbook test |Σ_{j≤i}(v_j − μ)| >
+    k·σ multiplies through by n (μ = S/n) and squares, giving
+    (n·C_i − i·S)² > k²·(n·Q − S²) — every term an exact integer in
+    centi-units (values are 2-dp), so both engines compare identical
+    numbers with NO float mean, NO sqrt, NO rounding policy at all.
+    The squares go through DECIMAL(19,0)→(38,0) so the comparison
+    cannot overflow int64 at larger scale factors.
+
+    One shuffle on user_id: the running sum, row number, and all three
+    whole-partition totals share a single exchange + sort (Spark
+    computes the unbounded-frame aggregates as window functions over
+    the same partitioning).  At 100 TB this is the same plan as
+    anomaly_zscore with a running prefix added."""
+    ev = load(spark, sf_dir, "events")
+    wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wuser.rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = W.partitionBy("user_id")
+    r = (ev.select("user_id", "event_id", "ts",
+                   F.round(F.col("value") * 100, 0).cast("bigint")
+                   .alias("vq"))
+         .select("user_id", "event_id",
+                 F.sum("vq").over(run).alias("c"),
+                 F.row_number().over(wuser).alias("i"),
+                 F.sum("vq").over(whole).alias("s"),
+                 F.sum(F.col("vq") * F.col("vq")).over(whole).alias("q2"),
+                 F.count(F.lit(1)).over(whole).alias("n")))
+    d = r.select(
+        "user_id", "event_id",
+        (F.col("n") * F.col("c") - F.col("i") * F.col("s"))
+        .cast("decimal(19,0)").alias("dev"),
+        (16 * (F.col("n") * F.col("q2") - F.col("s") * F.col("s")))
+        .cast("decimal(38,0)").alias("rhs"))
+    return (d.filter(F.col("dev") * F.col("dev") > F.col("rhs"))
+            .select("user_id", "event_id",
+                    F.when(F.col("dev") > 0, "up").otherwise("down")
+                    .alias("direction")))
