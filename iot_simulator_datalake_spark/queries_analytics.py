@@ -537,3 +537,80 @@ def robust_mad_by_group(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .groupBy("flag", "med")
             .agg(F.percentile(F.abs(F.col("l_quantity") - F.col("med")),
                               0.5).alias("mad")))
+
+
+@q("revenue_share_of_total", ("A1", "W1", "F7"), oracle=f"""
+WITH rev AS (
+  SELECT n.n_name AS nation, {osum('o.o_totalprice')} AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT nation, revenue,
+       ROUND(revenue / SUM(revenue) OVER (), 6) AS share
+FROM rev
+""")
+def revenue_share_of_total(spark: "SparkSession", sf_dir: str
+                           ) -> "DataFrame":
+    """Ratio-to-report: each nation's share of global revenue via an
+    empty-frame window (SUM() OVER ()) — the one window shape (global
+    frame) the frame/offset family didn't cover.  Scale discipline:
+    the global window runs AFTER aggregation, over 25 rows — putting
+    OVER () on the fact table would serialize everything into one
+    partition; over the aggregate it is free.  Both engines divide the
+    same two exact-decimal-derived doubles."""
+    from .queries import dsum
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+           .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+           .groupBy(F.col("n_name").alias("nation"))
+           .agg(dsum("o_totalprice").alias("revenue")))
+    return rev.select(
+        "nation", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(W.partitionBy()),
+                6).alias("share"))
+
+
+@q("null_safe_join", ("J1", "P7", "F8"), oracle="""
+WITH keyed AS (
+  SELECT event_type,
+         CASE WHEN CAST(json_extract_string(props, 'k') AS INT) % 7 = 0
+              THEN NULL
+              ELSE CAST(json_extract_string(props, 'k') AS INT) % 7
+         END AS k
+  FROM events
+), clicks AS (
+  SELECT k, COUNT(*) AS click_n FROM keyed
+  WHERE event_type = 'click' GROUP BY 1
+), views AS (
+  SELECT k, COUNT(*) AS view_n FROM keyed
+  WHERE event_type = 'view' GROUP BY 1
+)
+SELECT c.k, c.click_n, v.view_n
+FROM clicks c JOIN views v ON c.k IS NOT DISTINCT FROM v.k
+""")
+def null_safe_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Null-safe equality join (``<=>`` ⇔ IS NOT DISTINCT FROM): the
+    NULL bucket must MATCH across sides instead of vanishing the way
+    plain ``=`` silently drops it — the standard trap when a join key
+    is a parsed/optional attribute.  Spark plans ``<=>`` as an
+    ordinary hash join (null-safe keys hash like values), so there is
+    no nested-loop penalty for the semantics.  Key is derived from the
+    JSON props payload (F8) with a deterministic NULL class."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int") % 7
+    keyed = ev.select("event_type",
+                      F.when(k == 0, F.lit(None).cast("int"))
+                      .otherwise(k).alias("k"))
+
+    def side(t: str, out: str) -> "DataFrame":
+        return (keyed.filter(F.col("event_type") == t)
+                .groupBy("k").agg(F.count(F.lit(1)).alias(out))
+                .withColumnRenamed("k", f"{out}_k"))
+
+    c, v = side("click", "click_n"), side("view", "view_n")
+    return (c.join(v, c["click_n_k"].eqNullSafe(v["view_n_k"]))
+            .select(c["click_n_k"].alias("k"), "click_n", "view_n"))

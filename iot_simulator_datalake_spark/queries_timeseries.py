@@ -403,3 +403,67 @@ def cusum_changepoints(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .select("user_id", "event_id",
                     F.when(F.col("dev") > 0, "up").otherwise("down")
                     .alias("direction")))
+
+
+# =========================================================================
+# Capped running balance — the recurrence SQL windows cannot express
+# =========================================================================
+
+_BAL_CAP = 10_000     # centi-units (100.00)
+_BAL_DRAIN = 2_500    # per-event drain: delta = value_cents - this
+
+
+@q("capped_running_balance", ("W1", "A7"), oracle=f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) - {_BAL_DRAIN} AS d,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), bal AS (
+  SELECT user_id, event_id, i,
+         LEAST(GREATEST(d, 0), {_BAL_CAP}) AS b
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.i,
+         LEAST(GREATEST(bal.b + s.d, 0), {_BAL_CAP})
+  FROM bal JOIN seq s ON s.user_id = bal.user_id AND s.i = bal.i + 1
+)
+SELECT user_id, event_id, b AS balance FROM bal
+""")
+def capped_running_balance(spark: "SparkSession", sf_dir: str
+                           ) -> "DataFrame":
+    """Clamped running balance per device (battery / inventory / token-
+    bucket semantics): b_i = clamp(b_{i-1} + Δ_i, 0, cap).
+
+    This recurrence is NON-ASSOCIATIVE — the clamp makes it
+    inexpressible as any window aggregate (running SUM + post-clamp is
+    wrong the moment a bound is hit mid-stream), which is precisely the
+    case for a per-key stateful scan: grouped ``applyInPandas``, one
+    Arrow batch per device, an honest sequential fold inside.  This is
+    the batch twin of streaming/stateful.py's running totals, and the
+    only Python-in-the-row-path member of the gate besides it — kept
+    deterministic by integer centi-unit arithmetic (no float state).
+    Scale: one shuffle on user_id; per-key state is one int; a device
+    with 10⁸ events bounds the Arrow batch, so pair this with the
+    skew-salting notes if keys run away.  The DuckDB oracle replays
+    the recurrence as a recursive CTE (depth = max events/key)."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select("user_id", "event_id",
+                    F.unix_micros("ts").alias("tsm"),
+                    (F.round(F.col("value") * 100, 0).cast("bigint")
+                     - F.lit(_BAL_DRAIN)).alias("d"))
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["tsm", "event_id"])
+        b, out = 0, []
+        for d in pdf["d"]:
+            b = min(max(b + int(d), 0), _BAL_CAP)
+            out.append(b)
+        pdf = pdf.assign(balance=out)
+        return pdf[["user_id", "event_id", "balance"]]
+
+    return (seq.repartition("user_id").groupBy("user_id")
+            .applyInPandas(fold,
+                           "user_id bigint, event_id bigint, "
+                           "balance bigint"))
