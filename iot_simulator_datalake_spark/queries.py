@@ -593,3 +593,4 @@ from . import queries_timeseries  # noqa: E402,F401  (import side effect)
 from . import queries_graph  # noqa: E402,F401  (import side effect)
 from . import queries_intervals  # noqa: E402,F401  (import side effect)
 from . import queries_ml  # noqa: E402,F401  (import side effect)
+from . import queries_stats  # noqa: E402,F401  (import side effect)

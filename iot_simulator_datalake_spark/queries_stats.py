@@ -1,0 +1,407 @@
+"""Statistical mining and locality operators ([EXT] beyond SURVEY §2):
+association rules (market basket), exact Pearson/OLS regression,
+count-min frequency sketch, grid-bucketed spatial neighbor join, and
+the point-in-time (SCD2 as-of) feature join.
+
+The reference's analytics stop at GROUP-BY rollups
+(``gold_device_health_summary.sql``); these add the model-adjacent
+statistics a training-data platform computes over the same tables.
+Scale notes inline per query; everything stays JVM-side.
+
+Float determinism: regression/corr moments are accumulated as exact
+integer micro-unit sums (DECIMAL(38,0)), then the final ratios are
+computed in DOUBLE with an identical expression tree on both engines —
+same inputs + same IEEE ops = identical bits.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .queries import load, q
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+# =========================================================================
+# Association rules / market basket ([EXT] — A-family composite)
+# =========================================================================
+
+@q("market_basket_lift", ("A1", "J4"), oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM b),
+ic AS (SELECT pk, COUNT(*) AS cnt FROM b GROUP BY pk),
+pc AS (
+  SELECT a.pk AS part_a, c.pk AS part_b, COUNT(*) AS pair_cnt
+  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, pair_cnt,
+       ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+       (pair_cnt * 1000000) // n.n_orders AS support_ppm,
+       (pair_cnt * 1000000) // ia.cnt AS confidence_ppm,
+       (n.n_orders * pair_cnt * 1000000) // (ia.cnt * ib.cnt) AS lift_ppm
+FROM pc JOIN ic ia ON pc.part_a = ia.pk
+        JOIN ic ib ON pc.part_b = ib.pk
+        CROSS JOIN n
+WHERE pair_cnt >= 2
+""")
+def market_basket_lift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Association-rule mining over order baskets: support, confidence
+    and lift for every part pair co-ordered ≥2 times.
+
+    Scale design: the pair generation is a SELF EQUI-JOIN on the basket
+    key — TPC-H baskets hold ≤7 lines, so pairs are ≤C(7,2)=21 per
+    order, i.e. LINEAR in order count, never quadratic in parts (this
+    is why basket mining shuffles on orderkey, not partkey).  Pair and
+    item counts both map-side combine; the item-count relation is
+    parts-sized, so it broadcasts back onto the (much larger) pair
+    relation, and the single global order count rides along as a
+    literal-sized broadcast too.  All three metrics are integer
+    parts-per-million with floor division — bit-stable cross-engine.
+    At 100 TB the only big exchange is lineitem hashed by orderkey;
+    a pathological mega-basket (k² blowup) would be handled the same
+    way minhash handles giant LSH buckets: cap basket size and route
+    outliers separately.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk")).distinct()
+    n_orders = b.select(F.countDistinct("ok").alias("n_orders"))
+    ic = b.groupBy(F.col("pk")).agg(F.count("*").alias("cnt"))
+    a2, c2 = b.alias("a"), b.alias("c")
+    pc = (a2.join(c2, (F.col("a.ok") == F.col("c.ok")) &
+                  (F.col("a.pk") < F.col("c.pk")))
+          .groupBy(F.col("a.pk").alias("part_a"),
+                   F.col("c.pk").alias("part_b"))
+          .agg(F.count("*").alias("pair_cnt"))
+          .filter(F.col("pair_cnt") >= 2))
+    ia = F.broadcast(ic.select(F.col("pk").alias("pk_a"),
+                               F.col("cnt").alias("cnt_a")))
+    ib = F.broadcast(ic.select(F.col("pk").alias("pk_b"),
+                               F.col("cnt").alias("cnt_b")))
+    M = F.lit(1000000)
+    # integer (floor) division on both engines: Spark `div` ≡ DuckDB `//`
+    return (pc.join(ia, F.col("part_a") == F.col("pk_a"))
+            .join(ib, F.col("part_b") == F.col("pk_b"))
+            .join(F.broadcast(n_orders))
+            .select(
+                "part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b",
+                (F.col("pair_cnt") * M).alias("pm"),
+                F.col("n_orders"), (F.col("cnt_a") * F.col("cnt_b")).alias("ab"))
+            .selectExpr(
+                "part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b",
+                "pm div n_orders AS support_ppm",
+                "pm div cnt_a AS confidence_ppm",
+                "(n_orders * pm) div ab AS lift_ppm"))
+
+
+# =========================================================================
+# Exact Pearson correlation + OLS regression by group ([EXT] — F7)
+# =========================================================================
+
+_REG_FINAL = """
+SELECT grp, n,
+       ROUND((n * sxy - sx * sy) /
+             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 9)
+           AS pearson_r,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n,
+             9) AS intercept_micro
+FROM m
+"""
+
+
+@q("corr_regression_exact", ("A1", "F7"), oracle="""
+WITH t AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_quantity * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(l_discount * 1000000) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT grp,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+  FROM t GROUP BY grp
+)
+""" + _REG_FINAL)
+def corr_regression_exact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-group Pearson r and simple OLS fit (discount ~ quantity) from
+    EXACT moment sums — the closed-form twin of MLlib's summarizer.
+
+    Scale design: one pass, one hash-agg shuffle.  Inputs quantize to
+    integer micro-units; the five moment sums accumulate as
+    DECIMAL(38,0) (x·y ≤ 5·10¹² per row leaves ~25 orders of magnitude
+    of headroom — enough for ~10²⁵ rows), so partial aggregation is
+    exact and order-independent — the property that makes the stat
+    mergeable across partitions, shards and incremental batches.  Only
+    the final per-group ratios drop to DOUBLE, via the same expression
+    tree DuckDB evaluates: identical inputs + identical IEEE ops =
+    identical bits, then rounded to 9 dp for formatting parity.  This
+    is the fit-stage companion of embedding_dim_stats and
+    stats_exact_moments (queries_ml.py / queries_analytics.py).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 1000000).cast("long")
+    y = F.round(F.col("l_discount") * 1000000).cast("long")
+    t = li.select(F.col("l_returnflag").alias("grp"),
+                  x.alias("x"), y.alias("y"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = t.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) *
+                               F.sqrt(n * syy - sy * sy))
+    return m.select(
+        "grp", "n",
+        F.round(r, 9).alias("pearson_r"),
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - sx * slope) / n, 9).alias("intercept_micro"))
+
+
+# =========================================================================
+# Count-min sketch ([EXT] — A8 family: the mergeable frequency sketch)
+# =========================================================================
+
+_CMS = dict(depth=4, width=512, probe_max=100)
+
+
+def _cms_bucket(col, row: int, width: int):
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % width
+
+
+def _o_cms_bucket(col: str, row: int, width: int) -> str:
+    return (f"(('0x' || substr(md5('cms{row}:' || CAST({col} AS VARCHAR)),"
+            f" 1, 15))::BIGINT % {width})")
+
+
+@q("countmin_freq_estimate", ("A8", "F9"), oracle=f"""
+WITH rows_ AS (SELECT UNNEST(range({_CMS['depth']})) AS d),
+sk AS (
+  SELECT d,
+         CASE d
+           WHEN 0 THEN {_o_cms_bucket('l_partkey', 0, _CMS['width'])}
+           WHEN 1 THEN {_o_cms_bucket('l_partkey', 1, _CMS['width'])}
+           WHEN 2 THEN {_o_cms_bucket('l_partkey', 2, _CMS['width'])}
+           ELSE {_o_cms_bucket('l_partkey', 3, _CMS['width'])}
+         END AS bucket,
+         COUNT(*) AS cnt
+  FROM lineitem CROSS JOIN rows_ GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT l_partkey AS pk FROM lineitem
+          WHERE l_partkey <= {_CMS['probe_max']})
+SELECT p.pk AS part, MIN(sk.cnt) AS est_count
+FROM probe p
+CROSS JOIN rows_
+JOIN sk ON sk.d = rows_.d AND sk.bucket = CASE rows_.d
+    WHEN 0 THEN {_o_cms_bucket('p.pk', 0, _CMS['width'])}
+    WHEN 1 THEN {_o_cms_bucket('p.pk', 1, _CMS['width'])}
+    WHEN 2 THEN {_o_cms_bucket('p.pk', 2, _CMS['width'])}
+    ELSE {_o_cms_bucket('p.pk', 3, _CMS['width'])}
+  END
+GROUP BY 1
+""")
+def countmin_freq_estimate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Count-min sketch: build a {depth}×{width} frequency sketch of
+    l_partkey in one pass, then answer point-frequency queries for the
+    probe set (parts ≤ {probe_max}) as min-over-rows.
+
+    Scale design: the sketch is FIXED-SIZE — the groupBy(d, bucket)
+    count map-side combines, so each scan partition contributes at most
+    depth×width={depth}×{width} rows to the shuffle no matter how many
+    fact rows it read; the reduced sketch is KB-sized and broadcasts to
+    the probe side.  Counts add, so per-shard / per-hour sketches merge
+    by bucket-wise SUM — the same mergeability contract as the HLL
+    rollup (hll_mergeable_rollup) and the exact-moment stats; this is
+    the heavy-hitter primitive you keep per time-bucket at 100 TB and
+    union-merge at query time.  Hashes are md5-derived on both engines,
+    so the sketch (and any collision over-count) is bit-identical —
+    the oracle replays construction + probe, not a true-count compare
+    (heavy_hitters_exact covers ground truth for this family).
+    """.format(**_CMS)
+    li = load(spark, sf_dir, "lineitem")
+    d, w = _CMS["depth"], _CMS["width"]
+    # build: one exploded copy per sketch row — scan stays columnar,
+    # explode factor is the (constant) depth
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("d")
+    sk = (li.select(F.col("l_partkey"), rows_)
+          .select("d",
+                  F.when(F.col("d") == 0, _cms_bucket(F.col("l_partkey"), 0, w))
+                   .when(F.col("d") == 1, _cms_bucket(F.col("l_partkey"), 1, w))
+                   .when(F.col("d") == 2, _cms_bucket(F.col("l_partkey"), 2, w))
+                   .otherwise(_cms_bucket(F.col("l_partkey"), 3, w))
+                   .alias("bucket"))
+          .groupBy("d", "bucket").agg(F.count("*").alias("cnt")))
+    probe = (li.filter(F.col("l_partkey") <= _CMS["probe_max"])
+             .select(F.col("l_partkey").alias("pk")).distinct()
+             .select("pk", rows_)
+             .withColumn("pbucket",
+                         F.when(F.col("d") == 0, _cms_bucket(F.col("pk"), 0, w))
+                          .when(F.col("d") == 1, _cms_bucket(F.col("pk"), 1, w))
+                          .when(F.col("d") == 2, _cms_bucket(F.col("pk"), 2, w))
+                          .otherwise(_cms_bucket(F.col("pk"), 3, w))))
+    return (probe.join(F.broadcast(sk),
+                       (probe.d == sk.d) & (F.col("pbucket") == sk.bucket))
+            .groupBy(F.col("pk").alias("part"))
+            .agg(F.min("cnt").alias("est_count")))
+
+
+# =========================================================================
+# Grid-bucketed spatial neighbor join ([EXT] — J4/J5 family)
+# =========================================================================
+
+_GRID = dict(cell=2000, space=1000000)
+
+
+@q("spatial_grid_join", ("J4", "J5"), oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         ('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+             ::BIGINT % {_GRID['space']} AS x,
+         ('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+             ::BIGINT % {_GRID['space']} AS y
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS chebyshev
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND ABS(a.x - b.x) <= {_GRID['cell']}
+ AND ABS(a.y - b.y) <= {_GRID['cell']}
+""")
+def spatial_grid_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """All point pairs within Chebyshev distance {cell} in a
+    {space}×{space} integer plane (pseudo-coordinates hashed from
+    custkey — the driver tables carry no geo columns, so the geometry
+    is synthesized deterministically; the JOIN STRATEGY is the point).
+
+    Scale design: the textbook grid decomposition of a spatial theta
+    join.  Cell size = the radius, so any qualifying pair lives in the
+    same or one of the 8 neighboring cells; the LEFT side explodes ×9
+    (its cell + 8 neighbors), the right side keeps its own cell, and
+    the join becomes a plain EQUI-JOIN on cell id — hash-shuffled,
+    AQE-skew-splittable, never BroadcastNestedLoopJoin.  Work is
+    proportional to Σ(per-cell density²), i.e. local density, not n² —
+    the same "bound the candidate space by a locality key" move as the
+    interval bucket-grid join and the LSH band join.  id_a < id_b
+    dedups the 9-fold candidate multiplicity (each pair found once per
+    covering offset, DISTINCT collapses it).  Exact integer Chebyshev
+    metric end-to-end.
+    """.format(**_GRID)
+    cell, space = _GRID["cell"], _GRID["space"]
+
+    def axis(seed: str):
+        h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("c_custkey").cast("string")))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % space
+
+    pts = (load(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("id"),
+                   axis("lat").alias("x"), axis("lon").alias("y"))
+           .withColumn("cx", F.floor(F.col("x") / cell))
+           .withColumn("cy", F.floor(F.col("y") / cell)))
+    offsets = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+    left = (pts.select("id", "x", "y", "cx", "cy", offsets)
+            .select(F.col("id").alias("id_a"), F.col("x").alias("xa"),
+                    F.col("y").alias("ya"),
+                    (F.col("cx") + F.col("o.dx")).alias("jx"),
+                    (F.col("cy") + F.col("o.dy")).alias("jy")))
+    right = pts.select(F.col("id").alias("id_b"), F.col("x").alias("xb"),
+                       F.col("y").alias("yb"), F.col("cx").alias("jx"),
+                       F.col("cy").alias("jy"))
+    return (left.join(right, ["jx", "jy"])
+            .filter((F.col("id_a") < F.col("id_b")) &
+                    (F.abs(F.col("xa") - F.col("xb")) <= cell) &
+                    (F.abs(F.col("ya") - F.col("yb")) <= cell))
+            .select("id_a", "id_b",
+                    F.greatest(F.abs(F.col("xa") - F.col("xb")),
+                               F.abs(F.col("ya") - F.col("yb")))
+                    .alias("chebyshev"))
+            .distinct())
+
+
+# =========================================================================
+# Point-in-time (SCD2 as-of) feature join ([EXT] — J4 + W1 composite)
+# =========================================================================
+
+@q("scd2_point_in_time_join", ("J4", "W1"), oracle="""
+WITH v AS (
+  SELECT user_id, event_id AS version_id, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+         event_type AS v_type, value AS v_value
+  FROM events WHERE event_type <> 'error'
+)
+SELECT p.event_id AS probe_id, p.user_id, p.ts,
+       v.version_id, v.v_type,
+       CAST(ROUND(v.v_value * 1000000) AS BIGINT) AS v_value_micro
+FROM (SELECT * FROM events WHERE event_type = 'error') p
+LEFT JOIN v ON v.user_id = p.user_id
+           AND v.valid_from <= p.ts
+           AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+""")
+def scd2_point_in_time_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Point-in-time correct feature join: each probe row ('error'
+    events) picks up the SCD2 dimension version (non-error events as
+    versions) valid AT ITS OWN timestamp — the feature-store primitive
+    that prevents training-data leakage from future dimension states.
+
+    Scale design: NOT executed as the range join the oracle states.
+    Because SCD2 validity intervals are contiguous per key
+    (valid_to = next valid_from), "the version valid at ts" ≡ "the
+    LAST version starting ≤ ts" — a backward as-of join, implemented
+    with the union-window trick (operators/asof.py): union versions
+    and probes, one shuffle on user_id, one sort on
+    (ts, is_probe, id), then last(attr, ignorenulls) over the running
+    frame.  Cost is a single exchange of versions+probes and an O(1)
+    running state — no per-probe interval search, no range-join row
+    explosion, and zero-length versions (same-ts ties) are skipped
+    naturally because the later same-ts version overwrites them in
+    sort order.  Probes before any version keep NULL features (left
+    semantics).  Values quantized to micro bigints for hash parity.
+    """
+    e = load(spark, sf_dir, "events")
+    # version attrs travel as ONE struct so the as-of fill can never mix
+    # fields from different versions (a NULL v_value inside a version
+    # must stay NULL, not inherit the previous version's value)
+    vstruct = F.struct(
+        F.col("event_id").alias("version_id"),
+        F.col("event_type").alias("v_type"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_value_micro"))
+    versions = (e.filter(F.col("event_type") != "error")
+                .select("user_id", "ts", "event_id",
+                        F.lit(0).alias("is_probe"), vstruct.alias("v")))
+    probes = (e.filter(F.col("event_type") == "error")
+              .select("user_id", "ts", "event_id",
+                      F.lit(1).alias("is_probe"),
+                      F.lit(None).cast(
+                          "struct<version_id:bigint,v_type:string,"
+                          "v_value_micro:bigint>").alias("v")))
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", "is_probe", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = versions.unionByName(probes).select(
+        "user_id", "ts", "event_id", "is_probe",
+        F.last("v", ignorenulls=True).over(w).alias("v"))
+    return (filled.filter(F.col("is_probe") == 1)
+            .select(F.col("event_id").alias("probe_id"), "user_id", "ts",
+                    F.col("v.version_id").alias("version_id"),
+                    F.col("v.v_type").alias("v_type"),
+                    F.col("v.v_value_micro").alias("v_value_micro")))

@@ -1,0 +1,146 @@
+"""Invariant tests for the statistical-mining family (queries_stats.py).
+
+The oracle gate certifies cross-engine equality; these assert the
+SEMANTIC invariants: lift/support arithmetic reproduces from raw
+counts, Pearson r matches numpy, count-min never under-counts, the
+grid join finds exactly the brute-force pair set, and the
+point-in-time join never reads a future version.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.queries import REGISTRY, load
+from iot_simulator_datalake_spark.queries_stats import _CMS, _GRID
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_market_basket_metrics_reproduce_from_counts(spark):
+    out = REGISTRY["market_basket_lift"].fn(spark, SF).cache()
+    rows = out.collect()
+    b = (load(spark, SF, "lineitem")
+         .select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_partkey").alias("pk")).distinct().cache())
+    n_orders = b.select("ok").distinct().count()
+    item = {r["pk"]: r["n"] for r in
+            b.groupBy("pk").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["pair_cnt"] >= 2
+        assert r["cnt_a"] == item[r["part_a"]]
+        assert r["cnt_b"] == item[r["part_b"]]
+        assert r["support_ppm"] == r["pair_cnt"] * 1_000_000 // n_orders
+        assert r["confidence_ppm"] == r["pair_cnt"] * 1_000_000 // r["cnt_a"]
+        assert (r["lift_ppm"] ==
+                n_orders * r["pair_cnt"] * 1_000_000 //
+                (r["cnt_a"] * r["cnt_b"]))
+    # pair counts themselves: spot-check one pair by brute force
+    if rows:
+        r0 = rows[0]
+        got = (b.alias("x").join(b.alias("y"), "ok")
+               .where((F.col("x.pk") == r0["part_a"]) &
+                      (F.col("y.pk") == r0["part_b"])).count())
+        assert got == r0["pair_cnt"]
+
+
+def test_corr_regression_matches_numpy(spark):
+    import numpy as np
+    out = {r["grp"]: r for r in
+           REGISTRY["corr_regression_exact"].fn(spark, SF).collect()}
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount").collect()
+    by = {}
+    for r in li:
+        by.setdefault(r["l_returnflag"], ([], []))
+        by[r["l_returnflag"]][0].append(round(r["l_quantity"] * 1e6))
+        by[r["l_returnflag"]][1].append(round(r["l_discount"] * 1e6))
+    for g, (xs, ys) in by.items():
+        r_np = float(np.corrcoef(xs, ys)[0, 1])
+        slope_np, icept_np = np.polyfit(xs, ys, 1)
+        assert math.isclose(out[g]["pearson_r"], r_np, abs_tol=1e-6)
+        assert math.isclose(out[g]["slope"], slope_np, abs_tol=1e-6)
+        assert math.isclose(out[g]["intercept_micro"], icept_np,
+                            rel_tol=1e-6, abs_tol=1e-3)
+        assert -1.0 <= out[g]["pearson_r"] <= 1.0
+
+
+def test_countmin_never_undercounts_and_is_tight_here(spark):
+    out = {r["part"]: r["est_count"] for r in
+           REGISTRY["countmin_freq_estimate"].fn(spark, SF).collect()}
+    truth = {r["l_partkey"]: r["n"] for r in
+             load(spark, SF, "lineitem")
+             .filter(F.col("l_partkey") <= _CMS["probe_max"])
+             .groupBy("l_partkey").agg(F.count("*").alias("n")).collect()}
+    assert set(out) == set(truth)
+    assert all(out[k] >= truth[k] for k in truth)      # CMS one-sided error
+    # at this SF (≤200 parts vs 4×512 cells) collisions are rare: the
+    # MEDIAN estimate must be exact even if a few keys collide
+    exact = sum(1 for k in truth if out[k] == truth[k])
+    assert exact >= len(truth) * 0.9
+
+
+def test_spatial_grid_equals_bruteforce(spark):
+    out = REGISTRY["spatial_grid_join"].fn(spark, SF)
+    got = {(r["id_a"], r["id_b"]): r["chebyshev"] for r in out.collect()}
+    # brute force over the same hashed coordinates
+    cust = load(spark, SF, "customer").select("c_custkey").collect()
+    import hashlib
+    def axis(seed, k):
+        h = hashlib.md5(f"{seed}:{k}".encode()).hexdigest()
+        return int(h[:15], 16) % _GRID["space"]
+    pts = [(r["c_custkey"], axis("lat", r["c_custkey"]),
+            axis("lon", r["c_custkey"])) for r in cust]
+    want = {}
+    for i, (ka, xa, ya) in enumerate(pts):
+        for kb, xb, yb in pts[i + 1:]:
+            d = max(abs(xa - xb), abs(ya - yb))
+            if d <= _GRID["cell"]:
+                want[(min(ka, kb), max(ka, kb))] = d
+    assert got == want
+
+
+def test_spatial_grid_plans_as_equi_join(spark):
+    import io, contextlib
+    df = REGISTRY["spatial_grid_join"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_point_in_time_never_reads_future(spark):
+    out = REGISTRY["scd2_point_in_time_join"].fn(spark, SF).cache()
+    e = load(spark, SF, "events")
+    versions = e.filter(F.col("event_type") != "error").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts"),
+        F.col("event_id").alias("vid"))
+    j = out.join(versions, out.version_id == versions.vid, "left")
+    # every matched version starts at or before the probe instant
+    assert j.filter(F.col("version_id").isNotNull() &
+                    (F.col("vts") > F.col("ts"))).count() == 0
+    # and it is the LATEST such version: no other version in (vts, ts]
+    later = (out.filter(F.col("version_id").isNotNull())
+             .join(versions, out.version_id == versions.vid)
+             .join(e.filter(F.col("event_type") != "error")
+                    .select(F.col("user_id").alias("ou"),
+                            F.col("ts").alias("ots"),
+                            F.col("event_id").alias("oid")),
+                   (F.col("ou") == F.col("user_id")) &
+                   (F.col("oid") != F.col("version_id")))
+             .filter((F.col("ots") <= F.col("ts")) &
+                     # strictly-later start, or same start but later id
+                     ((F.col("ots") > F.col("vts")) |
+                      ((F.col("ots") == F.col("vts")) &
+                       (F.col("oid") > F.col("version_id"))))))
+    assert later.count() == 0
+    # probes with no prior version exist at this SF edge or not — but
+    # every probe row must appear exactly once
+    n_probes = e.filter(F.col("event_type") == "error").count()
+    assert out.count() == n_probes
+    assert out.select("probe_id").distinct().count() == n_probes
