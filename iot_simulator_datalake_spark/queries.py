@@ -594,3 +594,4 @@ from . import queries_graph  # noqa: E402,F401  (import side effect)
 from . import queries_intervals  # noqa: E402,F401  (import side effect)
 from . import queries_ml  # noqa: E402,F401  (import side effect)
 from . import queries_stats  # noqa: E402,F401  (import side effect)
+from . import queries_drift  # noqa: E402,F401  (import side effect)
