@@ -1,0 +1,284 @@
+"""Text-retrieval and feature-preprocessing operators ([EXT]):
+BM25 scoring, segmented inverted-index construction, ANN recall
+evaluation, and winsorized robust statistics.
+
+Retrieval quality is training-data quality: BM25 is the lexical
+ranking baseline every RAG / dedup / contamination pipeline needs
+beside the embedding ANN path, the inverted index is its storage
+layout, and recall@k is how the approximate index earns trust against
+the exact scan.  Winsorization is the outlier-clipping twin of the
+percentile machinery in curriculum_order.
+
+Cites: reference's gold rollups (``gold_device_health_summary.sql``)
+stop at aggregates; the retrieval surface extends the documents/
+embeddings tables the driver ships for exactly this family.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .queries import load, q
+from .queries_ext import _O_COS, _O_EMB
+from .operators.similarity import brute_force_topk, lsh_bucket_topk
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+#: BM25 free parameters (Robertson defaults) and the query term set —
+#: 'dup' is the rare, discriminative term; the other two are common
+_BM25 = dict(k1=1.2, b=0.75, terms=("spark", "window", "dup"), topk=20,
+             ok1="1.2::DOUBLE", ob="0.75::DOUBLE")  # oracle literals pinned to DOUBLE (DuckDB parses 1.2 as DECIMAL)
+
+
+# =========================================================================
+# BM25 top-k retrieval ([EXT] — F9/W3 composite)
+# =========================================================================
+
+@q("bm25_topk", ("F9", "W3", "A1"), oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+), g AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(toks) AS term FROM d
+  ) WHERE term IN ('spark', 'window', 'dup') GROUP BY 1, 2
+), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           LN(1 + (CAST(g.n - df.df AS DOUBLE) + 0.5) / (df.df + 0.5)) *
+           (tf.tf * ({_BM25['ok1']} + 1)) /
+           (tf.tf + {_BM25['ok1']} * (1 - {_BM25['ob']} + {_BM25['ob']} *
+              (CAST(dl.dl AS DOUBLE) * g.n) / g.sumdl))
+           * 1e9) AS BIGINT) AS term_nano
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+)
+SELECT doc_id, CAST(SUM(term_nano) AS BIGINT) AS score_nano
+FROM scored GROUP BY doc_id
+ORDER BY score_nano DESC, doc_id LIMIT {_BM25['topk']}
+""")
+def bm25_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """BM25-ranked top-{topk} documents for a fixed query term set —
+    the lexical retrieval baseline (Lucene's scorer, k1={k1} b={b}).
+
+    Scale design: term filtering happens AT THE EXPLODE, so only
+    query-term hits survive into the shuffle (per-doc cost bounded by
+    |query|, not vocabulary).  The three statistics that parameterize
+    the score — N, Σdl (one global pass, map-side combined) and df
+    (query-term-sized) — all broadcast; the per-(doc,term) score is
+    then map-only, rounded to int64 nanos, and integer-summed per doc
+    so the reduction is order-independent.  The final top-k is
+    TakeOrderedAndProject (per-partition partial top-k, k rows per
+    partition to the driver).  dl/avgdl is computed as (dl·N)/Σdl to
+    keep the only division in one deterministic double expression.
+    """.format(**_BM25)
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("toks")))
+    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    g = dl.groupBy().agg(F.count("*").alias("n"), F.sum("dl").alias("sumdl"))
+    tf = (d.select("doc_id", F.explode("toks").alias("term"))
+          .filter(F.col("term").isin(*_BM25["terms"]))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = _BM25["k1"], _BM25["b"]
+    idf = F.log(1 + ((F.col("n") - F.col("df")).cast("double") + 0.5) /
+                (F.col("df") + 0.5))
+    norm = (F.col("tf") + k1 * (1 - b + b * (F.col("dl").cast("double") *
+                                             F.col("n")) / F.col("sumdl")))
+    term_nano = F.round(idf * (F.col("tf") * (k1 + 1)) / norm * 1e9) \
+                 .cast("long")
+    scored = (tf.join(F.broadcast(df_), "term")
+              .join(F.broadcast(dl), "doc_id")
+              .join(F.broadcast(g))
+              .select("doc_id", term_nano.alias("term_nano")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("term_nano").cast("long").alias("score_nano"))
+            .orderBy(F.col("score_nano").desc(), "doc_id")
+            .limit(_BM25["topk"]))
+
+
+# =========================================================================
+# Segmented inverted index ([EXT] — the BM25 storage layout)
+# =========================================================================
+
+_IDX = dict(segment=50)
+
+
+@q("inverted_index_postings", ("F9", "A2"), oracle=f"""
+WITH t AS (
+  SELECT DISTINCT UNNEST(string_split(text, ' ')) AS term, doc_id
+  FROM documents
+)
+SELECT term, doc_id // {_IDX['segment']} AS segment,
+       COUNT(*) AS seg_df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+FROM t GROUP BY 1, 2
+""")
+def inverted_index_postings(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Inverted index build: term → SEGMENTED posting lists (doc-id
+    range segments of {segment}), each segment a sorted CSV run plus
+    its local df.
+
+    Scale design: segmenting by doc-id range is what real engines do
+    (Lucene segments, ES shards) and what distribution requires — a
+    single collect_list per term would funnel every posting for a hot
+    term through one reducer and produce an unboundedly long row.
+    With (term, segment) as the grouping key, segment size bounds both
+    reducer fan-in and row width; segment boundaries align with doc-id
+    partitioning, so the index can be written partitioned-by-segment
+    and merged/queried per segment.  Postings sort WITHIN a segment
+    only (array_sort of a bounded list); global order is implied by
+    segment order.  DISTINCT-before-group gives set semantics per
+    (term, doc).
+    """.format(**_IDX)
+    seg = _IDX["segment"]
+    t = (load(spark, sf_dir, "documents")
+         .select(F.col("doc_id"), F.explode(F.split("text", " "))
+                 .alias("term"))
+         .distinct())
+    return (t.groupBy("term",
+                      F.expr(f"doc_id div {seg}").alias("segment"))
+            .agg(F.count("*").alias("seg_df"),
+                 F.array_join(F.array_sort(F.collect_list(
+                     F.col("doc_id"))), ",").alias("postings")))
+
+
+# =========================================================================
+# ANN recall@k evaluation ([EXT] — the trust gate for approximate search)
+# =========================================================================
+
+@q("ann_recall_eval", ("F10", "W3", "J5"), oracle=f"""
+WITH emb AS ({_O_EMB}),
+probes AS (SELECT * FROM emb WHERE vec_id < 10),
+bf_scored AS (
+  SELECT b.vec_id AS probe_id, a.vec_id AS vec_id, {_O_COS} AS score
+  FROM emb a, probes b WHERE a.vec_id <> b.vec_id
+),
+bf AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+    FROM bf_scored) WHERE rank <= 5
+),
+bucketed AS (
+  SELECT vec_id, vec,
+         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM emb
+),
+lprobes AS (SELECT * FROM bucketed WHERE vec_id < 10),
+lsh_scored AS (
+  SELECT b.vec_id AS probe_id, a.vec_id AS vec_id, {_O_COS} AS score
+  FROM bucketed a JOIN lprobes b ON a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+),
+lsh AS (
+  SELECT probe_id, vec_id, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+    FROM lsh_scored) WHERE rank <= 5
+)
+SELECT bf.probe_id, COUNT(*) AS k,
+       COUNT(lsh.rank) AS hits,
+       CAST(COUNT(lsh.rank) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM bf LEFT JOIN lsh USING (probe_id, vec_id)
+GROUP BY bf.probe_id
+""")
+def ann_recall_eval(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Recall@5 of the sign-LSH index against the exact brute-force
+    scan, per probe — the evaluation harness that decides whether an
+    approximate index is allowed to replace the exact path.
+
+    Scale design: reuses the two production operators verbatim
+    (operators/similarity.py) — the eval is a LEFT JOIN of their
+    outputs on (probe, neighbor) plus a count, so it costs the two
+    searches; nothing new shuffles.  At scale you run it on a sampled
+    probe set (the probe predicate) while the index serves the full
+    corpus — exactly the shape here.  Comparison is on neighbor IDs,
+    not scores, so float formatting can't perturb the metric.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    bf = brute_force_topk(e, probes, k=5).select("probe_id", "vec_id")
+    lsh = (lsh_bucket_topk(e, probes, k=5, n_planes=4)
+           .select("probe_id", "vec_id", F.col("rank").alias("lrank")))
+    return (bf.join(lsh, ["probe_id", "vec_id"], "left")
+            .groupBy("probe_id")
+            .agg(F.count("*").alias("k"),
+                 F.count("lrank").alias("hits"))
+            .selectExpr("probe_id", "k", "hits",
+                        "(hits * 1000000) div k AS recall_ppm"))
+
+
+# =========================================================================
+# Winsorized statistics ([EXT] — exact-percentile outlier clipping)
+# =========================================================================
+
+@q("winsorized_stats", ("A1", "W1", "F7"), oracle="""
+WITH t AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), h AS (SELECT grp, v, COUNT(*) AS c FROM t GROUP BY grp, v),
+c AS (
+  SELECT grp, v, SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM h
+), thr AS (
+  SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MIN(CASE WHEN cum * 20 >= n THEN v END) AS BIGINT) AS lo,
+         CAST(MIN(CASE WHEN cum * 20 >= 19 * n THEN v END) AS BIGINT) AS hi
+  FROM c GROUP BY grp
+)
+SELECT t.grp, thr.n, thr.lo, thr.hi,
+       CAST(SUM(LEAST(GREATEST(t.v, thr.lo), thr.hi))
+            // thr.n AS BIGINT) AS winsorized_mean_cent
+FROM t JOIN thr ON t.grp = thr.grp
+GROUP BY t.grp, thr.n, thr.lo, thr.hi
+""")
+def winsorized_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-group winsorized mean: clip extended price to its EXACT
+    nearest-rank [p05, p95] and average — the outlier-immune location
+    estimate next to robust_mad_by_group's scale estimate.
+
+    Scale design: the same histogram-percentile move as
+    curriculum_order — per-VALUE counts first (map-side combined,
+    shuffle carries distinct (grp, cent) cells), a cumsum window over
+    the per-group histogram (grid-sized, not row-sized), and the
+    nearest-rank test as the integer cross-multiplication
+    cum·20 ≥ q·20·n — no percentile_cont floats, no global sort of raw
+    rows.  Thresholds (one row per group) broadcast back onto the
+    fact scan; clip + exact integer mean are map-side.  Two fact
+    scans total (histogram + clipped sum), both full-scan-parallel.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(F.col("l_returnflag").alias("grp"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("v"))
+    h = t.groupBy("grp", "v").agg(F.count("*").alias("c"))
+    wc = (W.partitionBy("grp").orderBy("v")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = h.select("grp", "v",
+                 F.sum("c").over(wc).alias("cum"),
+                 F.sum("c").over(W.partitionBy("grp")).alias("n"))
+    thr = (c.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("cum") * 20 >= F.col("n"), F.col("v")))
+        .cast("long").alias("lo"),
+        F.min(F.when(F.col("cum") * 20 >= 19 * F.col("n"), F.col("v")))
+        .cast("long").alias("hi")))
+    return (t.join(F.broadcast(thr), "grp")
+            .groupBy("grp", "n", "lo", "hi")
+            .agg(F.sum(F.least(F.greatest(F.col("v"), F.col("lo")),
+                               F.col("hi"))).alias("s"))
+            .selectExpr("grp", "n", "lo", "hi",
+                        "s div n AS winsorized_mean_cent"))

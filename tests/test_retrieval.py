@@ -1,0 +1,100 @@
+"""Invariant tests for the retrieval family (queries_retrieval.py):
+BM25 reproduces from a Python reimplementation, the inverted index is
+a lossless partition of the (term, doc) relation, recall@k is bounded
+and consistent, and winsorized thresholds satisfy the nearest-rank
+definition exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.queries import REGISTRY, load
+from iot_simulator_datalake_spark.queries_retrieval import _BM25, _IDX
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return [(r["doc_id"], r["text"].split(" "))
+            for r in load(spark, SF, "documents")
+            .select("doc_id", "text").collect()]
+
+
+def test_bm25_matches_python_reimplementation(spark):
+    out = REGISTRY["bm25_topk"].fn(spark, SF).collect()
+    docs = _docs(spark)
+    n = len(docs)
+    sumdl = sum(len(t) for _, t in docs)
+    terms = _BM25["terms"]
+    df = Counter(t for _, toks in docs for t in set(toks) if t in terms)
+    k1, b = _BM25["k1"], _BM25["b"]
+    scores = {}
+    for doc_id, toks in docs:
+        tf = Counter(t for t in toks if t in terms)
+        s = 0
+        for t, f in tf.items():
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            norm = f + k1 * (1 - b + b * (len(toks) * n) / sumdl)
+            s += round(idf * (f * (k1 + 1)) / norm * 1e9)
+        if s:
+            scores[doc_id] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = want[:_BM25["topk"]]
+    got = [(r["doc_id"], r["score_nano"]) for r in out]
+    assert got == want
+    # ranking is sorted and positive
+    assert all(got[i][1] >= got[i + 1][1] for i in range(len(got) - 1))
+    assert got[0][1] > 0
+
+
+def test_inverted_index_is_lossless_partition(spark):
+    out = REGISTRY["inverted_index_postings"].fn(spark, SF).collect()
+    docs = _docs(spark)
+    want = {(t, d) for d, toks in docs for t in toks}
+    got = set()
+    for r in out:
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)                       # sorted within segment
+        assert len(ids) == r["seg_df"]
+        assert all(i // _IDX["segment"] == r["segment"] for i in ids)
+        for i in ids:
+            assert (r["term"], i) not in got            # no duplicates
+            got.add((r["term"], i))
+    assert got == want                                  # lossless
+
+
+def test_ann_recall_bounds_and_consistency(spark):
+    rows = REGISTRY["ann_recall_eval"].fn(spark, SF).collect()
+    assert len(rows) == 10                              # one per probe
+    for r in rows:
+        assert r["k"] == 5
+        assert 0 <= r["hits"] <= r["k"]
+        assert r["recall_ppm"] == r["hits"] * 1_000_000 // r["k"]
+    # sign-LSH with 4 planes keeps each probe's own bucket, so recall
+    # can't be globally zero on clustered data
+    assert sum(r["hits"] for r in rows) > 0
+
+
+def test_winsorized_thresholds_are_nearest_rank(spark):
+    out = {r["grp"]: r for r in
+           REGISTRY["winsorized_stats"].fn(spark, SF).collect()}
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice").collect()
+    by = {}
+    for r in li:
+        by.setdefault(r["l_returnflag"], []).append(
+            round(r["l_extendedprice"] * 100))
+    for g, vals in by.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[math.ceil(0.05 * n) - 1]              # nearest-rank p05
+        hi = vals[math.ceil(0.95 * n) - 1]
+        r = out[g]
+        assert r["n"] == n and r["lo"] == lo and r["hi"] == hi
+        clipped = [min(max(v, lo), hi) for v in vals]
+        assert r["winsorized_mean_cent"] == sum(clipped) // n
+        assert lo <= r["winsorized_mean_cent"] <= hi
