@@ -218,3 +218,44 @@ def percent_rank_segment(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.col("c_mktsegment").alias("segment"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
+# =========================================================================
+# Next-event training pairs ([EXT] — sequence-dataset construction)
+# =========================================================================
+
+@q("next_event_training_pairs", ("W1", "F9"), oracle="""
+SELECT user_id, event_id,
+       concat_ws(',',
+         LAG(event_type, 3) OVER w,
+         LAG(event_type, 2) OVER w,
+         LAG(event_type, 1) OVER w) AS history,
+       event_type AS label
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY LAG(event_type, 1) OVER w IS NOT NULL
+""")
+def next_event_training_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Sequence-model dataset construction: for every event with at
+    least one predecessor, (history = up to 3 previous event types,
+    label = the event's own type) — the supervised next-action shape
+    behind session-based recommenders and next-token-style behavioral
+    models.
+
+    Scale design: pure offset windows over ONE user_id shuffle — no
+    self-joins, no collect_list of unbounded sessions; history width is
+    a constant, so row width is bounded and the dataset is exactly
+    |events with a predecessor| rows.  concat_ws skips the NULLs of
+    short heads identically on both engines, so sequence starts need no
+    special-casing.  Longer horizons stay O(k) lag columns; a variable-
+    length variant would switch to the rows-frame collect_list window.
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag = lambda k: F.lag("event_type", k).over(w)  # noqa: E731
+    return (e.select("user_id", "event_id",
+                     F.concat_ws(",", lag(3), lag(2), lag(1)).alias("history"),
+                     F.col("event_type").alias("label"),
+                     lag(1).alias("_p"))
+            .filter(F.col("_p").isNotNull())
+            .drop("_p"))

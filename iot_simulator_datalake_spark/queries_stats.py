@@ -400,3 +400,189 @@ def scd2_point_in_time_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                     F.col("v.version_id").alias("version_id"),
                     F.col("v.v_type").alias("v_type"),
                     F.col("v.v_value_micro").alias("v_value_micro")))
+
+
+# =========================================================================
+# Key-skew profile ([EXT] — the diagnosis behind operators/skew.py)
+# =========================================================================
+
+@q("skew_profile", ("A1", "F7"), oracle="""
+WITH k AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS top1 FROM k)
+SELECT n.n_keys, n.total, n.top1,
+       CAST(n.top1 * 1000000 // n.total AS BIGINT) AS top1_share_ppm,
+       CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n.total) *
+           LN(CAST(c AS DOUBLE) / n.total) * 1e9) AS BIGINT)) AS BIGINT)
+           AS entropy_nano
+FROM k CROSS JOIN n
+GROUP BY n.n_keys, n.total, n.top1
+""")
+def skew_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Partition-key skew diagnosis for the events shuffle key: key
+    count, hottest-key share (ppm) and Shannon entropy of the key
+    distribution (nats, int64 nanos) in one pass.
+
+    Scale design: this is the query you run BEFORE choosing a
+    partitioning — entropy near ln(n_keys) means the key hashes flat;
+    a top1 share above ~1/parallelism means one reducer owns the tail
+    of the stage and operators/skew.py's salting is warranted.  Cost:
+    one map-side-combined key count; everything downstream is
+    key-cardinality-sized, the scalar marginals broadcast, and the
+    per-key entropy terms round to int64 nanos before the integer sum
+    (order-independent, engine-portable).
+    """
+    e = load(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    n = k.groupBy().agg(F.sum("c").cast("long").alias("total"),
+                        F.count("*").cast("long").alias("n_keys"),
+                        F.max("c").cast("long").alias("top1"))
+    p = F.col("c").cast("double") / F.col("total")
+    term = F.round(-p * F.log(p) * 1e9).cast("long")
+    return (k.join(F.broadcast(n))
+            .groupBy("n_keys", "total", "top1")
+            .agg(F.sum(term).cast("long").alias("entropy_nano"))
+            .selectExpr("n_keys", "total", "top1",
+                        "(top1 * 1000000) div total AS top1_share_ppm",
+                        "entropy_nano")
+            .select("n_keys", "total", "top1", "top1_share_ppm",
+                    "entropy_nano"))
+
+
+# =========================================================================
+# Join-size estimation ([EXT] — planner observability without the join)
+# =========================================================================
+
+@q("join_size_estimate", ("A1", "J1"), oracle="""
+WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+b AS (SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS nd_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS nd_b,
+       CAST(SUM(ca * cb) AS BIGINT) AS exact_join_rows,
+       CAST(MAX(ca * cb) AS BIGINT) AS max_key_product
+FROM a JOIN b USING (k)
+""")
+def join_size_estimate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact output cardinality of lineitem⋈orders — computed WITHOUT
+    running the join: Σ_k ca(k)·cb(k) over per-side key histograms,
+    plus the max per-key product (the skew red flag).
+
+    Scale design: the planner-observability primitive — both key
+    histograms map-side combine (the shuffle carries distinct keys,
+    not facts), the histogram join is key-cardinality-sized, and the
+    two output statistics tell you (a) whether the real join's output
+    fits your stage budget and (b) whether one key will hot-spot a
+    reducer (max_key_product ≫ mean ⇒ pre-salt).  This is how an
+    engine should answer "dare we run this join?" — a KB-scale dry
+    run, not an OOM discovery.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    a = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("ca"))
+    b = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("cb"))
+    nd = a.groupBy().agg(F.count("*").cast("long").alias("nd_a")).crossJoin(
+        b.groupBy().agg(F.count("*").cast("long").alias("nd_b")))
+    j = (a.join(b, "k")
+         .groupBy().agg(F.sum(F.col("ca") * F.col("cb")).cast("long")
+                        .alias("exact_join_rows"),
+                        F.max(F.col("ca") * F.col("cb")).cast("long")
+                        .alias("max_key_product")))
+    return (F.broadcast(nd).crossJoin(j)
+            .select("nd_a", "nd_b", "exact_join_rows", "max_key_product"))
+
+
+# =========================================================================
+# Two-feature OLS via centered normal equations ([EXT])
+# =========================================================================
+
+@q("ols_two_feature", ("A1", "F7"), oracle="""
+WITH t AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 1000000) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y  AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * y)  AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * y)  AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(y  AS DECIMAL(38,0)) * y)  AS DOUBLE) AS syy
+  FROM t GROUP BY grp
+), c AS (
+  SELECT grp, n, s1, s2, sy,
+         s11 - s1 * s1 / n AS c11,
+         s12 - s1 * s2 / n AS c12,
+         s22 - s2 * s2 / n AS c22,
+         s1y - s1 * sy / n AS c1y,
+         s2y - s2 * sy / n AS c2y,
+         syy - sy * sy / n AS cyy
+  FROM m
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       ROUND((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 9) AS b1,
+       ROUND((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 9) AS b2,
+       ROUND((sy - ((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)) * s1
+                 - ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) * s2)
+             / n, 6) AS intercept,
+       ROUND((((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)) * c1y
+            + ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) * c2y)
+             / cyy, 9) AS r2
+FROM c
+""")
+def ols_two_feature(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Multiple regression price ~ quantity + discount per group, solved
+    in closed form from centered normal equations (2×2 Cramer) over
+    exact DECIMAL(38,0) moment sums — the d-feature generalization of
+    corr_regression_exact (the moment matrix is d², the pattern holds
+    for any small feature set).
+
+    Scale design: identical profile to the single-feature fit — ONE
+    hash-agg pass accumulates the 10 moments exactly (mergeable across
+    partitions/shards/batches), and the solve is per-group constant
+    work in deterministic double arithmetic (same expression tree both
+    engines).  This is the distributed "fit a linear probe" primitive:
+    no gradient loop, no second scan, bit-stable.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 1000000).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = t.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("x1")).cast("double").alias("s1"),
+        F.sum(dec("x2")).cast("double").alias("s2"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(dec("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(dec("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(dec("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(dec("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"))
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    c11 = F.col("s11") - s1 * s1 / n
+    c12 = F.col("s12") - s1 * s2 / n
+    c22 = F.col("s22") - s2 * s2 / n
+    c1y = F.col("s1y") - s1 * sy / n
+    c2y = F.col("s2y") - s2 * sy / n
+    cyy = F.col("syy") - sy * sy / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    return m.select(
+        "grp", n.cast("long").alias("n"),
+        F.round(b1, 9).alias("b1"),
+        F.round(b2, 9).alias("b2"),
+        F.round((sy - b1 * s1 - b2 * s2) / n, 6).alias("intercept"),
+        F.round((b1 * c1y + b2 * c2y) / cyy, 9).alias("r2"))

@@ -144,3 +144,78 @@ def test_point_in_time_never_reads_future(spark):
     n_probes = e.filter(F.col("event_type") == "error").count()
     assert out.count() == n_probes
     assert out.select("probe_id").distinct().count() == n_probes
+
+
+def test_ols_two_feature_matches_numpy(spark):
+    import numpy as np
+    out = {r["grp"]: r for r in
+           REGISTRY["ols_two_feature"].fn(spark, SF).collect()}
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount",
+        "l_extendedprice").collect()
+    by = {}
+    for r in li:
+        by.setdefault(r["l_returnflag"], []).append(
+            (round(r["l_quantity"] * 100), round(r["l_discount"] * 1e6),
+             round(r["l_extendedprice"] * 100)))
+    for g, rows in by.items():
+        a = np.array([(x1, x2, 1.0) for x1, x2, _ in rows])
+        yv = np.array([y for _, _, y in rows], dtype=float)
+        (b1, b2, icept), res, *_ = np.linalg.lstsq(a, yv, rcond=None)
+        r = out[g]
+        assert abs(r["b1"] - b1) < 1e-5 * max(1, abs(b1))
+        assert abs(r["b2"] - b2) < 1e-5 * max(1, abs(b2))
+        assert abs(r["intercept"] - icept) < 1e-4 * max(1, abs(icept))
+        # R² consistent with residuals
+        sst = ((yv - yv.mean()) ** 2).sum()
+        r2 = 1 - res[0] / sst
+        assert abs(r["r2"] - r2) < 1e-6
+        assert r["n"] == len(rows)
+
+
+def test_skew_profile_reproduces(spark):
+    import math as m
+    out = REGISTRY["skew_profile"].fn(spark, SF).collect()[0]
+    from collections import Counter
+    cnt = Counter(r["user_id"] for r in
+                  load(spark, SF, "events").select("user_id").collect())
+    total = sum(cnt.values())
+    assert out["n_keys"] == len(cnt)
+    assert out["total"] == total
+    assert out["top1"] == max(cnt.values())
+    assert out["top1_share_ppm"] == max(cnt.values()) * 1_000_000 // total
+    ent = sum(round(-(c / total) * m.log(c / total) * 1e9)
+              for c in cnt.values())
+    assert out["entropy_nano"] == ent
+    # entropy bounded by ln(n_keys)
+    assert out["entropy_nano"] <= m.log(len(cnt)) * 1e9 + 1
+
+
+def test_join_size_estimate_is_exact(spark):
+    out = REGISTRY["join_size_estimate"].fn(spark, SF).collect()[0]
+    li = load(spark, SF, "lineitem")
+    o = load(spark, SF, "orders")
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert out["exact_join_rows"] == actual
+    assert out["nd_a"] == li.select("l_orderkey").distinct().count()
+    assert out["nd_b"] == o.select("o_orderkey").distinct().count()
+    assert out["max_key_product"] >= 1
+
+
+def test_next_event_pairs_history_is_correct(spark):
+    out = REGISTRY["next_event_training_pairs"].fn(spark, SF).cache()
+    e = load(spark, SF, "events")
+    rows = e.select("user_id", "event_id", "ts", "event_type").collect()
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    want = {}
+    hist = []
+    prev_user = None
+    for r in rows:
+        if r["user_id"] != prev_user:
+            hist, prev_user = [], r["user_id"]
+        if hist:
+            want[r["event_id"]] = (",".join(hist[-3:]), r["event_type"])
+        hist.append(r["event_type"])
+    got = {r["event_id"]: (r["history"], r["label"])
+           for r in out.collect()}
+    assert got == want
