@@ -124,3 +124,84 @@ def snapshot_changes(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     v1 = write_snapshot(v1_df, tbl)
     return (snapshot_diff(spark, tbl, v0, v1, keys=("order_id",))
             .withColumnRenamed("_change_type", "change_type"))
+
+
+# =========================================================================
+# General MERGE INTO ([EXT] — the full Delta/Iceberg merge matrix)
+# =========================================================================
+
+_MERGE = dict(upd=100_000_000)  # update threshold, cents; delete = negative balance
+
+
+@q("merge_into_full_matrix", ("J1", "W1", "S6"), oracle=f"""
+WITH t AS (
+  SELECT c_custkey AS custkey, c_name AS name, c_nationkey AS nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+         c_mktsegment AS seg
+  FROM customer
+), s AS (
+  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS spend
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(t.custkey, s.custkey) AS custkey,
+       CASE WHEN t.custkey IS NULL THEN 'NEW' ELSE t.name END AS name,
+       CASE WHEN t.custkey IS NULL THEN 0 ELSE t.nationkey END
+           AS nationkey,
+       CAST(CASE
+         WHEN t.custkey IS NULL THEN s.spend // 100
+         WHEN s.custkey IS NOT NULL AND s.spend >= {_MERGE['upd']}
+           THEN t.bal + s.spend // 100
+         ELSE t.bal END AS BIGINT) AS bal,
+       CASE
+         WHEN t.custkey IS NULL THEN 'NEW'
+         WHEN s.custkey IS NOT NULL AND s.spend >= {_MERGE['upd']}
+           THEN 'UPGRADED'
+         ELSE t.seg END AS seg
+FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+WHERE t.custkey IS NULL                                   -- insert
+   OR s.custkey IS NULL                                   -- untouched
+   OR NOT (t.bal < 0)                                     -- not deleted
+""")
+def merge_into_full_matrix(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The full MERGE INTO matrix in one statement over customer ←
+    order-activity batch: big spenders UPDATE (balance credit +
+    segment upgrade), active-but-negative-balance accounts DELETE
+    (the churn purge), unknown keys INSERT,
+    everyone else unchanged — `operators/merge.py` lowered to a single
+    full-outer join + CASE resolution, exactly Delta's physical
+    strategy minus the file-touch-set optimization (which
+    engine/skipping.py supplies when the target is a managed table).
+
+    Every 10th source key is shifted out of the key space to exercise
+    the NOT MATCHED INSERT branch deterministically.  All arithmetic
+    in integer cents with floor division — bit-stable.
+    """
+    from .operators.merge import merge_into
+    t = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        F.col("c_mktsegment").alias("seg"))
+    s = (load(spark, sf_dir, "orders")
+         .select(F.when(F.col("o_custkey") % 10 == 0,
+                        F.col("o_custkey") + 1000000)
+                 .otherwise(F.col("o_custkey")).alias("custkey"),
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cents"))
+         .groupBy("custkey").agg(F.sum("cents").alias("spend")))
+    return merge_into(
+        t, s, "custkey",
+        update_set={
+            "bal": F.expr("t.bal + (s.spend div 100)"),
+            "seg": F.lit("UPGRADED")},
+        update_cond=F.col("s.spend") >= _MERGE["upd"],
+        delete_cond=F.col("t.bal") < 0,
+        insert_values={
+            "custkey": F.col("s.custkey"),
+            "name": F.lit("NEW"),
+            "nationkey": F.lit(0),
+            "bal": F.expr("s.spend div 100"),
+            "seg": F.lit("NEW")})
