@@ -259,3 +259,44 @@ def next_event_training_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame"
                      lag(1).alias("_p"))
             .filter(F.col("_p").isNotNull())
             .drop("_p"))
+
+
+# =========================================================================
+# Frequent event trigrams ([EXT] — sequential pattern mining)
+# =========================================================================
+
+@q("event_trigram_patterns", ("W1", "A1"), oracle="""
+WITH g AS (
+  SELECT event_type || '>' || LEAD(event_type, 1) OVER w
+             || '>' || LEAD(event_type, 2) OVER w AS trigram
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  QUALIFY LEAD(event_type, 2) OVER w IS NOT NULL
+)
+SELECT trigram, COUNT(*) AS n
+FROM g GROUP BY trigram
+ORDER BY n DESC, trigram LIMIT 50
+""")
+def event_trigram_patterns(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Top-50 most frequent 3-step behavior paths — the order-3
+    extension of event_transition_matrix's bigrams, i.e. sequential
+    pattern mining at fixed depth (the practical core of SPADE-style
+    miners: almost all signal is in short patterns).
+
+    Scale design: LEAD offsets assemble trigrams inside the SAME
+    user_id shuffle the other behavioral queries use — no self-joins
+    (the classic trigram formulation is events⋈events⋈events; offset
+    windows make it one pass).  The trigram-count agg map-side
+    combines to ≤|types|³ cells, and the final top-50 is
+    TakeOrderedAndProject.  Deeper patterns stay O(depth) lag columns,
+    never a join chain.
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t1 = F.lead("event_type", 1).over(w)
+    t2 = F.lead("event_type", 2).over(w)
+    g = (e.select(F.concat_ws(">", F.col("event_type"), t1, t2)
+                  .alias("trigram"), t2.alias("_t2"))
+         .filter(F.col("_t2").isNotNull()))
+    return (g.groupBy("trigram").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "trigram").limit(50))

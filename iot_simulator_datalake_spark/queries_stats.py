@@ -586,3 +586,58 @@ def ols_two_feature(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.round(b2, 9).alias("b2"),
         F.round((sy - b1 * s1 - b2 * s2) / n, 6).alias("intercept"),
         F.round((b1 * c1y + b2 * c2y) / cyy, 9).alias("r2"))
+
+
+# =========================================================================
+# Weighted sample without replacement ([EXT] — A-ES / priority sampling)
+# =========================================================================
+
+_WSAMP = dict(k=100, mod=1 << 40)
+
+
+@q("weighted_sample_topk", ("W3", "F7"), oracle=f"""
+WITH t AS (
+  SELECT o_orderkey AS order_id,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS weight_cents,
+         (('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 10))
+             ::BIGINT % {_WSAMP['mod']}) AS h
+  FROM orders
+), p AS (
+  SELECT order_id, weight_cents,
+         POW((h + 0.5) / {_WSAMP['mod']},
+             1.0 / CAST(weight_cents AS DOUBLE)) AS priority
+  FROM t
+)
+SELECT order_id, weight_cents
+FROM p ORDER BY priority DESC, order_id LIMIT {_WSAMP['k']}
+""")
+def weighted_sample_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Weighted sample WITHOUT replacement, k={k}: Efraimidis–Spirakis
+    A-ES priority sampling — each row draws u ∈ (0,1) from a
+    deterministic md5 coin and survives if u^(1/w) ranks top-k.
+    Inclusion probability is proportional to weight (here order value),
+    the estimator behind weighted corpus subsampling and pay-as-you-go
+    data valuation.
+
+    Scale design: A-ES is THE distributed weighted-sampling algorithm —
+    priorities are computed map-side (one hash + one pow per row, no
+    state), and top-k by priority is TakeOrderedAndProject: each
+    partition surrenders at most k rows, merged on the driver; no
+    global sort, no second pass, and per-shard top-k lists MERGE (take
+    the k best of the union), so the sample maintains itself
+    incrementally.  The md5 coin (not rand()) makes the sample
+    reproducible across engines, retries and backfills — same property
+    as hash_sample_stratified, extended to weighted inclusion.
+    """.format(**_WSAMP)
+    o = load(spark, sf_dir, "orders")
+    mod = _WSAMP["mod"]
+    h = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ws:"), F.col("o_orderkey").cast("string"))),
+        1, 10), 16, 10).cast("long") % mod)
+    w = F.round(F.col("o_totalprice") * 100).cast("long")
+    p = o.select(F.col("o_orderkey").alias("order_id"),
+                 w.alias("weight_cents"),
+                 F.pow((h + 0.5) / mod,
+                       1.0 / w.cast("double")).alias("priority"))
+    return (p.orderBy(F.col("priority").desc(), "order_id")
+            .limit(_WSAMP["k"]).select("order_id", "weight_cents"))

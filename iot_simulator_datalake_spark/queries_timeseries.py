@@ -467,3 +467,75 @@ def capped_running_balance(spark: "SparkSession", sf_dir: str
             .applyInPandas(fold,
                            "user_id bigint, event_id bigint, "
                            "balance bigint"))
+
+
+# =========================================================================
+# Rolling 30-day correlation ([EXT] — windowed co-moments)
+# =========================================================================
+
+@q("rolling_corr_30d", ("W1", "A1", "F7"), oracle="""
+WITH d AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS y
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT day,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) OVER w AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) OVER w AS DOUBLE) AS syy
+  FROM d
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * sxy - sx * sy) /
+             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 9)
+           AS rolling_r
+FROM m WHERE n >= 10
+""")
+def rolling_corr_30d(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Rolling 30-day Pearson correlation between daily shipped
+    quantity and daily revenue — the windowed form of
+    corr_regression_exact, i.e. a drift detector over the RELATIONSHIP
+    between two metrics rather than either one's level.
+
+    Scale design: the co-moment trick composes with RANGE frames —
+    pre-aggregate to days first (map-side combined; the window's input
+    is calendar-sized, not fact-sized), then all six moment sums run
+    over ONE day-ordered frame in a single window pass, exact in
+    DECIMAL(38,0).  The final ratio is the usual deterministic double
+    expression.  Day keys are integer epoch-days so the RANGE frame is
+    pure integer arithmetic on both engines.  Windows with fewer than
+    10 days are suppressed (unstable estimates, and the head of the
+    series differs from a production run that has history).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.groupBy(F.datediff(F.col("l_shipdate").cast("date"),
+                               F.lit("1970-01-01").cast("date"))
+                    .cast("long").alias("day"))
+         .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+              .cast("long").alias("x"),
+              F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+              .cast("long").alias("y")))
+    w = W.orderBy("day").rangeBetween(-29, W.currentRow)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = d.select(
+        "day",
+        F.count("*").over(w).cast("double").alias("n"),
+        F.sum(dec("x")).over(w).cast("double").alias("sx"),
+        F.sum(dec("y")).over(w).cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("y")).over(w).cast("double").alias("sxy"),
+        F.sum(dec("x") * F.col("x")).over(w).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).over(w).cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) *
+                               F.sqrt(n * syy - sy * sy))
+    return (m.filter(n >= 10)
+            .select("day", n.cast("long").alias("n_days"),
+                    F.round(r, 9).alias("rolling_r")))

@@ -219,3 +219,66 @@ def test_next_event_pairs_history_is_correct(spark):
     got = {r["event_id"]: (r["history"], r["label"])
            for r in out.collect()}
     assert got == want
+
+
+def test_weighted_sample_matches_python_aes(spark):
+    import hashlib
+    from iot_simulator_datalake_spark.queries_stats import _WSAMP
+    out = [(r["order_id"], r["weight_cents"]) for r in
+           REGISTRY["weighted_sample_topk"].fn(spark, SF).collect()]
+    orders = load(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice").collect()
+    mod = _WSAMP["mod"]
+    pri = []
+    for r in orders:
+        w = round(r["o_totalprice"] * 100)
+        h = int(hashlib.md5(f"ws:{r['o_orderkey']}".encode())
+                .hexdigest()[:10], 16) % mod
+        pri.append((((h + 0.5) / mod) ** (1.0 / w), r["o_orderkey"], w))
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    want = [(k, w) for _, k, w in pri[:_WSAMP["k"]]]
+    assert out == want
+    # heavier-weighted population is overrepresented: the sample's mean
+    # weight exceeds the population mean (inclusion ∝ weight)
+    pop_mean = sum(w for _, _, w in pri) / len(pri)
+    smp_mean = sum(w for _, w in out) / len(out)
+    assert smp_mean > pop_mean
+
+
+def test_rolling_corr_windows_are_correct(spark):
+    import numpy as np
+    rows = {r["day"]: r for r in
+            REGISTRY["rolling_corr_30d"].fn(spark, SF).collect()}
+    li = load(spark, SF, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_extendedprice").collect()
+    from collections import defaultdict
+    daily = defaultdict(lambda: [0, 0])
+    epoch = __import__("datetime").date(1970, 1, 1)
+    for r in li:
+        d = (r["l_shipdate"].date() - epoch).days
+        daily[d][0] += round(r["l_quantity"] * 100)
+        daily[d][1] += round(r["l_extendedprice"] * 100)
+    days = sorted(daily)
+    for day, r in list(rows.items())[::37]:  # spot-check a spread
+        win = [daily[d] for d in days if day - 29 <= d <= day]
+        assert r["n_days"] == len(win) >= 10
+        xs = np.array([x for x, _ in win], dtype=float)
+        ys = np.array([y for _, y in win], dtype=float)
+        want = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(r["rolling_r"] - want) < 1e-6
+
+
+def test_event_trigrams_reproduce(spark):
+    from collections import Counter
+    out = [(r["trigram"], r["n"]) for r in
+           REGISTRY["event_trigram_patterns"].fn(spark, SF).collect()]
+    e = load(spark, SF, "events").select(
+        "user_id", "event_id", "ts", "event_type").collect()
+    e.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    cnt = Counter()
+    for i in range(len(e) - 2):
+        a, b, c = e[i], e[i + 1], e[i + 2]
+        if a["user_id"] == b["user_id"] == c["user_id"]:
+            cnt[f"{a['event_type']}>{b['event_type']}>{c['event_type']}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert out == want
