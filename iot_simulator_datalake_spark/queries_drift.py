@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+from pyspark.sql import Column
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -108,7 +109,7 @@ def ks_drift_detect(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 _PSI = dict(bins=20, lo=0, hi=500)
 
 
-@q("psi_drift_bins", ("A1", "F7"), oracle=f"""
+PSI_ORACLE = f"""
 WITH t AS (
   SELECT LEAST({_PSI['bins'] - 1}, GREATEST(0,
            CAST(FLOOR((value - {_PSI['lo']}) * {_PSI['bins']}
@@ -129,7 +130,42 @@ SELECT CAST(SUM(CAST(ROUND(
        AS BIGINT)) AS BIGINT) AS psi_nano,
        COUNT(*) AS n_bins
 FROM g CROSS JOIN n
-""")
+"""
+
+
+def psi_bin(col: Column = None) -> Column:
+    """Clamped equal-width bin id for the configured PSI spec."""
+    b, lo, hi = _PSI["bins"], _PSI["lo"], _PSI["hi"]
+    v = col if col is not None else F.col("value")
+    return F.least(F.lit(b - 1), F.greatest(F.lit(0), F.floor(
+        (v - lo) * b / (hi - lo)).cast("long")))
+
+
+def psi_from_bin_counts(spark: "SparkSession", ga: "DataFrame",
+                        gb: "DataFrame") -> "DataFrame":
+    """Serving-layer PSI: given per-bin counts for the reference
+    segment (``ga``: bin, ra) and the live segment (``gb``: bin, rb),
+    smooth over the full configured spine and reduce to
+    (psi_nano, n_bins).  Both inputs are bin-cardinality-sized, so
+    this stage costs nothing regardless of where the counts came from
+    (batch scan, drained stream state, or a merged pair of shards)."""
+    b = _PSI["bins"]
+    spine = spark.range(b).select(F.col("id").alias("bin"))
+    g = (spine.join(F.broadcast(ga), "bin", "left")
+         .join(F.broadcast(gb), "bin", "left")
+         .select("bin", (F.coalesce("ra", F.lit(0)) + 1).alias("ca"),
+                 (F.coalesce("rb", F.lit(0)) + 1).alias("cb")))
+    n = g.groupBy().agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    na, nb = F.col("na"), F.col("nb")
+    term = ((ca / na - cb / nb) * F.log((ca * nb) / (cb * na)) * 1e9)
+    return (g.join(F.broadcast(n))
+            .select(F.round(term).cast("long").alias("tn"))
+            .groupBy().agg(F.sum("tn").alias("psi_nano"),
+                           F.count("*").alias("n_bins")))
+
+
+@q("psi_drift_bins", ("A1", "F7"), oracle=PSI_ORACLE)
 def psi_drift_bins(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Population Stability Index between two segments over {bins}
     fixed equal-width bins (add-one smoothed):
@@ -147,32 +183,16 @@ def psi_drift_bins(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     come from a frozen reference spec, so batches never rescan history.
     """.format(**_PSI)
     e = load(spark, sf_dir, "events")
-    b, lo, hi = _PSI["bins"], _PSI["lo"], _PSI["hi"]
-    binc = F.least(F.lit(b - 1), F.greatest(F.lit(0), F.floor(
-        (F.col("value") - lo) * b / (hi - lo)).cast("long")))
-    t = (e.filter(F.col("event_type").isin(_SEG["a"], _SEG["b"]) &
-                  F.col("value").isNotNull())
-         .select(binc.alias("bin"),
-                 F.when(F.col("event_type") == _SEG["a"], 1).otherwise(0)
-                 .alias("ina"),
-                 F.when(F.col("event_type") == _SEG["b"], 1).otherwise(0)
-                 .alias("inb")))
-    # full configured-bin spine: empty bins still get their smoothing
-    # pseudo-count, so PSI is well-defined and n_bins is always `bins`
-    spine = spark.range(b).select(F.col("id").alias("bin"))
-    gc = t.groupBy("bin").agg(F.sum("ina").alias("ra"),
-                              F.sum("inb").alias("rb"))
-    g = (spine.join(F.broadcast(gc), "bin", "left")
-         .select("bin", (F.coalesce("ra", F.lit(0)) + 1).alias("ca"),
-                 (F.coalesce("rb", F.lit(0)) + 1).alias("cb")))
-    n = g.groupBy().agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
-    na, nb = F.col("na"), F.col("nb")
-    term = ((ca / na - cb / nb) * F.log((ca * nb) / (cb * na)) * 1e9)
-    return (g.join(F.broadcast(n))
-            .select(F.round(term).cast("long").alias("tn"))
-            .groupBy().agg(F.sum("tn").alias("psi_nano"),
-                           F.count("*").alias("n_bins")))
+    # full configured-bin spine inside psi_from_bin_counts: empty bins
+    # still get their smoothing pseudo-count, so PSI is well-defined
+    # and n_bins is always `bins`
+    base = e.filter(F.col("value").isNotNull()).select(
+        "event_type", psi_bin().alias("bin"))
+    ga = (base.filter(F.col("event_type") == _SEG["a"])
+          .groupBy("bin").agg(F.count("*").alias("ra")))
+    gb = (base.filter(F.col("event_type") == _SEG["b"])
+          .groupBy("bin").agg(F.count("*").alias("rb")))
+    return psi_from_bin_counts(spark, ga, gb)
 
 
 # =========================================================================
@@ -406,3 +426,44 @@ def target_encode_loo(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                     (F.col("ssum") - xm + _LOO["m"] * F.col("prior"))
                     .alias("num"), (F.col("n") - 1 + _LOO["m"]).alias("den"))
             .selectExpr("customer", "seg", "num div den AS encoded_micro"))
+
+
+# =========================================================================
+# k-anonymity audit ([EXT] — training-data governance)
+# =========================================================================
+
+_KANON = dict(k=5, bucket=100_000)  # acctbal bucket width, cents
+
+
+@q("k_anonymity_violations", ("A5", "P7"), oracle=f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS seg,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) // {_KANON['bucket']}
+           AS bal_bucket,
+       COUNT(*) AS group_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < {_KANON['k']}
+""")
+def k_anonymity_violations(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    segment, balance bucket): every equivalence class smaller than
+    k={k} is a re-identification risk — the groups a privacy-aware
+    training-data release must suppress or generalize before export.
+
+    Scale design: one map-side-combined groupBy over the QI tuple; the
+    violating set is by definition small (each row < k members), so
+    the output — the suppression worklist — is tiny even when the
+    input is 100 TB.  Composes with the engine: run it as an
+    expectation (engine/checks.py) gating the gold export, the same
+    way accepted_values gates dirty codes.  Bucketing the continuous
+    column is itself the generalization step of k-anonymization —
+    widen `bucket` until this relation is empty.
+    """.format(**_KANON)
+    c = load(spark, sf_dir, "customer")
+    bb = F.expr(
+        f"CAST(ROUND(c_acctbal * 100) AS BIGINT) div {_KANON['bucket']}")
+    return (c.groupBy(F.col("c_nationkey").alias("nationkey"),
+                      F.col("c_mktsegment").alias("seg"),
+                      bb.alias("bal_bucket"))
+            .agg(F.count("*").alias("group_size"))
+            .filter(F.col("group_size") < _KANON["k"]))

@@ -627,3 +627,46 @@ def streaming_apply_changes(spark: "SparkSession",
               .option("checkpointLocation", f"{land}/_checkpoint"))
     run_stream_available_now(writer)
     return ac.read()
+
+
+from .queries_drift import (PSI_ORACLE, _SEG as _PSI_SEG,  # noqa: E402
+                            psi_bin, psi_from_bin_counts)
+
+
+@q("streaming_psi_drift", ("ST2", "ST4", "A1"), oracle=PSI_ORACLE)
+def streaming_psi_drift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Drift gate ON the stream: the live segment's PSI bin counts
+    accumulate as a streaming aggregation (complete-mode state is one
+    row per bin — constant size, no watermark needed), the reference
+    segment's histogram comes from the frozen batch side, and the
+    PSI reduction runs over the drained bin state in the serving
+    layer.  This is how a training-data platform actually gates an
+    ingest feed: the stream maintains the cheap sufficient statistic
+    (bin counts), the decision statistic is recomputed from it on
+    demand.  Shares the batch ``psi_drift_bins`` oracle verbatim —
+    triggered draining must converge to the identical psi_nano.
+
+    At 100 TB/day the streaming state is still `bins` rows; the only
+    scale knob is the pre-shuffle partial aggregation Spark already
+    does for streaming groupBy.
+    """
+    batch = load(spark, sf_dir, "events")
+    ga = (batch.filter(F.col("value").isNotNull() &
+                       (F.col("event_type") == _PSI_SEG["a"]))
+          .select(psi_bin().alias("bin"))
+          .groupBy("bin").agg(F.count("*").alias("ra")))
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    live = (stream.filter(F.col("value").isNotNull() &
+                          (F.col("event_type") == _PSI_SEG["b"]))
+            .select(psi_bin().alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("rb")))
+    name = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    writer = (live.writeStream.outputMode("complete")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return psi_from_bin_counts(spark, ga, spark.table(name))

@@ -133,3 +133,27 @@ def test_target_encoding_excludes_self(spark):
     # row is independent of its own target only through the exclusion;
     # verified structurally above by exact reproduction
     assert out.count() == len(c)
+
+
+def test_streaming_psi_equals_batch(spark):
+    batch = REGISTRY["psi_drift_bins"].fn(spark, SF).collect()[0]
+    stream = REGISTRY["streaming_psi_drift"].fn(spark, SF).collect()[0]
+    assert stream["psi_nano"] == batch["psi_nano"]
+    assert stream["n_bins"] == batch["n_bins"]
+
+
+def test_k_anonymity_groups_and_completeness(spark):
+    from collections import Counter
+    from iot_simulator_datalake_spark.queries_drift import _KANON
+    out = REGISTRY["k_anonymity_violations"].fn(spark, SF).collect()
+    c = load(spark, SF, "customer").collect()
+    # Spark `div` and DuckDB `//` both TRUNCATE toward zero on
+    # negatives (balances can be < 0); Python // floors — use int()
+    groups = Counter(
+        (r["c_nationkey"], r["c_mktsegment"],
+         int(round(r["c_acctbal"] * 100) / _KANON["bucket"])) for r in c)
+    want = {k: v for k, v in groups.items() if v < _KANON["k"]}
+    got = {(r["nationkey"], r["seg"], r["bal_bucket"]): r["group_size"]
+           for r in out}
+    assert got == want
+    assert all(v < _KANON["k"] for v in got.values())
