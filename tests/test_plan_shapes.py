@@ -325,3 +325,33 @@ def test_simhash_pairs_banding_over_distinct_fps(spark):
     plan = plan_of(spark, "simhash_hamming_pairs")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_point_in_time_is_joinless_single_window(spark):
+    # the union-window as-of executes with NO join operator at all:
+    # one exchange on user_id, one sort, one window
+    plan = plan_of(spark, "scd2_point_in_time_join")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_market_basket_broadcasts_counts_no_cartesian(spark):
+    plan = plan_of(spark, "market_basket_lift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2   # item counts ×2
+    # lineitem scan pruned to the two key columns
+    assert "l_orderkey" in plan and "l_extendedprice" not in plan
+
+
+def test_bm25_and_weighted_sample_use_partial_topk(spark):
+    for name in ("bm25_topk", "weighted_sample_topk"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_countmin_broadcasts_sketch(spark):
+    plan = plan_of(spark, "countmin_freq_estimate")
+    assert "BroadcastHashJoin" in plan
+    # sketch build reads only the key column
+    assert "l_partkey" in plan and "l_quantity" not in plan

@@ -163,3 +163,45 @@ def test_simhash_banding_recall_equals_bruteforce(spark, texts):
                 if h <= 3:
                     expected.add((a, b, h))
     assert got == expected
+
+
+@given(tgt=st.lists(st.tuples(st.integers(0, 15), st.integers(-50, 50)),
+                    min_size=0, max_size=12, unique_by=lambda t: t[0]),
+       src=st.lists(st.tuples(st.integers(0, 15), st.integers(-50, 50)),
+                    min_size=0, max_size=12, unique_by=lambda t: t[0]),
+       upd_thr=st.integers(-20, 20), del_thr=st.integers(-40, 0))
+@settings(**SETTINGS)
+def test_merge_into_matches_python_reference(spark, tgt, src,
+                                             upd_thr, del_thr):
+    """merge_into == the clause-ordered Python MERGE semantics for
+    arbitrary key overlap and condition interleavings (delete checked
+    before update; unmatched source inserts when positive)."""
+    from iot_simulator_datalake_spark.operators.merge import merge_into
+    t = spark.createDataFrame(tgt or [(99, 0)], "k int, v int")
+    if not tgt:
+        t = t.filter("k < 0")  # empty with schema
+    s = spark.createDataFrame(src or [(99, 0)], "k int, d int")
+    if not src:
+        s = s.filter("k < 0")
+    out = merge_into(
+        t, s, "k",
+        update_set={"v": F.expr("t.v + s.d")},
+        update_cond=F.col("s.d") >= upd_thr,
+        delete_cond=F.col("s.d") < del_thr,
+        insert_values={"k": F.col("s.k"), "v": F.col("s.d")},
+        insert_cond=F.col("s.d") > 0)
+    got = {r["k"]: r["v"] for r in out.collect()}
+    tm, sm = dict(tgt), dict(src)
+    want = {}
+    for k, v in tm.items():
+        if k in sm:
+            d = sm[k]
+            if d < del_thr:
+                continue                      # WHEN MATCHED ... DELETE
+            want[k] = v + d if d >= upd_thr else v
+        else:
+            want[k] = v                       # untouched target
+    for k, d in sm.items():
+        if k not in tm and d > 0:
+            want[k] = d                       # WHEN NOT MATCHED INSERT
+    assert got == want
