@@ -670,3 +670,44 @@ def streaming_psi_drift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
               .format("memory").queryName(name))
     run_stream_available_now(writer)
     return psi_from_bin_counts(spark, ga, spark.table(name))
+
+
+@q("streaming_hll_rollup", ("ST5", "A8", "A6"), oracle="""
+SELECT CAST(DATE_TRUNC('week', DATE_TRUNC('day', ts)) AS TIMESTAMP)
+         AS week,
+       event_type,
+       COUNT(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY 1, 2
+""")
+def streaming_hll_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Sketch state ON the stream: per-(day, type) HLL sketches
+    accumulate as the streaming aggregation state (KB per group —
+    constant-size, unlike exact distinct which is O(devices) state per
+    group), and the week-level distinct count is served by merging the
+    drained day sketches with ``hll_union_agg`` — the streaming twin
+    of ``hll_mergeable_rollup`` and the standard way a 100 TB platform
+    keeps live distinct-count dashboards without a dropDuplicates
+    state explosion.
+
+    Same lgConfigK=21 trick as the batch twin: at gate cardinalities
+    the sketch is exact, so the merged estimate hash-matches the exact
+    COUNT(DISTINCT) oracle — the gate certifies stream-side sketch
+    accumulation + serving-side merge algebra.
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    daily = (stream.groupBy(F.date_trunc("day", "ts").alias("day"),
+                            "event_type")
+             .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")))
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    writer = (daily.writeStream.outputMode("complete")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return (spark.table(name)
+            .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("distinct_users")))

@@ -316,3 +316,64 @@ def per_source_cap(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                      F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= 10)
             .select("doc_id", "source", "pri"))
+
+
+# =========================================================================
+# Fuzzy-dedup retention report ([EXT] — the end-to-end dedup pipeline)
+# =========================================================================
+
+@q("fuzzy_dedup_report", ("W2", "J5", "A1"), oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT key_a, key_b FROM ({_minhash_oracle()})
+), edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION ALL
+  SELECT key_b AS a, key_a AS b FROM pairs
+), reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
+), cl AS (
+  SELECT d.doc_id, d.source, COALESCE(c.comp, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_removed
+FROM cl GROUP BY source
+""")
+def fuzzy_dedup_report(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The END-TO-END fuzzy-dedup pipeline as one relation: MinHash-LSH
+    candidate pairs → connected-components clustering → canonical-doc
+    selection (min doc_id) → per-source retention report — i.e. the
+    numbers a corpus curator actually reviews before signing off a
+    training mix ("how much of src3 was near-duplicate?").
+
+    Scale design: nothing new executes — this composes the three
+    production stages (operators/dedup.py banding, whose candidate
+    work is signature-bounded; operators/components.py label
+    propagation, whose per-round cost is edge-sized; a canonical
+    filter that is a map-side comparison) and reduces to a
+    source-cardinality-sized report.  The oracle replays the WHOLE
+    pipeline — banding, transitive closure (recursive CTE), canonical
+    choice, report — so the gate certifies the pipeline end-to-end,
+    not just each stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", **_MINHASH) \
+        .select("key_a", "key_b")
+    comp = connected_components(pairs, "key_a", "key_b")
+    cl = (d.select("doc_id", "source")
+          .join(comp, d["doc_id"] == comp["node"], "left")
+          .select("doc_id", "source",
+                  F.coalesce("comp", "doc_id").alias("cluster_id")))
+    keep = (F.col("doc_id") == F.col("cluster_id")).cast("long")
+    return (cl.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(keep).alias("n_kept"),
+                 F.sum(1 - keep).alias("n_removed")))

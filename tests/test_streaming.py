@@ -267,3 +267,13 @@ def test_stateful_v2_import_gated(spark, tmp_path):
     res = {r["key"]: (r["n_events"], r["total_micro"])
            for r in spark.table(name).collect()}
     assert res == {1: (2, 150_000), 2: (1, 70_000)}
+
+
+def test_streaming_hll_equals_batch_twin(spark):
+    from iot_simulator_datalake_spark.queries import REGISTRY
+    SF = "/root/testdata/sf0.001"
+    batch = {(r["week"], r["event_type"]): r["distinct_users"] for r in
+             REGISTRY["hll_mergeable_rollup"].fn(spark, SF).collect()}
+    stream = {(r["week"], r["event_type"]): r["distinct_users"] for r in
+              REGISTRY["streaming_hll_rollup"].fn(spark, SF).collect()}
+    assert stream == batch

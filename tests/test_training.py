@@ -100,3 +100,25 @@ def test_redact_removes_injected_pii(spark):
         assert "<EMAIL>" in r["redacted"]
         assert "<PHONE>" in r["redacted"]
         assert r["n_emails"] >= 1
+
+
+def test_fuzzy_dedup_report_consistent_with_clusters(spark):
+    from iot_simulator_datalake_spark.queries import REGISTRY, load
+    from pyspark.sql import functions as F
+    SF = "/root/testdata/sf0.001"
+    rep = {r["source"]: r for r in
+           REGISTRY["fuzzy_dedup_report"].fn(spark, SF).collect()}
+    cl = REGISTRY["neardup_clusters"].fn(spark, SF)
+    docs = load(spark, SF, "documents").select("doc_id", "source")
+    j = docs.join(cl, "doc_id")
+    want = {r["source"]: (r["n"], r["kept"]) for r in
+            j.groupBy("source").agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("doc_id") == F.col("cluster_id"))
+                      .cast("long")).alias("kept")).collect()}
+    for src, (n, kept) in want.items():
+        r = rep[src]
+        assert r["n_docs"] == n
+        assert r["n_kept"] == kept
+        assert r["n_removed"] == n - kept
+        assert r["n_kept"] >= 1          # every source keeps something
