@@ -300,3 +300,162 @@ def event_trigram_patterns(spark: "SparkSession", sf_dir: str) -> "DataFrame":
          .filter(F.col("_t2").isNotNull()))
     return (g.groupBy("trigram").agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), "trigram").limit(50))
+
+
+# =========================================================================
+# Conversion rate with Wilson interval ([EXT] — experimentation)
+# =========================================================================
+
+@q("conversion_rate_wilson", ("A1", "W1", "F7"), oracle="""
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+             AS last_purchase_ts
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(DATE_TRUNC('week', signup_ts) AS TIMESTAMP) AS signup_week,
+         CASE WHEN last_purchase_ts > signup_ts THEN 1 ELSE 0 END AS conv
+  FROM u WHERE signup_ts IS NOT NULL
+), g AS (
+  SELECT signup_week, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS k
+  FROM s GROUP BY signup_week
+)
+SELECT signup_week, n, k,
+       CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
+       ROUND(((CAST(k AS DOUBLE) / n + (1.96::DOUBLE * 1.96::DOUBLE)
+                 / (2 * CAST(n AS DOUBLE)))
+              - 1.96::DOUBLE * SQRT((CAST(k AS DOUBLE) / n)
+                  * (1 - CAST(k AS DOUBLE) / n) / CAST(n AS DOUBLE)
+                  + (1.96::DOUBLE * 1.96::DOUBLE)
+                    / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1 + (1.96::DOUBLE * 1.96::DOUBLE) / CAST(n AS DOUBLE)),
+             9) AS wilson_lo,
+       ROUND(((CAST(k AS DOUBLE) / n + (1.96::DOUBLE * 1.96::DOUBLE)
+                 / (2 * CAST(n AS DOUBLE)))
+              + 1.96::DOUBLE * SQRT((CAST(k AS DOUBLE) / n)
+                  * (1 - CAST(k AS DOUBLE) / n) / CAST(n AS DOUBLE)
+                  + (1.96::DOUBLE * 1.96::DOUBLE)
+                    / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1 + (1.96::DOUBLE * 1.96::DOUBLE) / CAST(n AS DOUBLE)),
+             9) AS wilson_hi
+FROM g
+""")
+def conversion_rate_wilson(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Signup→purchase conversion rate per signup week with the Wilson
+    95% score interval — the uncertainty-aware form of the funnel
+    metric (a 3/4 cohort and a 3000/4000 cohort have the same point
+    rate and very different intervals; dashboards that omit the
+    interval invite bad ship decisions).
+
+    Scale design: one conditional-aggregation pass per user (map-side
+    combined on user_id — the same shuffle every behavioral query
+    uses), then a week-cardinality-sized group stage; the interval is
+    per-group constant double work from integer (n, k), identical
+    expression tree both engines (z pinned to 1.96 as a DOUBLE
+    literal).  Mergeable: per-shard (n, k) pairs add.
+    """
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .alias("signup_ts"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("last_purchase_ts"))
+    s = (u.filter(F.col("signup_ts").isNotNull())
+         .select(F.date_trunc("week", "signup_ts").alias("signup_week"),
+                 F.when(F.col("last_purchase_ts") > F.col("signup_ts"), 1)
+                 .otherwise(0).alias("conv")))
+    g = s.groupBy("signup_week").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("k"))
+    z = 1.96
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    p = k / F.col("n")
+    center = p + (z * z) / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + (z * z) / (4 * n * n))
+    denom = 1 + (z * z) / n
+    return g.select(
+        "signup_week", "n", "k",
+        F.expr("k * 1000000 div n").alias("rate_ppm"),
+        F.round((center - half) / denom, 9).alias("wilson_lo"),
+        F.round((center + half) / denom, 9).alias("wilson_hi"))
+
+
+# =========================================================================
+# Kaplan–Meier survival curve ([EXT] — time-to-churn)
+# =========================================================================
+
+_KM = dict(censor_days=7)
+
+
+@q("kaplan_meier_churn", ("A1", "W1", "F7"), oracle=f"""
+WITH span AS (SELECT MAX(ts) AS tmax FROM events),
+u AS (
+  SELECT user_id,
+         datediff('day', MIN(ts), MAX(ts)) AS dur,
+         CASE WHEN datediff('day', MAX(ts), (SELECT tmax FROM span))
+                   < {_KM['censor_days']} THEN 0 ELSE 1 END AS died
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT dur, CAST(SUM(died) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM u GROUP BY dur
+), risk AS (
+  SELECT dur, d,
+         CAST(SUM(leaving) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk
+  FROM grid
+)
+SELECT dur AS day, d AS deaths, n_risk,
+       CAST(SUM(CASE WHEN d > 0 THEN CAST(ROUND(
+           LN((CAST(n_risk AS DOUBLE) - d) / n_risk) * 1e9) AS BIGINT)
+           ELSE 0 END) OVER (ORDER BY dur) AS BIGINT) AS ln_survival_nano
+FROM risk
+WHERE n_risk > d
+ORDER BY day
+""")
+def kaplan_meier_churn(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Kaplan–Meier survival curve for user lifetime (first→last event,
+    right-censored when the user was still active in the final
+    {censor_days} days): S(t) = Π_(s≤t) (1 − d_s/n_s), carried in LOG
+    space as an integer-nano cumulative sum — the estimator behind
+    churn/retention curves, done distributed and bit-deterministically.
+
+    Scale design: the product over risk sets factorizes into per-user
+    aggregation (one user_id shuffle), a DAY-grid histogram (bounded
+    by the calendar, not by users — the KS/count-min distinct-key move
+    again), a reverse cumsum for n_at_risk and a forward cumsum for
+    ln S, both over the tiny grid.  Each ln term is rounded to int64
+    nanos BEFORE the cumulative sum, so the running product is exact
+    integer arithmetic — no float accumulation across the curve, and
+    per-shard curves can be re-derived by merging the (dur, d, leaving)
+    histograms.  Rows where the risk set would hit zero are the curve's
+    terminal point (S=0, ln S=−∞) and are excluded by definition.
+    """.format(**_KM)
+    e = load(spark, sf_dir, "events")
+    span = e.groupBy().agg(F.max("ts").alias("tmax"))
+    u = (e.groupBy("user_id")
+         .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+         .join(F.broadcast(span))
+         .select(F.datediff(F.col("last_ts"), F.col("first_ts"))
+                 .alias("dur"),
+                 F.when(F.datediff(F.col("tmax"), F.col("last_ts"))
+                        < _KM["censor_days"], 0).otherwise(1).alias("died")))
+    grid = u.groupBy("dur").agg(F.sum("died").cast("long").alias("d"),
+                                F.count("*").cast("long").alias("leaving"))
+    w_rev = (W.orderBy(F.col("dur").desc())
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    risk = grid.select("dur", "d",
+                       F.sum("leaving").over(w_rev).cast("long")
+                       .alias("n_risk"))
+    term = F.when(F.col("d") > 0, F.round(
+        F.log((F.col("n_risk").cast("double") - F.col("d")) /
+              F.col("n_risk")) * 1e9).cast("long")).otherwise(F.lit(0))
+    w_fwd = (W.orderBy("dur")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (risk.filter(F.col("n_risk") > F.col("d"))
+            .select(F.col("dur").cast("long").alias("day"),
+                    F.col("d").alias("deaths"),
+                    "n_risk",
+                    F.sum(term).over(w_fwd).cast("long")
+                    .alias("ln_survival_nano")))
