@@ -539,3 +539,83 @@ def rolling_corr_30d(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (m.filter(n >= 10)
             .select("day", n.cast("long").alias("n_days"),
                     F.round(r, 9).alias("rolling_r")))
+
+
+# =========================================================================
+# EWMA level + one-step-ahead forecast ([EXT] — stateful scan family)
+# =========================================================================
+
+_EWMA = dict(a=3, m=10)  # alpha = a/m = 0.3
+
+
+@q("ewma_forecast", ("W1", "A7"), oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS i
+  FROM daily
+), lvl AS (
+  SELECT user_id, day, x, i, x AS s, CAST(NULL AS BIGINT) AS f
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s2.user_id, s2.day, s2.x, s2.i,
+         ({_EWMA['a']} * s2.x + {_EWMA['m'] - _EWMA['a']} * lvl.s)
+             // {_EWMA['m']},
+         lvl.s
+  FROM lvl JOIN seq s2 ON s2.user_id = lvl.user_id AND s2.i = lvl.i + 1
+)
+SELECT user_id, day, x AS actual_cents, s AS level_cents,
+       f AS forecast_cents
+FROM lvl
+""")
+def ewma_forecast(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-device EWMA level (α={a}/{m}) over the daily value series,
+    with the one-step-ahead forecast (yesterday's level) alongside the
+    actual — the simplest real forecaster and the residual source for
+    forecast-based anomaly detection.
+
+    Like capped_running_balance, the INTEGER recurrence
+    s_t = (a·x_t + (m−a)·s_(t-1)) div m is non-associative (floor at
+    every step), so no window algebra expresses it: grouped
+    ``applyInPandas`` folds each device's day series in one Arrow
+    batch.  The input is PRE-AGGREGATED to the day grid first, so the
+    Python stage sees calendar-bounded series, not raw events — the
+    fold costs O(days) per device no matter how hot the device is
+    (the same grid-bounding move as KS/Kaplan–Meier).  Integer state
+    end-to-end ⇒ bit-identical to the recursive-CTE oracle.
+    """.format(**_EWMA)
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.datediff(F.col("ts").cast("date"),
+                                   F.lit("1970-01-01").cast("date"))
+                        .cast("long").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .cast("long").alias("x")))
+    a, m = _EWMA["a"], _EWMA["m"]
+
+    def fold(pdf):
+        pdf = pdf.sort_values("day")
+        s = None
+        levels, forecasts = [], []
+        for x in pdf["x"]:
+            x = int(x)
+            if s is None:
+                forecasts.append(None)
+                s = x
+            else:
+                forecasts.append(s)
+                s = (a * x + (m - a) * s) // m
+            levels.append(s)
+        pdf = pdf.assign(level_cents=levels, forecast_cents=forecasts)
+        return pdf[["user_id", "day", "x", "level_cents", "forecast_cents"]]
+
+    out = (daily.repartition("user_id").groupBy("user_id")
+           .applyInPandas(fold,
+                          "user_id bigint, day bigint, x bigint, "
+                          "level_cents bigint, forecast_cents bigint"))
+    return out.withColumnRenamed("x", "actual_cents")

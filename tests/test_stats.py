@@ -282,3 +282,29 @@ def test_event_trigrams_reproduce(spark):
             cnt[f"{a['event_type']}>{b['event_type']}>{c['event_type']}"] += 1
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert out == want
+
+
+def test_ewma_forecast_is_lagged_level(spark):
+    from pyspark.sql import Window as W
+    out = REGISTRY["ewma_forecast"].fn(spark, SF).cache()
+    w = W.partitionBy("user_id").orderBy("day")
+    chk = out.select(
+        "user_id", "day", "actual_cents", "level_cents", "forecast_cents",
+        F.lag("level_cents").over(w).alias("prev_level"),
+        F.row_number().over(w).alias("i"))
+    # forecast_t == level_{t-1}; first observation has no forecast and
+    # its level equals the actual
+    assert chk.filter((F.col("i") > 1) &
+                      (F.col("forecast_cents") != F.col("prev_level"))
+                      ).count() == 0
+    assert chk.filter((F.col("i") == 1) &
+                      (F.col("forecast_cents").isNotNull() |
+                       (F.col("level_cents") != F.col("actual_cents")))
+                      ).count() == 0
+    # smoothing: level moves toward actual (between prev level and x,
+    # inclusive, modulo the floor)
+    bad = chk.filter((F.col("i") > 1) & ~(
+        ((F.col("level_cents") >= F.least("prev_level", "actual_cents")
+          - 1) & (F.col("level_cents") <=
+                  F.greatest("prev_level", "actual_cents"))))).count()
+    assert bad == 0
