@@ -459,3 +459,121 @@ def kaplan_meier_churn(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                     "n_risk",
                     F.sum(term).over(w_fwd).cast("long")
                     .alias("ln_survival_nano")))
+
+
+# =========================================================================
+# Sliding weekly active users ([EXT] — the WAU metric, exact)
+# =========================================================================
+
+@q("weekly_active_users", ("A6", "A2", "W1"), oracle="""
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS BIGINT) AS day
+  FROM events
+), bounds AS (SELECT MAX(day) AS max_day FROM pairs),
+cover AS (
+  SELECT p.user_id, p.day + o.off AS window_end
+  FROM pairs p
+  CROSS JOIN (SELECT UNNEST(range(7)) AS off) o
+)
+SELECT window_end, COUNT(DISTINCT user_id) AS wau
+FROM cover CROSS JOIN bounds
+WHERE window_end <= bounds.max_day
+GROUP BY window_end
+""")
+def weekly_active_users(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact sliding 7-day active users for every day — the WAU curve,
+    the one sliding-window metric a simple tumbling rollup cannot give
+    (a user active Mon and Sun counts once in every window that spans
+    both).
+
+    Scale design: the standard exact decomposition — reduce events to
+    DISTINCT (user, day) pairs first (map-side combined; this is the
+    small relation: activity, not events), then each pair COVERS the 7
+    window-ends it contributes to (a constant ×7 explode of the pair
+    relation), and the per-window COUNT(DISTINCT) dedups users who
+    were active on several days of the same window.  Cost scales with
+    active-pairs × window-size, independent of raw event volume.  When
+    ×7 is too much (90-day MAU), the sketch route replaces the explode:
+    per-day HLL sketches union-merged over the window —
+    streaming_hll_rollup is exactly that machinery.
+    """
+    e = load(spark, sf_dir, "events")
+    pairs = (e.select("user_id",
+                      F.datediff(F.col("ts").cast("date"),
+                                 F.lit("1970-01-01").cast("date"))
+                      .cast("long").alias("day"))
+             .distinct())
+    bounds = pairs.groupBy().agg(F.max("day").alias("max_day"))
+    cover = (pairs.select(
+        "user_id", "day",
+        F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off"))
+        .select("user_id", (F.col("day") + F.col("off"))
+                .alias("window_end")))
+    return (cover.join(F.broadcast(bounds))
+            .filter(F.col("window_end") <= F.col("max_day"))
+            .groupBy("window_end")
+            .agg(F.countDistinct("user_id").alias("wau")))
+
+
+# =========================================================================
+# CEP pattern match ([EXT] — MATCH_RECOGNIZE-style sequence predicate)
+# =========================================================================
+
+_CEP = dict(within_us=3_600_000_000)  # 1 hour
+
+
+@q("cep_purchase_error_no_click", ("W1", "J4"), oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+         MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+             OVER w AS next_error_us,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+             OVER w AS next_click_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id AS purchase_id,
+       next_error_us - tsu AS latency_us
+FROM seq
+WHERE event_type = 'purchase'
+  AND next_error_us IS NOT NULL
+  AND next_error_us - tsu <= {_CEP['within_us']}
+  AND (next_click_us IS NULL OR next_click_us >= next_error_us)
+""")
+def cep_purchase_error_no_click(spark: "SparkSession",
+                                sf_dir: str) -> "DataFrame":
+    """Complex-event-processing pattern: ``purchase → error within 1 h
+    with NO click in between`` — the MATCH_RECOGNIZE / Flink-CEP shape
+    (checkout failed before the user did anything else), expressed as
+    conditional aggregates over a FOLLOWING window frame.
+
+    Scale design: the naive CEP formulation is a 3-way self-join
+    (purchase ⋈ error ⋈ absence-of-click) with interval predicates;
+    the window form does it in the ONE user_id shuffle every
+    behavioral query shares: per row, "next error instant" and "next
+    click instant" are conditional MINs over the rows-following frame
+    (O(1) running state scanned backwards by the engine), and the
+    pattern is then a map-side predicate.  Longer patterns compose by
+    stacking conditional aggregates, never by adding joins.  The
+    negative condition (no click between) is exactly the piece
+    relational joins express worst and windows express for free.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(1, W.unboundedFollowing))
+    tsu = F.unix_micros("ts")
+    nerr = F.min(F.when(F.col("event_type") == "error", tsu)).over(w)
+    nclk = F.min(F.when(F.col("event_type") == "click", tsu)).over(w)
+    seq = e.select("user_id", "event_id", "event_type", tsu.alias("tsu"),
+                   nerr.alias("next_error_us"), nclk.alias("next_click_us"))
+    return (seq.filter(
+        (F.col("event_type") == "purchase") &
+        F.col("next_error_us").isNotNull() &
+        ((F.col("next_error_us") - F.col("tsu")) <= _CEP["within_us"]) &
+        (F.col("next_click_us").isNull() |
+         (F.col("next_click_us") >= F.col("next_error_us"))))
+        .select("user_id", F.col("event_id").alias("purchase_id"),
+                (F.col("next_error_us") - F.col("tsu")).alias("latency_us")))

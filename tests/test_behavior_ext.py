@@ -1,0 +1,61 @@
+"""Invariant tests for the WAU and CEP additions (queries_behavior.py):
+both reproduce from direct Python reimplementations over the raw rows.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import date
+
+from iot_simulator_datalake_spark.queries import REGISTRY, load
+from iot_simulator_datalake_spark.queries_behavior import _CEP
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_weekly_active_users_matches_python(spark):
+    out = {r["window_end"]: r["wau"] for r in
+           REGISTRY["weekly_active_users"].fn(spark, SF).collect()}
+    e = load(spark, SF, "events").select("user_id", "ts").collect()
+    epoch = date(1970, 1, 1)
+    by_day = defaultdict(set)
+    for r in e:
+        by_day[(r["ts"].date() - epoch).days].add(r["user_id"])
+    max_day = max(by_day)
+    want = {}
+    for we in range(min(by_day), max_day + 1):
+        users = set()
+        for d in range(we - 6, we + 1):
+            users |= by_day.get(d, set())
+        if users:
+            want[we] = len(users)
+    assert out == want
+    # WAU dominates any single day's actives inside the window
+    for we, wau in out.items():
+        assert wau >= max(len(by_day.get(d, set()))
+                          for d in range(we - 6, we + 1))
+
+
+def test_cep_pattern_matches_python(spark):
+    out = {(r["user_id"], r["purchase_id"]): r["latency_us"] for r in
+           REGISTRY["cep_purchase_error_no_click"].fn(spark, SF).collect()}
+    e = load(spark, SF, "events").select(
+        "user_id", "event_id", "ts", "event_type").collect()
+    seq = defaultdict(list)
+    for r in e:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        seq[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    want = {}
+    for u, rows in seq.items():
+        rows.sort()
+        for i, (tsu, eid, et) in enumerate(rows):
+            if et != "purchase":
+                continue
+            nerr = min((t for t, _, x in rows[i + 1:] if x == "error"),
+                       default=None)
+            nclk = min((t for t, _, x in rows[i + 1:] if x == "click"),
+                       default=None)
+            if (nerr is not None and nerr - tsu <= _CEP["within_us"] and
+                    (nclk is None or nclk >= nerr)):
+                want[(u, eid)] = nerr - tsu
+    assert out == want
