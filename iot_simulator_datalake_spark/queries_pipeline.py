@@ -106,3 +106,78 @@ def engine_pipeline_fact_streaming(spark: "SparkSession",
                  warehouse=workdir / "wh")
     eng.run()
     return eng.table("gold.fact_iot_events")
+
+
+# =========================================================================
+# DAG lineage closure ([EXT] — impact analysis over the Engine registry)
+# =========================================================================
+
+def _lineage_edges() -> list[tuple[str, str]]:
+    """(upstream, downstream) edges of both production DAGs, derived
+    from the same ``Model.depends_on`` metadata the Engine schedules
+    from — so query and oracle share one source of truth."""
+    from .pipeline.corpus_models import build_corpus_registry
+    edges = []
+    for reg in (build_registry(streaming=False), build_corpus_registry()):
+        ms = reg.models if hasattr(reg, "models") else {
+            m.name: m for m in reg.toposort()}
+        for m in (ms.values() if hasattr(ms, "values") else ms):
+            qual = f"{m.layer}.{m.name}" if "." not in m.name else m.name
+            for dep in (m.depends_on or ()):
+                edges.append((dep, qual))
+    return sorted(set(edges))
+
+
+def _lineage_oracle() -> str:
+    vals = ", ".join(f"('{u}', '{d}')" for u, d in _lineage_edges())
+    return f"""
+WITH RECURSIVE edges(up, down) AS (SELECT * FROM (VALUES {vals})),
+closure(up, down, depth) AS (
+  SELECT up, down, 1 FROM edges
+  UNION
+  SELECT c.up, e.down, c.depth + 1
+  FROM closure c JOIN edges e ON e.up = c.down
+)
+SELECT up AS upstream, down AS downstream,
+       CAST(MIN(depth) AS BIGINT) AS depth
+FROM closure GROUP BY 1, 2
+"""
+
+
+@q("pipeline_lineage_closure", ("O1",), oracle=_lineage_oracle())
+def pipeline_lineage_closure(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """Transitive lineage closure of the two production Engine DAGs:
+    every (upstream, downstream) reachability pair with its shortest
+    path length — the impact-analysis relation behind "what must
+    recompute if silver.iot_events is restated?" and "which sources
+    feed this gold table?" (dbt's `+model+` selector, as a query).
+
+    Scale design: the closure is computed by iterative frontier
+    expansion — the same join-per-round dataflow as BFS/PageRank
+    (queries_graph.py), with min-depth dedup per round so path
+    multiplicity never amplifies.  Registry DAGs are tiny, but the
+    identical code runs on a million-edge column-level lineage graph:
+    per-round cost is frontier ⋈ edges, rounds = graph depth.  The
+    oracle restates reachability as a recursive CTE over the SAME
+    ``Model.depends_on`` metadata, certifying the iterative algorithm.
+    """
+    edges = spark.createDataFrame(_lineage_edges(), "up string, down string")
+    paths = edges.select("up", "down", F.lit(1).alias("depth"))
+    closure = paths
+    for _ in range(8):                       # ≥ max DAG depth
+        nxt = (closure.alias("c")
+               .join(edges.alias("e"), F.col("c.down") == F.col("e.up"))
+               .select(F.col("c.up").alias("up"),
+                       F.col("e.down").alias("down"),
+                       (F.col("c.depth") + 1).alias("depth")))
+        merged = (closure.unionByName(nxt)
+                  .groupBy("up", "down")
+                  .agg(F.min("depth").alias("depth")))
+        if merged.exceptAll(closure).isEmpty():
+            closure = merged
+            break
+        closure = merged
+    return closure.select(F.col("up").alias("upstream"),
+                          F.col("down").alias("downstream"),
+                          F.col("depth").cast("long").alias("depth"))
