@@ -181,3 +181,52 @@ def pipeline_lineage_closure(spark: "SparkSession",
     return closure.select(F.col("up").alias("upstream"),
                           F.col("down").alias("downstream"),
                           F.col("depth").cast("long").alias("depth"))
+
+
+# =========================================================================
+# DAG catalog ([EXT] — the dbt-docs manifest as a relation)
+# =========================================================================
+
+def _catalog_rows() -> list[tuple]:
+    from .pipeline.corpus_models import build_corpus_registry
+    rows = []
+    for dag, reg in (("iot", build_registry(streaming=False)),
+                     ("corpus", build_corpus_registry())):
+        ms = reg.models if hasattr(reg, "models") else {
+            m.name: m for m in reg.toposort()}
+        for m in (ms.values() if hasattr(ms, "values") else ms):
+            qual = f"{m.layer}.{m.name}" if "." not in m.name else m.name
+            rows.append((dag, qual, m.layer, str(m.materialization),
+                         len(m.depends_on or ()),
+                         ",".join(sorted(m.depends_on or ()))))
+    return sorted(rows)
+
+
+def _catalog_oracle() -> str:
+    vals = ", ".join(
+        "(" + ", ".join(f"'{v}'" if isinstance(v, str) else str(v)
+                        for v in r) + ")"
+        for r in _catalog_rows())
+    return f"""
+SELECT * FROM (VALUES {vals})
+  t(dag, model, layer, materialization, n_deps, deps)
+"""
+
+
+@q("pipeline_catalog", ("O1", "O5"), oracle=_catalog_oracle())
+def pipeline_catalog(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The Engine's model catalog as a relation — the dbt-docs manifest
+    analog: one row per model across both production DAGs with layer,
+    materialization and dependency facts, queryable/joinable like any
+    table (e.g. against the event log for per-model run times, or the
+    lineage closure for impact-scoped docs).
+
+    Both the query and its oracle derive from the live registry
+    metadata, so catalog drift (a model added without docs, a
+    materialization change) breaks the gate — docs-as-code, enforced.
+    """
+    rows = _catalog_rows()
+    return spark.createDataFrame(
+        rows, "dag string, model string, layer string, "
+              "materialization string, n_deps int, deps string") \
+        .withColumn("n_deps", F.col("n_deps").cast("int"))
