@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from .engine import Engine
 from .pipeline.corpus_models import (CORPUS, attach_corpus_checks,
                                      build_corpus_registry)
-from .queries import q
+from .queries import load, q
 from .queries_ext import O_TOKENS
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -97,3 +97,69 @@ def engine_corpus_pipeline(spark: "SparkSession",
             .agg(F.count_distinct("doc_id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_pieces"),
                  F.sum("k").alias("n_tokens")))
+
+
+# =========================================================================
+# Lexicon-based sentiment ([EXT] — SURVEY §2.7 F9's worked example)
+# =========================================================================
+
+#: fixed polarity lexicon over the synthetic vocabulary (weights in
+#: milli-units); the POINT is the join shape, not the lexicography
+_SENT_LEXICON = (("fast", 1000), ("big", 500), ("merge", 250),
+                 ("slow", -1000), ("small", -500), ("dup", -750),
+                 ("error", -1000))
+
+
+def _sent_values() -> str:
+    return ", ".join(f"('{w}', {s})" for w, s in _SENT_LEXICON)
+
+
+@q("text_sentiment_lexicon", ("F9", "A1", "J1"), oracle=f"""
+WITH lex(term, weight) AS (SELECT * FROM (VALUES {_sent_values()})),
+t AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), n AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT t.doc_id, CAST(SUM(lex.weight) AS BIGINT) AS polarity_sum
+  FROM t JOIN lex ON t.term = lex.term
+  GROUP BY t.doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       CAST(COALESCE(s.polarity_sum, 0) AS BIGINT) AS polarity_sum,
+       CAST((COALESCE(s.polarity_sum, 0) * 1000) // n.n_tokens AS BIGINT)
+           AS sentiment_milli
+FROM n LEFT JOIN s ON n.doc_id = s.doc_id
+""")
+def text_sentiment_lexicon(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Lexicon-based sentiment per document — SURVEY §2.7 F9's worked
+    EXT example ("lexicon-based sentiment via map lookup"): token
+    stream ⋈ broadcast polarity lexicon, polarity sum normalized by
+    document length in integer milli-units.
+
+    Scale design: the lexicon is the canonical broadcast dim — the
+    exploded token stream never shuffles for the lookup (map-side hash
+    probe), the per-doc sum map-side combines, and docs with no
+    lexicon hits rejoin with COALESCE(0) through the doc-id relation.
+    Swapping the word list for a real polarity lexicon (or the join
+    for a pandas_udf model scorer) changes nothing structural — that
+    is the point of stating it as a relational plan.  Floor division
+    matches Spark div ≡ DuckDB // on negatives (truncation), exercised
+    here because polarity sums go negative.
+    """
+    d = load(spark, sf_dir, "documents")
+    lex = F.broadcast(d.sparkSession.createDataFrame(
+        list(_SENT_LEXICON), "term string, weight long"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    s = (toks.join(lex, "term")
+         .groupBy("doc_id").agg(F.sum("weight").alias("polarity_sum")))
+    n = d.select("doc_id", F.size(F.split("text", " ")).cast("long")
+                 .alias("n_tokens"))
+    return (n.join(s, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("polarity_sum", F.lit(0)).cast("long")
+                    .alias("polarity_sum"))
+            .selectExpr("doc_id", "n_tokens", "polarity_sum",
+                        "(polarity_sum * 1000) div n_tokens"
+                        " AS sentiment_milli"))
