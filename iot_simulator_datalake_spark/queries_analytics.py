@@ -614,3 +614,89 @@ def null_safe_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     c, v = side("click", "click_n"), side("view", "view_n")
     return (c.join(v, c["click_n_k"].eqNullSafe(v["view_n_k"]))
             .select(c["click_n_k"].alias("k"), "click_n", "view_n"))
+
+
+# =========================================================================
+# Ordered-set aggregates: mode + weighted median ([EXT])
+# =========================================================================
+
+@q("mode_per_group", ("A1", "W1"), oracle="""
+SELECT user_id, event_type AS mode_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+""")
+def mode_per_group(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Statistical MODE per device — most frequent event type, ties
+    broken lexicographically (determinism is the whole game: an
+    unordered-tie mode is not a function, and two engines would
+    legitimately disagree).
+
+    Scale design: count-then-rank — the (user, type) count map-side
+    combines first, so the ranking window runs over ≤|types| rows per
+    user, and Spark lowers the rn=1 filter to WindowGroupLimit
+    (per-partition partial top-1 before the shuffle).  The same shape
+    generalizes to any "argmax of a grouped count".
+    """
+    e = load(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = (W.partitionBy("user_id")
+         .orderBy(F.col("n").desc(), "event_type"))
+    return (cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("mode_type"), "n"))
+
+
+@q("weighted_median", ("A1", "W1", "F7"), oracle="""
+WITH t AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS w
+  FROM lineitem
+), h AS (SELECT grp, v, CAST(SUM(w) AS BIGINT) AS wc
+         FROM t GROUP BY grp, v),
+c AS (
+  SELECT grp, v,
+         CAST(SUM(wc) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+             AS cumw,
+         CAST(SUM(wc) OVER (PARTITION BY grp) AS BIGINT) AS totw
+  FROM h
+)
+SELECT grp, CAST(MAX(totw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cumw >= totw THEN v END) AS BIGINT)
+           AS weighted_median_cent
+FROM c GROUP BY grp
+""")
+def weighted_median(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Quantity-weighted median price per group — the ordered-set
+    aggregate where each value counts with its weight (the
+    volume-weighted "typical price", robust where the plain mean is
+    hostage to big-ticket rows).
+
+    Scale design: identical histogram machinery to winsorized_stats —
+    per-value WEIGHT sums pre-aggregate map-side, the cumulative
+    window runs over the value grid (not the rows), and the median
+    test is the integer cross-multiplication 2·cumw ≥ totw — exact,
+    no interpolation, engine-portable.  Weighted quantiles at any q
+    are the same query with q·totw; the grid relation amortizes all
+    of them in one pass.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(F.col("l_returnflag").alias("grp"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("v"),
+                  F.round(F.col("l_quantity") * 100).cast("long")
+                  .alias("w"))
+    h = t.groupBy("grp", "v").agg(F.sum("w").cast("long").alias("wc"))
+    wcum = (W.partitionBy("grp").orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = h.select("grp", "v",
+                 F.sum("wc").over(wcum).cast("long").alias("cumw"),
+                 F.sum("wc").over(W.partitionBy("grp")).cast("long")
+                 .alias("totw"))
+    return (c.groupBy("grp").agg(
+        F.max("totw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("v")))
+        .cast("long").alias("weighted_median_cent")))
