@@ -132,3 +132,109 @@ def scan_with_skipping(spark: "SparkSession", path: str | Path, col: str,
     if hi is not None:
         df = df.filter(c <= F.lit(hi))
     return df, len(files), total
+
+
+# =========================================================================
+# Per-file Bloom filters — equality pruning where ranges cannot help
+# =========================================================================
+#
+# Min/max skipping needs CLUSTERED layout to bite: on an unclustered
+# table every file spans the full key range and no range test prunes.
+# A per-file Bloom filter prunes EQUALITY probes regardless of layout —
+# the same role as Parquet's optional column bloom filters or Delta's
+# bloom indexes, lifted into the manifest so point lookups skip file
+# opens entirely.  False positives cost a wasted file read; false
+# negatives are impossible (the correctness contract).
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(value, bits: int, k: int) -> list[int]:
+    import hashlib
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"{i}:{value}".encode()).hexdigest()
+        out.append(int(h[:15], 16) % bits)
+    return out
+
+
+def build_bloom_manifest(path: str | Path, cols: list[str], *,
+                         bits: int = BLOOM_BITS,
+                         hashes: int = BLOOM_HASHES) -> int:
+    """Add per-file Bloom bitmaps for ``cols`` to the stats manifest
+    (which must already exist; blooms extend, not replace, min/max).
+
+    Driver-side with pyarrow here (reads only the indexed columns);
+    at 10⁶ files this is the same mapPartitions-over-file-list Spark
+    job as the stats build, emitting (file, col, bitmap) rows.
+    Bitmaps are hex-encoded; ``bits``/``hashes`` are recorded so
+    probes stay consistent if defaults ever change.
+    """
+    import pyarrow.parquet as pq
+
+    root = Path(path)
+    manifest = read_stats_manifest(root)
+    manifest["bloom"] = {"bits": bits, "hashes": hashes, "files": {}}
+    for rel in manifest["files"]:
+        f = root / rel
+        table = pq.read_table(str(f), columns=[c for c in cols])
+        per_col = {}
+        for c in cols:
+            if c not in table.column_names:
+                continue
+            bitmap = 0
+            for v in set(table.column(c).to_pylist()):
+                if v is None:
+                    continue
+                for pos in _bloom_positions(_norm(v), bits, hashes):
+                    bitmap |= 1 << pos
+            per_col[c] = hex(bitmap)
+        manifest["bloom"]["files"][rel] = per_col
+    tmp = root / (STATS_MANIFEST + ".tmp")
+    tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+    tmp.replace(root / STATS_MANIFEST)
+    return len(manifest["bloom"]["files"])
+
+
+def prune_files_eq(path: str | Path, col: str, value) -> list[str]:
+    """Files that may contain ``col = value``: min/max range test AND
+    Bloom membership (when a bloom exists for the file+column).  Files
+    lacking stats or blooms are conservatively kept."""
+    root = Path(path)
+    manifest = read_stats_manifest(root)
+    bloom = manifest.get("bloom") or {}
+    bits = bloom.get("bits", BLOOM_BITS)
+    hashes = bloom.get("hashes", BLOOM_HASHES)
+    positions = _bloom_positions(_norm(value), bits, hashes)
+    kept = []
+    for rel, stats in manifest["files"].items():
+        rng = stats.get(col)
+        if rng is not None:
+            fmin, fmax = rng
+            if not (fmin <= _norm(value) <= fmax):
+                continue
+        bm_hex = (bloom.get("files", {}).get(rel) or {}).get(col)
+        if bm_hex is not None:
+            bitmap = int(bm_hex, 16)
+            if not all(bitmap >> p & 1 for p in positions):
+                continue
+        kept.append(str(root / rel))
+    return kept
+
+
+def scan_with_skipping_eq(spark: "SparkSession", path: str | Path,
+                          col: str, value) -> tuple["DataFrame", int, int]:
+    """Equality-probe scan over only the files the manifest admits:
+    returns (df, n_files_read, n_files_total).  The equality predicate
+    is re-applied on the scan — pruning eliminates files, never rows.
+    """
+    from pyspark.sql import functions as F
+
+    files = prune_files_eq(path, col, value)
+    total = len(read_stats_manifest(path)["files"])
+    if not files:
+        df = spark.read.parquet(str(path)).limit(0)
+        return df, 0, total
+    df = spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
+    return df, len(files), total

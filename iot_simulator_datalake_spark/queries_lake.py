@@ -205,3 +205,47 @@ def merge_into_full_matrix(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             "nationkey": F.lit(0),
             "bal": F.expr("s.spend div 100"),
             "seg": F.lit("NEW")})
+
+
+# =========================================================================
+# Bloom point-lookup scan ([EXT] — equality skipping, layout-independent)
+# =========================================================================
+
+_BLOOM_PROBE = 4242  # event_id probed; present at every SF ≥ 0.01
+
+
+@q("bloom_point_lookup", ("S9", "P5"), oracle=f"""
+SELECT event_id, user_id, event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM events WHERE event_id = {_BLOOM_PROBE}
+""")
+def bloom_point_lookup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """End-to-end Bloom data-skipping path: export events UNCLUSTERED
+    (hash-interleaved — the layout where min/max skipping is useless
+    because every file spans the whole key range), build per-file
+    Bloom bitmaps in the manifest, and serve a point lookup through
+    :func:`engine.skipping.scan_with_skipping_eq`.
+
+    RAISES unless the bloom pruned at least half the files — on this
+    layout that pruning is attributable to the bloom alone, so the
+    gate certifies the bitmap math (a bloom false NEGATIVE would drop
+    the row and hash-mismatch the oracle; false positives only waste
+    a file read).  This is the needle-in-100TB shape: primary-key
+    lookups on tables clustered by something else.
+    """
+    from .engine.skipping import (build_bloom_manifest,
+                                  build_stats_manifest,
+                                  scan_with_skipping_eq)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    work = Path(tempfile.mkdtemp(prefix="bloom_scan_")) / "events"
+    e.repartition(8).write.mode("overwrite").parquet(str(work))
+    build_stats_manifest(work, ["event_id"])
+    build_bloom_manifest(work, ["event_id"])
+    df, n_read, n_total = scan_with_skipping_eq(
+        spark, work, "event_id", _BLOOM_PROBE)
+    if n_total >= 4 and n_read * 2 > n_total:
+        raise AssertionError(
+            f"bloom skipping ineffective: read {n_read}/{n_total} files")
+    return df.select("event_id", "user_id", "event_type", "value_cents")

@@ -72,3 +72,55 @@ def test_empty_range_reads_zero_files(spark, tmp_path):
     df, n_read, _ = scan_with_skipping(spark, path, "k", lo=10_000)
     assert n_read == 0 and df.count() == 0
     assert df.columns == ["k", "payload"]
+
+
+def test_bloom_prunes_equality_on_unclustered_layout(spark, tmp_path):
+    """The bloom's reason to exist: UNCLUSTERED layout, where min/max
+    cannot prune an equality probe (every file spans the key range),
+    yet the bloom skips most files for a sparse key — and never drops
+    rows for a present one."""
+    from iot_simulator_datalake_spark.engine.skipping import (
+        build_bloom_manifest, prune_files_eq, scan_with_skipping_eq)
+    path = tmp_path / "t"
+    # sparse high-cardinality key: each value lands in ~1 of 12 files
+    df = spark.range(24_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("payload"))
+    df.repartition(12).write.mode("overwrite").parquet(str(path))
+    build_stats_manifest(path, ["k"])
+    build_bloom_manifest(path, ["k"])
+
+    # min/max alone cannot prune this layout (hash-interleaved ranges)
+    assert len(prune_files(path, "k", 1234, 1234)) >= 10
+
+    # bloom pruning: present value → correct rows, few files
+    got, n_read, n_total = scan_with_skipping_eq(spark, path, "k", 1234)
+    assert [r["payload"] for r in got.collect()] == [2468]
+    assert n_total == 12
+    assert n_read <= 3                      # 1 true file + rare FPs
+
+    # absent value → zero rows, and typically zero files
+    got, n_read, _ = scan_with_skipping_eq(spark, path, "k", 999_999)
+    assert got.count() == 0
+    assert n_read <= 2                      # false positives only
+
+    # exhaustive correctness: every 500th present key round-trips
+    for k in range(0, 24_000, 500):
+        files = prune_files_eq(path, "k", k)
+        assert files, f"bloom dropped present key {k}"
+
+
+def test_bloom_composes_with_minmax(spark, tmp_path):
+    """On a CLUSTERED table both prune: the equality scan reads at most
+    as many files as the range scan would."""
+    from iot_simulator_datalake_spark.engine.maintenance import cluster
+    from iot_simulator_datalake_spark.engine.skipping import (
+        build_bloom_manifest, prune_files_eq)
+    path = tmp_path / "t"
+    _write_interleaved(spark, path)
+    cluster(spark, path, ["k"], target_file_bytes=12_000)
+    build_stats_manifest(path, ["k"])
+    build_bloom_manifest(path, ["k"])
+    files_eq = prune_files_eq(path, "k", 500)
+    files_rng = prune_files(path, "k", 500, 500)
+    assert set(files_eq) <= set(files_rng)
+    assert len(files_eq) <= 2
