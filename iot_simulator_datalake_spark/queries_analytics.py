@@ -700,3 +700,30 @@ def weighted_median(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.max("totw").cast("long").alias("total_weight"),
         F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("v")))
         .cast("long").alias("weighted_median_cent")))
+
+
+@q("multi_distinct_agg", ("A1", "A2"), oracle="""
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(DISTINCT event_type) AS distinct_types,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+""")
+def multi_distinct_agg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Several COUNT(DISTINCT ...) over different columns in ONE
+    aggregate — the planner feature this exercises is Expand: Spark
+    rewrites multi-distinct into an Expand (one replicated row per
+    distinct-column group) + two-phase aggregation, so each distinct
+    set dedups in parallel inside a single shuffle instead of N
+    self-joined single-distinct queries.
+
+    Scale note: Expand multiplies scan rows by the number of distinct
+    specs — acceptable at 2-3 specs; beyond that, per-spec HLL
+    sketches (hll_mergeable_rollup) replace exactness with constant
+    state, which is why both shapes live in this repo.
+    """
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.countDistinct("user_id").alias("distinct_users"),
+                 F.countDistinct("event_type").alias("distinct_types"),
+                 F.count("*").alias("n_events")))

@@ -355,3 +355,9 @@ def test_countmin_broadcasts_sketch(spark):
     assert "BroadcastHashJoin" in plan
     # sketch build reads only the key column
     assert "l_partkey" in plan and "l_quantity" not in plan
+
+
+def test_multi_distinct_agg_uses_expand(spark):
+    plan = plan_of(spark, "multi_distinct_agg")
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2   # one shuffle + AQE final
