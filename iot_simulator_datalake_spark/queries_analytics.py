@@ -727,3 +727,101 @@ def multi_distinct_agg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.countDistinct("user_id").alias("distinct_users"),
                  F.countDistinct("event_type").alias("distinct_types"),
                  F.count("*").alias("n_events")))
+
+
+@q("monthly_active_users_hll", ("A8", "A6", "W1"), oracle="""
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS BIGINT) AS day
+  FROM events
+), bounds AS (SELECT MAX(day) AS max_day FROM pairs),
+cover AS (
+  SELECT p.user_id, p.day + o.off AS window_end
+  FROM pairs p CROSS JOIN (SELECT UNNEST(range(30)) AS off) o
+)
+SELECT window_end, COUNT(DISTINCT user_id) AS mau
+FROM cover CROSS JOIN bounds
+WHERE window_end <= bounds.max_day
+GROUP BY window_end
+""")
+def monthly_active_users_hll(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Sliding 30-day active users via WINDOWED SKETCH MERGE — the
+    escalation weekly_active_users documents: instead of exploding
+    every activity pair ×30, build ONE HLL sketch per day and
+    union-merge 30 of them per window with ``hll_union_agg`` as a
+    window aggregate over a RANGE frame.  State per window is a KB
+    sketch; the per-day sketch relation is calendar-sized, so the
+    window pass costs nothing at any event volume — this is how
+    90-day MAU stays feasible at 100 TB.
+
+    Same lgConfigK=21 exactness trick as hll_mergeable_rollup: at gate
+    cardinality the sketch is exact, so the merged estimate
+    hash-matches the exact sliding COUNT(DISTINCT) oracle — the gate
+    certifies the windowed merge algebra; at real cardinalities only
+    the ±2% estimate changes.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (e.select("user_id",
+                      F.datediff(F.col("ts").cast("date"),
+                                 F.lit("1970-01-01").cast("date"))
+                      .cast("long").alias("day"))
+             .groupBy("day")
+             .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")))
+    w = W.orderBy("day").rangeBetween(-29, W.currentRow)
+    return (daily.select(
+                F.col("day").alias("window_end"),
+                F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+                .alias("mau")))
+
+
+@q("median_interpolated", ("A1", "W1", "F7"), oracle="""
+WITH t AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), h AS (SELECT grp, v, COUNT(*) AS c FROM t GROUP BY grp, v),
+c AS (
+  SELECT grp, v, SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM h
+)
+SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+          + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS BIGINT)
+           AS median_2x_cent
+FROM c GROUP BY grp
+""")
+def median_interpolated(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Interpolated (percentile_cont-style) median per group, held
+    EXACT by reporting in doubled units: median_2x = lower-middle +
+    upper-middle order statistic (equal for odd n, adjacent for even n
+    — half their sum is the textbook interpolated median, and the sum
+    itself is always an integer, so no float ever appears).
+
+    Scale design: same histogram machinery as winsorized_stats /
+    weighted_median — per-value counts map-side, grid-sized cumsum,
+    and BOTH order statistics come from one pass as integer
+    rank tests (cum ≥ (n+1)÷2 and cum ≥ (n+2)÷2).  This closes
+    the percentile family: nearest-rank (curriculum_order), weighted
+    (weighted_median), clipped (winsorized_stats), interpolated —
+    all from one reusable histogram shape, none via percentile_cont
+    float paths that cannot hash-match across engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(F.col("l_returnflag").alias("grp"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("v"))
+    h = t.groupBy("grp", "v").agg(F.count("*").alias("c"))
+    wcum = (W.partitionBy("grp").orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = h.select("grp", "v",
+                 F.sum("c").over(wcum).alias("cum"),
+                 F.sum("c").over(W.partitionBy("grp")).alias("n"))
+    p1 = F.expr("(n + 1) div 2")      # lower-middle rank
+    p2 = F.expr("(n + 2) div 2")      # upper-middle rank
+    lo = F.min(F.when(F.col("cum") >= p1, F.col("v")))
+    hi = F.min(F.when(F.col("cum") >= p2, F.col("v")))
+    return (c.groupBy("grp")
+            .agg(F.max("n").cast("long").alias("n"),
+                 (lo + hi).cast("long").alias("median_2x_cent")))

@@ -308,3 +308,36 @@ def test_ewma_forecast_is_lagged_level(spark):
           - 1) & (F.col("level_cents") <=
                   F.greatest("prev_level", "actual_cents"))))).count()
     assert bad == 0
+
+
+def test_interpolated_median_matches_numpy(spark):
+    import numpy as np
+    out = {r["grp"]: r for r in
+           REGISTRY["median_interpolated"].fn(spark, SF).collect()}
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice").collect()
+    by = {}
+    for r in li:
+        by.setdefault(r["l_returnflag"], []).append(
+            round(r["l_extendedprice"] * 100))
+    for g, vals in by.items():
+        med = float(np.median(vals))
+        assert out[g]["median_2x_cent"] / 2 == med
+        assert out[g]["n"] == len(vals)
+
+
+def test_mau_hll_equals_exact_sliding_distinct(spark):
+    from collections import defaultdict
+    from datetime import date
+    out = {r["window_end"]: r["mau"] for r in
+           REGISTRY["monthly_active_users_hll"].fn(spark, SF).collect()}
+    e = load(spark, SF, "events").select("user_id", "ts").collect()
+    epoch = date(1970, 1, 1)
+    by_day = defaultdict(set)
+    for r in e:
+        by_day[(r["ts"].date() - epoch).days].add(r["user_id"])
+    for we, mau in out.items():
+        users = set()
+        for d in range(we - 29, we + 1):
+            users |= by_day.get(d, set())
+        assert mau == len(users)
