@@ -1,0 +1,62 @@
+"""Build a ×N replica of a testdata SF dir with key-shifted copies —
+the dataset behind SCALE.md's replica probes.
+
+Usage: python tools/replica.py [N] [src_dir] [out_dir]
+       (defaults: 10 /root/testdata/sf0.1 /tmp/x10)
+
+Key columns shift by copy index so cardinalities scale realistically
+(10× users / orders / docs), while dimension-like columns (partkey,
+event_type, text) repeat — which also makes the replica a worst-case
+duplicate corpus for the dedup family (see SCALE.md's minhash note).
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from iot_simulator_datalake_spark.queries import load  # noqa: E402
+from iot_simulator_datalake_spark.session import get_spark  # noqa: E402
+
+SHIFTS = {
+    "lineitem": {"l_orderkey": 10**9},
+    "orders": {"o_orderkey": 10**9, "o_custkey": 10**7},
+    "events": {"event_id": 10**9, "user_id": 10**7},
+    "documents": {"doc_id": 10**7},
+    "customer": {"c_custkey": 10**7},
+}
+COPY_AS_IS = ("region", "nation", "supplier", "part", "embeddings")
+
+
+def main(argv: list[str]) -> int:
+    n = int(argv[0]) if argv else 10
+    src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    out = argv[2] if len(argv) > 2 else "/tmp/x10"
+    spark = get_spark("replica")
+    shutil.rmtree(out, ignore_errors=True)
+    for t, sh in SHIFTS.items():
+        df = load(spark, src, t)
+        parts = []
+        for i in range(n):
+            d = df
+            for c, k in sh.items():
+                d = d.withColumn(c, F.col(c) + i * k)
+            parts.append(d)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print(f"{t}: x{n} written")
+    for t in COPY_AS_IS:
+        load(spark, src, t).write.mode("overwrite") \
+            .parquet(f"{out}/{t}.parquet")
+    print(f"replica ready at {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
