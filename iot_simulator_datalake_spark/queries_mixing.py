@@ -498,3 +498,61 @@ def pmi_cooccurrence(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                     .cast("bigint").alias("pmi_milli"))
             .orderBy(F.col("pmi_milli").desc(), "tok_a", "tok_b")
             .limit(_PMI_TOP))
+
+
+# =========================================================================
+# Temperature-sampled mixture rates ([EXT] — the τ-sampling recipe)
+# =========================================================================
+
+_TEMP = dict(tau="0.7::DOUBLE")
+
+
+@q("temperature_mix_rates", ("A1", "F7"), oracle=f"""
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+t AS (SELECT source, n_docs,
+             CAST(FLOOR(POW(CAST(n_docs AS DOUBLE), {_TEMP['tau']})
+                        * 1000000) AS BIGINT) AS wq FROM s),
+z AS (SELECT CAST(SUM(wq) AS BIGINT) AS z,
+             CAST(SUM(n_docs) AS BIGINT) AS tot FROM t
+      CROSS JOIN (SELECT 1) one),
+s2 AS (SELECT t.source, t.n_docs, t.wq, z.z, z.tot FROM t CROSS JOIN z)
+SELECT source, n_docs,
+       CAST((wq * 1000000) // z AS BIGINT) AS mix_ppm,
+       CAST(FLOOR((CAST(wq AS DOUBLE) / z) /
+             (CAST(n_docs AS DOUBLE) / tot) * 1000) AS BIGINT)
+           AS upweight_milli
+FROM s2
+""")
+def temperature_mix_rates(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Temperature-based mixture weights per source:
+    p_s ∝ n_s^τ (τ=0.7) — the multinomial τ-sampling recipe from the
+    GPT-3/PaLM data pipelines that upweights small high-quality
+    sources relative to raw proportion.  Emits each source's sampling
+    rate (ppm) and its upweight factor vs natural frequency (milli) —
+    the table domain_mix_weighted / epoch_upsample consume as their
+    configured rates.
+
+    Scale design: one map-side-combined source count (the whole input
+    reduces to |sources| rows), then per-row double math with a
+    broadcast normalizer — identical expression tree on both engines,
+    floored to integer units so the rate TABLE itself is
+    bit-reproducible, which matters because these rates become a
+    frozen training-config artifact.
+    """
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    # per-source weight quantized to integer micro-units BEFORE the
+    # normalizer sum, so z is an exact bigint (a double Σ would be
+    # reduction-order-dependent)
+    t = s.select("source", "n_docs",
+                 F.floor(F.pow(F.col("n_docs").cast("double"), 0.7)
+                         * 1000000).cast("long").alias("wq"))
+    z = t.groupBy().agg(F.sum("wq").cast("long").alias("z"),
+                        F.sum("n_docs").cast("long").alias("tot"))
+    return (t.join(F.broadcast(z))
+            .selectExpr("source", "n_docs",
+                        "(wq * 1000000) div z AS mix_ppm",
+                        "CAST(FLOOR((CAST(wq AS DOUBLE) / z) /"
+                        " (CAST(n_docs AS DOUBLE) / tot) * 1000)"
+                        " AS BIGINT) AS upweight_milli"))
