@@ -279,3 +279,120 @@ def bfs_reachability(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (visited.join(F.broadcast(n),
                          visited["v"] == n["n_nationkey"])
             .select(F.col("n_name").alias("nation"), "hop"))
+
+
+# =========================================================================
+# Random-walk corpus ([EXT] — DeepWalk/node2vec dataset generation)
+# =========================================================================
+
+_WALK = dict(steps=4, per_node=2)
+
+
+def _walk_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for h in range(1, _WALK["steps"] + 1):
+        steps.append(f"""
+w{h} AS (
+  SELECT p.walk_id,
+         COALESCE(nb.dst, p.cur) AS cur,
+         CASE WHEN nb.dst IS NOT NULL
+              THEN p.path || '>' || CAST(nb.dst AS VARCHAR)
+              ELSE p.path END AS path
+  FROM {prev} p
+  LEFT JOIN deg d ON d.src = p.cur
+  LEFT JOIN nbr nb ON nb.src = p.cur AND nb.pick =
+      (('0x' || substr(md5('rw:' || CAST(p.walk_id AS VARCHAR)
+                           || ':' || {h}), 1, 15))::BIGINT % d.deg)
+)""")
+        prev = f"w{h}"
+    body = ",".join(steps)
+    return f"""
+WITH e AS ({_TOP_EDGES_SQL}),
+nbr AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pick
+  FROM e
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY src),
+w0 AS (
+  SELECT n_nationkey * 10 + i AS walk_id, n_nationkey AS cur,
+         CAST(n_nationkey AS VARCHAR) AS path
+  FROM nation CROSS JOIN (SELECT UNNEST(range({_WALK['per_node']})) AS i)
+),
+{body}
+SELECT walk_id, path FROM {prev}
+"""
+
+
+@q("random_walk_corpus", ("J1", "W1", "F9"), oracle=_walk_oracle())
+def random_walk_corpus(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """DeepWalk-style training corpus: {per_node} deterministic random
+    walks of {steps} steps from every node of the sparsified trade
+    graph, each emitted as a '>'-joined node sequence — the dataset
+    that feeds skip-gram graph-embedding training (walks are to graphs
+    what sentences are to word2vec).
+
+    Scale design: a walk step is ONE equi-join — current position ⋈
+    indexed neighbor table on (node, picked-rank) — so a round costs
+    walks-size × join, never edge-size; the neighbor index (per-node
+    0..deg-1 ranks + degree) is built once and reused every round,
+    the same reuse discipline as the PageRank/BFS loops.  The "coin"
+    is md5(walk, step) — not rand() — so the corpus is reproducible
+    across engines/retries (the hash_sample doctrine extended to
+    sequential decisions), and the oracle unrolls the walk as chained
+    CTEs replaying the identical coins.  Dead-end nodes absorb the
+    walk (path stops growing) on both engines.
+    """.format(**_WALK)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+
+    wedges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+              .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+              .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+              .groupBy(s["s_nationkey"].alias("src"),
+                       c["c_nationkey"].alias("dst"))
+              .agg(F.count(F.lit(1)).alias("w"))
+              .filter(F.col("src") != F.col("dst")))
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("w").desc(), "dst"))
+    edges = (wedges.withColumn("rn", rn).filter(F.col("rn") <= _BFS_TOPK)
+             .select("src", "dst"))
+    nbr = edges.select(
+        F.col("src").alias("nsrc"), F.col("dst").alias("ndst"),
+        (F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1)
+        .alias("npick")).cache()
+    deg = nbr.groupBy(F.col("nsrc").alias("dsrc")).agg(
+        F.count("*").cast("long").alias("deg"))
+
+    starts = (n.select("n_nationkey")
+              .crossJoin(F.broadcast(
+                  spark.range(_WALK["per_node"]).select(
+                      F.col("id").alias("i"))))
+              .select((F.col("n_nationkey") * 10 + F.col("i"))
+                      .alias("walk_id"),
+                      F.col("n_nationkey").alias("cur"),
+                      F.col("n_nationkey").cast("string").alias("path")))
+    state = starts
+    for h in range(1, _WALK["steps"] + 1):
+        coin = F.conv(F.substring(F.md5(F.concat(
+            F.lit("rw:"), F.col("walk_id").cast("string"),
+            F.lit(f":{h}"))), 1, 15), 16, 10).cast("long")
+        state = (state.join(F.broadcast(deg),
+                            state["cur"] == deg["dsrc"], "left")
+                 .withColumn("pick_h", coin % F.col("deg"))
+                 .drop("dsrc"))
+        state = (state.join(F.broadcast(nbr),
+                            (F.col("cur") == F.col("nsrc")) &
+                            (F.col("pick_h") == F.col("npick")), "left")
+                 .select("walk_id",
+                         F.coalesce(F.col("ndst"), F.col("cur"))
+                         .alias("cur"),
+                         F.when(F.col("ndst").isNotNull(),
+                                F.concat(F.col("path"), F.lit(">"),
+                                         F.col("ndst").cast("string")))
+                         .otherwise(F.col("path")).alias("path")))
+    return state.select("walk_id", "path")

@@ -59,3 +59,40 @@ def test_cep_pattern_matches_python(spark):
                     (nclk is None or nclk >= nerr)):
                 want[(u, eid)] = nerr - tsu
     assert out == want
+
+
+def test_random_walks_are_valid_paths(spark):
+    from iot_simulator_datalake_spark.queries_graph import (
+        _BFS_TOPK, _WALK)
+    from pyspark.sql import functions as F
+    out = REGISTRY["random_walk_corpus"].fn(spark, SF).cache()
+    rows = out.collect()
+    n_nations = load(spark, SF, "nation").count()
+    assert len(rows) == n_nations * _WALK["per_node"]
+    # rebuild the edge set the walks must follow
+    li = load(spark, SF, "lineitem")
+    o = load(spark, SF, "orders")
+    c = load(spark, SF, "customer")
+    s = load(spark, SF, "supplier")
+    from pyspark.sql import Window as W
+    we = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .groupBy(s.s_nationkey.alias("src"), c.c_nationkey.alias("dst"))
+          .agg(F.count(F.lit(1)).alias("w"))
+          .filter(F.col("src") != F.col("dst")))
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("w").desc(), "dst"))
+    edges = {(r["src"], r["dst"]) for r in
+             we.withColumn("rn", rn).filter(F.col("rn") <= _BFS_TOPK)
+             .collect()}
+    for r in rows:
+        path = [int(x) for x in r["path"].split(">")]
+        assert 1 <= len(path) <= _WALK["steps"] + 1
+        assert path[0] == r["walk_id"] // 10
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edges, f"walk used non-edge {(a, b)}"
+    # determinism: second run bit-identical
+    again = {(r["walk_id"], r["path"]) for r in
+             REGISTRY["random_walk_corpus"].fn(spark, SF).collect()}
+    assert again == {(r["walk_id"], r["path"]) for r in rows}
