@@ -39,11 +39,19 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      probe_id_col: str | None = None,
-                     probe_vec_col: str | None = None) -> DataFrame:
+                     probe_vec_col: str | None = None,
+                     corpus_payload: tuple[str, ...] = (),
+                     probe_payload: tuple[str, ...] = (),
+                     pair_filter=None) -> DataFrame:
     """Exact top-k cosine neighbours for each probe row.
 
-    Output: (probe_id, vec_id, score, rank), rank 1..k, ties broken by
-    vec_id so results are deterministic.
+    Output: (probe_id, [probe_payload...], vec_id, [corpus_payload...],
+    score, rank), rank 1..k, ties broken by vec_id so results are
+    deterministic.  ``corpus_payload``/``probe_payload`` name extra
+    columns carried through scoring; ``pair_filter`` (a Column
+    predicate over the scored relation) restricts candidate pairs
+    BEFORE ranking — e.g. label mismatch for hard-negative mining —
+    fused into the scan, so rejected pairs never rank.
     """
     # Norms are precomputed per side (N + P folds) so the pair loop
     # runs ONE interpreted array fold (the dot product) instead of
@@ -53,16 +61,21 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     p = probes.select(
         F.col(probe_id_col or id_col).alias("probe_id"),
         F.col(probe_vec_col or vec_col).alias("probe_vec"),
-        l2_norm(F.col(probe_vec_col or vec_col)).alias("probe_norm"))
+        l2_norm(F.col(probe_vec_col or vec_col)).alias("probe_norm"),
+        *[F.col(c) for c in probe_payload])
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("vec"),
-                      l2_norm(F.col(vec_col)).alias("norm"))
+                      l2_norm(F.col(vec_col)).alias("norm"),
+                      *[F.col(c) for c in corpus_payload])
     scored = (c.crossJoin(F.broadcast(p))
               .filter(F.col("probe_id") != F.col("vec_id"))
-              .select("probe_id", "vec_id",
+              .select("probe_id", *probe_payload, "vec_id",
+                      *corpus_payload,
                       F.round(dot(F.col("probe_vec"), F.col("vec")) /
                               (F.col("probe_norm") * F.col("norm")), 6)
                       .alias("score")))
+    if pair_filter is not None:
+        scored = scored.filter(pair_filter)
     return _rank_topk(scored, k)
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .queries import load, q
@@ -313,3 +314,99 @@ def pq_codebook_encode(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (a2.join(m2, ["vec_id", "blk"])
             .groupBy("vec_id")
             .agg(*codes, F.sum("md").cast("bigint").alias("err_milli2")))
+
+
+# =========================================================================
+# Hard-negative mining ([EXT] — contrastive-training data op)
+# =========================================================================
+
+from .queries_ext import _O_COS, _O_EMB  # noqa: E402
+from .operators.similarity import brute_force_topk  # noqa: E402
+
+
+@q("hard_negative_mining", ("F10", "W3", "J5"), oracle=f"""
+WITH emb AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec,
+                    e.label
+             FROM embeddings e),
+probes AS (SELECT * FROM emb WHERE vec_id < 10),
+scored AS (
+  SELECT b.vec_id AS probe_id, b.label AS probe_label,
+         a.vec_id AS vec_id, a.label AS neg_label, {_O_COS} AS score
+  FROM emb a, probes b
+  WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+)
+SELECT probe_id, probe_label, vec_id, neg_label, score,
+       rank::INT AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""")
+def hard_negative_mining(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hard negatives for contrastive training: for each probe, the
+    top-5 most-similar vectors with a DIFFERENT label — the pairs
+    that actually move a contrastive loss (random negatives are
+    trivially separable; hard ones define the margin).
+
+    Scale design: identical to the similarity-search family — probes
+    broadcast, corpus never shuffles, per-partition partial top-k —
+    with the label-mismatch predicate fused INTO the scoring pass, so
+    no candidate materializes just to be discarded.  The production
+    escalation replaces the exact scan with the IVF/LSH candidate
+    route (same operators), mining negatives per cell; labels ride
+    the index as a payload column either way.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        "vec_id", "embedding", F.col("label").alias("probe_label"))
+    corpus = e.select("vec_id", "embedding",
+                      F.col("label").alias("neg_label"))
+    return brute_force_topk(
+        corpus, probes, k=5,
+        corpus_payload=("neg_label",), probe_payload=("probe_label",),
+        pair_filter=F.col("neg_label") != F.col("probe_label")) \
+        .select("probe_id", "probe_label", "vec_id", "neg_label",
+                "score", "rank")
+
+
+@q("label_balance_resample", ("A1", "W1", "W3"), oracle="""
+WITH m AS (
+  SELECT MIN(cnt) AS target FROM (
+    SELECT COUNT(*) AS cnt FROM embeddings GROUP BY label)
+)
+SELECT vec_id, label FROM (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (
+             PARTITION BY label
+             ORDER BY md5('bal:' || CAST(vec_id AS VARCHAR)), vec_id)
+             AS rn
+  FROM embeddings
+) r CROSS JOIN m
+WHERE r.rn <= m.target
+""")
+def label_balance_resample(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Class-balanced training subset: every label downsampled to the
+    MINORITY class size by deterministic hash rank — the standard
+    rebalancing step before training a classifier on skewed labels
+    (its upsampling twin is epoch_upsample's fractional replication).
+
+    Scale design: per-label rank over an md5 order is one shuffle on
+    label (the WindowGroupLimit pushdown caps per-partition work at
+    `target` rows once the limit is known); the target itself is a
+    label-cardinality-sized aggregate broadcast back.  The md5 order —
+    not rand() — makes the kept subset identical across engines,
+    retries and backfills, so the training set is an auditable
+    function of the data, the same doctrine as every sampler here.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    m = (e.groupBy("label").agg(F.count("*").alias("cnt"))
+         .groupBy().agg(F.min("cnt").alias("target")))
+    rn = F.row_number().over(
+        W.partitionBy("label").orderBy(
+            F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))),
+            "vec_id"))
+    return (e.select("vec_id", "label").withColumn("rn", rn)
+            .join(F.broadcast(m))
+            .filter(F.col("rn") <= F.col("target"))
+            .select("vec_id", "label"))

@@ -341,3 +341,28 @@ def test_mau_hll_equals_exact_sliding_distinct(spark):
         for d in range(we - 29, we + 1):
             users |= by_day.get(d, set())
         assert mau == len(users)
+
+
+def test_hard_negatives_never_share_label(spark):
+    out = REGISTRY["hard_negative_mining"].fn(spark, SF).cache()
+    assert out.filter(
+        F.col("probe_label") == F.col("neg_label")).count() == 0
+    per = out.groupBy("probe_id").count().collect()
+    assert all(r["count"] == 5 for r in per)
+    # hard negatives score at least as high as the WORST unfiltered
+    # neighbor would allow: rank is dense 1..5
+    ranks = {(r["probe_id"], r["rank"]) for r in out.collect()}
+    for pid in {p for p, _ in ranks}:
+        assert {(pid, i) for i in range(1, 6)} <= ranks
+
+
+def test_label_balance_exact_counts_and_determinism(spark):
+    out = REGISTRY["label_balance_resample"].fn(spark, SF).cache()
+    src = load(spark, SF, "embeddings").groupBy("label").count().collect()
+    target = min(r["count"] for r in src)
+    got = out.groupBy("label").count().collect()
+    assert len(got) == len(src)
+    assert all(r["count"] == target for r in got)
+    again = {(r["vec_id"], r["label"]) for r in
+             REGISTRY["label_balance_resample"].fn(spark, SF).collect()}
+    assert again == {(r["vec_id"], r["label"]) for r in out.collect()}
