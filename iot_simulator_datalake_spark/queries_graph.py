@@ -396,3 +396,55 @@ def random_walk_corpus(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                                          F.col("ndst").cast("string")))
                          .otherwise(F.col("path")).alias("path")))
     return state.select("walk_id", "path")
+
+
+# =========================================================================
+# Skip-gram pairs from walks ([EXT] — the word2vec co-occurrence stat)
+# =========================================================================
+
+_SG = dict(window=2)
+
+
+@q("skipgram_pairs", ("W1", "A1", "F9"), oracle=f"""
+WITH walks AS ({_walk_oracle()}),
+toks AS (
+  SELECT walk_id, string_split(path, '>') AS l FROM walks
+), pos AS (
+  SELECT walk_id, UNNEST(range(len(l))) AS i, l FROM toks
+), nodes AS (
+  SELECT walk_id, i, CAST(l[i + 1] AS BIGINT) AS node FROM pos
+)
+SELECT a.node AS center, b.node AS context,
+       COUNT(*) AS n_cooccur
+FROM nodes a JOIN nodes b
+  ON a.walk_id = b.walk_id AND a.i <> b.i
+ AND ABS(a.i - b.i) <= {_SG['window']}
+GROUP BY 1, 2
+""")
+def skipgram_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Skip-gram (center, context) co-occurrence counts with window
+    ±{window} over the random-walk corpus — the sufficient statistic
+    word2vec/DeepWalk training consumes (and exactly the relation a
+    shifted-PPMI factorization embeds; pmi_cooccurrence is its text
+    twin).
+
+    Scale design: composes random_walk_corpus's generation with a
+    position self-join keyed on walk_id — walks are CONSTANT length,
+    so pairs per walk are ≤ 2·w·len, linear in walk count; the pair
+    count map-side combines to ≤|nodes|² cells.  The full graph →
+    walks → pairs → (PMI/factorize) chain is thereby gate-certified
+    end-to-end, each stage reusing the previous one's oracle as a CTE.
+    """.format(**_SG)
+    walks = random_walk_corpus(spark, sf_dir)
+    nodes = (walks.select("walk_id",
+                          F.posexplode(F.split("path", ">"))
+                          .alias("i", "node"))
+             .select("walk_id", "i", F.col("node").cast("long")
+                     .alias("node")))
+    a, b = nodes.alias("a"), nodes.alias("b")
+    return (a.join(b, (F.col("a.walk_id") == F.col("b.walk_id")) &
+                   (F.col("a.i") != F.col("b.i")) &
+                   (F.abs(F.col("a.i") - F.col("b.i")) <= _SG["window"]))
+            .groupBy(F.col("a.node").alias("center"),
+                     F.col("b.node").alias("context"))
+            .agg(F.count("*").alias("n_cooccur")))

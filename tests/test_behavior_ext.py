@@ -96,3 +96,21 @@ def test_random_walks_are_valid_paths(spark):
     again = {(r["walk_id"], r["path"]) for r in
              REGISTRY["random_walk_corpus"].fn(spark, SF).collect()}
     assert again == {(r["walk_id"], r["path"]) for r in rows}
+
+
+def test_skipgram_pairs_reproduce_from_walks(spark):
+    from collections import Counter
+    from iot_simulator_datalake_spark.queries_graph import _SG
+    out = {(r["center"], r["context"]): r["n_cooccur"] for r in
+           REGISTRY["skipgram_pairs"].fn(spark, SF).collect()}
+    walks = REGISTRY["random_walk_corpus"].fn(spark, SF).collect()
+    want = Counter()
+    for r in walks:
+        path = [int(x) for x in r["path"].split(">")]
+        for i, ci in enumerate(path):
+            for j, cj in enumerate(path):
+                if i != j and abs(i - j) <= _SG["window"]:
+                    want[(ci, cj)] += 1
+    assert out == dict(want)
+    # symmetry: skip-gram windows are symmetric
+    assert all(out.get((b, a)) == n for (a, b), n in out.items())
