@@ -80,3 +80,51 @@ def test_cluster_makes_file_stats_disjoint(spark, tmp_path):
     # data unchanged
     assert spark.read.parquet(str(path)) \
         .agg(F.sum("payload"), F.count(F.lit(1))).collect()[0] == checksum
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order vs lexicographic clustering: after cluster(a) a range
+    probe on b keeps every file; after zorder(a, b) BOTH single-column
+    probes prune, because each file covers a small hyper-cube."""
+    from pyspark.sql import functions as F
+    from iot_simulator_datalake_spark.engine.maintenance import (
+        cluster, zorder)
+    from iot_simulator_datalake_spark.engine.skipping import (
+        build_stats_manifest, prune_files)
+
+    def fresh(path):
+        df = spark.range(40_000).select(
+            (F.col("id") % 200).alias("a"),
+            ((F.col("id") * 7919) % 200).alias("b"))
+        df.repartition(16).write.mode("overwrite").parquet(str(path))
+
+    lex = tmp_path / "lex"
+    fresh(lex)
+    cluster(spark, lex, ["a"], target_file_bytes=12_000)
+    build_stats_manifest(lex, ["a", "b"])
+    lex_total = len(prune_files(lex, "a"))
+    assert len(prune_files(lex, "a", 10, 20)) <= lex_total // 2
+    # lexicographic layout cannot prune the second key
+    assert len(prune_files(lex, "b", 10, 20)) == lex_total
+
+    zo = tmp_path / "zo"
+    fresh(zo)
+    # z-curve selectivity per dimension ~ sqrt(files): use enough files
+    zorder(spark, zo, ["a", "b"], target_file_bytes=5_000)
+    build_stats_manifest(zo, ["a", "b"])
+    zo_total = len(prune_files(zo, "a"))
+    assert zo_total >= 12
+    kept_a = len(prune_files(zo, "a", 10, 20))
+    kept_b = len(prune_files(zo, "b", 10, 20))
+    # a 5.5% probe on EITHER dimension prunes files (vs 100% kept on
+    # the non-leading key of the lexicographic layout)
+    assert kept_a <= zo_total * 6 // 10
+    assert kept_b <= zo_total * 6 // 10
+
+    # correctness: pruned scan returns exactly the filtered rows
+    files = prune_files(zo, "b", 10, 20)
+    got = (spark.read.parquet(*files)
+           .filter((F.col("b") >= 10) & (F.col("b") <= 20)).count())
+    want = (spark.read.parquet(str(zo))
+            .filter((F.col("b") >= 10) & (F.col("b") <= 20)).count())
+    assert got == want
