@@ -249,3 +249,54 @@ def bloom_point_lookup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         raise AssertionError(
             f"bloom skipping ineffective: read {n_read}/{n_total} files")
     return df.select("event_id", "user_id", "event_type", "value_cents")
+
+
+# =========================================================================
+# Z-order second-dimension scan ([EXT] — multi-key skipping in the gate)
+# =========================================================================
+
+_ZO = dict(lo=10_000, hi=20_000)  # value_cents probe band
+
+
+@q("zorder_second_dim_scan", ("S9", "P5", "A1"), oracle=f"""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+WHERE CAST(ROUND(value * 100) AS BIGINT)
+      BETWEEN {_ZO['lo']} AND {_ZO['hi']}
+GROUP BY user_id
+""")
+def zorder_second_dim_scan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """End-to-end multi-key skipping: export events, Z-ORDER on
+    (user_id, value_cents) via the Morton curve, build the stats
+    manifest, then answer a selective range query on the SECOND
+    z-ordered column through the pruned scan — the probe that
+    lexicographic clustering fundamentally cannot skip (its
+    non-leading key spans every file).
+
+    RAISES unless second-dimension pruning actually dropped files; the
+    hash compare against the plain-filter oracle then certifies that
+    pruning never changed the answer.  This is the dashboard-slice
+    shape at 100 TB: tables are laid out once for N query dimensions,
+    and every dimension gets sub-linear scans.
+    """
+    from .engine.maintenance import zorder
+    from .engine.skipping import build_stats_manifest, scan_with_skipping
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    work = Path(tempfile.mkdtemp(prefix="zorder_scan_")) / "events"
+    e.repartition(8).write.mode("overwrite").parquet(str(work))
+    zorder(spark, work, ["user_id", "value_cents"],
+           target_file_bytes=48 * 1024)
+    build_stats_manifest(work, ["user_id", "value_cents"])
+    df, n_read, n_total = scan_with_skipping(
+        spark, work, "value_cents", lo=_ZO["lo"], hi=_ZO["hi"])
+    if n_total >= 6 and n_read >= n_total:
+        raise AssertionError(
+            f"z-order 2nd-dim skipping ineffective: {n_read}/{n_total}")
+    return (df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value_cents").cast("long").alias("total_cents")))
