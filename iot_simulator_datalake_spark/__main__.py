@@ -1,6 +1,8 @@
-"""CLI: ``python -m iot_simulator_datalake_spark run|test`` — the
-engine's equivalent of the reference job's two steps (``dbt run`` then
-``dbt test``, resources/jobs.yml:30-33; O5 in SURVEY §2.10)."""
+"""CLI: ``python -m iot_simulator_datalake_spark run|test|docs|lineage|
+optimize`` — run/test mirror the reference job's two steps (``dbt run``
+then ``dbt test``, resources/jobs.yml:30-33; O5 in SURVEY §2.10);
+docs/lineage expose the catalog + impact-analysis relations (the dbt
+docs analog); optimize compacts / clusters / z-orders a table dir."""
 
 from __future__ import annotations
 
@@ -18,7 +20,50 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--warehouse", default="/tmp/iot_lake_warehouse")
         s.add_argument("--batch", action="store_true",
                        help="batch bronze/silver instead of streaming")
+    sub.add_parser("docs", help="print the model catalog (dbt-docs analog)")
+    sub.add_parser("lineage", help="print the transitive lineage closure")
+    so = sub.add_parser("optimize",
+                        help="compact / cluster / z-order a parquet dir")
+    so.add_argument("path")
+    so.add_argument("--cluster-by", nargs="*", default=[],
+                    help="range-cluster columns (1) or z-order (2+)")
+    so.add_argument("--stats", nargs="*", default=[],
+                    help="build a skipping manifest for these columns")
+    so.add_argument("--bloom", nargs="*", default=[],
+                    help="add bloom bitmaps for these columns")
     args = p.parse_args(argv)
+
+    if args.cmd in ("docs", "lineage"):
+        from .queries_pipeline import _catalog_rows, _lineage_edges
+        if args.cmd == "docs":
+            for dag, model, layer, mat, n_deps, deps in _catalog_rows():
+                print(f"  [{dag}] {model:30s} {layer:8s} {mat:16s} "
+                      f"deps={deps or '-'}")
+        else:
+            for up, down in _lineage_edges():
+                print(f"  {up} -> {down}")
+        return 0
+
+    if args.cmd == "optimize":
+        from .engine import maintenance, skipping
+        from .session import get_spark
+        spark = get_spark("iot-lake-optimize")
+        if len(args.cluster_by) == 1:
+            n = maintenance.cluster(spark, args.path, args.cluster_by)
+            print(f"  clustered on {args.cluster_by[0]}: {n} files")
+        elif len(args.cluster_by) >= 2:
+            n = maintenance.zorder(spark, args.path, args.cluster_by)
+            print(f"  z-ordered on {args.cluster_by}: {n} files")
+        else:
+            n = maintenance.compact(spark, args.path)
+            print(f"  compacted: {n} files")
+        if args.stats:
+            n = skipping.build_stats_manifest(args.path, args.stats)
+            print(f"  stats manifest: {n} files indexed")
+        if args.bloom:
+            n = skipping.build_bloom_manifest(args.path, args.bloom)
+            print(f"  bloom manifest: {n} files indexed")
+        return 0
 
     from .engine import Engine
     from .pipeline import attach_reference_checks, build_registry
