@@ -1,0 +1,42 @@
+"""CLI surface tests (``python -m iot_simulator_datalake_spark``):
+docs/lineage print the registry-derived relations without a Spark
+session; optimize drives the maintenance + manifest path end-to-end.
+"""
+
+from __future__ import annotations
+
+from iot_simulator_datalake_spark.__main__ import main
+
+
+def test_docs_lists_all_models(capsys):
+    assert main(["docs"]) == 0
+    out = capsys.readouterr().out
+    for model in ("bronze.iot_events", "silver.iot_events",
+                  "gold.fact_iot_events", "gold.packed_sequences"):
+        assert model in out
+
+
+def test_lineage_prints_edges(capsys):
+    assert main(["lineage"]) == 0
+    out = capsys.readouterr().out
+    assert "silver.iot_events -> gold.fact_iot_events" in out
+    assert "bronze.iot_events -> silver.iot_events" in out
+
+
+def test_optimize_zorder_and_manifests(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+    path = tmp_path / "t"
+    (spark.range(5000)
+     .select((F.col("id") % 50).alias("a"),
+             ((F.col("id") * 31) % 50).alias("b"))
+     .repartition(4).write.mode("overwrite").parquet(str(path)))
+    assert main(["optimize", str(path), "--cluster-by", "a", "b",
+                 "--stats", "a", "b", "--bloom", "a"]) == 0
+    out = capsys.readouterr().out
+    assert "z-ordered" in out and "stats manifest" in out \
+        and "bloom manifest" in out
+    from iot_simulator_datalake_spark.engine.skipping import (
+        prune_files_eq, read_stats_manifest)
+    m = read_stats_manifest(path)
+    assert m["files"] and "bloom" in m
+    assert prune_files_eq(path, "a", 7)          # present value kept
