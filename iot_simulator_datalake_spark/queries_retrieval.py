@@ -285,3 +285,99 @@ def winsorized_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                                F.col("hi"))).alias("s"))
             .selectExpr("grp", "n", "lo", "hi",
                         "s div n AS winsorized_mean_cent"))
+
+
+# =========================================================================
+# Hybrid search: reciprocal rank fusion ([EXT] — the RAG retrieval stack)
+# =========================================================================
+
+_RRF = dict(k=60, depth=20, out=10)
+
+
+@q("hybrid_search_rrf", ("F9", "F10", "W3"), oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(toks) AS term FROM d
+  ) WHERE term IN ('spark', 'window', 'dup') GROUP BY 1, 2
+), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+bm_scored AS (
+  SELECT tf.doc_id, CAST(SUM(CAST(ROUND(
+           LN(1 + (CAST(g.n - df.df AS DOUBLE) + 0.5) / (df.df + 0.5)) *
+           (tf.tf * (1.2::DOUBLE + 1)) /
+           (tf.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE *
+              (CAST(dl.dl AS DOUBLE) * g.n) / g.sumdl)) * 1e9)
+         AS BIGINT)) AS BIGINT) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id
+),
+bm AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM bm_scored QUALIFY r <= {_RRF['depth']}
+),
+emb AS ({_O_EMB}),
+probe AS (SELECT * FROM emb WHERE vec_id = 0),
+ann_scored AS (
+  SELECT a.vec_id AS doc_id, {_O_COS} AS score
+  FROM emb a, probe b WHERE a.vec_id <> b.vec_id
+),
+ann AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ann_scored QUALIFY r <= {_RRF['depth']}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+         COALESCE(CAST(ROUND(1e9 / ({_RRF['k']} + bm.r)) AS BIGINT), 0)
+       + COALESCE(CAST(ROUND(1e9 / ({_RRF['k']} + ann.r)) AS BIGINT), 0)
+           AS rrf_nano,
+         bm.r AS bm25_rank, ann.r AS ann_rank
+  FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+)
+SELECT doc_id, rrf_nano, bm25_rank::INT AS bm25_rank,
+       ann_rank::INT AS ann_rank
+FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT {_RRF['out']}
+""")
+def hybrid_search_rrf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking and the embedding ANN ranking (probe = vector 0), score =
+    Σ 1/(k+rank) in integer nanos — the standard RAG retrieval stack
+    (Elasticsearch/Vespa hybrid mode) as one relation.  The driver's
+    documents/embeddings tables share an id space, which is exactly
+    the doc↔vector pairing a corpus store maintains.
+
+    Scale design: both branches are the production operators already
+    certified (BM25's broadcast-stats pass; the ANN family's
+    broadcast-probe scan — swap in the IVF/LSH route unchanged), each
+    cut to depth {depth} BEFORE fusion, so the full-outer fusion join
+    is depth-sized regardless of corpus size, and the fused score is
+    an integer sum of per-ranking reciprocal terms (rank ties are
+    impossible by construction, so RRF is bit-stable).
+    """.format(**_RRF)
+    depth, kk = _RRF["depth"], _RRF["k"]
+    bm = (bm25_topk.__wrapped__(spark, sf_dir)
+          if hasattr(bm25_topk, "__wrapped__") else
+          bm25_topk(spark, sf_dir))
+    bm = (bm.select("doc_id",
+                    F.row_number().over(
+                        W.orderBy(F.col("score_nano").desc(), "doc_id"))
+                    .alias("r")).filter(F.col("r") <= depth))
+    e = load(spark, sf_dir, "embeddings")
+    ann = (brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=depth)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("rank").alias("r")))
+    bmx = bm.select(F.col("doc_id").alias("b_id"), F.col("r").alias("b_r"))
+    annx = ann.select(F.col("doc_id").alias("a_id"), F.col("r").alias("a_r"))
+    fused = (bmx.join(annx, bmx["b_id"] == annx["a_id"], "full_outer")
+             .select(
+                 F.coalesce("b_id", "a_id").alias("doc_id"),
+                 (F.coalesce(F.round(1e9 / (kk + F.col("b_r")))
+                             .cast("long"), F.lit(0)) +
+                  F.coalesce(F.round(1e9 / (kk + F.col("a_r")))
+                             .cast("long"), F.lit(0))).alias("rrf_nano"),
+                 F.col("b_r").cast("int").alias("bm25_rank"),
+                 F.col("a_r").cast("int").alias("ann_rank")))
+    return (fused.orderBy(F.col("rrf_nano").desc(), "doc_id")
+            .limit(_RRF["out"]))

@@ -98,3 +98,21 @@ def test_winsorized_thresholds_are_nearest_rank(spark):
         clipped = [min(max(v, lo), hi) for v in vals]
         assert r["winsorized_mean_cent"] == sum(clipped) // n
         assert lo <= r["winsorized_mean_cent"] <= hi
+
+
+def test_rrf_fuses_both_rankings(spark):
+    from iot_simulator_datalake_spark.queries_retrieval import _RRF
+    out = REGISTRY["hybrid_search_rrf"].fn(spark, SF).collect()
+    assert len(out) == _RRF["out"]
+    k = _RRF["k"]
+    for r in out:
+        want = 0
+        if r["bm25_rank"] is not None:
+            want += round(1e9 / (k + r["bm25_rank"]))
+        if r["ann_rank"] is not None:
+            want += round(1e9 / (k + r["ann_rank"]))
+        assert r["rrf_nano"] == want
+        assert r["bm25_rank"] is not None or r["ann_rank"] is not None
+    # docs present in BOTH rankings outrank equal-rank singletons
+    scores = [r["rrf_nano"] for r in out]
+    assert scores == sorted(scores, reverse=True)
