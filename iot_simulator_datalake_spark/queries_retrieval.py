@@ -381,3 +381,55 @@ def hybrid_search_rrf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  F.col("a_r").cast("int").alias("ann_rank")))
     return (fused.orderBy(F.col("rrf_nano").desc(), "doc_id")
             .limit(_RRF["out"]))
+
+
+# =========================================================================
+# Positional phrase search ([EXT] — the boolean/phrase retrieval layer)
+# =========================================================================
+
+_PHRASE = ("merge", "join")
+
+
+@q("phrase_search_positional", ("F9", "J5", "A1"), oracle=f"""
+WITH pos AS (
+  SELECT doc_id, UNNEST(range(len(l))) AS i, l
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), toks AS (
+  SELECT doc_id, i, l[i + 1] AS term FROM pos
+)
+SELECT a.doc_id, COUNT(*) AS n_hits,
+       CAST(MIN(a.i) AS BIGINT) AS first_pos
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}'
+GROUP BY a.doc_id
+""")
+def phrase_search_positional(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """Exact phrase search ("{0} {1}") with per-document hit counts and
+    first match position — the POSITIONAL index layer that term-level
+    retrieval (BM25, the segmented postings) cannot answer: phrase
+    semantics require adjacency, not co-occurrence.
+
+    Scale design: the positional-postings self-join — (doc, position)
+    tokens filtered to the two query terms BEFORE joining, so the join
+    input is term-selectivity-sized, and adjacency is the equi-key
+    (doc, i+1 = j): a hash join, never a scan of full positions.  In a
+    stored index the same plan reads just the two terms' posting lists
+    (segment-aligned, per inverted_index_postings) and merge-joins on
+    position — identical shape, no text scan at all.  Longer phrases
+    chain one join per extra term, each narrowed by the rarest
+    remaining term first (the classic phrase-query optimization).
+    """.format(*_PHRASE)
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.posexplode(F.split("text", " "))
+                 .alias("i", "term")))
+    a = (d.filter(F.col("term") == _PHRASE[0])
+         .select(F.col("doc_id").alias("a_doc"), F.col("i").alias("a_i")))
+    b = (d.filter(F.col("term") == _PHRASE[1])
+         .select(F.col("doc_id").alias("b_doc"), F.col("i").alias("b_i")))
+    return (a.join(b, (F.col("a_doc") == F.col("b_doc")) &
+                   (F.col("b_i") == F.col("a_i") + 1))
+            .groupBy(F.col("a_doc").alias("doc_id"))
+            .agg(F.count("*").alias("n_hits"),
+                 F.min("a_i").cast("long").alias("first_pos")))

@@ -116,3 +116,17 @@ def test_rrf_fuses_both_rankings(spark):
     # docs present in BOTH rankings outrank equal-rank singletons
     scores = [r["rrf_nano"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_search_matches_python(spark):
+    from iot_simulator_datalake_spark.queries_retrieval import _PHRASE
+    out = {r["doc_id"]: (r["n_hits"], r["first_pos"]) for r in
+           REGISTRY["phrase_search_positional"].fn(spark, SF).collect()}
+    want = {}
+    for doc_id, toks in _docs(spark):
+        hits = [i for i in range(len(toks) - 1)
+                if toks[i] == _PHRASE[0] and toks[i + 1] == _PHRASE[1]]
+        if hits:
+            want[doc_id] = (len(hits), hits[0])
+    assert out == want
+    assert want  # phrase occurs in the corpus at this SF
