@@ -433,3 +433,77 @@ def phrase_search_positional(spark: "SparkSession",
             .groupBy(F.col("a_doc").alias("doc_id"))
             .agg(F.count("*").alias("n_hits"),
                  F.min("a_i").cast("long").alias("first_pos")))
+
+
+# =========================================================================
+# Late-interaction (ColBERT-style) MaxSim retrieval ([EXT])
+# =========================================================================
+
+_MAXSIM = dict(subs=8, dim=8, topk=10)  # 64-d vector as 8 token-vectors
+
+
+@q("maxsim_late_interaction", ("F10", "W3", "A1"), oracle=f"""
+WITH sub AS (
+  SELECT vec_id, s.s AS sub_id,
+         (CAST(embedding AS DOUBLE[]))
+           [s.s * {_MAXSIM['dim']} + 1 :
+            s.s * {_MAXSIM['dim']} + {_MAXSIM['dim']}] AS v
+  FROM embeddings
+  CROSS JOIN (SELECT UNNEST(range({_MAXSIM['subs']})) AS s) s
+), probe AS (SELECT sub_id, v FROM sub WHERE vec_id = 0),
+sims AS (
+  SELECT c.vec_id, p.sub_id AS q_sub,
+         MAX(CAST(ROUND(list_dot_product(p.v, c.v) * 1e6) AS BIGINT))
+             AS best_milli2
+  FROM sub c JOIN probe p ON TRUE
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id, p.sub_id
+)
+SELECT vec_id, CAST(SUM(best_milli2) AS BIGINT) AS maxsim_micro
+FROM sims GROUP BY vec_id
+ORDER BY maxsim_micro DESC, vec_id LIMIT {_MAXSIM['topk']}
+""")
+def maxsim_late_interaction(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """Late-interaction retrieval (the ColBERT MaxSim operator): treat
+    each 64-d embedding as {subs} token-vectors of {dim} dims; score =
+    Σ over query token-vectors of the MAX dot product against any
+    document token-vector.  This is the third retrieval paradigm next
+    to lexical (bm25_topk) and single-vector dense (similarity_topk_*)
+    — finer-grained matching than one pooled vector, cheaper than
+    full cross-attention.
+
+    Scale design: the sub-vector explode is a CONSTANT ×{subs} (the
+    same move as PQ's sub-space split); the query's {subs}
+    token-vectors broadcast, the per-(doc, query-token) max and the
+    per-doc sum both map-side combine inside one aggregation pass, and
+    the top-k is TakeOrderedAndProject.  Dot products round to integer
+    micro-units BEFORE max/sum, so the ranking is bit-stable.  The
+    production escalation is the standard ColBERT two-stage: ANN over
+    token-vectors to gather candidates, exact MaxSim only on those.
+    """.format(**_MAXSIM)
+    subs, dim = _MAXSIM["subs"], _MAXSIM["dim"]
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    sub = (e.select("vec_id", emb.alias("v"),
+                    F.explode(F.array(*[F.lit(i) for i in range(subs)]))
+                    .alias("sub_id"))
+           .select("vec_id", "sub_id",
+                   F.slice("v", F.col("sub_id") * dim + 1, dim)
+                   .alias("v")))
+    probe = (sub.filter(F.col("vec_id") == 0)
+             .select(F.col("sub_id").alias("q_sub"),
+                     F.col("v").alias("qv")))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sims = (sub.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(probe))
+            .select("vec_id", "q_sub",
+                    F.round(dot * 1e6).cast("long").alias("milli2"))
+            .groupBy("vec_id", "q_sub")
+            .agg(F.max("milli2").alias("best_milli2")))
+    return (sims.groupBy("vec_id")
+            .agg(F.sum("best_milli2").cast("long").alias("maxsim_micro"))
+            .orderBy(F.col("maxsim_micro").desc(), "vec_id")
+            .limit(_MAXSIM["topk"]))

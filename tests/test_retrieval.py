@@ -130,3 +130,26 @@ def test_phrase_search_matches_python(spark):
             want[doc_id] = (len(hits), hits[0])
     assert out == want
     assert want  # phrase occurs in the corpus at this SF
+
+
+def test_maxsim_matches_numpy(spark):
+    import numpy as np
+    from iot_simulator_datalake_spark.queries_retrieval import _MAXSIM
+    out = [(r["vec_id"], r["maxsim_micro"]) for r in
+           REGISTRY["maxsim_late_interaction"].fn(spark, SF).collect()]
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in load(spark, SF, "embeddings").collect()}
+    subs, dim = _MAXSIM["subs"], _MAXSIM["dim"]
+
+    def toks(v):
+        return [v[i * dim:(i + 1) * dim] for i in range(subs)]
+    q = toks(emb[0])
+    scores = {}
+    for vid, v in emb.items():
+        if vid == 0:
+            continue
+        dv = toks(v)
+        s = sum(max(round(float(qt @ dt) * 1e6) for dt in dv) for qt in q)
+        scores[vid] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert out == want[:_MAXSIM["topk"]]
