@@ -507,3 +507,120 @@ def maxsim_late_interaction(spark: "SparkSession",
             .agg(F.sum("best_milli2").cast("long").alias("maxsim_micro"))
             .orderBy(F.col("maxsim_micro").desc(), "vec_id")
             .limit(_MAXSIM["topk"]))
+
+
+# =========================================================================
+# MMR diversity re-ranking ([EXT] — the RAG result diversifier)
+# =========================================================================
+
+_MMR = dict(cands=20, out=5, lam_num=7, lam_den=10)  # λ = 0.7
+
+
+def _mmr_oracle() -> str:
+    m = _MMR
+    steps = []
+    prev = "p1"
+    for i in range(2, m["out"] + 1):
+        steps.append(f"""
+m{i} AS (
+  SELECT r.id, r.rel, MAX(s.sim) AS ms
+  FROM rel r
+  JOIN sims s ON s.a = r.id AND s.b IN (SELECT id FROM {prev})
+  WHERE r.id NOT IN (SELECT id FROM {prev})
+  GROUP BY r.id, r.rel
+), pick{i} AS (
+  SELECT id, {i} AS rank FROM m{i}
+  ORDER BY {m['lam_num']} * rel - ({m['lam_den'] - m['lam_num']}) * ms
+           DESC, id LIMIT 1
+), p{i} AS (SELECT id FROM {prev} UNION ALL SELECT id FROM pick{i})""")
+        prev = f"p{i}"
+    body = ",".join(steps)
+    picks = " UNION ALL ".join(
+        [f"SELECT id, 1 AS rank FROM p1"] +
+        [f"SELECT id, rank FROM pick{i}" for i in range(2, m["out"] + 1)])
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+             FROM embeddings),
+probe AS (SELECT * FROM emb WHERE vec_id = 0),
+scored AS (
+  SELECT a.vec_id AS id, a.vec,
+         CAST(ROUND(list_dot_product(a.vec, b.vec) /
+              (sqrt(list_dot_product(a.vec, a.vec)) *
+               sqrt(list_dot_product(b.vec, b.vec))) * 1e6) AS BIGINT)
+             AS rel
+  FROM emb a, probe b WHERE a.vec_id <> 0
+),
+rel AS (
+  SELECT id, vec, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, id) AS rn
+    FROM scored) WHERE rn <= {m['cands']}
+),
+sims AS (
+  SELECT a.id AS a, b.id AS b,
+         CAST(ROUND(list_dot_product(a.vec, b.vec) /
+              (sqrt(list_dot_product(a.vec, a.vec)) *
+               sqrt(list_dot_product(b.vec, b.vec))) * 1e6) AS BIGINT)
+             AS sim
+  FROM rel a JOIN rel b ON a.id <> b.id
+),
+p1 AS (SELECT id FROM rel ORDER BY rel DESC, id LIMIT 1),
+{body}
+SELECT r.id AS vec_id, picks.rank::INT AS rank, r.rel AS rel_micro
+FROM ({picks}) picks JOIN rel r ON r.id = picks.id
+"""
+
+
+@q("mmr_diverse_rerank", ("F10", "W3"), oracle=_mmr_oracle())
+def mmr_diverse_rerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Maximal Marginal Relevance re-ranking: from the top-{cands}
+    dense candidates for probe 0, greedily select {out} results
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-chosen
+    (λ=0.7) — the diversity pass RAG pipelines run so five near-
+    duplicate passages don't fill the context window.
+
+    Scale design: MMR is greedy-sequential BY DEFINITION, so the
+    candidate set is cut to {cands} FIRST (the production operators do
+    that part at scale); the candidate-pair sim matrix is then
+    {cands}²-sized, and each greedy round is a filter + max-aggregate
+    + top-1 over it, with the chosen set pinned on the driver between
+    rounds — the identical driver-state pattern as kmeans_lloyd/BPE.
+    Integer micro-unit scores end-to-end; the oracle unrolls all
+    {out} greedy rounds as chained CTEs.
+    """.format(**_MMR)
+    m = _MMR
+    e = load(spark, sf_dir, "embeddings")
+    cands = (brute_force_topk(e, e.filter(F.col("vec_id") == 0),
+                              k=m["cands"])
+             .select(F.col("vec_id").alias("id"),
+                     F.round(F.col("score") * 1e6).cast("long")
+                     .alias("rel")))
+    vecs = e.select(F.col("vec_id").alias("id"), "embedding")
+    rel = cands.join(vecs, "id").cache()
+    a = rel.select(F.col("id").alias("a"), F.col("embedding").alias("va"))
+    b = rel.select(F.col("id").alias("b"), F.col("embedding").alias("vb"))
+    from .functions.vector import cosine_similarity
+    sims = (a.join(b, F.col("a") != F.col("b"))
+            .select("a", "b",
+                    F.round(cosine_similarity(
+                        F.col("va"), F.col("vb"),
+                        scale=None) * 1e6)
+                    .cast("long").alias("sim")).cache())
+
+    first = rel.orderBy(F.col("rel").desc(), "id").limit(1) \
+        .select("id").collect()[0]["id"]
+    chosen = [first]
+    for rank in range(2, m["out"] + 1):
+        ms = (sims.filter(F.col("b").isin(chosen) &
+                          ~F.col("a").isin(chosen))
+              .groupBy("a").agg(F.max("sim").alias("ms")))
+        nxt = (rel.join(ms, rel["id"] == ms["a"])
+               .select("id", (m["lam_num"] * F.col("rel") -
+                              (m["lam_den"] - m["lam_num"]) * F.col("ms"))
+                       .alias("s"))
+               .orderBy(F.col("s").desc(), "id").limit(1)
+               .collect()[0]["id"])
+        chosen.append(nxt)
+    order = spark.createDataFrame(
+        [(v, i + 1) for i, v in enumerate(chosen)], "vec_id long, rank int")
+    return (order.join(rel, order["vec_id"] == rel["id"])
+            .select("vec_id", "rank", F.col("rel").alias("rel_micro")))

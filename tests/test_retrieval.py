@@ -153,3 +153,30 @@ def test_maxsim_matches_numpy(spark):
         scores[vid] = s
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     assert out == want[:_MAXSIM["topk"]]
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    import numpy as np
+    from iot_simulator_datalake_spark.queries_retrieval import _MMR
+    mmr = REGISTRY["mmr_diverse_rerank"].fn(spark, SF).collect()
+    assert len(mmr) == _MMR["out"]
+    assert sorted(r["rank"] for r in mmr) == list(range(1, _MMR["out"] + 1))
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in load(spark, SF, "embeddings").collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    # plain dense top-out for the same probe
+    rels = sorted(((cos(emb[0], v), -k) for k, v in emb.items() if k != 0),
+                  reverse=True)
+    top = [-k for _, k in rels[:_MMR["out"]]]
+
+    def avg_pair_sim(ids):
+        sims = [cos(emb[a], emb[b]) for i, a in enumerate(ids)
+                for b in ids[i + 1:]]
+        return sum(sims) / len(sims)
+    mmr_ids = [r["vec_id"] for r in mmr]
+    # rank-1 pick is the relevance argmax, same as plain top-1
+    assert mmr_ids[0] == top[0]
+    # the diversified set is strictly less self-similar
+    assert avg_pair_sim(mmr_ids) < avg_pair_sim(top)
