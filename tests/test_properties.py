@@ -205,3 +205,48 @@ def test_merge_into_matches_python_reference(spark, tgt, src,
         if k not in tm and d > 0:
             want[k] = d                       # WHEN NOT MATCHED INSERT
     assert got == want
+
+
+@given(vals=st.lists(st.tuples(st.integers(0, 500), st.integers(1, 20)),
+                     min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_weighted_median_histogram_matches_python(spark, vals):
+    """The histogram + integer cross-multiplied rank test reproduces
+    the direct weighted-median definition on arbitrary multisets."""
+    from pyspark.sql import Window as W
+    df = spark.createDataFrame([(v, w) for v, w in vals], "v long, w long")
+    h = df.groupBy("v").agg(F.sum("w").alias("wc"))
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = h.select("v", F.sum("wc").over(wcum).alias("cumw"),
+                 F.sum("wc").over(W.partitionBy()).alias("totw"))
+    got = (c.filter(2 * F.col("cumw") >= F.col("totw"))
+           .agg(F.min("v")).collect()[0][0])
+    # python reference: smallest v with cumulative weight ≥ half
+    tot = sum(w for _, w in vals)
+    cum = 0
+    want = None
+    for v in sorted({v for v, _ in vals}):
+        cum += sum(w for x, w in vals if x == v)
+        if 2 * cum >= tot:
+            want = v
+            break
+    assert got == want
+
+
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=80))
+@settings(**SETTINGS)
+def test_interpolated_median_doubled_units_matches_python(spark, vals):
+    from pyspark.sql import Window as W
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    h = df.groupBy("v").agg(F.count("*").alias("c"))
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = h.select("v", F.sum("c").over(wcum).alias("cum"),
+                 F.sum("c").over(W.partitionBy()).alias("n"))
+    got = (c.selectExpr(
+        "min(CASE WHEN cum >= (n + 1) div 2 THEN v END) + "
+        "min(CASE WHEN cum >= (n + 2) div 2 THEN v END) AS m2")
+        .collect()[0]["m2"])
+    s = sorted(vals)
+    n = len(s)
+    want = s[(n - 1) // 2] + s[n // 2]
+    assert got == want
