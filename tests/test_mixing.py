@@ -89,3 +89,16 @@ def test_bpe_pairs_ranked_and_bounded(spark):
     assert cnts == sorted(cnts, reverse=True)
     # every pair is two whitespace-joined tokens
     assert all(len(r["pair"].split(" ")) == 2 for r in rows)
+
+
+def test_temperature_rates_upweight_small_sources(spark):
+    rows = REGISTRY["temperature_mix_rates"].fn(spark, SF).collect()
+    assert sum(r["mix_ppm"] for r in rows) <= 1_000_000
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    # τ<1 compresses: smallest source gets the largest upweight factor,
+    # largest source the smallest, and factors cross 1000 (= 1.0×)
+    assert by_n[0]["upweight_milli"] >= by_n[-1]["upweight_milli"]
+    assert by_n[0]["upweight_milli"] >= 1000 >= by_n[-1]["upweight_milli"]
+    # monotone: mix share still increases with size (τ>0)
+    shares = [r["mix_ppm"] for r in by_n]
+    assert shares == sorted(shares)
