@@ -825,3 +825,216 @@ def median_interpolated(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (c.groupBy("grp")
             .agg(F.max("n").cast("long").alias("n"),
                  (lo + hi).cast("long").alias("median_2x_cent")))
+
+
+# =========================================================================
+# RFM segmentation ([EXT] — the classic CRM scoring matrix)
+# =========================================================================
+
+@q("rfm_segmentation", ("A1", "W1", "F7"), oracle="""
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_date
+            FROM orders),
+base AS (
+  SELECT o_custkey AS customer,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                  (SELECT ref_date FROM mx)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT customer, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       CAST(6 - NTILE(5) OVER (ORDER BY recency_days, customer) AS BIGINT)
+           AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency, customer) AS BIGINT)
+           AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_cents, customer) AS BIGINT)
+           AS m_score
+FROM base
+""")
+def rfm_segmentation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """RFM scoring: per customer recency / frequency / monetary with
+    1-5 quintile scores (5 = best; recency inverted) — the classic
+    segmentation matrix behind retention campaigns, here as three
+    NTILE windows over one aggregated base.
+
+    Scale design: the base is ONE map-side-combined aggregation (one
+    row per customer); the quintile windows run over that customer-
+    sized relation, deterministic via the customer tiebreak (NTILE
+    without a total order is not a function — same doctrine as mode's
+    tie-break).  A truly giant customer base swaps NTILE for the exact
+    histogram-rank machinery (curriculum_order) with identical
+    semantics; the scores are then broadcast-joinable back onto any
+    fact table as features.
+    """
+    o = load(spark, sf_dir, "orders")
+    mx = o.groupBy().agg(F.max(F.col("o_orderdate").cast("date"))
+                         .alias("ref_date"))
+    base = (o.groupBy(F.col("o_custkey").alias("customer"))
+            .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+                 F.count("*").alias("frequency"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .cast("long").alias("monetary_cents"))
+            .join(F.broadcast(mx))
+            .select("customer",
+                    F.datediff("ref_date", "last_d").cast("long")
+                    .alias("recency_days"),
+                    "frequency", "monetary_cents"))
+    r = (6 - F.ntile(5).over(W.orderBy("recency_days", "customer")))
+    f_ = F.ntile(5).over(W.orderBy("frequency", "customer"))
+    m = F.ntile(5).over(W.orderBy("monetary_cents", "customer"))
+    return base.select("customer", "recency_days", "frequency",
+                       "monetary_cents",
+                       r.cast("long").alias("r_score"),
+                       f_.cast("long").alias("f_score"),
+                       m.cast("long").alias("m_score"))
+
+
+# =========================================================================
+# ABC / Pareto classification ([EXT])
+# =========================================================================
+
+@q("abc_pareto_classification", ("A1", "W1"), oracle="""
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM lineitem GROUP BY l_partkey
+), c AS (
+  SELECT part, revenue_cents,
+         SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, part)
+             AS cum,
+         SUM(revenue_cents) OVER () AS tot
+  FROM rev
+)
+SELECT part, revenue_cents,
+       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+""")
+def abc_pareto_classification(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """ABC (Pareto) classification of parts by revenue: class A covers
+    the first 80% of cumulative revenue, B the next 15%, C the tail —
+    the inventory-prioritization classic, with the 80/95 boundaries as
+    integer cross-multiplications (cum·100 ≤ tot·80) so no float share
+    ever decides a class.
+
+    Scale design: per-part revenue map-side combines; the ranking
+    cumsum runs over the PART-cardinality relation (the distinct-key
+    doctrine again).  The global window is a single partition of parts
+    — at catalog sizes that ever matter this switches to the two-level
+    prefix sum; the fact volume never touches the window either way.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = (li.groupBy(F.col("l_partkey").alias("part"))
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).cast("long").alias("revenue_cents")))
+    wc = (W.orderBy(F.col("revenue_cents").desc(), "part")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = rev.select("part", "revenue_cents",
+                   F.sum("revenue_cents").over(wc).alias("cum"),
+                   F.sum("revenue_cents").over(W.partitionBy())
+                   .alias("tot"))
+    return c.select(
+        "part", "revenue_cents",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+         .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+         .otherwise("C").alias("abc_class"))
+
+
+# =========================================================================
+# New vs returning users per day ([EXT] — growth accounting)
+# =========================================================================
+
+@q("new_vs_returning_daily", ("A1", "W1"), oracle="""
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+  GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day, f.first_day
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT day,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+       CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS returning_users
+FROM act GROUP BY day
+""")
+def new_vs_returning_daily(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Growth accounting: per day, how many active users were NEW
+    (first-ever activity) vs RETURNING — the decomposition every
+    growth dashboard leads with, and the input to quick-ratio metrics.
+
+    Scale design: first-touch day is a per-user window MIN over the
+    same user_id shuffle the activity-dedup DISTINCT reuses (one
+    exchange total, the cohort_retention pattern); the final aggregate
+    is calendar-sized.  No join against a separate first-seen table —
+    at 100 TB the windowed one-pass form wins until cohorts live in a
+    different store.
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    d = F.col("ts").cast("date")
+    act = (e.select("user_id", d.alias("day"),
+                    F.min(d).over(w).alias("first_day"))
+           .distinct())
+    return (act.groupBy("day")
+            .agg(F.sum(F.when(F.col("day") == F.col("first_day"), 1)
+                       .otherwise(0)).cast("long").alias("new_users"),
+                 F.sum(F.when(F.col("day") != F.col("first_day"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("returning_users")))
+
+
+# =========================================================================
+# Weekday seasonality index ([EXT] — multiplicative seasonal factors)
+# =========================================================================
+
+@q("weekday_seasonality", ("A1", "F7"), oracle="""
+WITH d AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev
+  FROM lineitem GROUP BY 1
+), w AS (
+  SELECT dayofweek(day) AS dow, CAST(SUM(rev) AS BIGINT) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM d GROUP BY 1
+), g AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot,
+                CAST(SUM(n_days) AS BIGINT) AS nd FROM w)
+SELECT CAST(dow AS BIGINT) AS dow, rev, n_days,
+       CAST(((rev * g.nd) * 1000) // (CAST(g.tot AS BIGINT) * n_days)
+            AS BIGINT) AS seasonal_milli
+FROM w CROSS JOIN g
+""")
+def weekday_seasonality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Multiplicative day-of-week seasonal index for shipped revenue:
+    factor = (mean revenue on weekday d) / (overall daily mean), in
+    integer milli so 1000 = no seasonality — the decomposition step
+    before any forecast (ewma_forecast deliberately smooths THROUGH
+    seasonality; this factors it out).
+
+    Scale design: two nested map-side-combined aggregations (day grain
+    then weekday grain — 7 cells), totals broadcast; the factor is one
+    integer cross-multiplied floor division, no float shares.  DOW
+    numbering: Spark dayofweek ≡ DuckDB dayofweek+1 — aligned
+    explicitly below rather than trusting either default.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.groupBy(F.col("l_shipdate").cast("date").alias("day"))
+         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+              .cast("long").alias("rev")))
+    # DuckDB dayofweek: 0=Sunday..6; Spark dayofweek: 1=Sunday..7
+    wk = (d.groupBy((F.dayofweek("day") - 1).cast("long").alias("dow"))
+          .agg(F.sum("rev").cast("long").alias("rev"),
+               F.count("*").cast("long").alias("n_days")))
+    g = wk.groupBy().agg(F.sum("rev").cast("long").alias("tot"),
+                         F.sum("n_days").cast("long").alias("nd"))
+    return (wk.join(F.broadcast(g))
+            .selectExpr("dow", "rev", "n_days",
+                        "((rev * nd) * 1000) div (tot * n_days)"
+                        " AS seasonal_milli"))

@@ -163,3 +163,120 @@ def text_sentiment_lexicon(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .selectExpr("doc_id", "n_tokens", "polarity_sum",
                         "(polarity_sum * 1000) div n_tokens"
                         " AS sentiment_milli"))
+
+
+# =========================================================================
+# Chunk-level duplication ratio ([EXT] — the boilerplate signal)
+# =========================================================================
+
+_CHD = dict(chunk=32)
+
+
+@q("chunk_dup_ratio", ("W2", "F9", "A1"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+), idx AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST((n - 1) // {_CHD['chunk']}
+                                        AS BIGINT))) AS i,
+         toks
+  FROM sized
+), chunks AS (
+  SELECT doc_id, i,
+         md5(array_to_string(
+           toks[i * {_CHD['chunk']} + 1 : (i + 1) * {_CHD['chunk']}],
+           ' ')) AS h
+  FROM idx
+), freq AS (SELECT h, COUNT(*) AS c FROM chunks GROUP BY h)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       CAST((SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) * 1000)
+            // COUNT(*) AS BIGINT) AS dup_milli
+FROM chunks JOIN freq f USING (h)
+GROUP BY doc_id
+""")
+def chunk_dup_ratio(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Chunk-granular duplication: split each document into disjoint
+    {chunk}-token chunks, hash them, and report per document how many
+    chunks appear ANYWHERE else in the corpus — the sub-document
+    boilerplate signal (headers, licence blocks, templated passages)
+    that document-level dedup cannot see and RefinedWeb-class
+    pipelines filter on.
+
+    Scale design: chunks shuffle as 32-byte md5 hashes, never text
+    (the exact-dedup doctrine, one level down); the chunk-frequency
+    relation map-side combines, and the dup flag comes back via a
+    hash-keyed join — at corpus scale the frequency table is the
+    dedup index you already maintain.  Ratio is integer milli.
+    """.format(**_CHD)
+    ch = _CHD["chunk"]
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("toks"))
+         .filter(F.size("toks") > 0)
+         .select("doc_id", "toks",
+                 F.explode(F.sequence(
+                     F.lit(0),
+                     ((F.size("toks") - 1) / ch).cast("long"))).alias("i")))
+    chunks = d.select(
+        "doc_id", "i",
+        F.md5(F.array_join(F.slice("toks", F.col("i") * ch + 1, ch), " "))
+        .alias("h"))
+    freq = chunks.groupBy("h").agg(F.count("*").alias("c"))
+    return (chunks.join(freq, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_dup_chunks"))
+            .selectExpr("doc_id", "n_chunks", "n_dup_chunks",
+                        "(n_dup_chunks * 1000) div n_chunks AS dup_milli"))
+
+
+# =========================================================================
+# Cross-source overlap matrix ([EXT] — corpus provenance governance)
+# =========================================================================
+
+def _overlap_oracle() -> str:
+    from .queries_ext import _simhash_oracle
+    return f"""
+WITH fp AS ({_simhash_oracle()}),
+hs AS (
+  SELECT DISTINCT f.simhash AS h, d.source
+  FROM fp f JOIN documents d ON d.doc_id = f.doc_id
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_classes
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@q("cross_source_overlap", ("W2", "A1", "J5"), oracle=_overlap_oracle())
+def cross_source_overlap(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Pairwise source-overlap matrix at NEAR-dup granularity: for
+    every source pair, how many 16-bit SimHash identity classes both
+    contain — the provenance audit that catches mirrored scrapes and
+    templated cross-postings before they double-weight the training
+    mix (exact-hash overlap is the same query with md5(text) as the
+    class key; on this corpus exact overlap is empty, near-dup overlap
+    is not — which is exactly why the near-dup form is the useful
+    audit).
+
+    Scale design: documents reduce to DISTINCT (fingerprint, source)
+    first — content never joins, per-source copies collapse before the
+    pair join, and the self-join keys on the fingerprint, so work is
+    Σ (sources-per-class)² ≤ |sources|² per class, never corpus².
+    """
+    from .operators.dedup import simhash
+    d = load(spark, sf_dir, "documents")
+    fp = simhash(d, "text", "doc_id")
+    hs = (fp.join(d.select("doc_id", "source"), "doc_id")
+          .select(F.col("simhash").alias("h"), "source").distinct())
+    a = hs.select(F.col("h"), F.col("source").alias("source_a"))
+    b = hs.select(F.col("h").alias("hb"), F.col("source").alias("source_b"))
+    return (a.join(b, (F.col("h") == F.col("hb")) &
+                   (F.col("source_a") < F.col("source_b")))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("shared_classes")))
