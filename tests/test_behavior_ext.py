@@ -114,3 +114,86 @@ def test_skipgram_pairs_reproduce_from_walks(spark):
     assert out == dict(want)
     # symmetry: skip-gram windows are symmetric
     assert all(out.get((b, a)) == n for (a, b), n in out.items())
+
+
+def test_rfm_scores_are_quintiles(spark):
+    out = REGISTRY["rfm_segmentation"].fn(spark, SF).cache()
+    n = out.count()
+    from pyspark.sql import functions as F
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {r[col]: r["count"] for r in
+                  out.groupBy(col).count().collect()}
+        assert set(counts) == {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1
+    # best recency quintile has the smallest recency values
+    r5 = out.filter(F.col("r_score") == 5).agg(
+        F.max("recency_days")).collect()[0][0]
+    r1 = out.filter(F.col("r_score") == 1).agg(
+        F.min("recency_days")).collect()[0][0]
+    assert r5 <= r1
+
+
+def test_abc_classes_cover_pareto_shares(spark):
+    from pyspark.sql import functions as F
+    out = REGISTRY["abc_pareto_classification"].fn(spark, SF).cache()
+    tot = out.agg(F.sum("revenue_cents")).collect()[0][0]
+    byc = {r["abc_class"]: r["s"] for r in
+           out.groupBy("abc_class")
+           .agg(F.sum("revenue_cents").alias("s")).collect()}
+    assert set(byc) == {"A", "B", "C"}
+    assert byc["A"] <= tot * 80 // 100 + 1  # A stops at the 80% boundary
+    assert byc["A"] + byc["B"] <= tot * 95 // 100 + 1
+    # A parts are individually at least as big as any C part
+    amin = out.filter(F.col("abc_class") == "A").agg(
+        F.min("revenue_cents")).collect()[0][0]
+    cmax = out.filter(F.col("abc_class") == "C").agg(
+        F.max("revenue_cents")).collect()[0][0]
+    assert amin >= cmax
+
+
+def test_new_vs_returning_accounting_identities(spark):
+    from pyspark.sql import functions as F
+    out = REGISTRY["new_vs_returning_daily"].fn(spark, SF).cache()
+    e = load(spark, SF, "events")
+    n_users = e.select("user_id").distinct().count()
+    # every user is new exactly once
+    assert out.agg(F.sum("new_users")).collect()[0][0] == n_users
+    # per-day totals equal daily active users
+    dau = {r["day"]: r["n"] for r in
+           e.select(F.col("ts").cast("date").alias("day"), "user_id")
+           .distinct().groupBy("day").agg(F.count("*").alias("n"))
+           .collect()}
+    for r in out.collect():
+        assert r["new_users"] + r["returning_users"] == dau[r["day"]]
+
+
+def test_weekday_seasonality_mass_conservation(spark):
+    out = REGISTRY["weekday_seasonality"].fn(spark, SF).collect()
+    assert len(out) == 7
+    # weighted mean of factors is 1000 (mass conservation, up to floor)
+    tot_days = sum(r["n_days"] for r in out)
+    w = sum(r["seasonal_milli"] * r["n_days"] for r in out) / tot_days
+    assert 990 <= w <= 1000
+
+
+def test_chunk_dup_ratio_bounds_and_reconstruction(spark):
+    from collections import Counter
+    out = {r["doc_id"]: r for r in
+           REGISTRY["chunk_dup_ratio"].fn(spark, SF).collect()}
+    docs = _dl = [(r["doc_id"], r["text"].split(" ")) for r in
+                  load(spark, SF, "documents")
+                  .select("doc_id", "text").collect()]
+    ch = 32
+    freq = Counter()
+    per_doc = {}
+    for doc_id, toks in docs:
+        chunks = [" ".join(toks[i * ch:(i + 1) * ch])
+                  for i in range((len(toks) - 1) // ch + 1)]
+        per_doc[doc_id] = chunks
+        freq.update(chunks)
+    for doc_id, chunks in per_doc.items():
+        r = out[doc_id]
+        dup = sum(1 for c in chunks if freq[c] > 1)
+        assert r["n_chunks"] == len(chunks)
+        assert r["n_dup_chunks"] == dup
+        assert r["dup_milli"] == dup * 1000 // len(chunks)
