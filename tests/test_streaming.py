@@ -277,3 +277,63 @@ def test_streaming_hll_equals_batch_twin(spark):
     stream = {(r["week"], r["event_type"]): r["distinct_users"] for r in
               REGISTRY["streaming_hll_rollup"].fn(spark, SF).collect()}
     assert stream == batch
+
+
+def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
+    """At-least-once delivery → exactly-once effect: replaying the same
+    batchId is a no-op, a simulated crash between data rename and
+    commit marker is repaired by the re-run, and the final table holds
+    each batch exactly once."""
+    from iot_simulator_datalake_spark.streaming.idempotent import (
+        IdempotentBatchSink, parquet_batch_writer)
+    root = tmp_path / "sink"
+    sink = IdempotentBatchSink(root, parquet_batch_writer)
+
+    b0 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    b1 = spark.range(10, 25).selectExpr("id", "id * 2 AS v")
+    sink(b0, 0)
+    sink(b1, 1)
+    # replay both (what a restart after offset-log loss does)
+    sink(b0, 0)
+    sink(b1, 1)
+    assert sink.written == [0, 1]
+    assert sink.skipped == [0, 1]
+    total = spark.read.parquet(str(root / "batch_id=*")).count()
+    assert total == 25
+
+    # crash between rename and marker: marker missing, data present
+    (root / "_commits" / "1.json").unlink()
+    sink(b1, 1)                       # re-delivery re-writes batch 1
+    assert sink.written == [0, 1, 1]
+    total = spark.read.parquet(str(root / "batch_id=*")).count()
+    assert total == 25                # still exactly once
+    assert sink.is_committed(1)
+
+
+def test_idempotent_sink_drives_foreachbatch(spark, tmp_path):
+    """End-to-end: a real file stream drained twice through foreachBatch
+    lands every input row exactly once in the sink."""
+    import json as _json
+    from iot_simulator_datalake_spark.streaming.idempotent import (
+        IdempotentBatchSink, parquet_batch_writer)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        _json.dumps({"k": i}) for i in range(50)))
+    sink = IdempotentBatchSink(tmp_path / "out", parquet_batch_writer)
+    schema = "k bigint"
+
+    def run():
+        q = (spark.readStream.schema(schema).json(str(src))
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    (src / "b.json").write_text("\n".join(
+        _json.dumps({"k": i}) for i in range(50, 80)))
+    run()
+    got = spark.read.parquet(str(tmp_path / "out" / "batch_id=*"))
+    assert got.count() == 80
+    assert got.select("k").distinct().count() == 80
