@@ -619,3 +619,70 @@ def ewma_forecast(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                           "user_id bigint, day bigint, x bigint, "
                           "level_cents bigint, forecast_cents bigint"))
     return out.withColumnRenamed("x", "actual_cents")
+
+
+# =========================================================================
+# Hysteresis alerting ([EXT] — two-threshold state, window-expressible)
+# =========================================================================
+
+_HYST = dict(hi=400_00, lo=100_00)  # value_cents thresholds
+
+
+@q("hysteresis_alerts", ("W1", "P5"), oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT user_id, event_id, ts, v,
+         CASE WHEN v >= {_HYST['hi']} THEN 1
+              WHEN v <  {_HYST['lo']} THEN 0 END AS cross_state
+  FROM t
+), s AS (
+  SELECT user_id, event_id, ts, v,
+         COALESCE(LAST_VALUE(cross_state IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 0) AS alert_on
+  FROM c
+)
+SELECT user_id, event_id, ts, v AS value_cents,
+       CAST(alert_on AS BIGINT) AS alert_on,
+       CAST(CASE WHEN alert_on = 1 AND COALESCE(LAG(alert_on) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 0) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS alert_started
+FROM s
+""")
+def hysteresis_alerts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Two-threshold (Schmitt-trigger) alerting per device: the alert
+    LATCHES on when value ≥ {hi} cents and clears only below {lo} —
+    the debounced alert state every monitoring system uses instead of
+    a flappy single threshold (the reference documents exactly this
+    surface: fct_alerts vs alert_thresholds, README_DBT.md:169,182).
+
+    The state LOOKS like a sequential fold, but latching state is the
+    direction of the LAST THRESHOLD CROSSING — a last-non-null window
+    over crossing events, fully associative and JVM-side (contrast
+    capped_running_balance, where the clamp makes every step depend on
+    accumulated state and an honest Python fold is required; knowing
+    which side of that line an operator falls on is the difference
+    between a window and an applyInPandas at 100 TB).  Episode starts
+    fall out of a LAG over the same shuffle.
+    """.format(**_HYST)
+    e = load(spark, sf_dir, "events")
+    t = (e.filter(F.col("value").isNotNull())
+         .select("user_id", "event_id", "ts",
+                 F.round(F.col("value") * 100).cast("long").alias("v")))
+    cross = (F.when(F.col("v") >= _HYST["hi"], 1)
+             .when(F.col("v") < _HYST["lo"], 0))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t.select("user_id", "event_id", "ts", "v",
+                 F.coalesce(F.last(cross, ignorenulls=True).over(w),
+                            F.lit(0)).alias("alert_on"))
+    return s.select(
+        "user_id", "event_id", "ts", F.col("v").alias("value_cents"),
+        F.col("alert_on").cast("long").alias("alert_on"),
+        F.when((F.col("alert_on") == 1) &
+               (F.coalesce(F.lag("alert_on").over(wl), F.lit(0)) == 0), 1)
+        .otherwise(0).cast("long").alias("alert_started"))

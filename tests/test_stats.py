@@ -366,3 +366,33 @@ def test_label_balance_exact_counts_and_determinism(spark):
     again = {(r["vec_id"], r["label"]) for r in
              REGISTRY["label_balance_resample"].fn(spark, SF).collect()}
     assert again == {(r["vec_id"], r["label"]) for r in out.collect()}
+
+
+def test_hysteresis_latch_semantics(spark):
+    from iot_simulator_datalake_spark.queries_timeseries import _HYST
+    out = REGISTRY["hysteresis_alerts"].fn(spark, SF).cache()
+    rows = out.collect()
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"],
+                                         r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_starts = 0
+    for seq in by_user.values():
+        state = 0
+        for r in seq:
+            if r["value_cents"] >= _HYST["hi"]:
+                state = 1
+            elif r["value_cents"] < _HYST["lo"]:
+                state = 0
+            assert r["alert_on"] == state
+        n_starts += sum(r["alert_started"] for r in seq)
+        # a start row is always alert_on
+        assert all(r["alert_on"] == 1 for r in seq if r["alert_started"])
+    assert n_starts > 0
+    # hysteresis: rows INSIDE the band inherit state — both states occur
+    from pyspark.sql import functions as F
+    band = out.filter((F.col("value_cents") >= _HYST["lo"]) &
+                      (F.col("value_cents") < _HYST["hi"]))
+    states = {r["alert_on"] for r in band.select("alert_on")
+              .distinct().collect()}
+    assert states == {0, 1}
