@@ -625,7 +625,7 @@ def ewma_forecast(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # Hysteresis alerting ([EXT] — two-threshold state, window-expressible)
 # =========================================================================
 
-_HYST = dict(hi=400_00, lo=100_00)  # value_cents thresholds
+_HYST = dict(hi=200_00, lo=50_00)  # value_cents thresholds
 
 
 @q("hysteresis_alerts", ("W1", "P5"), oracle=f"""
