@@ -577,3 +577,79 @@ def cep_purchase_error_no_click(spark: "SparkSession",
          (F.col("next_click_us") >= F.col("next_error_us"))))
         .select("user_id", F.col("event_id").alias("purchase_id"),
                 (F.col("next_error_us") - F.col("tsu")).alias("latency_us")))
+
+
+# =========================================================================
+# Multi-touch attribution ([EXT] — exact linear credit split)
+# =========================================================================
+
+_ATTR = dict(window_days=7, touches=("view", "click"))
+
+
+@q("attribution_linear", ("W1", "J4", "A1"), oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS value_micro
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), t AS (
+  SELECT event_id AS touch_id, user_id, ts AS tts, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+), pairs AS (
+  SELECT p.purchase_id, p.value_micro, t.touch_id, t.event_type,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.tts, t.touch_id) AS pos,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.tts < p.pts
+   AND t.tts >= p.pts - INTERVAL {_ATTR['window_days']} DAY
+)
+SELECT purchase_id, touch_id, event_type,
+       CAST(value_micro // n_touches
+            + CASE WHEN pos = 1
+                   THEN value_micro % n_touches ELSE 0 END AS BIGINT)
+           AS credit_micro
+FROM pairs
+""")
+def attribution_linear(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's view/click touchpoints in the prior
+    {window_days} days, with the integer remainder assigned to the
+    FIRST touch so credit conserves exactly (Σ credits ≡ purchase
+    value, the invariant finance reconciliation demands — floor-only
+    splits leak micros).
+
+    Scale design: the purchase⋈touch pairing is an EQUI-join on
+    user_id with the time window as a residual predicate — per-user
+    touch history is bounded by retention, so pairs are linear in
+    purchases × per-user touches, never a time-range explosion (the
+    as-of union-window trick doesn't apply because attribution needs
+    ALL touches in the window, not the latest).  Position/count
+    windows run per purchase over those bounded pair groups.
+    First/last-touch attribution are the same query with pos=1 /
+    pos=n filters; position-decay swaps the equal split for a
+    weight-by-pos division — all on this one pair relation.
+    """.format(**_ATTR)
+    e = load(spark, sf_dir, "events")
+    p = (e.filter((F.col("event_type") == "purchase") &
+                  F.col("value").isNotNull())
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+                 F.round(F.col("value") * 1000000).cast("long")
+                 .alias("value_micro")))
+    t = (e.filter(F.col("event_type").isin(*_ATTR["touches"]))
+         .select(F.col("event_id").alias("touch_id"),
+                 F.col("user_id").alias("tu"), F.col("ts").alias("tts"),
+                 "event_type"))
+    lo = F.col("pts") - F.expr(f"INTERVAL {_ATTR['window_days']} DAY")
+    pairs = (p.join(t, (F.col("tu") == F.col("pu")) &
+                    (F.col("tts") < F.col("pts")) & (F.col("tts") >= lo)))
+    wp = W.partitionBy("purchase_id").orderBy("tts", "touch_id")
+    wc = W.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "purchase_id", "value_micro", "touch_id", "event_type",
+        F.row_number().over(wp).alias("pos"),
+        F.count("*").over(wc).alias("n_touches"))
+    return ranked.selectExpr(
+        "purchase_id", "touch_id", "event_type",
+        "value_micro div n_touches + CASE WHEN pos = 1 "
+        "THEN value_micro % n_touches ELSE 0 END AS credit_micro")

@@ -197,3 +197,25 @@ def test_chunk_dup_ratio_bounds_and_reconstruction(spark):
         assert r["n_chunks"] == len(chunks)
         assert r["n_dup_chunks"] == dup
         assert r["dup_milli"] == dup * 1000 // len(chunks)
+
+
+def test_attribution_conserves_credit_exactly(spark):
+    from pyspark.sql import functions as F
+    from iot_simulator_datalake_spark.queries_behavior import _ATTR
+    out = REGISTRY["attribution_linear"].fn(spark, SF).cache()
+    e = load(spark, SF, "events")
+    purchases = {r["event_id"]: round(r["value"] * 1_000_000) for r in
+                 e.filter((F.col("event_type") == "purchase") &
+                          F.col("value").isNotNull()).collect()}
+    credited = {r["purchase_id"]: r["s"] for r in
+                out.groupBy("purchase_id")
+                .agg(F.sum("credit_micro").alias("s")).collect()}
+    # conservation: attributed purchases sum EXACTLY to their value
+    for pid, s in credited.items():
+        assert s == purchases[pid]
+    # touches are only the configured types
+    assert {r["event_type"] for r in
+            out.select("event_type").distinct().collect()} \
+        <= set(_ATTR["touches"])
+    # every credit row positive
+    assert out.filter(F.col("credit_micro") <= 0).count() == 0
