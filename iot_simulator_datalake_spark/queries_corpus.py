@@ -17,6 +17,7 @@ from __future__ import annotations
 import tempfile
 from typing import TYPE_CHECKING
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .engine import Engine
@@ -280,3 +281,70 @@ def cross_source_overlap(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                    (F.col("source_a") < F.col("source_b")))
             .groupBy("source_a", "source_b")
             .agg(F.count("*").alias("shared_classes")))
+
+
+# =========================================================================
+# Zipf fit ([EXT] — the corpus-naturalness diagnostic)
+# =========================================================================
+
+@q("zipf_fit", ("A1", "W1", "F7"), oracle="""
+WITH tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY term
+), ranked AS (
+  SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+  FROM tf
+), q AS (
+  SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+         CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1e9) AS BIGINT) AS y
+  FROM ranked
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+           AS zipf_slope
+FROM m
+""")
+def zipf_fit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Zipf-law fit: OLS slope of ln(frequency) against ln(rank) over
+    the corpus vocabulary — natural language sits near −1; templated /
+    synthetic corpora (like this one) flatten toward 0, which makes
+    the slope a cheap corpus-naturalness gate beside entropy and
+    repetition (text_char_entropy, duplicate-trigram).
+
+    Scale design: term frequencies map-side combine to the
+    vocabulary relation; ln(rank)/ln(freq) are QUANTIZED to int64
+    nanos FIRST, so the regression moments accumulate exactly
+    (doctrine 4 applied to a log-log fit) and only the final slope
+    ratio is floating point.  The rank window runs over the
+    vocabulary — for web-scale vocabularies the histogram-rank
+    escalation applies, the fit math is unchanged.
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (d.select(F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("term").agg(F.count("*").cast("long").alias("freq")))
+    rnk = F.row_number().over(W.orderBy(F.col("freq").desc(), "term"))
+    q_ = tf.select(
+        F.round(F.log(rnk.cast("double")) * 1e9).cast("long").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1e9).cast("long")
+        .alias("y"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = q_.groupBy().agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    return m.select(n.cast("long").alias("vocab_size"),
+                    F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+                    .alias("zipf_slope"))

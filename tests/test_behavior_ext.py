@@ -219,3 +219,22 @@ def test_attribution_conserves_credit_exactly(spark):
         <= set(_ATTR["touches"])
     # every credit row positive
     assert out.filter(F.col("credit_micro") <= 0).count() == 0
+
+
+def test_zipf_fit_matches_numpy_and_is_flat_on_word_soup(spark):
+    import math
+    import numpy as np
+    from collections import Counter
+    out = REGISTRY["zipf_fit"].fn(spark, SF).collect()[0]
+    docs = load(spark, SF, "documents").select("text").collect()
+    cnt = Counter(t for r in docs for t in r["text"].split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = np.array([round(math.log(i + 1) * 1e9)
+                   for i in range(len(ranked))], dtype=float)
+    ys = np.array([round(math.log(f) * 1e9) for _, f in ranked],
+                  dtype=float)
+    slope = np.polyfit(xs, ys, 1)[0]
+    assert out["vocab_size"] == len(ranked)
+    assert abs(out["zipf_slope"] - slope) < 1e-6
+    # synthetic near-uniform vocabulary: far flatter than natural -1
+    assert -0.5 < out["zipf_slope"] < 0
