@@ -348,3 +348,59 @@ def zipf_fit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return m.select(n.cast("long").alias("vocab_size"),
                     F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
                     .alias("zipf_slope"))
+
+
+# =========================================================================
+# Vocabulary coverage curve ([EXT] — tokenizer sizing diagnostic)
+# =========================================================================
+
+_VCOV = dict(targets=(50, 90, 99))
+
+
+@q("vocab_coverage_curve", ("A1", "W1"), oracle=f"""
+WITH tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY term
+), ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk,
+         SUM(freq) OVER (ORDER BY freq DESC, term
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(freq) OVER () AS tot
+  FROM tf
+)
+SELECT t.pct,
+       CAST(MIN(CASE WHEN cum * 100 >= tot * t.pct THEN rnk END)
+            AS BIGINT) AS vocab_needed
+FROM ranked CROSS JOIN (SELECT UNNEST([50, 90, 99]) AS pct) t
+GROUP BY t.pct
+""")
+def vocab_coverage_curve(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Vocabulary coverage: the smallest top-k vocabulary that covers
+    50/90/99% of token mass — the sizing question every tokenizer /
+    embedding table answers before training (99%-coverage vocab size
+    is the practical UNK-rate knob).
+
+    Scale design: the same ranked-cumsum-over-the-vocabulary shape as
+    zipf_fit/abc_pareto, with the coverage test as the integer
+    cross-multiplication cum·100 ≥ tot·pct evaluated for all targets
+    in ONE pass over the ranked relation (the targets ride along as a
+    3-row explode) — no per-threshold rescans.
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (d.select(F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("term").agg(F.count("*").cast("long").alias("freq")))
+    wr = W.orderBy(F.col("freq").desc(), "term")
+    ranked = tf.select(
+        "freq", F.row_number().over(wr).alias("rnk"),
+        F.sum("freq").over(
+            wr.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("freq").over(W.partitionBy()).alias("tot"))
+    targets = F.explode(F.array(*[F.lit(p) for p in _VCOV["targets"]]))
+    return (ranked.select("rnk", "cum", "tot", targets.alias("pct"))
+            .groupBy("pct")
+            .agg(F.min(F.when(F.col("cum") * 100 >=
+                              F.col("tot") * F.col("pct"), F.col("rnk")))
+                 .cast("long").alias("vocab_needed")))

@@ -238,3 +238,21 @@ def test_zipf_fit_matches_numpy_and_is_flat_on_word_soup(spark):
     assert abs(out["zipf_slope"] - slope) < 1e-6
     # synthetic near-uniform vocabulary: far flatter than natural -1
     assert -0.5 < out["zipf_slope"] < 0
+
+
+def test_vocab_coverage_matches_python(spark):
+    from collections import Counter
+    out = {r["pct"]: r["vocab_needed"] for r in
+           REGISTRY["vocab_coverage_curve"].fn(spark, SF).collect()}
+    docs = load(spark, SF, "documents").select("text").collect()
+    cnt = Counter(t for r in docs for t in r["text"].split(" "))
+    freqs = sorted(cnt.values(), reverse=True)
+    tot = sum(freqs)
+    for pct in (50, 90, 99):
+        cum = 0
+        for i, f in enumerate(freqs, 1):
+            cum += f
+            if cum * 100 >= tot * pct:
+                assert out[pct] == i
+                break
+    assert out[50] <= out[90] <= out[99] <= len(freqs)
