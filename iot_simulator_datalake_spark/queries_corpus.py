@@ -404,3 +404,43 @@ def vocab_coverage_curve(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.min(F.when(F.col("cum") * 100 >=
                               F.col("tot") * F.col("pct"), F.col("rnk")))
                  .cast("long").alias("vocab_needed")))
+
+
+# =========================================================================
+# Classifier confusion matrix ([EXT] — the language-ID eval harness)
+# =========================================================================
+
+def _confusion_oracle() -> str:
+    from .queries_ext import _lang_oracle
+    return f"""
+WITH pred AS ({_lang_oracle()})
+SELECT lang_label, lang_pred, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred GROUP BY lang_label, lang_pred
+"""
+
+
+@q("langid_confusion", ("F9", "A1"), oracle=_confusion_oracle())
+def langid_confusion(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Confusion matrix of the language-ID classifier against the
+    declared labels — the evaluation harness every in-pipeline
+    classifier needs (per-cell counts ARE precision/recall's
+    sufficient statistic; n_correct is diagonal mass).  The pattern
+    generalizes to any label-vs-prediction pair: quality-gate
+    decisions, dedup verdicts, drift flags.
+
+    Scale design: the classifier is map-only (broadcast lexicons);
+    the confusion aggregate map-side combines to ≤|langs|² cells, so
+    the eval costs exactly one scan on top of inference — and because
+    both query and oracle reuse text_language_id's generator, the
+    harness can never drift from the production classifier.
+    """
+    from .functions.text import language_id
+    d = load(spark, sf_dir, "documents")
+    pred = d.select(F.col("lang").alias("lang_label"),
+                    language_id(F.col("text")).alias("lang_pred"))
+    return (pred.groupBy("lang_label", "lang_pred")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("lang_label") == F.col("lang_pred"), 1)
+                       .otherwise(0)).cast("long").alias("n_correct")))
