@@ -444,3 +444,63 @@ def langid_confusion(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.count("*").alias("n"),
                  F.sum(F.when(F.col("lang_label") == F.col("lang_pred"), 1)
                        .otherwise(0)).cast("long").alias("n_correct")))
+
+
+# =========================================================================
+# Cross-source quantile normalization ([EXT] — score calibration)
+# =========================================================================
+
+@q("quantile_normalize_scores", ("W1", "J1", "A1"), oracle="""
+WITH base AS (
+  SELECT doc_id, source, n_chars FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS ns,
+         COUNT(*) OVER () AS n
+  FROM base
+), pooled AS (
+  SELECT n_chars AS pooled_value,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS prank
+  FROM base
+)
+SELECT rk.doc_id, rk.source, rk.n_chars,
+       p.pooled_value AS normalized_chars
+FROM ranked rk
+JOIN pooled p
+  ON p.prank = (rk.r * rk.n + rk.ns - 1) // rk.ns
+""")
+def quantile_normalize_scores(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Quantile normalization of a per-document score (n_chars as the
+    stand-in) ACROSS sources: each doc's within-source rank maps to
+    the pooled distribution's value at the same quantile — the
+    batch-norm of corpus curation, making "top 10% of source X"
+    comparable to "top 10% of source Y" before a global quality cut
+    (raw thresholds systematically favor verbose sources).
+
+    Scale design: two rank windows (per-source, pooled) and one
+    equi-join on the integer target rank ceil(r·N/n_s) — computed with
+    the cross-multiplied ceiling (r·N + n_s − 1) div n_s, so the
+    quantile mapping is exact integer arithmetic, no float quantiles.
+    The pooled rank relation is the same histogram-rank escalation
+    surface as every percentile op here; at web scale both windows
+    become two-level prefix sums, the mapping join is unchanged.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(W.partitionBy("source")).alias("ns"),
+        F.count("*").over(W.partitionBy()).alias("n"))
+    pooled = d.select(
+        F.col("n_chars").alias("pooled_value"),
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("prank"))
+    return (ranked
+            .withColumn("target", F.expr("(r * n + ns - 1) div ns"))
+            .join(pooled, F.col("target") == F.col("prank"))
+            .select("doc_id", "source", "n_chars",
+                    F.col("pooled_value").alias("normalized_chars")))

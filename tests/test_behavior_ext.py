@@ -256,3 +256,24 @@ def test_vocab_coverage_matches_python(spark):
                 assert out[pct] == i
                 break
     assert out[50] <= out[90] <= out[99] <= len(freqs)
+
+
+def test_quantile_normalization_properties(spark):
+    from pyspark.sql import functions as F
+    out = REGISTRY["quantile_normalize_scores"].fn(spark, SF).cache()
+    n = load(spark, SF, "documents").count()
+    assert out.count() == n                       # every doc mapped
+    # monotone within source: higher raw score → ≥ normalized score
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["source"], []).append(
+            (r["n_chars"], r["normalized_chars"]))
+    for seq in rows.values():
+        seq.sort()
+        norms = [b for _, b in seq]
+        assert norms == sorted(norms)
+    # the per-source TOP doc maps to (near) the pooled maximum
+    pooled_max = out.agg(F.max("n_chars")).collect()[0][0]
+    tops = (out.groupBy("source")
+            .agg(F.max("normalized_chars").alias("m")).collect())
+    assert all(r["m"] == pooled_max for r in tops)
