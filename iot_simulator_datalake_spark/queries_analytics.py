@@ -1038,3 +1038,60 @@ def weekday_seasonality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .selectExpr("dow", "rev", "n_days",
                         "((rev * nd) * 1000) div (tot * n_days)"
                         " AS seasonal_milli"))
+
+
+@q("gini_concentration", ("A1", "W1", "F7"), oracle="""
+WITH s AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT spend,
+         ROW_NUMBER() OVER (ORDER BY spend) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(spend) OVER () AS tot
+  FROM s
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(MAX(tot) AS BIGINT) AS total_cents,
+       CAST(ROUND((2 * CAST(SUM(CAST(i AS DECIMAL(38,0)) * spend)
+                            AS DOUBLE)
+                   - (MAX(n) + 1) * CAST(MAX(tot) AS DOUBLE))
+                  / (MAX(n) * CAST(MAX(tot) AS DOUBLE)) * 1e6)
+            AS BIGINT) AS gini_ppm
+FROM r
+""")
+def gini_concentration(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Gini coefficient of customer spend concentration, exact:
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the spend-sorted
+    sequence, in integer ppm — the single-number companion to the ABC
+    curve and skew_profile's entropy (0 = equal, →1 = one whale).
+
+    Scale design: per-customer spend map-side combines; the rank-
+    weighted sum runs over the CUSTOMER-sized relation with the rank
+    from one sort window (ties resolve identically on both engines
+    because equal spends contribute the same Σ i·x regardless of
+    order — the formula is tie-invariant).  All integer until the
+    final ppm floor division.
+    """
+    o = load(spark, sf_dir, "orders")
+    s = (o.groupBy("o_custkey")
+         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .cast("long").alias("spend")))
+    r = s.select(
+        "spend",
+        F.row_number().over(W.orderBy("spend")).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("spend").over(W.partitionBy()).alias("tot"))
+    return (r.groupBy()
+            .agg(F.max("n").cast("long").alias("n_customers"),
+                 F.max("tot").cast("long").alias("total_cents"),
+                 F.sum(F.col("i").cast("decimal(38,0)") * F.col("spend"))
+                 .cast("double").alias("iws"))
+            .select("n_customers", "total_cents",
+                    F.round((2 * F.col("iws")
+                             - (F.col("n_customers") + 1)
+                             * F.col("total_cents").cast("double"))
+                            / (F.col("n_customers")
+                               * F.col("total_cents").cast("double"))
+                            * 1e6).cast("long").alias("gini_ppm")))

@@ -396,3 +396,22 @@ def test_hysteresis_latch_semantics(spark):
     states = {r["alert_on"] for r in band.select("alert_on")
               .distinct().collect()}
     assert states == {0, 1}
+
+
+def test_gini_matches_python(spark):
+    out = REGISTRY["gini_concentration"].fn(spark, SF).collect()[0]
+    o = load(spark, SF, "orders").select("o_custkey", "o_totalprice") \
+        .collect()
+    spend = {}
+    for r in o:
+        spend[r["o_custkey"]] = (spend.get(r["o_custkey"], 0) +
+                                 round(r["o_totalprice"] * 100))
+    xs = sorted(spend.values())
+    n, tot = len(xs), sum(xs)
+    iws = sum((i + 1) * x for i, x in enumerate(xs))
+    want = round((2 * float(iws) - (n + 1) * float(tot)) /
+                 (n * float(tot)) * 1e6)
+    assert out["n_customers"] == n
+    assert out["total_cents"] == tot
+    assert out["gini_ppm"] == want
+    assert 0 <= out["gini_ppm"] < 1_000_000
