@@ -1,0 +1,68 @@
+"""Size-gated join-strategy hints.
+
+Why this exists (SCALE.md doctrine 3): a hard ``F.broadcast(df)`` hint
+*overrides* Spark's size check (``spark.sql.autoBroadcastJoinThreshold``)
+and forces the relation to be collected to the driver and shipped to every
+executor.  That is right for category-/calendar-/sketch-sized relations
+(nation, region, a 25-row threshold table) and catastrophically wrong for
+scale-factor-proportional ones: at a 100 TB lineitem, ``customer`` is
+TB-sized and a forced broadcast OOMs the driver.
+
+``maybe_broadcast`` applies the hint ONLY when Catalyst's own logical-plan
+statistics say the relation is small; otherwise it returns the DataFrame
+unhinted and lets AQE pick the strategy at runtime from *measured* shuffle
+sizes (AQE will still choose broadcast at bench scale, so small-SF plans
+are unchanged in practice — the hint is belt-and-braces for when stats are
+available and tiny).
+
+The size estimate comes from ``optimizedPlan().stats().sizeInBytes`` —
+driver-side plan statistics (for parquet scans: the sum of file sizes,
+already known from the listing), NOT a job.  Calling it is O(plan), not
+O(data).
+
+Reference parity: the gold fact join (``fact_iot_events.sql:23-24``)
+joins the silver fact to dims without any physical-strategy annotation —
+strategy choice is the engine's job, which is exactly what deferring to
+AQE restores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Default hint gate.  Deliberately larger than Spark's 10 MB
+#: autoBroadcastJoinThreshold (a relation in 10–64 MB is still a safe,
+#: profitable broadcast on any real executor) but far below anything that
+#: could hurt: a 64 MB cap bounds driver collect + per-executor copy.
+DEFAULT_MAX_BYTES = 64 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated size of ``df`` in bytes, or None if the
+    estimate is unavailable (e.g. Spark Connect, or a plan node that
+    reports the defaultSizeInBytes sentinel)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # Unknown-size plans report conf.defaultSizeInBytes = Long.MaxValue;
+    # treat anything absurd as "unknown".
+    if size < 0 or size >= (1 << 62):
+        return None
+    return size
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:
+    """Broadcast-hint ``df`` iff plan statistics prove it is small.
+
+    Unknown size → NO hint (fail safe: AQE decides from runtime sizes).
+    This is the required form for any join against an sf-proportional
+    relation (customer, supplier, orders, …); hard ``F.broadcast`` is
+    reserved for relations whose cardinality is bounded by schema
+    (nation=25, region=5, calendar, 1-row aggregates).
+    """
+    size = plan_size_bytes(df)
+    if size is not None and size <= max_bytes:
+        return F.broadcast(df)
+    return df

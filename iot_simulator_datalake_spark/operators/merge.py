@@ -9,26 +9,31 @@ merge key plus per-row action resolution — which is exactly what
 Delta's own physical plan lowers to (join target ⋈ source, then write
 back touched files).
 
-Scale design: one shuffle per side on the merge key (or broadcast when
-the source batch is small — the common CDC case; pass
-``broadcast_source=True``).  Everything downstream of the join is
-map-side: action resolution is a CASE expression, no second pass, no
-driver state.  The rewrite cost is O(target + source), the lower bound
-for a format without file-level pruning; with the engine's data-
-skipping manifest (engine/skipping.py) the target side narrows to
-files whose key ranges intersect the batch — the same optimization
-Delta calls "merge touch set".
+Scale design: one shuffle per side on the merge key.  Everything
+downstream of the join is map-side: action resolution is a CASE
+expression, no second pass, no driver state.  The rewrite cost is
+O(target + source), the lower bound for a format without file-level
+pruning; with the engine's data-skipping manifest (engine/skipping.py)
+the target side narrows to files whose key ranges intersect the batch
+— the same optimization Delta calls "merge touch set".  (A broadcast
+fast path is NOT offered: Spark cannot execute a full-outer join as a
+broadcast hash join, so a hint here would be silently ignored; the
+real optimization is splitting matched/unmatched paths, which trades
+one extra pass over the source for the hint — not worth it before the
+skipping-manifest narrowing above.)
 """
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-if TYPE_CHECKING:  # pragma: no cover
-    pass
+
+class AmbiguousMergeSourceError(ValueError):
+    """Raised when multiple source rows share one merge key — SQL/Delta
+    MERGE rejects this (nondeterministic which row applies); the
+    full-outer-join rewrite would instead silently fan out the target
+    row, so we surface the same error the standard demands."""
 
 
 def merge_into(target: DataFrame, source: DataFrame, key: str, *,
@@ -37,7 +42,7 @@ def merge_into(target: DataFrame, source: DataFrame, key: str, *,
                delete_cond: Column | None = None,
                insert_values: dict[str, Column] | None = None,
                insert_cond: Column | None = None,
-               broadcast_source: bool = False) -> DataFrame:
+               check_unique_source: bool = False) -> DataFrame:
     """Apply MERGE semantics and return the post-merge target relation.
 
     Clause order follows SQL MERGE: for matched rows ``delete_cond``
@@ -47,12 +52,27 @@ def merge_into(target: DataFrame, source: DataFrame, key: str, *,
     given; unmatched target rows always survive.  Column expressions
     may reference ``t.<col>`` / ``s.<col>``.
 
+    PRECONDITION: ``key`` must be unique in ``source`` — duplicate
+    source keys would fan out matched target rows through the join
+    (where SQL MERGE raises "multiple source rows matched").  Callers
+    that cannot prove uniqueness (raw CDC feeds: pre-aggregate with
+    latest-wins first, as operators/scd.py does) should pass
+    ``check_unique_source=True`` to pay one count-distinct aggregate
+    over the source (cheap: the source is the small side) and get
+    :class:`AmbiguousMergeSourceError` instead of silent duplicates.
+
     The result preserves the target schema exactly.
     """
+    if check_unique_source:
+        dup = (source.groupBy(key).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise AmbiguousMergeSourceError(
+                f"merge key {key!r} is not unique in source "
+                f"(e.g. {dup[0][key]!r}); latest-wins pre-aggregate the "
+                "source (operators.scd.scd1_current) before merging")
     t = target.alias("t")
     s = source.alias("s")
-    if broadcast_source:
-        s = F.broadcast(s)
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
     matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
     t_only = F.col(f"s.{key}").isNull() & F.col(f"t.{key}").isNotNull()

@@ -27,6 +27,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .operators.hints import maybe_broadcast
 from .session import tune_session
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -145,7 +146,7 @@ def fact_avg_by_nation_month(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     n = load(spark, sf_dir, "nation")
     return (li
             .join(o, li["l_orderkey"] == o["o_orderkey"], "left")
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+            .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
             .groupBy(n["n_name"].alias("nation"),
                      F.year(o["o_orderdate"]).alias("year"),

@@ -20,6 +20,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .operators.hints import maybe_broadcast
 from .queries import load, oavg, osum, q
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -564,7 +565,7 @@ def revenue_share_of_total(spark: "SparkSession", sf_dir: str
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    rev = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    rev = (o.join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
            .groupBy(F.col("n_name").alias("nation"))
            .agg(dsum("o_totalprice").alias("revenue")))

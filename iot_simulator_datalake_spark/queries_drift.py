@@ -418,10 +418,11 @@ def target_encode_loo(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     xm = F.round(F.col("c_acctbal") * 1000000).cast("long")
     g = (c.groupBy(F.col("c_mktsegment").alias("seg"))
          .agg(F.sum(xm).alias("ssum"), F.count("*").alias("n")))
-    p = (g.groupBy().agg(F.sum("ssum").alias("ts"), F.sum("n").alias("tn"))
-         .selectExpr("ts div tn AS prior"))
+    prior_row = (g.groupBy().agg(F.sum("ssum").alias("ts"),
+                                 F.sum("n").alias("tn"))
+                 .selectExpr("ts div tn AS prior"))
     return (c.join(F.broadcast(g), c.c_mktsegment == g.seg)
-            .join(F.broadcast(p))
+            .join(F.broadcast(prior_row))
             .select(F.col("c_custkey").alias("customer"), "seg",
                     (F.col("ssum") - xm + _LOO["m"] * F.col("prior"))
                     .alias("num"), (F.col("n") - 1 + _LOO["m"]).alias("den"))

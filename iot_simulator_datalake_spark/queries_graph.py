@@ -29,6 +29,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .operators.hints import maybe_broadcast
 from .queries import load, q
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -92,8 +93,8 @@ def pagerank_trade_graph(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     n = load(spark, sf_dir, "nation")
 
     edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-             .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+             .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+             .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
              .groupBy(s["s_nationkey"].alias("src"),
                       c["c_nationkey"].alias("dst"))
              .agg(F.count(F.lit(1)).alias("w")))
@@ -168,8 +169,8 @@ def triangle_count(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     n = load(spark, sf_dir, "nation")
 
     edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-             .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+             .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+             .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
              .select(F.least(s["s_nationkey"], c["c_nationkey"]).alias("u"),
                      F.greatest(s["s_nationkey"],
                                 c["c_nationkey"]).alias("v"))
@@ -255,8 +256,8 @@ def bfs_reachability(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     n = load(spark, sf_dir, "nation")
 
     wedges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+         .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+         .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
          .groupBy(s["s_nationkey"].alias("src"),
                   c["c_nationkey"].alias("dst"))
          .agg(F.count(F.lit(1)).alias("w"))
@@ -351,8 +352,8 @@ def random_walk_corpus(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     n = load(spark, sf_dir, "nation")
 
     wedges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-              .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-              .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+              .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+              .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
               .groupBy(s["s_nationkey"].alias("src"),
                        c["c_nationkey"].alias("dst"))
               .agg(F.count(F.lit(1)).alias("w"))

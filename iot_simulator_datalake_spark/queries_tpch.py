@@ -13,6 +13,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .operators.hints import maybe_broadcast
 from .queries import davg, dsum, load, oavg, osum, q
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -76,7 +77,7 @@ def tpch_q3_shipping_priority(spark: "SparkSession",
     disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
                   (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
             .groupBy(li["l_orderkey"].alias("order_id"),
                      o["o_orderdate"].cast("date").alias("order_date"))
             .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"))
@@ -168,8 +169,8 @@ def tpch_q18_large_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
            .agg(dsum("l_quantity").alias("_q"))
            .filter(F.col("_q") > 150)
            .select("big_orderkey"))
-    return (o.join(F.broadcast(big), o["o_orderkey"] == big["big_orderkey"])
-            .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+    return (o.join(maybe_broadcast(big), o["o_orderkey"] == big["big_orderkey"])
+            .join(maybe_broadcast(c), c["c_custkey"] == o["o_custkey"])
             .join(li, li["l_orderkey"] == o["o_orderkey"])
             .groupBy(c["c_name"].alias("name"),
                      c["c_custkey"].alias("customer"),
@@ -208,8 +209,8 @@ def tpch_q5_local_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
                   (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-            .join(F.broadcast(s),
+            .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(maybe_broadcast(s),
                   (li["l_suppkey"] == s["s_suppkey"]) &
                   (s["s_nationkey"] == c["c_nationkey"]))
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
@@ -261,8 +262,8 @@ def tpch_q7_volume_shipping(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             ((F.col("supp_nation") == "NATION_10") &
              (F.col("cust_nation") == "NATION_9")))
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
             .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
             .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
             .filter(pair)
@@ -303,7 +304,7 @@ def tpch_q10_returned_items(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
                   (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
             .groupBy(c["c_custkey"].alias("customer"),
                      c["c_name"].alias("name"),
@@ -348,7 +349,7 @@ def tpch_q14_promo_revenue(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     promo = F.round(F.sum(F.when(F.col("p_type") == "PROMO",
                                  disc_price)), 4).cast("double")
     total = F.round(F.sum(disc_price), 4).cast("double")
-    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
             .agg(promo.alias("promo_revenue"),
                  total.alias("total_revenue"),
                  F.round(F.lit(100.0) * promo / total, 6)
@@ -423,7 +424,7 @@ def tpch_q17_small_quantity(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     w = W.partitionBy("l_partkey")
     avg_qty = (F.sum(F.col("l_quantity").cast("decimal(25,4)")).over(w)
                .cast("double") / F.count(F.lit(1)).over(w))
-    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
             .withColumn("avg_qty", avg_qty)
             .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
             .agg((F.sum(F.col("l_extendedprice").cast("decimal(25,4)"))
@@ -523,7 +524,7 @@ def tpch_q2_min_cost_supplier(spark: "SparkSession",
                .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
                .select("s_suppkey", "s_name", "s_acctbal",
                        F.col("n_name").alias("nation")))
-    offers = (li.join(F.broadcast(eu_supp.select("s_suppkey")),
+    offers = (li.join(maybe_broadcast(eu_supp.select("s_suppkey")),
                       li["l_suppkey"] == F.col("s_suppkey"))
               .groupBy(F.col("l_partkey").alias("partkey"),
                        F.col("l_suppkey").alias("suppkey"))
@@ -532,8 +533,8 @@ def tpch_q2_min_cost_supplier(spark: "SparkSession",
     best = F.min("unit_price").over(W.partitionBy("partkey"))
     return (offers.withColumn("_best", best)
             .filter(F.col("unit_price") == F.col("_best"))
-            .join(F.broadcast(p), F.col("partkey") == p["p_partkey"])
-            .join(F.broadcast(eu_supp), F.col("suppkey") == F.col("s_suppkey"))
+            .join(maybe_broadcast(p), F.col("partkey") == p["p_partkey"])
+            .join(maybe_broadcast(eu_supp), F.col("suppkey") == F.col("s_suppkey"))
             .select(F.col("s_acctbal").alias("acctbal"),
                     F.col("s_name").alias("supplier"), "nation",
                     F.col("p_partkey").alias("part_id"),
@@ -600,12 +601,12 @@ def tpch_q8_market_share(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                                       disc_price)), 4).cast("double")
     total_vol = F.round(F.sum(disc_price), 4).cast("double")
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
             .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
-            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
             .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
-            .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
             .groupBy(F.year("o_orderdate").cast("bigint")
                      .alias("order_year"))
             .agg(nation_vol.alias("nation_volume"),
@@ -651,8 +652,8 @@ def tpch_q9_product_profit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     cost = (F.col("p_retailprice").cast("decimal(18,4)") *
             F.col("l_quantity").cast("decimal(18,4)"))
     gross = F.round(F.sum(disc_price), 4).cast("double")
-    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    return (li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
             .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("l_shipdate").cast("bigint")
@@ -697,7 +698,7 @@ def tpch_q11_important_parts(spark: "SparkSession",
                 .select("s_suppkey"))
     val = (F.col("l_extendedprice").cast("decimal(18,4)") *
            (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
-    per_part = (li.join(F.broadcast(nat_supp),
+    per_part = (li.join(maybe_broadcast(nat_supp),
                         li["l_suppkey"] == F.col("s_suppkey"))
                 .groupBy(F.col("l_partkey").alias("part_id"))
                 .agg(F.sum(val).alias("_val_dec")))
@@ -784,7 +785,7 @@ def tpch_q15_top_supplier(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     s = load(spark, sf_dir, "supplier")
     return (revenue.crossJoin(F.broadcast(best))
             .filter(F.col("total_revenue") == F.col("_best"))
-            .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+            .join(maybe_broadcast(s), F.col("supplier_no") == s["s_suppkey"])
             .select(F.col("s_suppkey").alias("supplier"),
                     F.col("s_name").alias("name"), "total_revenue"))
 
@@ -821,9 +822,9 @@ def tpch_q16_supplier_diversity(spark: "SparkSession",
                  F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
          .select("p_partkey", "p_brand", "p_type", "p_size"))
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    return (li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+    return (li.join(maybe_broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
                     "left_anti")
-            .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
             .groupBy(F.col("p_brand").alias("brand"),
                      F.col("p_type").alias("type"),
                      F.col("p_size").alias("size"))
@@ -872,7 +873,7 @@ def tpch_q19_disjunctive_revenue(spark: "SparkSession",
          F.col("l_quantity").between(20, 40)))
     disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
                   (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
-    return (li.join(F.broadcast(p),
+    return (li.join(maybe_broadcast(p),
                     (li["l_partkey"] == p["p_partkey"]) & clause)
             .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
@@ -914,7 +915,7 @@ def tpch_q20_heavy_shippers(spark: "SparkSession",
           .filter((F.col("l_shipdate") >= "1996-01-01") &
                   (F.col("l_shipdate") < "1997-01-01"))
           .select("l_suppkey", "l_partkey", "l_quantity"))
-    heavy = (li.join(F.broadcast(pp), li["l_partkey"] == pp["p_partkey"])
+    heavy = (li.join(maybe_broadcast(pp), li["l_partkey"] == pp["p_partkey"])
              .groupBy("l_suppkey", "l_partkey")
              .agg(F.sum("l_quantity").alias("_qty"))
              .filter(F.col("_qty") > 25)
@@ -924,7 +925,7 @@ def tpch_q20_heavy_shippers(spark: "SparkSession",
          .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
          .select("n_nationkey"))
     s = load(spark, sf_dir, "supplier")
-    return (s.join(F.broadcast(heavy),
+    return (s.join(maybe_broadcast(heavy),
                    s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
             .join(F.broadcast(n),
                   s["s_nationkey"] == n["n_nationkey"], "left_semi")
@@ -987,7 +988,7 @@ def tpch_q21_waiting_orders(spark: "SparkSession",
     return (late.join(stats,
                       late["late_orderkey"] == stats["l_orderkey"])
             .filter((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
-            .join(F.broadcast(s), late["l_suppkey"] == s["s_suppkey"])
+            .join(maybe_broadcast(s), late["l_suppkey"] == s["s_suppkey"])
             .groupBy(F.col("s_name").alias("name"))
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.col("numwait").desc(), "name").limit(25))

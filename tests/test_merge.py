@@ -34,7 +34,7 @@ def test_merge_all_branches(spark):
         insert_values={"k": F.col("s.k"), "name": F.lit("ins"),
                        "v": F.col("s.delta")},
         insert_cond=F.col("s.delta") > 0,
-        broadcast_source=True)
+        check_unique_source=True)
     rows = {r["k"]: (r["name"], r["v"]) for r in out.collect()}
     assert rows == {
         1: ("a", 110),   # updated
@@ -75,3 +75,15 @@ def test_gated_merge_exercises_every_branch(spark):
     # inserted keys live outside the original key space
     assert (out.filter(F.col("seg") == "NEW")
             .filter(F.col("custkey") < 1000000).count() == 0)
+
+
+def test_merge_rejects_duplicate_source_keys(spark):
+    from iot_simulator_datalake_spark.operators.merge import (
+        AmbiguousMergeSourceError)
+    import pytest
+    t = _target(spark)
+    s = spark.createDataFrame([(1, 10), (1, 20)], "k int, delta int")
+    with pytest.raises(AmbiguousMergeSourceError):
+        merge_into(t, s, "k",
+                   update_set={"v": F.expr("t.v + s.delta")},
+                   check_unique_source=True)

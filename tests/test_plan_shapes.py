@@ -362,3 +362,55 @@ def test_multi_distinct_agg_uses_expand(spark):
     assert "Expand" in plan
     # tree section: one distinct-agg shuffle + final agg shuffle only
     assert plan.count("+- Exchange") <= 2
+
+
+def test_maybe_broadcast_gates_on_plan_size(spark):
+    """SCALE doctrine 3 / VERDICT r2 #1: sf-proportional relations must
+    never carry a HARD broadcast hint.  maybe_broadcast hints only when
+    Catalyst stats prove the side small; above the gate it returns the
+    frame unhinted so AQE decides from measured runtime sizes."""
+    from pyspark.sql import functions as F
+    from iot_simulator_datalake_spark.operators.hints import (
+        maybe_broadcast, plan_size_bytes)
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    size = plan_size_bytes(c)
+    assert size is not None and size > 0
+
+    # Below the gate: hint applied → logical plan carries ResolvedHint.
+    hinted = maybe_broadcast(c, max_bytes=size + 1)
+    assert "broadcast" in hinted._jdf.queryExecution().analyzed().toString().lower()
+
+    # Above the gate (probe threshold below the table's size — models
+    # customer at 100×): NO hint anywhere in the logical plan.
+    unhinted = maybe_broadcast(c, max_bytes=size - 1)
+    assert "hint" not in unhinted._jdf.queryExecution().analyzed().toString().lower()
+
+    # End-to-end: a join built through the gated helper at the probe
+    # threshold must not contain a broadcast hint pre-AQE; the physical
+    # strategy is then AQE/planner's choice, not ours.
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"], "left")
+         .join(maybe_broadcast(c, max_bytes=size - 1),
+               o["o_custkey"] == c["c_custkey"], "left"))
+    assert "unresolvedhint" not in j._jdf.queryExecution().logical().toString().lower()
+
+
+def test_no_hard_broadcast_of_sf_proportional_tables():
+    """Source-level guard: no query module may hard-hint customer /
+    supplier / part / orders / lineitem (the sf-proportional tables).
+    Bounded relations (nation=25, region=5, calendar dims, 1-row
+    aggregates, nation-level graph state) may keep F.broadcast."""
+    import pathlib, re
+    pkg = pathlib.Path("iot_simulator_datalake_spark")
+    # variable names bound to sf-proportional loads across query modules
+    banned = re.compile(
+        r"F\.broadcast\(\s*(c|s|p|li|o|cust|supp|customer|supplier|part|"
+        r"orders|lineitem|big|heavy|eu_supp|nat_supp|bad|pp)\s*[,)\.]")
+    offenders = []
+    for f in sorted(pkg.glob("queries*.py")):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if banned.search(line):
+                offenders.append(f"{f.name}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
