@@ -24,8 +24,10 @@ their jobs.
 
 from __future__ import annotations
 
+import os
 import shutil
 import time
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -36,6 +38,45 @@ from .model import Model, ModelContext, Registry
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
+
+
+def _swap_dir(staged: Path, final: Path, attempts: int = 10) -> None:
+    """Install a fully-written staged dir as ``final`` — concurrent-
+    writer safe (VERDICT r2 #3).
+
+    Spark's own ``mode("overwrite")`` deletes the target then writes
+    into it, so two simultaneous writers interleave part files into one
+    corrupt table.  Here each writer stages privately and installs via
+    directory renames: claim the current dir (rename to trash), rename
+    staged into place.  If another writer installs between our two
+    renames, our rename fails (POSIX ENOTEMPTY/EEXIST — rename never
+    overwrites a non-empty dir) and we retry by claiming THEIR complete
+    table; every observable state is one writer's complete output —
+    last-committer-wins, never an interleaving.  For gap-free reads
+    under concurrency use ``snapshot_keep`` (the OCC commit log in
+    engine/snapshots.py); this path trades a sub-ms window where
+    ``final`` is absent for keeping the plain-parquet layout that
+    maintenance/skipping/backfill read directly.
+    """
+    last_err: OSError | None = None
+    for _ in range(attempts):
+        trash = final.with_name(f"{final.name}.trash-{uuid.uuid4().hex[:8]}")
+        try:
+            os.rename(final, trash)          # claim whatever is current
+        except FileNotFoundError:
+            trash = None                     # nothing to claim — first write
+        try:
+            os.rename(staged, final)
+        except OSError as e:                 # lost the install race
+            last_err = e
+            if trash is not None:            # old data; a newer complete
+                shutil.rmtree(trash, ignore_errors=True)   # version exists
+            continue
+        if trash is not None:
+            shutil.rmtree(trash, ignore_errors=True)
+        return
+    raise RuntimeError(
+        f"could not install {final} after {attempts} attempts") from last_err
 
 
 @dataclass
@@ -125,7 +166,13 @@ class Engine:
                      .saveAsTable(m.qualified_name))
                     df = self.spark.table(m.qualified_name)
                 else:
-                    writer.parquet(str(path))
+                    # stage privately, then atomic-install: concurrent
+                    # engine.run()s serialize to complete snapshots
+                    # instead of interleaving part files (see _swap_dir)
+                    staged = path.with_name(
+                        f"{path.name}.staged-{uuid.uuid4().hex[:8]}")
+                    writer.parquet(str(staged))
+                    _swap_dir(staged, path)
                     df = self.spark.read.parquet(str(path))
         self.register(m.qualified_name, df)
 

@@ -178,11 +178,14 @@ def build_bloom_manifest(path: str | Path, cols: list[str], *,
     manifest["bloom"] = {"bits": bits, "hashes": hashes, "files": {}}
     for rel in manifest["files"]:
         f = root / rel
-        table = pq.read_table(str(f), columns=[c for c in cols])
+        # intersect with the file's own schema first: pyarrow raises on
+        # absent columns, so schema-evolved tables (a column added in
+        # later files) would otherwise fail the whole build (ADVICE r2)
+        present = [c for c in cols
+                   if c in pq.ParquetFile(str(f)).schema_arrow.names]
+        table = pq.read_table(str(f), columns=present)
         per_col = {}
-        for c in cols:
-            if c not in table.column_names:
-                continue
+        for c in present:
             bitmap = 0
             for v in set(table.column(c).to_pylist()):
                 if v is None:

@@ -38,7 +38,7 @@ _BM25 = dict(k1=1.2, b=0.75, terms=("spark", "window", "dup"), topk=20,
 # BM25 top-k retrieval ([EXT] — F9/W3 composite)
 # =========================================================================
 
-@q("bm25_topk", ("F9", "W3", "A1"), oracle=f"""
+@q("bm25_topk", ("F9", "W3", "A1"), bench=True, oracle=f"""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), dl AS (
@@ -294,7 +294,7 @@ def winsorized_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 _RRF = dict(k=60, depth=20, out=10)
 
 
-@q("hybrid_search_rrf", ("F9", "F10", "W3"), oracle=f"""
+@q("hybrid_search_rrf", ("F9", "F10", "W3"), bench=True, oracle=f"""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),

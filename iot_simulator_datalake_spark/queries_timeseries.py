@@ -609,7 +609,13 @@ def ewma_forecast(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                 s = x
             else:
                 forecasts.append(s)
-                s = (a * x + (m - a) * s) // m
+                # truncate-toward-zero to match DuckDB/Spark integer
+                # div (ADVICE r2: Python // floors, diverging when the
+                # numerator goes negative — latent on shipped data but
+                # wrong for any signed metric)
+                num = a * x + (m - a) * s
+                q_, r_ = divmod(num, m)
+                s = q_ + 1 if (q_ < 0 and r_ != 0) else q_
             levels.append(s)
         pdf = pdf.assign(level_cents=levels, forecast_cents=forecasts)
         return pdf[["user_id", "day", "x", "level_cents", "forecast_cents"]]

@@ -322,7 +322,7 @@ def per_source_cap(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # Fuzzy-dedup retention report ([EXT] — the end-to-end dedup pipeline)
 # =========================================================================
 
-@q("fuzzy_dedup_report", ("W2", "J5", "A1"), oracle=f"""
+@q("fuzzy_dedup_report", ("W2", "J5", "A1"), bench=True, oracle=f"""
 WITH RECURSIVE pairs AS (
   SELECT key_a, key_b FROM ({_minhash_oracle()})
 ), edges AS (

@@ -147,3 +147,41 @@ def test_backfill_rewrites_only_selected_partitions(spark, tmp_path):
         return ctx.spark.range(1)
     with pytest.raises(ValueError):
         eng.backfill("gold.v", "1=1")
+
+
+def test_concurrent_engine_runs_serialize(spark, tmp_path):
+    """Two simultaneous engine.run()s over the same warehouse: both
+    finish, and every table equals ONE run's complete output (the
+    staged-write + rename-install protocol — never interleaved part
+    files).  VERDICT r2 #3 'done' criterion."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(tag):
+        reg = Registry()
+
+        @model(reg, name="base", layer="silver", materialization="table")
+        def base(ctx):
+            return ctx.spark.range(100).withColumn("tag", F.lit(tag))
+
+        @model(reg, name="agg", layer="gold", materialization="table",
+               depends_on=("silver.base",))
+        def agg(ctx):
+            return (ctx.ref("silver.base").groupBy("tag")
+                    .agg(F.count("*").alias("n")))
+        return Engine(spark, reg, warehouse=tmp_path / "wh")
+
+    engines = [build("alpha"), build("beta")]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        results = list(pool.map(lambda e: e.run(), engines))
+    assert all(len(r.materialized) == 2 for r in results)
+
+    for sub in ("silver/base", "gold/agg"):
+        df = spark.read.parquet(str(tmp_path / "wh" / sub))
+        tags = {r["tag"] for r in df.select("tag").distinct().collect()}
+        assert len(tags) == 1, f"{sub} interleaved two writers: {tags}"
+    base = spark.read.parquet(str(tmp_path / "wh" / "silver" / "base"))
+    assert base.count() == 100
+    # no staging or trash debris left behind
+    leftovers = [p for p in (tmp_path / "wh").rglob("*")
+                 if ".staged-" in p.name or ".trash-" in p.name]
+    assert not leftovers

@@ -124,3 +124,21 @@ def test_bloom_composes_with_minmax(spark, tmp_path):
     files_rng = prune_files(path, "k", 500, 500)
     assert set(files_eq) <= set(files_rng)
     assert len(files_eq) <= 2
+
+
+def test_bloom_manifest_tolerates_schema_evolution(spark, tmp_path):
+    """A column present only in newer files must not fail the bloom
+    build (ADVICE r2): absent columns are skipped per file."""
+    from iot_simulator_datalake_spark.engine.skipping import (
+        build_bloom_manifest, build_stats_manifest, prune_files_eq)
+    root = tmp_path / "t"
+    spark.createDataFrame([(1,)], ["k"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(root))
+    spark.createDataFrame([(2, "x")], ["k", "extra"]).coalesce(1) \
+        .write.mode("append").parquet(str(root))
+    build_stats_manifest(root, ["k"])
+    n = build_bloom_manifest(root, ["k", "extra"])
+    assert n == 2
+    # probing the evolved column only ever keeps files that carry it
+    keep = prune_files_eq(root, "extra", "x")
+    assert len(keep) >= 1

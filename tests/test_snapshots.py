@@ -96,3 +96,54 @@ def test_snapshot_diff_multiset_and_keyed(spark, tmp_path):
 
     # unchanged rows never appear
     assert not [r for r in got if r[0] == 1]
+
+
+def test_concurrent_snapshot_writers_both_commit(spark, tmp_path):
+    """OCC commit protocol (VERDICT r2 #3): two simultaneous
+    write_snapshot calls must BOTH commit (distinct versions), and the
+    table must equal one of the two serializable outcomes — never an
+    interleaving."""
+    from concurrent.futures import ThreadPoolExecutor
+    from iot_simulator_datalake_spark.engine.snapshots import (
+        read_snapshot, versions, write_snapshot)
+    tbl = tmp_path / "t"
+
+    def writer(tag):
+        df = spark.createDataFrame(
+            [(i, tag) for i in range(200)], ["id", "tag"])
+        return write_snapshot(df, tbl)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        va, vb = list(pool.map(writer, ["alpha", "beta"]))
+
+    assert sorted([va, vb]) == [0, 1]          # both committed, no clobber
+    assert versions(tbl) == [0, 1]
+    # each committed version is exactly one writer's complete output
+    for v in (0, 1):
+        rows = read_snapshot(spark, tbl, v).collect()
+        tags = {r["tag"] for r in rows}
+        assert len(rows) == 200 and len(tags) == 1
+    # current == the later committer's complete snapshot
+    cur = {r["tag"] for r in read_snapshot(spark, tbl).collect()}
+    assert len(cur) == 1
+
+
+def test_legacy_manifest_table_still_readable(spark, tmp_path):
+    """Pre-OCC layout (v=%08d dirs + manifest file, no _commits/) keeps
+    working, and the next OCC write continues its version numbering."""
+    import json
+    from iot_simulator_datalake_spark.engine.snapshots import (
+        read_snapshot, versions, write_snapshot)
+    tbl = tmp_path / "t"
+    (tbl / "v=00000000").mkdir(parents=True)
+    spark.createDataFrame([(1, "old")], ["id", "tag"]) \
+        .write.mode("overwrite").parquet(str(tbl / "v=00000000"))
+    (tbl / "_MANIFEST.json").write_text(json.dumps(
+        {"current": 0, "versions": {"0": {"unix_ts": 1.0}}}))
+
+    assert read_snapshot(spark, tbl, 0).collect()[0]["tag"] == "old"
+    v = write_snapshot(
+        spark.createDataFrame([(2, "new")], ["id", "tag"]), tbl)
+    assert v == 1 and versions(tbl) == [0, 1]
+    assert read_snapshot(spark, tbl).collect()[0]["tag"] == "new"
+    assert read_snapshot(spark, tbl, 0).collect()[0]["tag"] == "old"
