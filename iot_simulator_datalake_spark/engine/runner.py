@@ -40,43 +40,58 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 
-def _swap_dir(staged: Path, final: Path, attempts: int = 10) -> None:
-    """Install a fully-written staged dir as ``final`` — concurrent-
-    writer safe (VERDICT r2 #3).
+def _install_version(vdir: Path, final: Path) -> None:
+    """Install a fully-written version dir as ``final`` — concurrent-
+    writer AND concurrent-reader safe (VERDICT r2 #3).
 
     Spark's own ``mode("overwrite")`` deletes the target then writes
     into it, so two simultaneous writers interleave part files into one
-    corrupt table.  Here each writer stages privately and installs via
-    directory renames: claim the current dir (rename to trash), rename
-    staged into place.  If another writer installs between our two
-    renames, our rename fails (POSIX ENOTEMPTY/EEXIST — rename never
-    overwrites a non-empty dir) and we retry by claiming THEIR complete
-    table; every observable state is one writer's complete output —
-    last-committer-wins, never an interleaving.  For gap-free reads
-    under concurrency use ``snapshot_keep`` (the OCC commit log in
-    engine/snapshots.py); this path trades a sub-ms window where
-    ``final`` is absent for keeping the plain-parquet layout that
-    maintenance/skipping/backfill read directly.
+    corrupt table — and even staged-write-then-rename breaks concurrent
+    READERS, whose resolved file listings dangle when the dir under
+    them is replaced (observed: FileNotFound task failures in the
+    concurrent-run test).  So ``final`` is a SYMLINK, atomically
+    retargeted (symlink + rename(2) over the old link): writers
+    serialize to last-committer-wins, and superseded version dirs stay
+    on disk so any in-flight reader keeps a consistent snapshot.  The
+    engine registers its OWN version dir for same-run downstream reads
+    (retarget-immune); fresh readers of the table path resolve the
+    link to the newest complete version.  Old versions are reclaimed
+    by :func:`vacuum_table_versions` once quiesced, or by
+    ``drop_warehouse`` — the local analog of Delta's VACUUM retention.
+    For a full commit history + time travel use ``snapshot_keep``
+    (the OCC commit log in engine/snapshots.py).
+
+    Migration: if ``final`` is a real directory from an older layout,
+    it is renamed into a version dir first (readers of the path itself
+    see one brief ENOENT window during this one-time conversion).
     """
-    last_err: OSError | None = None
-    for _ in range(attempts):
-        trash = final.with_name(f"{final.name}.trash-{uuid.uuid4().hex[:8]}")
+    if final.exists() and not final.is_symlink():
+        legacy = final.with_name(f"{final.name}.v-legacy-"
+                                 f"{uuid.uuid4().hex[:8]}")
         try:
-            os.rename(final, trash)          # claim whatever is current
-        except FileNotFoundError:
-            trash = None                     # nothing to claim — first write
-        try:
-            os.rename(staged, final)
-        except OSError as e:                 # lost the install race
-            last_err = e
-            if trash is not None:            # old data; a newer complete
-                shutil.rmtree(trash, ignore_errors=True)   # version exists
+            os.rename(final, legacy)
+        except OSError:
+            pass                    # another writer already converted it
+    tmp = final.with_name(f"{final.name}.ln-{uuid.uuid4().hex[:8]}")
+    os.symlink(vdir.name, tmp)      # relative: version dirs sit beside
+    os.replace(tmp, final)          # atomic over an existing symlink
+
+
+def vacuum_table_versions(path: str | Path, keep_current: bool = True
+                          ) -> list[str]:
+    """Delete superseded ``<table>.v-*`` version dirs (everything not
+    targeted by the current symlink).  Call only when no reader may
+    still hold the old versions — same contract as Delta VACUUM with
+    retention 0."""
+    final = Path(path)
+    current = os.readlink(final) if final.is_symlink() else None
+    dropped = []
+    for p in final.parent.glob(f"{final.name}.v-*"):
+        if keep_current and p.name == current:
             continue
-        if trash is not None:
-            shutil.rmtree(trash, ignore_errors=True)
-        return
-    raise RuntimeError(
-        f"could not install {final} after {attempts} attempts") from last_err
+        shutil.rmtree(p, ignore_errors=True)
+        dropped.append(p.name)
+    return dropped
 
 
 @dataclass
@@ -166,14 +181,18 @@ class Engine:
                      .saveAsTable(m.qualified_name))
                     df = self.spark.table(m.qualified_name)
                 else:
-                    # stage privately, then atomic-install: concurrent
-                    # engine.run()s serialize to complete snapshots
-                    # instead of interleaving part files (see _swap_dir)
-                    staged = path.with_name(
-                        f"{path.name}.staged-{uuid.uuid4().hex[:8]}")
-                    writer.parquet(str(staged))
-                    _swap_dir(staged, path)
-                    df = self.spark.read.parquet(str(path))
+                    # write a private version dir, atomically retarget
+                    # the table symlink: concurrent engine.run()s
+                    # serialize to complete snapshots and in-flight
+                    # readers keep theirs (see _install_version)
+                    vdir = path.with_name(
+                        f"{path.name}.v-{uuid.uuid4().hex[:8]}")
+                    writer.parquet(str(vdir))
+                    _install_version(vdir, path)
+                    # register OUR version dir, not the symlink: this
+                    # run's downstream reads stay consistent even if a
+                    # concurrent run retargets the link mid-query
+                    df = self.spark.read.parquet(str(vdir))
         self.register(m.qualified_name, df)
 
     def run(self, select: list[str] | None = None) -> RunResult:

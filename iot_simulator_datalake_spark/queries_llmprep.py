@@ -365,3 +365,168 @@ def dataset_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return one.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         f"(col_name, n_nulls, n_distinct, min_val, max_val)")
+
+
+# =========================================================================
+# Boilerplate chunk removal (C4/RefinedWeb-style corpus cleaning)
+# =========================================================================
+
+_BP = dict(chunk=8, max_df=2)   # 8-token chunks; df > 2 docs ⇒ boilerplate
+
+
+@q("boilerplate_chunk_removal", ("F9", "W2", "A1"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS t FROM documents
+), chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i-1)*{_BP['chunk']}+1:(i-1)*{_BP['chunk']}+{_BP['chunk']}], ' ') AS chunk
+  FROM tok, LATERAL (SELECT unnest(generate_series(
+       1, CAST(ceil(len(t)/{_BP['chunk']}.0) AS INT))) AS i) g
+), df AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+), kept AS (
+  SELECT c.doc_id, c.pos, c.chunk,
+         (df.df <= {_BP['max_df']}) AS keep
+  FROM chunks c JOIN df ON c.chunk = df.chunk
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos))
+         AS clean_md5
+FROM kept GROUP BY doc_id
+""")
+def boilerplate_chunk_removal(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """C4/RefinedWeb-style boilerplate removal: cut each document into
+    fixed {chunk}-token chunks, drop every chunk whose exact content
+    appears in more than {max_df} distinct documents (navigation bars,
+    cookie banners, licence footers — here, the planted near-dup
+    blocks), and report per-doc what survived (clean_md5 = md5 of the
+    kept chunks rejoined in original order, proving the reassembly is
+    byte-identical across engines).
+
+    Scale shape: chunks explode to (doc, pos, chunk) rows once; the
+    document-frequency aggregate shuffles md5-sized chunk keys with
+    map-side combine; the df table joins back on the same key (one
+    shuffle reuse under AQE); reassembly is a per-doc sort-agg.
+    Nothing is quadratic and no token array rides a shuffle wider than
+    the chunk relation itself.  At 100 TB the df relation is
+    vocab-of-chunks-sized — far smaller than the corpus — and the
+    df > threshold subset (the only part that must be dense) is
+    smaller still.
+    """.format(**_BP)
+    k = _BP["chunk"]
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(float(k))).cast("int")
+    chunks = (toks
+              .select("doc_id",
+                      F.posexplode(F.transform(
+                          F.sequence(F.lit(1), n_chunks),
+                          lambda i: F.concat_ws(
+                              " ", F.slice("t", (i - 1) * k + 1, k))))
+                      .alias("pos0", "chunk"))
+              .select("doc_id", (F.col("pos0") + 1).alias("pos"), "chunk"))
+    df_ = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("df"))
+    kept = (chunks.join(df_, "chunk")
+            .select("doc_id", "pos", "chunk",
+                    (F.col("df") <= _BP["max_df"]).alias("keep")))
+    return (kept.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+                 F.md5(F.concat_ws(" ", F.array_compact(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "keep",
+                                                          "chunk"))),
+                     lambda s: F.when(s["keep"], s["chunk"])))))
+                 .alias("clean_md5")))
+
+
+# =========================================================================
+# DSIR-style importance weights (hashed-feature log-likelihood ratio)
+# =========================================================================
+
+#: target = docs from this source; features = md5 buckets of tokens
+_DSIR = dict(target_source="src0", buckets=1024, scale=1000)
+
+
+@q("dsir_importance_weights", ("F9", "A1", "J1"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({O_TOKENS.format(c='text')}) AS w
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('dsir:' || w), 1, 15))::BIGINT % {_DSIR['buckets']} AS f
+  FROM tok
+), tcnt AS (
+  SELECT f, COUNT(*) AS ct FROM feat
+  WHERE source = '{_DSIR['target_source']}' GROUP BY f
+), rcnt AS (
+  SELECT f, COUNT(*) AS cr FROM feat
+  WHERE source <> '{_DSIR['target_source']}' GROUP BY f
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM feat
+          WHERE source = '{_DSIR['target_source']}') AS t_tot,
+         (SELECT COUNT(*) FROM feat
+          WHERE source <> '{_DSIR['target_source']}') AS r_tot
+), term AS (
+  SELECT f.doc_id,
+         CAST(ROUND({_DSIR['scale']} * ln(
+           (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+              * (tot.r_tot + {_DSIR['buckets']}))
+           / ((CAST(COALESCE(r.cr, 0) + 1 AS DOUBLE))
+              * (tot.t_tot + {_DSIR['buckets']})))) AS BIGINT) AS m
+  FROM feat f
+  LEFT JOIN tcnt t ON f.f = t.f
+  LEFT JOIN rcnt r ON f.f = r.f
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(m) AS BIGINT) AS weight_milli_nats,
+       COUNT(*) AS n_tokens
+FROM term GROUP BY doc_id
+""")
+def dsir_importance_weights(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    public method): score every document by the log-likelihood ratio of
+    its hashed-unigram features under a target distribution (docs from
+    {target_source}) vs the raw distribution (everything else), with
+    Laplace smoothing over {buckets} md5 feature buckets.  High-weight
+    docs "look like" the target domain — the standard importance-
+    resampling signal for pre-training data selection.
+
+    Determinism: each per-token term quantizes to integer milli-nats
+    BEFORE the per-doc sum (the repo's standard irrational-math
+    policy — ln inputs are identical exact rationals on both engines,
+    so the rounded term matches and integer sums are order-free).
+
+    Scale shape: feature hashing bounds the distribution tables at
+    {buckets} rows no matter the corpus size — they broadcast; the
+    only corpus-sized work is one token explode + one per-doc sum
+    (map-side combining).  This is why DSIR hashes: the unhanshed
+    vocab LLR table at 100 TB would itself be a shuffle problem.
+    """.format(**_DSIR)
+    B, S, tgt = _DSIR["buckets"], _DSIR["scale"], _DSIR["target_source"]
+    d = load(spark, sf_dir, "documents")
+    feat = (d.select("doc_id", "source",
+                     F.explode(tokens(F.col("text"))).alias("w"))
+            .select("doc_id", "source",
+                    _hash_bucket(F.col("w"), "dsir", B).alias("f")))
+    is_t = F.col("source") == tgt
+    cnt = (feat.groupBy("f")
+           .agg(F.sum(is_t.cast("long")).alias("ct"),
+                F.sum((~is_t).cast("long")).alias("cr")))
+    tot = cnt.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
+    term = (feat.join(F.broadcast(cnt), "f", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("doc_id",
+                    F.round(S * F.log(
+                        ((F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                         * (F.col("r_tot") + B))
+                        / ((F.coalesce("cr", F.lit(0)) + 1).cast("double")
+                           * (F.col("t_tot") + B))))
+                    .cast("long").alias("m")))
+    return (term.groupBy("doc_id")
+            .agg(F.sum("m").alias("weight_milli_nats"),
+                 F.count(F.lit(1)).alias("n_tokens")))

@@ -181,7 +181,15 @@ def test_concurrent_engine_runs_serialize(spark, tmp_path):
         assert len(tags) == 1, f"{sub} interleaved two writers: {tags}"
     base = spark.read.parquet(str(tmp_path / "wh" / "silver" / "base"))
     assert base.count() == 100
-    # no staging or trash debris left behind
+    # no dangling temp links; superseded .v-* dirs are RETAINED by
+    # design (in-flight readers) until vacuum_table_versions
     leftovers = [p for p in (tmp_path / "wh").rglob("*")
-                 if ".staged-" in p.name or ".trash-" in p.name]
+                 if ".ln-" in p.name or ".tmp" in p.name]
     assert not leftovers
+    # vacuum reclaims every non-current version and reads still work
+    from iot_simulator_datalake_spark.engine.runner import (
+        vacuum_table_versions)
+    for sub in ("silver/base", "gold/agg"):
+        vacuum_table_versions(tmp_path / "wh" / sub)
+    assert spark.read.parquet(
+        str(tmp_path / "wh" / "silver" / "base")).count() == 100
