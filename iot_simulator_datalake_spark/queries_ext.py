@@ -1075,3 +1075,73 @@ def asof_forward_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .select("click_id", "user_id",
                     F.col("right_event_id").alias("next_purchase_id"),
                     "next_purchase_ts"))
+
+
+@q("variant_json_shredding", ("F8",), oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       json_valid(props) AS is_valid
+FROM events
+""")
+def variant_json_shredding(spark: "SparkSession",
+                           sf_dir: str) -> "DataFrame":
+    """Semi-structured shredding through Spark 4's VARIANT type
+    (`parse_json` → `variant_get`) — the lakehouse-native replacement
+    for repeated `get_json_object` string re-parsing: the document is
+    parsed ONCE into the binary variant encoding and every field access
+    is a typed path lookup, which is how an open-format table would
+    store the reference's CDC payloads (README_DBT.md:163-169) at
+    100 TB (shredded columnar variant beats string JSON by an order of
+    magnitude on repeated access).  Oracle: DuckDB JSON path extraction
+    over the same documents."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        (F.expr("variant_get(parse_json(props), '$.k', 'int')") % 10)
+        .alias("k_mod"),
+        F.expr("try_parse_json(props) IS NOT NULL").alias("is_valid"))
+
+
+@q("udtf_doc_chunker", ("F9",), oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ') AS chunk
+FROM tok, LATERAL (SELECT unnest(generate_series(
+     1, CAST(ceil(len(t)/8.0) AS INT))) AS i) g
+""")
+def udtf_doc_chunker(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Document chunking via a Spark 4 Python UDTF in a LATERAL join —
+    the table-function API surface (one input row → N typed output
+    rows) that RAG/doc-prep pipelines use for custom chunkers whose
+    logic (sentence packing, token budgets, overlap) outgrows SQL.
+
+    Honesty note on the 100 TB stance: a UDTF is the Python row path;
+    for THIS fixed-width chunker the production implementation is the
+    pure-builtin slice/posexplode in ``boilerplate_chunk_removal`` —
+    the UDTF exists to gate the API's correctness (arity, ordering,
+    lateral correlation) against a SQL oracle, so a user bringing a
+    genuinely non-relational chunker inherits verified plumbing."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, chunk: string")
+    class FixedChunker:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").lower().split() if t]
+            for i in range(0, len(toks), 8):
+                yield (i // 8, " ".join(toks[i:i + 8]))
+
+    spark.udtf.register("fixed_chunker", FixedChunker)
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, c.pos, c.chunk
+        FROM _udtf_docs d, LATERAL fixed_chunker(d.text) c
+    """)

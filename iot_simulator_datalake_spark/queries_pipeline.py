@@ -230,3 +230,72 @@ def pipeline_catalog(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         rows, "dag string, model string, layer string, "
               "materialization string, n_deps int, deps string") \
         .withColumn("n_deps", F.col("n_deps").cast("int"))
+
+
+# =========================================================================
+# Simulator source → silver contract (S-row closure: the reference's
+# own simulator as a first-class engine source)
+# =========================================================================
+
+_SIM = dict(n_events=20000, n_devices=25)
+
+
+def _sim_oracle() -> str:
+    from .sources.simulator import QUALITY_FLAGS, SENSOR_TYPES
+    types_arr = "[" + ", ".join(f"'{t}'" for t in SENSOR_TYPES) + "]"
+    flags_arr = "[" + ", ".join(f"'{f}'" for f in QUALITY_FLAGS) + "]"
+    h = "('0x' || substr(md5('{salt}:' || i), 1, 15))::BIGINT"
+    return f"""
+WITH idx AS (
+  SELECT unnest(generate_series(0, {_SIM['n_events'] - 1})) AS i
+), ev AS (
+  SELECT i,
+         {types_arr}[({h.format(salt='sensor')} % {len(SENSOR_TYPES)}) + 1]
+           AS sensor_type,
+         ({h.format(salt='val')} % 10000) / 100.0 AS value,
+         {flags_arr}[({h.format(salt='flag')} % {len(QUALITY_FLAGS)}) + 1]
+           AS quality_flag,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (i % 86400) * INTERVAL 1 SECOND AS ts
+  FROM idx
+)
+SELECT sensor_type,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM ev
+WHERE lower(trim(quality_flag)) IN ('good', 'suspect')
+GROUP BY 1, 2
+"""
+
+
+@q("simulator_silver_rollup", ("S1", "S2", "P5", "A6"),
+   oracle=_sim_oracle())
+def simulator_silver_rollup(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """The reference's device simulator as a Spark 4 Python DataSource
+    (sources/simulator.py), run through the silver quality filter
+    (lower(trim(quality_flag)) ∈ {good, suspect} —
+    silver_iot_events.sql:22) into an hourly per-sensor rollup.
+
+    The oracle REGENERATES the identical dataset in DuckDB from the
+    same (n_events, md5-salt) recipe — proving the source is
+    deterministic across engines, partition layouts and retries,
+    which is what makes a generator source usable for reproducible
+    backfills.  ``sf_dir`` is unused: the source is the data."""
+    from .sources.simulator import register
+
+    register(spark)
+    raw = (spark.read.format("iot_simulator")
+           .option("n_events", _SIM["n_events"])
+           .option("n_devices", _SIM["n_devices"])
+           .load())
+    silver = raw.filter(
+        F.lower(F.trim("quality_flag")).isin("good", "suspect"))
+    return (silver.groupBy(
+                "sensor_type",
+                F.hour("timestamp").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("sum_cents")))
