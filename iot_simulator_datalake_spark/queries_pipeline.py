@@ -299,3 +299,37 @@ def simulator_silver_rollup(spark: "SparkSession",
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.round(F.col("value") * 100).cast("long"))
                  .cast("long").alias("sum_cents")))
+
+
+@q("simulator_streaming_rollup", ("S1", "ST1", "ST3", "A6"),
+   oracle=_sim_oracle())
+def simulator_streaming_rollup(spark: "SparkSession",
+                               sf_dir: str) -> "DataFrame":
+    """The same silver rollup fed by the simulator's STREAMING flavor:
+    offset-tracked micro-batch generation (sources/simulator.py
+    IoTSimulatorStreamReader) drained exactly-once into parquet via
+    availableNow + checkpoint, then aggregated.  Hash-matching the
+    batch oracle proves stream ingestion is byte-equivalent to the
+    batch read of the same horizon — the streaming-table contract the
+    reference gets from DLT (bronze_iot_events.sql:2,8-9)."""
+    from .sources.simulator import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="sim_stream_") 
+    stream = (spark.readStream.format("iot_simulator")
+              .option("max_events", _SIM["n_events"])
+              .option("n_devices", _SIM["n_devices"]).load())
+    qr = (stream.writeStream.format("parquet")
+          .option("path", out + "/data")
+          .option("checkpointLocation", out + "/ck")
+          .trigger(availableNow=True).start())
+    qr.awaitTermination(180)
+    raw = spark.read.parquet(out + "/data")
+    silver = raw.filter(
+        F.lower(F.trim("quality_flag")).isin("good", "suspect"))
+    return (silver.groupBy(
+                "sensor_type",
+                F.hour("timestamp").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("sum_cents")))
