@@ -1096,3 +1096,32 @@ def gini_concentration(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                             / (F.col("n_customers")
                                * F.col("total_cents").cast("double"))
                             * 1e6).cast("long").alias("gini_ppm")))
+
+
+@q("skew_salted_join", ("J1", "A1"), oracle=f"""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       {osum('l.l_quantity')} AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""")
+def skew_salted_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Salted fact⋈dim join (operators/skew.py:salted_join): the fact
+    side gets a uniform random salt, the dim side explodes ×salts, and
+    the equi-join runs on (key, salt) — splitting any hot key across
+    ``salts`` reducers.  The oracle is the PLAIN join: salting must be
+    semantically invisible (rand() affects placement, never results),
+    which is exactly what this gate certifies.  Production stance: AQE
+    skew-join handles moderate skew automatically; explicit salting is
+    for the pathological hot-row case AQE cannot split (single giant
+    key inside one row group) — same plan shape either way."""
+    from .operators.skew import salted_join
+    from .queries import dsum
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, o, key="l_orderkey", salts=8)
+    return (joined.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum("l_quantity").alias("sum_qty")))
