@@ -192,3 +192,26 @@ def expect_observed(df: "DataFrame", name: str, condition,
     if on_violation is OnViolation.DROP:
         observed = observed.filter(cond)
     return observed, obs
+
+
+def expect_or_quarantine(df: "DataFrame", name: str, condition
+                         ) -> tuple["DataFrame", "DataFrame"]:
+    """Split a relation into (conforming, quarantined) in ONE logical
+    pass — the DLT quarantine pattern: instead of silently dropping
+    violating rows (DROP) or aborting the pipeline (FAIL), route them
+    to a reject relation carrying the failed expectation's name, so
+    data engineers can triage bad records without blocking the good
+    ones (the standard medallion "rescued data" workflow).
+
+    Both returned frames derive from the same scan lineage; writing
+    both materializes the source once under Spark's scan reuse (or
+    twice without caching — still O(input), never O(input²)).  The
+    quarantine frame appends ``_failed_expectation`` and
+    ``_quarantined_at`` audit columns.
+    """
+    cond = condition if not isinstance(condition, str) else F.expr(condition)
+    good = df.filter(cond)
+    bad = (df.filter(~cond | cond.isNull())
+           .withColumn("_failed_expectation", F.lit(name))
+           .withColumn("_quarantined_at", F.current_timestamp()))
+    return good, bad

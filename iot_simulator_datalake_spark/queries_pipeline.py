@@ -333,3 +333,77 @@ def simulator_streaming_rollup(spark: "SparkSession",
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.round(F.col("value") * 100).cast("long"))
                  .cast("long").alias("sum_cents")))
+
+
+@q("expectations_quarantine", ("P9", "P7", "P8"), oracle="""
+SELECT quality AS bucket, COUNT(*) AS n,
+       CAST(NULL AS VARCHAR) AS failed
+FROM (
+  SELECT CASE WHEN lower(trim(quality_flag)) IN ('good', 'suspect')
+              THEN 'kept' ELSE 'quarantined' END AS quality
+  FROM (
+    SELECT CASE WHEN event_id % 10 < 9 THEN 'good' ELSE 'BAD ' END
+             AS quality_flag
+    FROM events
+  )
+)
+GROUP BY 1
+""")
+def expectations_quarantine(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """DLT-style expectation quarantine (engine/checks.py:
+    expect_or_quarantine): the silver quality rule splits the feed into
+    kept vs quarantined WITH audit columns instead of dropping rows —
+    counts per bucket must match the relational restatement.  (The
+    dirty flag is synthesized deterministically from event_id so the
+    oracle can restate it; the real pipeline applies the same rule to
+    the landing feed's organic dirt — FIXTURES.md §1.)"""
+    from .engine.checks import expect_or_quarantine
+
+    e = (load(spark, sf_dir, "events")
+         .withColumn("quality_flag",
+                     F.when(F.col("event_id") % 10 < 9, "good")
+                     .otherwise("BAD ")))
+    good, bad = expect_or_quarantine(
+        e, "valid_quality_flag",
+        F.lower(F.trim("quality_flag")).isin("good", "suspect"))
+    kept = good.select(F.lit("kept").alias("bucket"))
+    quar = bad.select(F.lit("quarantined").alias("bucket"))
+    return (kept.unionByName(quar).groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first(F.lit(None).cast("string")).alias("failed")))
+
+
+@q("semantic_metrics_monthly", ("A1", "A4", "A7", "O2"), oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+         AS n_urgent
+FROM orders
+GROUP BY 1
+""")
+def semantic_metrics_monthly(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """The semantic metrics layer (engine/metrics.py — dbt-metrics
+    parity): four declared metrics (exact-cents revenue, order count,
+    distinct customers, URGENT-filtered count) compiled into ONE
+    aggregate pass at month grain.  The filtered metric is a
+    conditional aggregate inside the same pass — no extra scan — and
+    the oracle restates each definition independently, certifying the
+    compiler."""
+    from .engine.metrics import Metric, metrics_frame
+
+    o = load(spark, sf_dir, "orders")
+    metrics = [
+        Metric("revenue_cents", "sum",
+               "CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+        Metric("n_orders", "count"),
+        Metric("n_customers", "count_distinct", "o_custkey"),
+        Metric("n_urgent", "count", "1",
+               where="o_orderpriority = '1-URGENT'"),
+    ]
+    return metrics_frame(o, metrics, time_col="o_orderdate",
+                         grain="month")

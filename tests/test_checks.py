@@ -145,3 +145,27 @@ def test_freshness_check(eng, spark):
                       now=lambda: now)
     assert stale.builder(spark.table("fresh_src")).count() == 1
     assert fresh.builder(spark.table("fresh_src")).count() == 0
+
+
+def test_expect_or_quarantine_splits_with_audit(spark):
+    from pyspark.sql import functions as F
+    from iot_simulator_datalake_spark.engine.checks import (
+        expect_or_quarantine)
+    df = spark.createDataFrame(
+        [(1, "good"), (2, "BAD"), (3, None), (4, "suspect")],
+        "id int, flag string")
+    good, bad = expect_or_quarantine(
+        df, "flag_ok", F.lower(F.trim("flag")).isin("good", "suspect"))
+    assert {r["id"] for r in good.collect()} == {1, 4}
+    rej = bad.collect()
+    # NULL flag rows are quarantined, not silently dropped
+    assert {r["id"] for r in rej} == {2, 3}
+    assert all(r["_failed_expectation"] == "flag_ok" for r in rej)
+    assert all(r["_quarantined_at"] is not None for r in rej)
+
+
+def test_metric_rejects_unknown_agg():
+    import pytest
+    from iot_simulator_datalake_spark.engine.metrics import Metric
+    with pytest.raises(ValueError, match="unknown agg"):
+        Metric("x", "median", "v").column()
