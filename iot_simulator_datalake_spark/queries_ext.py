@@ -1145,3 +1145,39 @@ def udtf_doc_chunker(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         SELECT d.doc_id, c.pos, c.chunk
         FROM _udtf_docs d, LATERAL fixed_chunker(d.text) c
     """)
+
+
+@q("json_schema_profile", ("F8", "A1", "ST6"), oracle="""
+WITH keys AS (
+  SELECT event_id, unnest(json_keys(props)) AS k
+  FROM events WHERE json_valid(props)
+), tot AS (
+  SELECT COUNT(*) AS n_docs FROM events
+)
+SELECT k AS field,
+       COUNT(*) AS n_present,
+       CAST((COUNT(*) * 1000000) // (SELECT n_docs FROM tot) AS BIGINT)
+         AS presence_ppm
+FROM keys GROUP BY 1
+""")
+def json_schema_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Schema-drift monitor for semi-structured feeds: per-field
+    presence counts/ratios across the corpus (`json_object_keys`
+    exploded → count per key).  This is the observability half of
+    schema evolution (SURVEY §2 ST6): a new producer field shows up as
+    a rising presence curve, a dropped field as a falling one, BEFORE
+    any consumer breaks.  One explode + one key-sized aggregate — the
+    profile relation is bounded by distinct field-name count, so at
+    100 TB it broadcasts back into alerting joins for free.  Integer
+    ppm (floor division) keeps the ratio engine-exact."""
+    e = load(spark, sf_dir, "events")
+    valid = e.filter(F.expr("try_parse_json(props) IS NOT NULL"))
+    keys = valid.select(
+        "event_id", F.explode(F.json_object_keys("props")).alias("field"))
+    total = e.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row broadcast
+    return (keys.groupBy("field")
+            .agg(F.count(F.lit(1)).alias("n_present"))
+            .crossJoin(F.broadcast(total))
+            .selectExpr("field", "n_present",
+                        "(n_present * 1000000) div n_docs"
+                        " AS presence_ppm"))

@@ -249,7 +249,12 @@ def test_stateful_v2_import_gated(spark, tmp_path):
     import pytest
     pytest.importorskip(
         "google.protobuf",
-        reason="transformWithStateInPandas runtime needs protobuf")
+        reason="transformWithStateInPandas runtime needs protobuf "
+               "(r3 audit: worker crashes importing google.protobuf."
+               "descriptor; no protobuf runtime exists on this image "
+               "and installs are disallowed — the applyInPandasWithState "
+               "twin streaming_stateful_totals carries the gated "
+               "capability instead)")
     import uuid
     src = tmp_path / "src"
     src.mkdir()
