@@ -711,3 +711,59 @@ def streaming_hll_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                  .alias("distinct_users")))
+
+
+@q("streaming_incremental_join_rollup", ("ST1", "ST2", "ST3", "A6", "J1"),
+   oracle="""
+SELECT n.n_name AS nation,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""")
+def streaming_incremental_join_rollup(spark: "SparkSession",
+                                      sf_dir: str) -> "DataFrame":
+    """The join-MV maintained FROM A STREAM: order files drain through
+    ``foreachBatch(IncrementalJoinAggTable.refresh)`` (partials at
+    customer granularity, exactly-once via checkpointed offsets), then
+    the customer→nation dim applies at read time — and the result must
+    hash-equal the one-shot 3-way join.  This is the full DLT
+    "streaming materialized view with a join" story: per-batch cost is
+    O(batch + state-keys), the dim is consulted only at read, and a
+    dim change between batches would need zero reprocessing.
+    """
+    import tempfile
+
+    from .engine.incremental import (IncrementalJoinAggTable,
+                                     mergeable_metrics)
+    from .queries import load
+
+    o = load(spark, sf_dir, "orders")
+    land = tempfile.mkdtemp(prefix="inc_join_stream_")
+    for i in range(3):
+        (o.filter(F.col("o_orderkey") % 3 == i).coalesce(1)
+         .write.mode("overwrite").parquet(f"{land}/slice_{i}.parquet"))
+
+    stream = (spark.readStream.schema(o.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(land))
+    t = IncrementalJoinAggTable(
+        spark, tempfile.mkdtemp(prefix="inc_join_stream_state_") + "/state",
+        keys=["o_custkey"],
+        metrics=[m for m in mergeable_metrics("o_totalprice")
+                 if m.name in ("n", "sum")])
+    writer = (stream.writeStream
+              .foreachBatch(lambda df, epoch: t.refresh(df, epoch))
+              .option("checkpointLocation", f"{land}/_checkpoint"))
+    run_stream_available_now(writer)
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    dim = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+           .select(F.col("c_custkey").alias("o_custkey"),
+                   F.col("n_name").alias("nation")))
+    return (t.read_joined(dim, "o_custkey", ["nation"], ["nation"])
+            .select("nation", "n",
+                    F.col("sum").cast("double").alias("sum")))
