@@ -136,7 +136,8 @@ class Engine:
 
     # -- materialization ---------------------------------------------------
 
-    def _materialize(self, m: Model) -> None:
+    def _materialize(self, m: Model,
+                     deferred: list | None = None) -> None:
         ctx = ModelContext(self.spark, self, m)
         if m.materialization == "streaming_table":
             # Builders of streaming tables return a *streaming* DataFrame;
@@ -188,20 +189,52 @@ class Engine:
                     vdir = path.with_name(
                         f"{path.name}.v-{uuid.uuid4().hex[:8]}")
                     writer.parquet(str(vdir))
-                    _install_version(vdir, path)
+                    if deferred is None:
+                        _install_version(vdir, path)
+                    else:
+                        # atomic-publish run: install later, all at once
+                        deferred.append((vdir, path))
                     # register OUR version dir, not the symlink: this
                     # run's downstream reads stay consistent even if a
                     # concurrent run retargets the link mid-query
                     df = self.spark.read.parquet(str(vdir))
         self.register(m.qualified_name, df)
 
-    def run(self, select: list[str] | None = None) -> RunResult:
-        """Materialize the DAG in dependency order, wave-parallel."""
+    def run(self, select: list[str] | None = None,
+            atomic_publish: bool = False) -> RunResult:
+        """Materialize the DAG in dependency order, wave-parallel.
+
+        ``atomic_publish=True`` makes the whole run all-or-nothing for
+        OUTSIDE readers: every plain-table model writes its version dir
+        during the run (downstream models read those dirs directly, so
+        the DAG itself is unaffected), but the table symlinks are
+        retargeted only AFTER every model has succeeded — a failure
+        anywhere leaves all published tables at their pre-run state
+        (the staged version dirs are removed).  The publish step is a
+        burst of symlink renames: milliseconds, data-size-independent.
+        Snapshot-keep models commit through the OCC log as usual (their
+        history IS the isolation mechanism); streaming/bucketed sinks
+        install eagerly and are documented out of the atomic scope.
+        """
+        deferred: list | None = [] if atomic_publish else None
         result = RunResult()
+        try:
+            self._run_waves(select, deferred, result)
+        except Exception:
+            if deferred:
+                for vdir, _ in deferred:
+                    shutil.rmtree(vdir, ignore_errors=True)
+            raise
+        if deferred:
+            for vdir, path in deferred:
+                _install_version(vdir, path)
+        return result
+
+    def _run_waves(self, select, deferred, result: RunResult) -> None:
         for wave in self.registry.levels(select):
             def one(m: Model) -> tuple[str, float]:
                 t0 = time.monotonic()
-                self._materialize(m)
+                self._materialize(m, deferred)
                 return m.qualified_name, time.monotonic() - t0
             if len(wave) == 1:
                 outs = [one(wave[0])]
@@ -211,7 +244,6 @@ class Engine:
             for qn, dt in outs:
                 result.materialized.append(qn)
                 result.seconds[qn] = dt
-        return result
 
     def backfill(self, qualified_name: str, where: str) -> "DataFrame":
         """Partition-scoped re-materialization of a partitioned table

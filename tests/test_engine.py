@@ -193,3 +193,44 @@ def test_concurrent_engine_runs_serialize(spark, tmp_path):
         vacuum_table_versions(tmp_path / "wh" / sub)
     assert spark.read.parquet(
         str(tmp_path / "wh" / "silver" / "base")).count() == 100
+
+
+def test_atomic_publish_all_or_nothing(spark, tmp_path):
+    """run(atomic_publish=True): a failure in any model leaves every
+    table at its pre-run state; on success all tables flip together."""
+    import pytest
+
+    def build(tag, fail_second=False):
+        reg = Registry()
+
+        @model(reg, name="base", layer="silver", materialization="table")
+        def base(ctx):
+            return ctx.spark.range(50).withColumn("tag", F.lit(tag))
+
+        @model(reg, name="agg", layer="gold", materialization="table",
+               depends_on=("silver.base",))
+        def agg(ctx):
+            if fail_second:
+                raise RuntimeError("boom")
+            return (ctx.ref("silver.base").groupBy("tag")
+                    .agg(F.count("*").alias("n")))
+        return Engine(spark, reg, warehouse=tmp_path / "wh")
+
+    # seed a good published state
+    build("v1").run(atomic_publish=True)
+    base_p = tmp_path / "wh" / "silver" / "base"
+    assert spark.read.parquet(str(base_p)).select("tag").first()["tag"] == "v1"
+
+    # failing run: NOTHING published, staged version dirs cleaned up
+    with pytest.raises(RuntimeError, match="boom"):
+        build("v2", fail_second=True).run(atomic_publish=True)
+    assert spark.read.parquet(str(base_p)).select("tag").first()["tag"] == "v1"
+    # the failed run's staged version dir was cleaned up: only the
+    # currently-linked version dir remains
+    import os
+    assert {p.name for p in base_p.parent.glob("base.v-*")} \
+        == {os.readlink(base_p)}
+
+    # successful second run publishes everything
+    build("v3").run(atomic_publish=True)
+    assert spark.read.parquet(str(base_p)).select("tag").first()["tag"] == "v3"
