@@ -147,3 +147,32 @@ def test_legacy_manifest_table_still_readable(spark, tmp_path):
     assert v == 1 and versions(tbl) == [0, 1]
     assert read_snapshot(spark, tbl).collect()[0]["tag"] == "new"
     assert read_snapshot(spark, tbl, 0).collect()[0]["tag"] == "old"
+
+
+def test_occ_eight_writer_fuzz(spark, tmp_path):
+    """Commit-protocol fuzz: 8 concurrent writers × 2 rounds each must
+    yield 16 distinct consecutive versions, each a complete snapshot of
+    exactly one writer's payload — no lost updates, no interleaving,
+    no duplicate version numbers."""
+    from concurrent.futures import ThreadPoolExecutor
+    from iot_simulator_datalake_spark.engine.snapshots import (
+        read_snapshot, versions, write_snapshot)
+    tbl = tmp_path / "t"
+
+    def writer(tag):
+        out = []
+        for r in range(2):
+            df = spark.createDataFrame(
+                [(i, f"{tag}:{r}") for i in range(50)], ["id", "tag"])
+            out.append(write_snapshot(df, tbl))
+        return out
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        claimed = [v for vs in pool.map(writer, range(8)) for v in vs]
+
+    assert sorted(claimed) == list(range(16))      # no dupes, no gaps
+    assert versions(tbl) == list(range(16))
+    for v in range(16):
+        rows = read_snapshot(spark, tbl, v).collect()
+        assert len(rows) == 50
+        assert len({r["tag"] for r in rows}) == 1  # one writer's payload
