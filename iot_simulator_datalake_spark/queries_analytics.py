@@ -1125,3 +1125,62 @@ def skew_salted_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (joined.groupBy(F.col("o_orderpriority").alias("priority"))
             .agg(F.count(F.lit(1)).alias("n_items"),
                  dsum("l_quantity").alias("sum_qty")))
+
+
+@q("collation_casefold_group", ("A1", "F3"), oracle="""
+SELECT min(c_mktsegment) AS segment, COUNT(*) AS n
+FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                  ELSE lower(c_mktsegment) END AS c_mktsegment
+      FROM customer)
+GROUP BY lower(c_mktsegment)
+""")
+def collation_casefold_group(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """Case-insensitive grouping via Spark 4 COLLATIONS
+    (`collate(col, 'UTF8_LCASE')`): the mixed-case segment labels
+    (synthesized deterministically: even keys keep original case, odd
+    keys lowercase) group together WITHOUT materializing a lowercased
+    key column — the collation rides the type, so every comparison,
+    join and sort downstream inherits case-insensitivity.  The emitted
+    representative is min(raw) because the collated group's own
+    representative value is engine-arbitrary; the oracle restates with
+    GROUP BY lower().  At 100 TB this replaces a whole class of
+    lower()-wrapper columns (and their lost scan-stat pruning)."""
+    c = load(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment")).alias("seg"))
+    return (mixed.groupBy(F.collate("seg", "UTF8_LCASE"))
+            .agg(F.min("seg").alias("segment"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("segment", "n"))
+
+
+@q("unpivot_metric_melt", ("P2", "A1"), oracle="""
+SELECT metric, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (
+  SELECT 'acctbal' AS metric, c_acctbal AS val FROM customer
+  UNION ALL
+  SELECT 'custkey_mod' AS metric,
+         CAST(c_custkey % 1000 AS DOUBLE) AS val FROM customer
+)
+GROUP BY 1
+""")
+def unpivot_metric_melt(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Wide→long melt via the native `DataFrame.unpivot` (ANSI UNPIVOT
+    — the inverse of pivot_type_counts): per-metric long rows feed one
+    grouped aggregate.  Unpivot is an Expand under the hood (one pass,
+    rows × metrics output, no shuffle before the aggregate) — the
+    right shape for metric-catalog fan-out at scale, vs K self-reads."""
+    c = load(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        (F.col("c_custkey") % 1000).cast("double").alias("custkey_mod"))
+    long = wide.unpivot("c_custkey", ["acctbal", "custkey_mod"],
+                        "metric", "val")
+    return (long.groupBy("metric")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("val") * 100).cast("long"))
+                 .cast("long").alias("sum_cents")))
