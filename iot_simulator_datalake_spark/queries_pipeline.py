@@ -407,3 +407,36 @@ def semantic_metrics_monthly(spark: "SparkSession",
     ]
     return metrics_frame(o, metrics, time_col="o_orderdate",
                          grain="month")
+
+
+@q("column_masking_policies", ("P2", "F1", "O2"), oracle="""
+SELECT c_custkey AS customer,
+       md5(c_name) AS name_masked,
+       concat(repeat('*', greatest(length(c_mktsegment) - 4, 0)),
+              substr(c_mktsegment, length(c_mktsegment) - 3, 4))
+         AS segment_masked,
+       CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS acctbal_bucket
+FROM customer
+""")
+def column_masking_policies(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """Column-level masking policies at read (engine/masking.py — the
+    Unity Catalog column-mask analog): name → md5 (join-preserving),
+    phone → last-4 partial, acctbal → 100-unit bucket, all pure
+    map-side projections.  A reader holding 'pii:read' gets the raw
+    columns from the same one policy set — no second table, no data
+    rewrite.  The oracle restates each masking expression."""
+    from .engine.masking import MaskPolicy, apply_masks
+
+    c = load(spark, sf_dir, "customer")
+    policies = [
+        MaskPolicy("c_name", "hash"),
+        MaskPolicy("c_mktsegment", "partial", keep_chars=4),
+        MaskPolicy("c_acctbal", "bucket", bucket_size=100),
+    ]
+    masked = apply_masks(c, policies, capabilities=())  # no grants
+    return masked.select(
+        F.col("c_custkey").alias("customer"),
+        F.col("c_name").alias("name_masked"),
+        F.col("c_mktsegment").alias("segment_masked"),
+        F.col("c_acctbal").alias("acctbal_bucket"))

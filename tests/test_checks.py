@@ -169,3 +169,18 @@ def test_metric_rejects_unknown_agg():
     from iot_simulator_datalake_spark.engine.metrics import Metric
     with pytest.raises(ValueError, match="unknown agg"):
         Metric("x", "median", "v").column()
+
+
+def test_masking_capability_grants(spark):
+    from iot_simulator_datalake_spark.engine.masking import (
+        MaskPolicy, apply_masks)
+    df = spark.createDataFrame([(1, "alice", 1234.5)],
+                               "id int, name string, bal double")
+    pol = [MaskPolicy("name", "hash"), MaskPolicy("bal", "null"),
+           MaskPolicy("ghost", "hash")]   # missing column: ignored
+    masked = apply_masks(df, pol).collect()[0]
+    assert masked["name"] != "alice" and len(masked["name"]) == 32
+    assert masked["bal"] is None
+    # holder of the capability sees raw values
+    raw = apply_masks(df, pol, capabilities=["pii:read"]).collect()[0]
+    assert raw["name"] == "alice" and raw["bal"] == 1234.5
