@@ -440,3 +440,56 @@ def column_masking_policies(spark: "SparkSession",
         F.col("c_name").alias("name_masked"),
         F.col("c_mktsegment").alias("segment_masked"),
         F.col("c_acctbal").alias("acctbal_bucket"))
+
+
+_FMT_ORACLE = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders GROUP BY 1
+"""
+
+
+@q("orc_roundtrip_rollup", ("S2", "A1"), oracle=_FMT_ORACLE)
+def orc_roundtrip_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """ORC landing-format path (sources/files.py read_file_batch):
+    orders round-trip through ORC (zlib) and aggregate — the gate that
+    the non-parquet columnar path preserves types and values exactly.
+    ORC carries its own schema, so the read needs none."""
+    import tempfile
+
+    from .sources.files import read_file_batch
+
+    o = load(spark, sf_dir, "orders")
+    land = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    o.write.mode("overwrite").format("orc").save(land)
+    back = read_file_batch(spark, land, "orc")
+    return (back.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .cast("long").alias("revenue_cents")))
+
+
+@q("csv_roundtrip_rollup", ("S2", "A1"), oracle=_FMT_ORACLE)
+def csv_roundtrip_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """CSV landing-format path with the infer-once discipline
+    (sources/files.py infer_csv_schema → read_csv_batch): orders
+    round-trip through headered CSV, the schema is inferred from one
+    sample pass and REUSED (the Auto Loader schema-location pattern —
+    at 100 TB you never re-infer per file), then the typed read must
+    reproduce the parquet numbers exactly.  Timestamps ride ISO-8601
+    text; money survives because the rollup quantizes to cents."""
+    import tempfile
+
+    from .sources.files import infer_csv_schema, read_csv_batch
+
+    o = load(spark, sf_dir, "orders")
+    land = tempfile.mkdtemp(prefix="csv_rt_") + "/orders_csv"
+    (o.write.mode("overwrite").option("header", True)
+     .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(land))
+    schema = infer_csv_schema(spark, land, land + "/_schema.json")
+    back = read_csv_batch(spark, land, schema=schema)
+    return (back.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .cast("long").alias("revenue_cents")))
