@@ -50,6 +50,12 @@ class Model:
     #: keep the last N versions of the table sink (snapshots.py) and
     #: register the newest; None → plain overwrite (table mat. only)
     snapshot_keep: int | None = None
+    #: dbt-style ENFORCED model contract: {column: spark_type_string}.
+    #: Checked against the builder's output schema before any write —
+    #: a missing column, extra column, or type mismatch aborts the
+    #: materialization (dbt `contract: enforced: true` semantics), so
+    #: downstream consumers can rely on the declared shape.
+    contract: dict[str, str] | None = None
     description: str = ""
     meta: dict[str, Any] = field(default_factory=dict)
 
@@ -152,6 +158,7 @@ def model(registry: Registry, *, name: str, layer: str,
           partition_by: Iterable[str] = (),
           bucket_by: Iterable = (),
           snapshot_keep: int | None = None,
+          contract: dict[str, str] | None = None,
           description: str = "",
           **meta: Any) -> Callable:
     """Decorator: register a builder function as a Model."""
@@ -162,7 +169,7 @@ def model(registry: Registry, *, name: str, layer: str,
             materialization=materialization,
             depends_on=tuple(depends_on), schema=schema,
             partition_by=tuple(partition_by), bucket_by=tuple(bucket_by),
-            snapshot_keep=snapshot_keep,
+            snapshot_keep=snapshot_keep, contract=contract,
             description=description or (fn.__doc__ or ""), meta=meta))
 
     return wrap

@@ -94,6 +94,32 @@ def vacuum_table_versions(path: str | Path, keep_current: bool = True
     return dropped
 
 
+class ContractViolation(ValueError):
+    """A model's output schema broke its enforced contract."""
+
+
+def _enforce_contract(m: Model, df: "DataFrame") -> None:
+    """dbt `contract: enforced` semantics: the builder's output must
+    carry EXACTLY the declared columns with the declared Spark types
+    (simpleString form, e.g. 'bigint', 'string', 'timestamp').
+    Runs on the lazy schema — no data is scanned."""
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = dict(m.contract or {})
+    problems = []
+    for col, typ in want.items():
+        if col not in got:
+            problems.append(f"missing column {col!r}")
+        elif got[col] != typ:
+            problems.append(f"{col}: got {got[col]}, contract says {typ}")
+    for col in got:
+        if col not in want:
+            problems.append(f"undeclared column {col!r}")
+    if problems:
+        raise ContractViolation(
+            f"model {m.qualified_name} breaks its contract: "
+            + "; ".join(problems))
+
+
 @dataclass
 class RunResult:
     materialized: list[str] = field(default_factory=list)
@@ -144,13 +170,18 @@ class Engine:
             # the streaming runner drains it exactly-once into the table
             # path and hands back a batch DataFrame over the result.
             from ..streaming.runner import materialize_streaming_table
+            stream_df = m.builder(ctx)
+            if m.contract is not None:
+                _enforce_contract(m, stream_df)  # lazy schema: no scan
             df = materialize_streaming_table(
-                spark=self.spark, stream_df=m.builder(ctx),
+                spark=self.spark, stream_df=stream_df,
                 path=self.table_path(m),
                 checkpoint=self.warehouse / "_checkpoints" / m.qualified_name,
                 partition_by=m.partition_by)
         else:
             df = m.builder(ctx)
+            if m.contract is not None:
+                _enforce_contract(m, df)
             if m.materialization == "table":
                 path = self.table_path(m)
                 if m.snapshot_keep is not None:

@@ -63,6 +63,13 @@ def build_registry(streaming: bool = True) -> Registry:
 
     @model(r, name="iot_events", layer="silver", materialization=ingest_mat,
            depends_on=("bronze.iot_events",),
+           # ENFORCED contract (dbt contract:enforced parity): the
+           # reference declares these columns + types in
+           # iot_events_models.yml:8-32 / silver_iot_events.sql:13-21
+           contract={"device_id": "string", "location_id": "string",
+                     "timestamp": "timestamp", "sensor_type": "string",
+                     "quality_flag": "string", "unit": "string",
+                     "value": "double"},
            description="Cleansed 7-column contract "
                        "(silver_iot_events.sql:13-22)")
     def silver_iot_events(ctx: ModelContext) -> "DataFrame":

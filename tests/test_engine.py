@@ -234,3 +234,30 @@ def test_atomic_publish_all_or_nothing(spark, tmp_path):
     # successful second run publishes everything
     build("v3").run(atomic_publish=True)
     assert spark.read.parquet(str(base_p)).select("tag").first()["tag"] == "v3"
+
+
+def test_model_contract_enforced(spark, tmp_path):
+    """dbt contract:enforced parity — schema checked lazily before any
+    write; violations name every problem."""
+    import pytest
+    from iot_simulator_datalake_spark.engine.runner import (
+        ContractViolation)
+
+    def build(good):
+        reg = Registry()
+
+        @model(reg, name="t", layer="silver", materialization="table",
+               contract={"id": "bigint", "tag": "string"})
+        def t(ctx):
+            df = ctx.spark.range(5).withColumn("tag", F.lit("x"))
+            if not good:
+                df = df.withColumn("extra", F.lit(1)) \
+                       .withColumn("tag", F.lit(2))  # wrong type too
+            return df
+        return Engine(spark, reg, warehouse=tmp_path / "wh")
+
+    build(good=True).run()          # conforming build passes
+    with pytest.raises(ContractViolation) as e:
+        build(good=False).run()
+    msg = str(e.value)
+    assert "tag: got int" in msg and "undeclared column 'extra'" in msg
