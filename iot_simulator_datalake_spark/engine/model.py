@@ -117,8 +117,14 @@ class Registry:
 
     def toposort(self, select: Iterable[str] | None = None) -> list[Model]:
         """Dependency-ordered model list (⇔ dbt's manifest DAG schedule,
-        SURVEY §3.1 step 3).  ``select`` limits to the given models plus
-        all their upstreams."""
+        SURVEY §3.1 step 3).  ``select`` supports dbt graph operators:
+
+        - ``name``  — the model plus all its upstreams (a model cannot
+          build without its inputs, so plain selection implies ``+name``)
+        - ``name+`` — additionally every DOWNSTREAM model (and each
+          downstream's own upstream closure) — the "rebuild everything
+          this change affects" selector
+        """
         graph = {qn: set(m.depends_on) for qn, m in self._models.items()}
         for qn, deps in graph.items():
             missing = deps - graph.keys()
@@ -126,8 +132,24 @@ class Registry:
                 raise ValueError(f"model {qn} depends on unknown {missing}")
         order = list(TopologicalSorter(graph).static_order())
         if select is not None:
+            children: dict[str, set[str]] = {qn: set() for qn in graph}
+            for qn, deps in graph.items():
+                for d in deps:
+                    children[d].add(qn)
+            roots: list[str] = []
+            for token in select:
+                if token.endswith("+"):
+                    base = token[:-1].lstrip("+")
+                    desc = [base]
+                    while desc:
+                        qn = desc.pop()
+                        if qn not in roots:
+                            roots.append(qn)
+                            desc.extend(children[qn])
+                else:
+                    roots.append(token.lstrip("+"))
             keep: set[str] = set()
-            stack = list(select)
+            stack = list(roots)
             while stack:
                 qn = stack.pop()
                 if qn not in keep:

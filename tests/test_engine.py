@@ -261,3 +261,16 @@ def test_model_contract_enforced(spark, tmp_path):
         build(good=False).run()
     msg = str(e.value)
     assert "tag: got int" in msg and "undeclared column 'extra'" in msg
+
+
+def test_select_graph_operators():
+    """dbt selector parity: 'name' = upstream closure; 'name+' adds all
+    descendants (each with its own upstream closure)."""
+    r = make_registry()   # bronze.base -> silver.mid -> {gold.left, gold.right}
+    plain = {m.qualified_name for m in r.toposort(["silver.mid"])}
+    assert plain == {"bronze.base", "silver.mid"}
+    plus = {m.qualified_name for m in r.toposort(["silver.mid+"])}
+    assert plus == {"bronze.base", "silver.mid", "gold.left", "gold.right"}
+    # '+name' is accepted as an explicit spelling of the default
+    explicit = {m.qualified_name for m in r.toposort(["+silver.mid"])}
+    assert explicit == plain
