@@ -493,3 +493,61 @@ def csv_roundtrip_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
                  .cast("long").alias("revenue_cents")))
+
+
+@q("sql_project_pipeline", ("O1", "O2", "O3", "O4", "P1", "P5", "A1"),
+   oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE value IS NOT NULL AND value >= 1
+GROUP BY 1
+""")
+def sql_project_pipeline(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """A dbt-SQL project (engine/sqlproject.py) run end-to-end: three
+    model FILES in the reference's dialect — config blocks, source(),
+    STREAM(ref()), var() — written to disk, loaded into a Registry
+    (DAG derived from the refs), materialized by the Engine, and the
+    gold rollup hash-matched against the restated SQL.  This gates the
+    migration path: a user's existing dbt model tree runs on this
+    engine with their files, not a rewrite."""
+    import tempfile
+    import textwrap
+    from pathlib import Path
+
+    from .engine import Engine
+    from .engine.sqlproject import load_sql_project
+
+    root = Path(tempfile.mkdtemp(prefix="sqlproj_")) / "models"
+    (root / "bronze").mkdir(parents=True)
+    (root / "silver").mkdir()
+    (root / "gold").mkdir()
+    (root / "bronze" / "bronze_events.sql").write_text(textwrap.dedent("""
+        {{ config(materialized='streaming_table',
+                  meta = {'target_schema': 'bronze'}) }}
+        select * from {{ source('landing', 'events') }}
+        ;
+    """))
+    (root / "silver" / "silver_events.sql").write_text(textwrap.dedent("""
+        {{ config(materialized='table') }}
+        with src as (select * from STREAM({{ ref('bronze_events') }}))
+        select event_type, value from src
+        where value is not null and value >= {{ var('min_value', 1) }}
+    """))
+    (root / "gold" / "gold_event_rollup.sql").write_text(textwrap.dedent("""
+        {{ config(materialized='table',
+                  meta = {'target_schema': 'gold'}) }}
+        select event_type, count(*) as n,
+               cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                 as value_cents
+        from {{ ref('silver_events') }}
+        group by event_type
+    """))
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("landing__events")
+    reg = load_sql_project(root, config_vars={"min_value": 1})
+    eng = Engine(spark, reg,
+                 warehouse=tempfile.mkdtemp(prefix="sqlproj_wh_"))
+    eng.run()
+    return eng.table("gold.gold_event_rollup")
