@@ -19,6 +19,11 @@ use, rendered with regex + literal-eval — no Jinja engine needed):
   pipeline/iot_models.py runs the real readStream path; the SQL loader
   renders a consistent batch view of the same DAG, which is also what
   `dbt run` on a non-DLT target does with STREAM refs)
+- ``STREAM read_files('<path>', format => '<fmt>')`` (Databricks Auto
+  Loader table function, `bronze_iot_events.sql:12-15`) → a landing
+  view the model's builder materializes on first run via the engine's
+  infer-once sources (sources/json_source.py / files.py) — the OSS
+  Auto Loader substitute, applied INSIDE the SQL dialect
 
 Materializations map: ``view``/``table`` as-is; ``streaming_table`` →
 ``table`` under batch rendering (noted in the model description).
@@ -38,12 +43,15 @@ from typing import Any
 from .model import Model, Registry
 
 _CONFIG_RE = re.compile(r"\{\{\s*config\((.*?)\)\s*\}\}", re.DOTALL)
-_REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
+_REF_RE = re.compile(r"""\{\{\s*ref\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""")
 _SOURCE_RE = re.compile(
     r"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
 _VAR_RE = re.compile(
-    r"\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*([^)]+?)\s*)?\)\s*\}\}")
+    r"""\{\{\s*var\(\s*['"]([^'"]+)['"]\s*(?:,\s*([^)]+?)\s*)?\)\s*\}\}""")
 _STREAM_RE = re.compile(r"\bSTREAM\s*\(", re.IGNORECASE)
+_READ_FILES_RE = re.compile(
+    r"(?:STREAM\s+)?read_files\(\s*'([^']+)'\s*,\s*format\s*=>\s*"
+    r"'(\w+)'\s*\)", re.IGNORECASE)
 
 
 def parse_config(text: str) -> dict[str, Any]:
@@ -63,7 +71,9 @@ def parse_config(text: str) -> dict[str, Any]:
 def render_sql(text: str, name_to_view: dict[str, str],
                config_vars: dict[str, Any]) -> tuple[str, list[str]]:
     """Render a model body to executable Spark SQL; returns
-    ``(sql, referenced_model_names)``."""
+    ``(sql, referenced_model_names, landing_views)`` where each landing
+    view is a ``(view_name, path, format)`` triple the builder must
+    materialize before executing the SQL."""
     refs: list[str] = []
 
     def ref_sub(m: re.Match) -> str:
@@ -86,9 +96,18 @@ def render_sql(text: str, name_to_view: dict[str, str],
         raise ValueError(f"undefined var {name!r} with no default")
 
     sql = _VAR_RE.sub(var_sub, sql)
+
+    landings: list[tuple[str, str, str]] = []   # (view, path, fmt)
+
+    def read_files_sub(m: re.Match) -> str:
+        view = f"read_files_{len(landings)}_{abs(hash(m.group(1))) % 10**6}"
+        landings.append((view, m.group(1), m.group(2).lower()))
+        return view
+
+    sql = _READ_FILES_RE.sub(read_files_sub, sql)
     # batch rendering of streaming refs: STREAM(x) → (x)
     sql = _STREAM_RE.sub("(", sql)
-    return sql.strip().rstrip(";").strip(), refs
+    return sql.strip().rstrip(";").strip(), refs, landings
 
 
 def load_sql_project(models_dir: str | Path,
@@ -119,7 +138,7 @@ def load_sql_project(models_dir: str | Path,
     for stem, (layer, path) in files.items():
         text = path.read_text()
         cfg = parse_config(text)
-        sql, refs = render_sql(text, name_to_view, config_vars)
+        sql, refs, landings = render_sql(text, name_to_view, config_vars)
         mat = cfg.get("materialized", "view")
         note = ""
         if mat == "streaming_table":
@@ -127,13 +146,21 @@ def load_sql_project(models_dir: str | Path,
         schema = (cfg.get("meta") or {}).get("target_schema")
         deps = tuple(sorted({f"{files[r][0]}.{r}" for r in set(refs)}))
 
-        def make_builder(rendered_sql: str):
+        def make_builder(rendered_sql: str, landing_views: list):
             def builder(ctx):
+                for view, lpath, fmt in landing_views:
+                    if fmt == "json":
+                        from ..sources.json_source import read_json_batch
+                        df = read_json_batch(ctx.spark, lpath)
+                    else:
+                        from ..sources.files import read_file_batch
+                        df = read_file_batch(ctx.spark, lpath, fmt)
+                    df.createOrReplaceTempView(view)
                 return ctx.spark.sql(rendered_sql)
             return builder
 
         reg.add(Model(
-            name=stem, layer=layer, builder=make_builder(sql),
+            name=stem, layer=layer, builder=make_builder(sql, landings),
             materialization=mat, depends_on=deps, schema=schema,
             description=f"loaded from {path.name}{note}",
             meta={"sql": sql}))

@@ -45,7 +45,7 @@ def test_parse_config_and_render():
             "where x > {{ var('thr', 5) }}")
     cfg = parse_config(text)
     assert cfg == {"materialized": "table", "meta": {"target_schema": "s"}}
-    sql, refs = render_sql(text, {"up": "layer__up"}, {})
+    sql, refs, _landings = render_sql(text, {"up": "layer__up"}, {})
     assert refs == ["up"]
     assert "(layer__up)" in sql and "x > 5" in sql
     assert "config" not in sql
@@ -70,3 +70,53 @@ def test_sql_project_end_to_end(spark, tmp_path):
     out = {r["device"]: (r["n"], r["total"])
            for r in eng.table("gold.gold_rollup").collect()}
     assert out == {"a": (1, 5.0), "b": (1, 9.0)}   # min_v=2 filter applied
+
+
+def test_reference_models_run_unmodified(spark, tmp_path):
+    """THE parity proof: the reference's own five dbt model files
+    (bronze Auto Loader JSON ingest → silver contract → gold star
+    schema), loaded from /root/reference/models byte-unmodified, run
+    end-to-end on this engine.  The gold fact is verified against an
+    INDEPENDENT Spark restatement of the reference's semantics over
+    the raw landing data (note: the reference's silver keeps the RAW
+    quality_flag — normalization happens only in its WHERE — so gold
+    groups by the raw flag; our Python pipeline deliberately
+    normalizes the column, a documented deviation, hence the
+    independent restatement rather than a pipeline diff)."""
+    import os
+    import pytest
+    from pyspark.sql import functions as F
+    if not os.path.isdir("/root/reference/models"):
+        pytest.skip("reference checkout not present")
+
+    from conftest import write_iot_events
+
+    land = tmp_path / "iot_events"
+    kept = write_iot_events(land, n_events=2000)
+
+    ref_reg = load_sql_project("/root/reference/models",
+                               config_vars={"iot_events_path": str(land)})
+    ref_eng = Engine(spark, ref_reg, warehouse=tmp_path / "wh_ref")
+    assert len(ref_eng.run().materialized) == 5
+
+    # silver keeps exactly the rows the quality filter admits
+    assert ref_eng.table("silver.silver_iot_events").count() == kept
+
+    ref_fact = {
+        (r["location_id"], r["sensor_type"], r["quality_flag"],
+         r["year"], r["month"]): round(r["avg_value"], 6)
+        for r in ref_eng.table("gold.fact_iot_events").collect()}
+
+    raw = spark.read.json(str(land))
+    expect = (raw.filter(F.lower(F.trim("quality_flag"))
+                         .isin("good", "suspect"))
+              .withColumn("ts", F.col("timestamp").cast("timestamp"))
+              .groupBy("location_id", "sensor_type", "quality_flag",
+                       F.year("ts").alias("year"),
+                       F.month("ts").alias("month"))
+              .agg(F.avg(F.col("value").cast("double"))
+                   .alias("avg_value")))
+    exp = {(r["location_id"], r["sensor_type"], r["quality_flag"],
+            r["year"], r["month"]): round(r["avg_value"], 6)
+           for r in expect.collect()}
+    assert ref_fact == exp
