@@ -165,3 +165,73 @@ def load_sql_project(models_dir: str | Path,
             description=f"loaded from {path.name}{note}",
             meta={"sql": sql}))
     return reg
+
+
+# -- dbt test loading ------------------------------------------------------
+
+def load_sql_tests(project_root: str | Path, engine,
+                   name_to_view: dict[str, str] | None = None) -> list:
+    """Attach a dbt project's data tests to an Engine (⇔ `dbt test`):
+
+    - **generic tests** from `models/**/*.yml` — ``not_null``,
+      ``unique``, ``accepted_values`` bound per column (the three the
+      reference uses, `iot_events_models.yml:8-32`); both the modern
+      ``arguments: values:`` nesting and the classic ``values:`` form
+      parse.
+    - **singular tests** from `tests/*.sql` — a SELECT whose non-empty
+      result is the failure set (`tests/pos_sensor_values.sql:1-6`),
+      with ``ref()`` rendered against the loaded models.
+
+    Returns the list of attached Check objects.  Test-to-relation
+    binding uses the same stem → "<layer>.<stem>" rule as the model
+    loader.
+    """
+    import yaml
+
+    from .checks import accepted_values, not_null, singular, unique
+
+    root = Path(project_root)
+    models_dir = root / "models"
+    stem_to_qn: dict[str, str] = {}
+    for p in sorted(models_dir.glob("**/*.sql")):
+        stem_to_qn[p.stem] = f"{p.relative_to(models_dir).parts[0]}.{p.stem}"
+    view_of = name_to_view or {
+        s: qn.replace(".", "__") for s, qn in stem_to_qn.items()}
+
+    checks = []
+    for yml in sorted(models_dir.glob("**/*.yml")):
+        doc = yaml.safe_load(yml.read_text()) or {}
+        for mspec in doc.get("models", []):
+            qn = stem_to_qn.get(mspec.get("name"))
+            if qn is None:
+                continue
+            for col in mspec.get("columns", []):
+                cname = col["name"]
+                for t in col.get("data_tests", col.get("tests", [])):
+                    if t == "not_null":
+                        checks.append(not_null(qn, cname))
+                    elif t == "unique":
+                        checks.append(unique(qn, cname))
+                    elif isinstance(t, dict) and "accepted_values" in t:
+                        spec = t["accepted_values"] or {}
+                        vals = (spec.get("arguments", {}).get("values")
+                                or spec.get("values") or [])
+                        checks.append(accepted_values(qn, cname, vals))
+    singular_files = (sorted((root / "tests").glob("*.sql"))
+                      if (root / "tests").is_dir() else [])
+    for sqlf in singular_files:
+        sql, refs, _land = render_sql(sqlf.read_text(), view_of, {})
+        # bind the test to its first ref'd model (dbt's own attribution)
+        rel = stem_to_qn[refs[0]] if refs else next(iter(stem_to_qn.values()))
+
+        def make_violations(rendered: str):
+            def violations(df):
+                # the rendered SQL reads the registered temp views; the
+                # bound relation df only supplies the live session
+                return df.sparkSession.sql(rendered)
+            return violations
+
+        checks.append(singular(sqlf.stem, rel, make_violations(sql)))
+    for c in checks:
+        engine.add_check(c)
+    return checks
