@@ -20,6 +20,16 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--warehouse", default="/tmp/iot_lake_warehouse")
         s.add_argument("--batch", action="store_true",
                        help="batch bronze/silver instead of streaming")
+        s.add_argument("--project", default=None, metavar="DIR",
+                       help="run a dbt-SQL project instead of the "
+                            "built-in Python pipeline: DIR must hold "
+                            "models/<layer>/**/*.sql (+ optional "
+                            "tests/*.sql and yml generic tests)")
+        s.add_argument("--select", nargs="*", default=None,
+                       help="model selectors (dbt graph operators: "
+                            "name, +name, name+)")
+        s.add_argument("--atomic", action="store_true",
+                       help="all-or-nothing publish of the whole run")
     sub.add_parser("docs", help="print the model catalog (dbt-docs analog)")
     sub.add_parser("lineage", help="print the transitive lineage closure")
     so = sub.add_parser("optimize",
@@ -70,15 +80,25 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark("iot-lake-cli")
-    eng = Engine(spark, build_registry(streaming=not args.batch),
+    if args.project:
+        from .engine.sqlproject import load_sql_project, load_sql_tests
+        registry = load_sql_project(
+            f"{args.project}/models",
+            config_vars={"iot_events_path": args.landing})
+    else:
+        registry = build_registry(streaming=not args.batch)
+    eng = Engine(spark, registry,
                  config={"iot_events_path": args.landing,
                          "warehouse": args.warehouse},
                  warehouse=args.warehouse)
-    result = eng.run()
+    result = eng.run(select=args.select, atomic_publish=args.atomic)
     for qn in result.materialized:
         print(f"  materialized {qn} [{result.seconds[qn]:.2f}s]")
     if args.cmd == "test":
-        attach_reference_checks(eng)
+        if args.project:
+            load_sql_tests(args.project, eng)
+        else:
+            attach_reference_checks(eng)
         failures = 0
         for res in eng.test():
             status = "PASS" if res.passed else f"FAIL ({res.violations}+)"

@@ -40,3 +40,23 @@ def test_optimize_zorder_and_manifests(spark, tmp_path, capsys):
     m = read_stats_manifest(path)
     assert m["files"] and "bloom" in m
     assert prune_files_eq(path, "a", 7)          # present value kept
+
+
+def test_cli_runs_sql_project(tmp_path, capsys):
+    """`run --project DIR` drives a dbt-SQL project end-to-end, and
+    `test --project DIR` attaches + runs its dbt tests."""
+    import os
+    import pytest
+    if not os.path.isdir("/root/reference/models"):
+        pytest.skip("reference checkout not present")
+    from conftest import write_iot_events
+    from iot_simulator_datalake_spark.__main__ import main
+
+    land = tmp_path / "iot_events"
+    write_iot_events(land, n_events=800)
+    rc = main(["run", "--project", "/root/reference",
+               "--landing", str(land),
+               "--warehouse", str(tmp_path / "wh"), "--atomic"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "gold.fact_iot_events" in out
