@@ -110,6 +110,28 @@ def render_sql(text: str, name_to_view: dict[str, str],
     return sql.strip().rstrip(";").strip(), refs, landings
 
 
+def load_project_yml(project_root: str | Path) -> dict[str, Any]:
+    """Parse ``dbt_project.yml``: project ``vars`` plus per-layer
+    ``+materialized`` / ``+schema`` defaults (`dbt_project.yml:6-19`).
+    Returns ``{"vars": {...}, "layer_defaults": {layer: {...}}}``."""
+    import yaml
+
+    yml = Path(project_root) / "dbt_project.yml"
+    if not yml.exists():
+        return {"vars": {}, "layer_defaults": {}}
+    doc = yaml.safe_load(yml.read_text()) or {}
+    layer_defaults: dict[str, dict] = {}
+    for _proj, tree in (doc.get("models") or {}).items():
+        if not isinstance(tree, dict):
+            continue
+        for layer, cfg in tree.items():
+            if isinstance(cfg, dict):
+                layer_defaults[layer] = {
+                    k.lstrip("+"): v for k, v in cfg.items()
+                    if k.startswith("+")}
+    return {"vars": doc.get("vars") or {}, "layer_defaults": layer_defaults}
+
+
 def load_sql_project(models_dir: str | Path,
                      config_vars: dict[str, Any] | None = None,
                      registry: Registry | None = None) -> Registry:
@@ -119,9 +141,17 @@ def load_sql_project(models_dir: str | Path,
     layer = first directory level; ``depends_on`` derives from the
     ``ref()``s each file makes.  Raises on duplicate stems or refs to
     unknown models.
+
+    If a ``dbt_project.yml`` sits beside ``models/``, its project
+    ``vars`` fill in as defaults (caller-supplied ``config_vars`` win)
+    and its per-layer ``+materialized`` / ``+schema`` defaults apply to
+    models whose own config block doesn't override them — full dbt
+    config-precedence semantics for the subset the reference uses.
     """
     root = Path(models_dir)
-    config_vars = dict(config_vars or {})
+    proj = load_project_yml(root.parent)
+    config_vars = {**proj["vars"], **(config_vars or {})}
+    layer_defaults = proj["layer_defaults"]
     files: dict[str, tuple[str, Path]] = {}      # stem -> (layer, path)
     for p in sorted(root.glob("*/**/*.sql")) + sorted(root.glob("*/*.sql")):
         layer = p.relative_to(root).parts[0]
@@ -139,11 +169,14 @@ def load_sql_project(models_dir: str | Path,
         text = path.read_text()
         cfg = parse_config(text)
         sql, refs, landings = render_sql(text, name_to_view, config_vars)
-        mat = cfg.get("materialized", "view")
+        lay_def = layer_defaults.get(layer, {})
+        mat = cfg.get("materialized",
+                      lay_def.get("materialized", "view"))
         note = ""
         if mat == "streaming_table":
             mat, note = "table", " [streaming_table rendered as batch]"
-        schema = (cfg.get("meta") or {}).get("target_schema")
+        schema = ((cfg.get("meta") or {}).get("target_schema")
+                  or lay_def.get("schema"))
         deps = tuple(sorted({f"{files[r][0]}.{r}" for r in set(refs)}))
 
         def make_builder(rendered_sql: str, landing_views: list):
