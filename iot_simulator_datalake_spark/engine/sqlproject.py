@@ -26,7 +26,12 @@ use, rendered with regex + literal-eval — no Jinja engine needed):
   Auto Loader substitute, applied INSIDE the SQL dialect
 
 Materializations map: ``view``/``table`` as-is; ``streaming_table`` →
-``table`` under batch rendering (noted in the model description).
+``table`` under batch rendering (noted in the model description);
+``incremental`` → dbt's append-style incremental model: the first run
+renders ``is_incremental()`` as false and builds the full table, later
+runs render it true with ``{{ this }}`` bound to the existing table and
+APPEND the result (the engine's incremental sink) — the standard
+"process only rows newer than max(ts) in {{ this }}" pattern.
 
 Scale note: loading is driver-side string work on a handful of files;
 the resulting builders are ``spark.sql`` over temp views, so Catalyst
@@ -49,6 +54,8 @@ _SOURCE_RE = re.compile(
 _VAR_RE = re.compile(
     r"""\{\{\s*var\(\s*['"]([^'"]+)['"]\s*(?:,\s*([^)]+?)\s*)?\)\s*\}\}""")
 _STREAM_RE = re.compile(r"\bSTREAM\s*\(", re.IGNORECASE)
+_IS_INCR_RE = re.compile(r"\{\{\s*is_incremental\(\)\s*\}\}")
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
 _READ_FILES_RE = re.compile(
     r"(?:STREAM\s+)?read_files\(\s*'([^']+)'\s*,\s*format\s*=>\s*"
     r"'(\w+)'\s*\)", re.IGNORECASE)
@@ -68,8 +75,15 @@ def parse_config(text: str) -> dict[str, Any]:
         raise ValueError(f"unparseable config block: {body!r}") from e
 
 
+_IF_INCR_BLOCK_RE = re.compile(
+    r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}",
+    re.DOTALL)
+
+
 def render_sql(text: str, name_to_view: dict[str, str],
-               config_vars: dict[str, Any]) -> tuple[str, list[str]]:
+               config_vars: dict[str, Any], *,
+               incremental: bool = False,
+               this_view: str | None = None) -> tuple[str, list[str]]:
     """Render a model body to executable Spark SQL; returns
     ``(sql, referenced_model_names, landing_views)`` where each landing
     view is a ``(view_name, path, format)`` triple the builder must
@@ -84,6 +98,14 @@ def render_sql(text: str, name_to_view: dict[str, str],
             raise ValueError(f"ref to unknown model {m.group(1)!r}")
 
     sql = _CONFIG_RE.sub("", text)
+    # dbt incremental templating: {% if is_incremental() %}...{% endif %}
+    # keeps its body only on incremental runs; bare {{ is_incremental() }}
+    # renders a boolean literal; {{ this }} binds to the existing table
+    sql = _IF_INCR_BLOCK_RE.sub(
+        (lambda m: m.group(1)) if incremental else "", sql)
+    sql = _IS_INCR_RE.sub("true" if incremental else "false", sql)
+    if this_view is not None:
+        sql = _THIS_RE.sub(this_view, sql)
     sql = _REF_RE.sub(ref_sub, sql)
     sql = _SOURCE_RE.sub(lambda m: f"{m.group(1)}__{m.group(2)}", sql)
 
@@ -168,7 +190,11 @@ def load_sql_project(models_dir: str | Path,
     for stem, (layer, path) in files.items():
         text = path.read_text()
         cfg = parse_config(text)
+        this_view = f"{layer}__{stem}__this"
         sql, refs, landings = render_sql(text, name_to_view, config_vars)
+        incr_sql, _r2, _l2 = render_sql(
+            text, name_to_view, config_vars,
+            incremental=True, this_view=this_view)
         lay_def = layer_defaults.get(layer, {})
         mat = cfg.get("materialized",
                       lay_def.get("materialized", "view"))
@@ -192,8 +218,37 @@ def load_sql_project(models_dir: str | Path,
                 return ctx.spark.sql(rendered_sql)
             return builder
 
+        def make_incremental_builder(full_sql: str, inc_sql: str,
+                                     landing_views: list, qn: str,
+                                     view_name: str):
+            """dbt incremental: first run = full build; later runs
+            render is_incremental()=true with {{ this }} bound to the
+            existing table and APPEND the delta (expressed as
+            prior ∪ delta so the engine's versioned sink publishes one
+            complete new snapshot — at real scale swap the sink for a
+            parquet append / MERGE on the unique_key, same rendering)."""
+            plain = make_builder(full_sql, landing_views)
+            inc = make_builder(inc_sql, landing_views)
+
+            def builder(ctx):
+                eng = ctx._engine
+                path = eng.table_path(eng.registry[qn])
+                if Path(path).exists():
+                    prior = ctx.spark.read.parquet(str(path))
+                    prior.createOrReplaceTempView(view_name)
+                    return prior.unionByName(inc(ctx))
+                return plain(ctx)
+            return builder
+
+        qn = f"{layer}.{stem}"
+        if mat == "incremental":
+            builder = make_incremental_builder(sql, incr_sql, landings,
+                                               qn, this_view)
+            mat, note = "table", " [incremental]"
+        else:
+            builder = make_builder(sql, landings)
         reg.add(Model(
-            name=stem, layer=layer, builder=make_builder(sql, landings),
+            name=stem, layer=layer, builder=builder,
             materialization=mat, depends_on=deps, schema=schema,
             description=f"loaded from {path.name}{note}",
             meta={"sql": sql}))

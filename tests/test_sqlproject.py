@@ -153,3 +153,37 @@ def test_reference_tests_load_and_run(spark, tmp_path):
     # while the yml expects normalized values — dbt reports the same
     # failure on mixed-case feeds); everything else passes clean
     assert all("quality_flag" in n for n in failing), failing
+
+
+def test_incremental_model_two_runs(spark, tmp_path):
+    """dbt `materialized='incremental'`: first run full-builds; the
+    second renders is_incremental()=true, binds {{ this }} to the
+    existing table, and appends only the delta."""
+    root = tmp_path / "models"
+    (root / "gold").mkdir(parents=True)
+    (root / "gold" / "inc_ev.sql").write_text("""
+        {{ config(materialized='incremental') }}
+        select device, v from {{ source('landing', 'ev') }}
+        {% if is_incremental() %}
+        where v > (select max(v) from {{ this }})
+        {% endif %}
+    """)
+
+    spark.createDataFrame([("a", 1), ("b", 2)], ["device", "v"]) \
+        .createOrReplaceTempView("landing__ev")
+    reg = load_sql_project(root)
+    eng = Engine(spark, reg, warehouse=tmp_path / "wh")
+    eng.run()
+    assert eng.table("gold.inc_ev").count() == 2
+
+    # new data lands; rerun appends ONLY rows above the high-water mark
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 5), ("d", 7)], ["device", "v"]) \
+        .createOrReplaceTempView("landing__ev")
+    reg2 = load_sql_project(root)
+    eng2 = Engine(spark, reg2, warehouse=tmp_path / "wh")
+    eng2.run()
+    rows = {(r["device"], r["v"])
+            for r in eng2.table("gold.inc_ev").collect()}
+    assert rows == {("a", 1), ("b", 2), ("c", 5), ("d", 7)}
+    assert eng2.table("gold.inc_ev").count() == 4   # no re-appended dupes
