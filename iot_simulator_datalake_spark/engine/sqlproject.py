@@ -323,3 +323,50 @@ def load_sql_tests(project_root: str | Path, engine,
     for c in checks:
         engine.add_check(c)
     return checks
+
+
+# -- dbt snapshots ---------------------------------------------------------
+
+_SNAPSHOT_RE = re.compile(
+    r"\{%\s*snapshot\s+(\w+)\s*%\}(.*?)\{%\s*endsnapshot\s*%\}", re.DOTALL)
+
+
+def load_snapshots(project_root: str | Path, engine,
+                   config_vars: dict[str, Any] | None = None) -> dict:
+    """``dbt snapshot`` — parse ``snapshots/*.sql`` ``{% snapshot %}``
+    blocks and RUN each one: the block's SELECT (ref/source/var
+    rendered) is the current source state, diffed into the stored SCD2
+    history by :class:`operators.scd.SnapshotTable` under the block's
+    config (unique_key, strategy timestamp|check, updated_at /
+    check_cols).  State lives under ``<warehouse>/snapshots/<name>``;
+    each snapshot registers as relation ``snapshots.<name>``.  Returns
+    {name: SnapshotTable}."""
+    from ..operators.scd import SnapshotTable
+
+    root = Path(project_root)
+    proj = load_project_yml(root)
+    config_vars = {**proj["vars"], **(config_vars or {})}
+    models_dir = root / "models"
+    name_to_view: dict[str, str] = {}
+    for p in sorted(models_dir.glob("**/*.sql")):
+        layer = p.relative_to(models_dir).parts[0]
+        name_to_view[p.stem] = f"{layer}__{p.stem}"
+
+    out: dict[str, SnapshotTable] = {}
+    snap_dir = root / "snapshots"
+    files = sorted(snap_dir.glob("*.sql")) if snap_dir.is_dir() else []
+    for f in files:
+        for m in _SNAPSHOT_RE.finditer(f.read_text()):
+            name, body = m.group(1), m.group(2)
+            cfg = parse_config(body)
+            sql, _refs, _land = render_sql(body, name_to_view, config_vars)
+            strategy = cfg.get("strategy", "timestamp")
+            snap = SnapshotTable(
+                engine.spark, engine.warehouse / "snapshots" / name,
+                unique_key=cfg["unique_key"], strategy=strategy,
+                updated_at=cfg.get("updated_at", "updated_at"),
+                check_cols=list(cfg.get("check_cols", []) or []))
+            snap.run(engine.spark.sql(sql))
+            engine.register(f"snapshots.{name}", snap.read())
+            out[name] = snap
+    return out

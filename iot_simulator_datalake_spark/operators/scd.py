@@ -126,3 +126,100 @@ def scd2_history(changes: DataFrame, key: str, order_col: str = "op_ts",
     if deleted_col in changes.columns:
         out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+class SnapshotTable:
+    """dbt-snapshot semantics (``dbt snapshot``): each run diffs the
+    CURRENT source state against the stored snapshot and maintains SCD2
+    history — changed keys close their open version and open a new one,
+    new keys open, untouched keys pass through.  Strategies:
+
+    - ``timestamp``: a row changed iff ``updated_at`` advanced past the
+      open version's (dbt's default; cheap, needs a reliable column)
+    - ``check``: a row changed iff any of ``check_cols`` differs
+      (null-safe) — for sources without an update timestamp
+
+    State lives as parquet at ``path`` with dbt's column vocabulary
+    (``dbt_valid_from`` / ``dbt_valid_to`` NULL-while-open).  Per run:
+    one join of source against OPEN versions on the unique key + one
+    union — O(source + open-versions); closed history is written back
+    untouched (at lake scale the closed partition append-only splits
+    out, same shape).  Atomic swap via a staged dir rename.
+    """
+
+    def __init__(self, spark: "SparkSession", path, *, unique_key: str,
+                 strategy: str = "timestamp",
+                 updated_at: str = "updated_at",
+                 check_cols: list[str] | None = None):
+        from pathlib import Path as _P
+        if strategy not in ("timestamp", "check"):
+            raise ValueError(f"unknown snapshot strategy {strategy!r}")
+        if strategy == "check" and not check_cols:
+            raise ValueError("check strategy needs check_cols")
+        self.spark, self.path = spark, _P(path)
+        self.key, self.strategy = unique_key, strategy
+        self.updated_at, self.check_cols = updated_at, check_cols or []
+
+    def _state(self) -> "DataFrame | None":
+        if not (self.path / "_SUCCESS").exists():
+            return None
+        return self.spark.read.parquet(str(self.path))
+
+    def _write(self, df: "DataFrame") -> None:
+        import shutil
+        tmp = self.path.with_suffix(".staging")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(str(tmp))
+        old = self.path.with_suffix(".old")
+        shutil.rmtree(old, ignore_errors=True)
+        if self.path.exists():
+            self.path.rename(old)
+        tmp.rename(self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def run(self, source: "DataFrame") -> None:
+        src = source.withColumn("dbt_valid_from", F.col(self.updated_at)) \
+                    .withColumn("dbt_valid_to",
+                                F.lit(None).cast("timestamp"))
+        state = self._state()
+        if state is None:
+            self._write(src.localCheckpoint(eager=True))
+            return
+        closed = state.filter(F.col("dbt_valid_to").isNotNull())
+        open_ = state.filter(F.col("dbt_valid_to").isNull())
+        s, o = src.alias("s"), open_.alias("o")
+        joined = o.join(s, F.col(f"o.{self.key}") == F.col(f"s.{self.key}"),
+                        "full_outer")
+        if self.strategy == "timestamp":
+            changed = (F.col(f"s.{self.updated_at}") >
+                       F.col(f"o.{self.updated_at}"))
+        else:
+            changed = F.lit(False)
+            for c in self.check_cols:
+                changed = changed | ~F.col(f"s.{c}").eqNullSafe(
+                    F.col(f"o.{c}"))
+        s_key = F.col(f"s.{self.key}")
+        o_key = F.col(f"o.{self.key}")
+        cols = state.columns
+        # keep: untouched open rows; close: changed open rows; open: new
+        keep = joined.filter(o_key.isNotNull() &
+                             (s_key.isNull() | ~changed)) \
+            .select(*[F.col(f"o.{c}").alias(c) for c in cols])
+        close = joined.filter(o_key.isNotNull() & s_key.isNotNull() &
+                              changed) \
+            .select(*[(F.col(f"s.{self.updated_at}")
+                       if c == "dbt_valid_to" else F.col(f"o.{c}"))
+                      .alias(c) for c in cols])
+        opened = joined.filter(s_key.isNotNull() &
+                               (o_key.isNull() | changed)) \
+            .select(*[F.col(f"s.{c}").alias(c) for c in cols])
+        new_state = closed.unionByName(keep).unionByName(close) \
+                          .unionByName(opened)
+        self._write(new_state.localCheckpoint(eager=True))
+
+    def read(self, current_only: bool = False) -> "DataFrame":
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        return (state.filter(F.col("dbt_valid_to").isNull())
+                if current_only else state)

@@ -79,3 +79,50 @@ def test_scd2_history_versions_and_soft_delete(spark):
     b = [r for r in h if r.k == "B"]
     assert [(r.valid_from, r.valid_to, r.is_current) for r in b] == \
         [(5, None, True)]
+
+
+def test_dbt_snapshot_timestamp_strategy(spark, tmp_path):
+    """SnapshotTable == dbt snapshot (timestamp strategy): changed keys
+    close + reopen, new keys open, untouched keys stay open, history
+    accumulates across runs."""
+    from datetime import datetime
+    from iot_simulator_datalake_spark.operators.scd import SnapshotTable
+
+    snap = SnapshotTable(spark, tmp_path / "snap", unique_key="id",
+                         strategy="timestamp", updated_at="updated_at")
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    snap.run(spark.createDataFrame(
+        [(1, "a", t1), (2, "b", t1)], "id int, val string, updated_at timestamp"))
+    cur = {r["id"]: r["val"] for r in snap.read(current_only=True).collect()}
+    assert cur == {1: "a", 2: "b"}
+
+    # id 1 changes, id 3 appears, id 2 untouched
+    snap.run(spark.createDataFrame(
+        [(1, "A", t2), (2, "b", t1), (3, "c", t2)],
+        "id int, val string, updated_at timestamp"))
+    rows = snap.read().collect()
+    cur = {r["id"]: r["val"] for r in rows if r["dbt_valid_to"] is None}
+    assert cur == {1: "A", 2: "b", 3: "c"}
+    closed = [r for r in rows if r["dbt_valid_to"] is not None]
+    assert len(closed) == 1 and closed[0]["id"] == 1 \
+        and closed[0]["val"] == "a" and closed[0]["dbt_valid_to"] == t2
+
+
+def test_dbt_snapshot_check_strategy(spark, tmp_path):
+    """check strategy: change detection by null-safe column compare."""
+    from datetime import datetime
+    from iot_simulator_datalake_spark.operators.scd import SnapshotTable
+
+    snap = SnapshotTable(spark, tmp_path / "snap", unique_key="id",
+                         strategy="check", check_cols=["val"],
+                         updated_at="ts")
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    snap.run(spark.createDataFrame(
+        [(1, None, t1), (2, "b", t1)], "id int, val string, ts timestamp"))
+    snap.run(spark.createDataFrame(
+        [(1, "x", t2), (2, "b", t2)], "id int, val string, ts timestamp"))
+    rows = snap.read().collect()
+    # null→'x' detected (null-safe); 'b'→'b' NOT re-versioned
+    assert len(rows) == 3
+    cur = {r["id"]: r["val"] for r in rows if r["dbt_valid_to"] is None}
+    assert cur == {1: "x", 2: "b"}

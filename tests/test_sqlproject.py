@@ -187,3 +187,42 @@ def test_incremental_model_two_runs(spark, tmp_path):
             for r in eng2.table("gold.inc_ev").collect()}
     assert rows == {("a", 1), ("b", 2), ("c", 5), ("d", 7)}
     assert eng2.table("gold.inc_ev").count() == 4   # no re-appended dupes
+
+
+def test_dbt_snapshot_blocks(spark, tmp_path):
+    """{% snapshot %} blocks parse, run, and accumulate SCD2 history
+    across engine runs (dbt snapshot parity)."""
+    import textwrap
+    from datetime import datetime
+    from iot_simulator_datalake_spark.engine.sqlproject import (
+        load_snapshots)
+
+    root = tmp_path / "proj"
+    (root / "models").mkdir(parents=True)
+    (root / "snapshots").mkdir()
+    (root / "snapshots" / "cust_snapshot.sql").write_text(
+        textwrap.dedent("""
+        {% snapshot customers_snap %}
+        {{ config(unique_key='id', strategy='timestamp',
+                  updated_at='updated_at') }}
+        select * from {{ source('crm', 'customers') }}
+        {% endsnapshot %}
+    """))
+
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 3, 1)
+    eng = Engine(spark, load_sql_project(root / "models"),
+                 warehouse=tmp_path / "wh")
+    spark.createDataFrame([(1, "gold", t1)],
+                         "id int, tier string, updated_at timestamp") \
+        .createOrReplaceTempView("crm__customers")
+    load_snapshots(root, eng)
+
+    spark.createDataFrame([(1, "plat", t2), (2, "new", t2)],
+                         "id int, tier string, updated_at timestamp") \
+        .createOrReplaceTempView("crm__customers")
+    snaps = load_snapshots(root, eng)
+    hist = snaps["customers_snap"].read().collect()
+    assert len(hist) == 3
+    cur = {r["id"]: r["tier"] for r in hist if r["dbt_valid_to"] is None}
+    assert cur == {1: "plat", 2: "new"}
+    assert eng.table("snapshots.customers_snap").count() == 3
