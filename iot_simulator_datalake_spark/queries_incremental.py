@@ -113,3 +113,56 @@ def incremental_join_rollup_equals_batch(spark: "SparkSession",
     return (t.read_joined(dim, "o_custkey", ["nation"], ["nation"])
             .select("nation", "n", F.col("sum").cast("double").alias("sum"),
                     "avg"))
+
+
+@q("dbt_snapshot_equals_batch", ("W1", "ST2"), oracle=f"""
+WITH v1 AS (       -- state presented at run 1: latest per user pre-split
+  SELECT user_id, event_type, ts FROM (
+    SELECT user_id, event_type, ts, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts < TIMESTAMP '{_SPLIT}'
+  ) WHERE rn = 1
+), v2 AS (         -- state presented at run 2: latest per user overall
+  SELECT user_id, event_type, ts FROM (
+    SELECT user_id, event_type, ts, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT v1.user_id, v1.event_type, v1.ts AS dbt_valid_from,
+       CASE WHEN v2.ts > v1.ts THEN v2.ts END AS dbt_valid_to
+FROM v1 JOIN v2 ON v1.user_id = v2.user_id
+UNION ALL          -- run-2 openings: changed keys + keys new post-split
+SELECT v2.user_id, v2.event_type, v2.ts, CAST(NULL AS TIMESTAMP)
+FROM v2 LEFT JOIN v1 ON v1.user_id = v2.user_id
+WHERE v1.user_id IS NULL OR v2.ts > v1.ts
+""")
+def dbt_snapshot_equals_batch(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """dbt-snapshot invariant (operators/scd.py:SnapshotTable): running
+    the snapshot twice — against the pre-split per-user state, then the
+    full per-user state — must produce exactly the SCD2 history the
+    one-shot SQL derives from the change log: unchanged keys stay open
+    from their first version, changed keys carry a closed v1 row
+    (valid_to = v2's timestamp) plus an open v2 row, post-split keys
+    open once.  This puts the stateful diff operator itself under the
+    hash gate, not just its unit tests."""
+    from .operators.scd import SnapshotTable
+
+    e = load(spark, sf_dir, "events")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window \
+        .partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                        F.col("event_id").desc())
+
+    def latest(df):
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("user_id", "event_type", "ts"))
+
+    snap = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="dbt_snap_") + "/state",
+        unique_key="user_id", strategy="timestamp", updated_at="ts")
+    snap.run(latest(e.filter(F.col("ts") < _SPLIT)))
+    snap.run(latest(e)) 
+    return snap.read().select("user_id", "event_type",
+                              "dbt_valid_from", "dbt_valid_to")
