@@ -27,7 +27,7 @@ the same recipe compiles to a pure-SQL ``range(n)`` + md5 projection
 from __future__ import annotations
 
 import hashlib
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timedelta
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     InputPartition)
