@@ -49,8 +49,13 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct()
            .localCheckpoint(eager=False))
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("comp", F.col("node")))
+    # Fused round 0: every node starts at min(self, direct neighbors)
+    # instead of self — one aggregate over the edge list that saves a
+    # full propagate-join round (dense near-dup clusters whose min
+    # node touches everyone converge immediately and the loop's first
+    # pass is already the confirming fixpoint check).
+    labels = (sym.groupBy(F.col("a").alias("node"))
+              .agg(F.least(F.min("b"), F.first("a")).alias("comp")))
     # Convergence check: labels only ever DECREASE under min-
     # propagation, so Σcomp strictly decreases every round until the
     # fixpoint — one map-side-combining aggregate per round replaces
