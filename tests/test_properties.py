@@ -250,3 +250,57 @@ def test_interpolated_median_doubled_units_matches_python(spark, vals):
     n = len(s)
     want = s[(n - 1) // 2] + s[n // 2]
     assert got == want
+
+
+@given(runs=st.lists(
+    st.dictionaries(st.integers(0, 4),                  # key → (val, day)
+                    st.tuples(st.sampled_from("xyz"), st.integers(0, 30)),
+                    min_size=1, max_size=5),
+    min_size=1, max_size=3))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_table_matches_python_reference(spark, tmp_path_factory,
+                                                 runs):
+    """SnapshotTable (timestamp strategy) == a pure-Python dbt-snapshot
+    model over arbitrary run sequences: same open/closed versions, same
+    validity windows (monotone updated_at per key enforced by
+    construction, as the strategy requires)."""
+    from iot_simulator_datalake_spark.operators.scd import SnapshotTable
+
+    base = datetime(2024, 1, 1)
+    # enforce per-key nondecreasing updated_at across runs (the
+    # timestamp strategy's documented precondition)
+    seen: dict[int, int] = {}
+    cleaned = []
+    for st_run in runs:
+        r = {}
+        for k, (v, d) in st_run.items():
+            d = max(d, seen.get(k, 0))
+            seen[k] = d
+            r[k] = (v, d)
+        cleaned.append(r)
+
+    snap = SnapshotTable(
+        spark, tmp_path_factory.mktemp("snapprop") / "state",
+        unique_key="k", strategy="timestamp", updated_at="ts")
+    # python reference: list of versions per key
+    ref: dict[int, list] = {}
+    for r in cleaned:
+        rows = [(k, v, base + timedelta(days=d))
+                for k, (v, d) in sorted(r.items())]
+        snap.run(spark.createDataFrame(rows, "k int, v string, ts timestamp"))
+        for k, v, ts in rows:
+            hist = ref.setdefault(k, [])
+            if not hist:
+                hist.append([v, ts, None])
+            else:
+                cur = hist[-1]
+                if ts > cur[1]:            # strictly advanced ⇒ new version
+                    cur[2] = ts
+                    hist.append([v, ts, None])
+
+    got = {(r["k"], r["v"], r["dbt_valid_from"], r["dbt_valid_to"])
+           for r in snap.read().collect()}
+    want = {(k, v, f, t) for k, hist in ref.items()
+            for v, f, t in map(tuple, hist)}
+    assert got == want
