@@ -30,7 +30,12 @@ def main(argv: list[str] | None = None) -> int:
                             "name, +name, name+)")
         s.add_argument("--atomic", action="store_true",
                        help="all-or-nothing publish of the whole run")
-    sub.add_parser("docs", help="print the model catalog (dbt-docs analog)")
+    sd = sub.add_parser("docs",
+                        help="print the model catalog (dbt-docs analog)")
+    sd.add_argument("--json", default=None, metavar="FILE",
+                    help="also write a docs manifest JSON (the dbt "
+                         "docs generate artifact) for the built-in "
+                         "pipeline registry")
     sub.add_parser("lineage", help="print the transitive lineage closure")
     so = sub.add_parser("optimize",
                         help="compact / cluster / z-order a parquet dir")
@@ -49,6 +54,16 @@ def main(argv: list[str] | None = None) -> int:
             for dag, model, layer, mat, n_deps, deps in _catalog_rows():
                 print(f"  [{dag}] {model:30s} {layer:8s} {mat:16s} "
                       f"deps={deps or '-'}")
+            if args.json:
+                import json as _json
+                from .engine import Engine
+                from .pipeline import build_registry
+                from .session import get_spark
+                eng = Engine(get_spark("iot-lake-docs"),
+                             build_registry(streaming=False))
+                with open(args.json, "w") as fh:
+                    _json.dump(eng.docs_manifest(), fh, indent=1)
+                print(f"  manifest written to {args.json}")
         else:
             for up, down in _lineage_edges():
                 print(f"  {up} -> {down}")

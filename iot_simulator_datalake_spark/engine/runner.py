@@ -337,6 +337,29 @@ class Engine:
                 str(self.warehouse / "_audit" / "check_results"))
         return results
 
+    # -- docs --------------------------------------------------------------
+
+    def docs_manifest(self) -> dict:
+        """``dbt docs generate`` analog: one JSON-serializable manifest
+        of the project — models (materialization, schema, deps,
+        contract, description), check inventory, and the warehouse
+        location.  Pure metadata: no Spark job runs."""
+        return {
+            "warehouse": str(self.warehouse),
+            "models": [{
+                "name": m.qualified_name,
+                "layer": m.layer,
+                "schema": m.schema or m.layer,
+                "materialization": m.materialization,
+                "depends_on": list(m.depends_on),
+                "partition_by": list(m.partition_by),
+                "contract": m.contract,
+                "description": (m.description or "").strip(),
+            } for m in self.registry],
+            "checks": [{"name": c.name, "relation": c.relation}
+                       for c in self.checks],
+        }
+
     # -- cleanup -----------------------------------------------------------
 
     def drop_warehouse(self) -> None:

@@ -60,3 +60,19 @@ def test_cli_runs_sql_project(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "gold.fact_iot_events" in out
+
+
+def test_docs_manifest(spark, tmp_path):
+    from iot_simulator_datalake_spark.engine import Engine
+    from iot_simulator_datalake_spark.pipeline import build_registry
+    eng = Engine(spark, build_registry(streaming=False),
+                 warehouse=tmp_path / "wh")
+    man = eng.docs_manifest()
+    names = {m["name"] for m in man["models"]}
+    assert "gold.fact_iot_events" in names and len(man["models"]) == 5
+    silver = next(m for m in man["models"]
+                  if m["name"] == "silver.iot_events")
+    assert silver["contract"]["value"] == "double"   # enforced contract
+    assert silver["depends_on"] == ["bronze.iot_events"]
+    import json
+    json.dumps(man)   # fully serializable
