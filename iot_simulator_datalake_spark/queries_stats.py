@@ -641,3 +641,30 @@ def weighted_sample_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                        1.0 / w.cast("double")).alias("priority"))
     return (p.orderBy(F.col("priority").desc(), "order_id")
             .limit(_WSAMP["k"]).select("order_id", "weight_cents"))
+
+
+@q("mode_median_by_group", ("A1", "A8"), oracle="""
+SELECT l_returnflag AS flag,
+       mode(l_quantity ORDER BY l_quantity) AS mode_qty,
+       median(l_quantity) AS median_qty,
+       quantile_disc(l_quantity, 0.5) AS median_disc_qty
+FROM lineitem GROUP BY 1
+""")
+def mode_median_by_group(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Order-statistic aggregates the sketch family can't replace:
+    exact per-group ``mode`` (deterministic: Spark 4's mode(
+    deterministic=true) returns the LOWEST most-frequent value, matching
+    DuckDB's ORDER BY tie-break), exact continuous ``median`` (float-
+    exact here: quantity medians are dyadic), and the discrete median
+    (``percentile(..., DISC)`` ⇔ quantile_disc — the value form a
+    "typical order size" dashboard wants).  All three run in ONE
+    grouped aggregate pass; at 100 TB mode swaps for the count-min
+    heavy-hitter sketch (gated separately) and median for
+    percentile_approx — same query shape."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(F.expr("mode(l_quantity, false)").alias("mode_qty"),
+                 F.median("l_quantity").alias("median_qty"),
+                 F.expr("percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY l_quantity)")
+                 .alias("median_disc_qty")))
