@@ -1184,3 +1184,59 @@ def unpivot_metric_melt(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.round(F.col("val") * 100).cast("long"))
                  .cast("long").alias("sum_cents")))
+
+
+@q("listagg_ordered_concat", ("A1", "F3"), oracle="""
+SELECT n.n_name AS nation,
+       string_agg(DISTINCT c.c_mktsegment, '|' ORDER BY c.c_mktsegment)
+         AS segments,
+       COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""")
+def listagg_ordered_concat(spark: "SparkSession",
+                           sf_dir: str) -> "DataFrame":
+    """Ordered string aggregation via Spark 4's ANSI `LISTAGG ...
+    WITHIN GROUP` — deterministic BECAUSE of the mandatory ordering
+    (an unordered collect_list + concat varies with partitioning and
+    could never sit under a hash gate).  DISTINCT + ORDER BY inside
+    one aggregate; the result column is the classic "which segments
+    does each nation span" report cell."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.expr("listagg(DISTINCT c_mktsegment, '|') "
+                        "WITHIN GROUP (ORDER BY c_mktsegment)")
+                 .alias("segments"),
+                 F.count(F.lit(1)).alias("n_customers")))
+
+
+@q("try_functions_dirty_cast", ("P7", "F1"), oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT))
+         AS n_castable,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT)
+                          % 10 = 0
+                     THEN NULL
+                     ELSE (CAST(json_extract_string(props, '$.k') AS INT)
+                           * 100)
+                       / NULLIF(CAST(json_extract_string(props, '$.k')
+                                     AS INT) % 10, 0) END)
+         AS BIGINT) AS sum_ratio
+FROM events
+""")
+def try_functions_dirty_cast(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """ANSI-mode-safe dirty-data arithmetic: ``try_cast`` instead of a
+    crash on malformed input and ``try_divide`` instead of a
+    divide-by-zero failure — the functions that let a 100 TB pipeline
+    run with ANSI SQL semantics ON (Spark 4's default) without
+    wrapping every expression in CASE.  Zero divisors yield NULL and
+    drop out of the SUM, matching the oracle's NULLIF restatement."""
+    e = load(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') as int)")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(k).alias("n_castable"),
+        F.sum(F.try_divide(k * 100, k % 10)).cast("long").alias("sum_ratio"))
