@@ -1181,3 +1181,43 @@ def json_schema_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .selectExpr("field", "n_present",
                         "(n_present * 1000000) div n_docs"
                         " AS presence_ppm"))
+
+
+@q("map_token_frequencies", ("F9", "A1"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({O_TOKENS.format(c='text')}) AS w FROM documents
+), freq AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY 1, 2
+)
+SELECT doc_id,
+       COUNT(*) AS n_distinct_tokens,
+       CAST(COALESCE(MAX(CASE WHEN w = 'data' THEN n END), 0) AS BIGINT)
+         AS data_count,
+       CAST(SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_frequent
+FROM freq GROUP BY doc_id
+""")
+def map_token_frequencies(spark: "SparkSession",
+                          sf_dir: str) -> "DataFrame":
+    """MapType(String→Long) as a first-class column (SURVEY §1.3 [EXT]
+    metadata-map type): per-document token-frequency maps built with
+    ``map_from_entries`` over aggregated (token, count) structs, then
+    consumed with the map algebra — ``map_keys`` cardinality,
+    ``element_at`` point lookup, ``map_filter`` + size for a threshold
+    count.  All map construction/access is JVM expression work on the
+    already-aggregated relation (maps never ride a shuffle wider than
+    their entry structs); outputs are scalars so the hash gate is
+    map-iteration-order independent."""
+    d = load(spark, sf_dir, "documents")
+    freq = (d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+            .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n")))
+    mapped = (freq.groupBy("doc_id")
+              .agg(F.map_from_entries(
+                  F.collect_list(F.struct("w", "n"))).alias("tf")))
+    return mapped.select(
+        "doc_id",
+        F.size(F.map_keys("tf")).cast("long").alias("n_distinct_tokens"),
+        F.coalesce(F.element_at("tf", "data"), F.lit(0)).cast("long")
+        .alias("data_count"),
+        F.size(F.map_filter("tf", lambda k, v: v >= 5)).cast("long")
+        .alias("n_frequent"))
