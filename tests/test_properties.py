@@ -304,3 +304,45 @@ def test_snapshot_table_matches_python_reference(spark, tmp_path_factory,
     want = {(k, v, f, t) for k, hist in ref.items()
             for v, f, t in map(tuple, hist)}
     assert got == want
+
+
+@given(left=st.lists(st.tuples(st.sampled_from("ab"), st.integers(0, 40)),
+                     min_size=1, max_size=20),
+       right=st.lists(st.tuples(st.sampled_from("ab"), st.integers(0, 40),
+                                st.integers(0, 99)),
+                      min_size=0, max_size=20),
+       direction=st.sampled_from(["backward", "forward"]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_python_reference(spark, left, right, direction):
+    """asof_join == the naive per-row scan for arbitrary inputs, both
+    directions, including equal-timestamp inclusion and duplicate right
+    timestamps (latest/earliest by the operator's deterministic
+    within-ts ordering)."""
+    from iot_simulator_datalake_spark.operators.asof import asof_join
+
+    # dedupe right on (key, ts): the operator's contract is one row per
+    # right timestamp (real quote/threshold feeds are keyed); keep max v
+    rmap = {}
+    for k, t, v in right:
+        rmap[(k, t)] = max(v, rmap.get((k, t), -1))
+    rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+
+    ldf = spark.createDataFrame([(k, t, i) for i, (k, t) in
+                                 enumerate(left)], "k string, ts int, lid int")
+    rdf = spark.createDataFrame(rrows or [("zz", -1, 0)],
+                                "k string, ts int, v int")
+    got = {r["lid"]: r["right_v"] for r in
+           asof_join(ldf, rdf, on="k", ts="ts",
+                     direction=direction).collect()}
+
+    for i, (k, t) in enumerate(left):
+        if direction == "backward":
+            cand = [(rt, v) for (rk, rt, v) in rrows
+                    if rk == k and rt <= t]
+            want = max(cand)[1] if cand else None
+        else:
+            cand = [(rt, v) for (rk, rt, v) in rrows
+                    if rk == k and rt >= t]
+            want = min(cand)[1] if cand else None
+        assert got.get(i) == want, (i, k, t, direction)
