@@ -69,8 +69,12 @@ def parse_config(text: str) -> dict[str, Any]:
         return {}
     body = m.group(1)
     try:
+        # Jinja spells booleans/none lowercase — accept both casings
         return eval(f"dict({body})",  # noqa: S307 — literal kwargs only
-                    {"__builtins__": {}}, {"dict": dict})
+                    {"__builtins__": {}},
+                    {"dict": dict, "true": True, "false": False,
+                     "none": None, "True": True, "False": False,
+                     "None": None})
     except Exception as e:
         raise ValueError(f"unparseable config block: {body!r}") from e
 

@@ -139,6 +139,13 @@ class SnapshotTable:
     - ``check``: a row changed iff any of ``check_cols`` differs
       (null-safe) — for sources without an update timestamp
 
+    PRECONDITION (same as dbt snapshot): ``unique_key`` must be unique
+    in each presented source state — a duplicated key would fan out
+    through the open-version join exactly like duplicate MERGE sources
+    (see operators/merge.py AmbiguousMergeSourceError); dbt raises on
+    it, and callers here should pre-aggregate latest-wins first
+    (scd1_current) when the feed can carry duplicates.
+
     State lives as parquet at ``path`` with dbt's column vocabulary
     (``dbt_valid_from`` / ``dbt_valid_to`` NULL-while-open).  Per run:
     one join of source against OPEN versions on the unique key + one
