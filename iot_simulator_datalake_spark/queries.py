@@ -597,3 +597,4 @@ from . import queries_ml  # noqa: E402,F401  (import side effect)
 from . import queries_stats  # noqa: E402,F401  (import side effect)
 from . import queries_drift  # noqa: E402,F401  (import side effect)
 from . import queries_retrieval  # noqa: E402,F401  (import side effect)
+from . import queries_curation  # noqa: E402,F401  (import side effect)

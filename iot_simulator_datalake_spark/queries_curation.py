@@ -1,0 +1,354 @@
+"""Corpus-curation filters from the public pre-training-data literature:
+LM-perplexity filtering (CCNet, Wenzek et al. 2020), linear quality
+classification over hashed features (the GPT-3 / fastText quality-filter
+shape), SemDeDup-style semantic cluster pruning (Abbas et al. 2023), and
+Gopher rule-based filtering (Rae et al. 2021, App. A).
+
+These extend the [EXT] training-data surface (SURVEY §2 north stars:
+dedup + text analysis); the reference pipeline itself stops at
+warehouse-style models, so everything here is net-new capability a
+100 TB curation user needs.
+
+Oracle strategy matches the rest of the repo: irrational per-term math
+(log2) quantizes to integer micro-units BEFORE any distributed sum so
+results are order-independent and engine-exact; hashes are md5-hex
+sliced to 15 hex chars and parsed base-16 — identical in Spark
+(``conv(_,16,10)``) and DuckDB (``('0x'||_)::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .functions.text import LANG_LEXICONS, tokens
+from .queries import load, q
+from .queries_ext import O_TOKENS, o_lex_array
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame, SparkSession
+
+
+# =========================================================================
+# Bigram-LM perplexity filter (CCNet-style)
+# =========================================================================
+
+#: DuckDB fragment: (doc_id, prev, cur) adjacent-token pairs.  Docs with
+#: fewer than 2 tokens yield no rows (generate_series(1, 0) is empty) —
+#: the Spark side guards the slice the same way.
+_O_BIGRAMS = f"""
+tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM tok
+), bi AS (
+  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM idx
+)"""
+
+
+def _doc_bigrams(d: "DataFrame") -> "DataFrame":
+    """(doc_id, prev, cur) adjacent-token pairs — map-only (array slice +
+    zip, no posexplode self-join); docs with < 2 tokens vanish, matching
+    the oracle's empty generate_series."""
+    toks = tokens(F.col("text"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.struct(a.alias("prev"), b.alias("cur")))
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    return (d.select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", "p.prev", "p.cur"))
+
+
+@q("bigram_lm_score", ("F9", "A1", "J1"), oracle=f"""
+WITH {_O_BIGRAMS},
+v AS (SELECT COUNT(DISTINCT cur) AS vsz FROM bi),
+c1 AS (SELECT prev, COUNT(*) AS n1 FROM bi GROUP BY 1),
+c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM bi GROUP BY 1, 2),
+term AS (
+  SELECT c2.prev, c2.cur,
+         CAST(ROUND(-log2((n2 + 1.0) / (n1 + vsz)) * 1000000)
+              AS BIGINT) AS ti
+  FROM c2 JOIN c1 USING (prev), v
+)
+SELECT b.doc_id,
+       COUNT(*)::INT AS n_bigrams,
+       ROUND(CAST(SUM(ti) AS DOUBLE) / (COUNT(*) * 1000000.0), 4)
+         AS avg_nll_bits
+FROM bi b JOIN term t ON b.prev = t.prev AND b.cur = t.cur
+GROUP BY 1
+""")
+def bigram_lm_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-document average negative log-likelihood under a corpus-trained
+    add-one-smoothed bigram LM — the CCNet/KenLM perplexity filter
+    (Wenzek et al., "CCNet", LREC 2020): low avg-NLL ≈ fluent in-domain
+    prose, high ≈ gibberish/boilerplate.  Train and score in one plan.
+
+    Scale design: bigram extraction is a map-only array zip (no
+    posexplode self-join); the model (c2 ⋈ c1 + |V|) is
+    distinct-bigram-sized, NOT corpus-sized, so the model build shuffles
+    count partials only.  Scoring joins corpus bigram rows to the model
+    on (prev, cur) — one hash shuffle whose payload is two short tokens
+    per row; AQE picks broadcast when the model fits.  Per-term
+    quantization to integer micro-bits before the per-doc sum keeps the
+    distributed result bit-equal to any serial evaluation.
+    """
+    d = load(spark, sf_dir, "documents")
+    bi = _doc_bigrams(d).cache()  # feeds model build AND scoring
+    vsz = bi.agg(F.countDistinct("cur").alias("vsz"))
+    c1 = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    term = (c2.join(c1, "prev").crossJoin(F.broadcast(vsz))
+            .select("prev", "cur",
+                    F.round(-F.log2((F.col("n2") + F.lit(1.0)) /
+                                    (F.col("n1") + F.col("vsz")))
+                            * 1000000).cast("bigint").alias("ti")))
+    return (bi.join(term, ["prev", "cur"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+                 F.round(F.sum("ti").cast("double") /
+                         (F.count(F.lit(1)) * 1000000.0), 4)
+                 .alias("avg_nll_bits")))
+
+
+# =========================================================================
+# Hashed-feature linear quality classifier (fastText / GPT-3 filter shape)
+# =========================================================================
+
+_CLS_BUCKETS = 1024
+
+
+@q("quality_classifier_score", ("F9", "A1"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({O_TOKENS.format(c='text')}) AS t FROM documents
+), feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT % {_CLS_BUCKETS} AS bkt
+  FROM tok
+), w AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('w#' || CAST(bkt AS VARCHAR)), 1, 15))::BIGINT
+           % 2001 - 1000 AS w_milli
+  FROM feat
+)
+SELECT doc_id,
+       COUNT(*)::INT AS n_tokens,
+       CAST(SUM(w_milli) AS DOUBLE) / (COUNT(*) * 1000.0)
+         AS mean_weight,
+       SUM(w_milli) > 0 AS keep
+FROM w GROUP BY 1
+""")
+def quality_classifier_score(spark: "SparkSession", sf_dir: str
+                             ) -> "DataFrame":
+    """Linear quality classifier over hashed unigram features — the
+    fastText-style filter GPT-3/LLaMA-class pipelines run over Common
+    Crawl (hash each token into one of 1024 buckets, sum per-bucket
+    weights, threshold the mean logit).  Weights here are a
+    deterministic md5-derived stand-in (milli-units in [-1, 1]) so the
+    *plumbing* — feature hashing, weight lookup as pure expression, one
+    map-side-combining aggregate — is real and oracle-gated; swapping in
+    trained weights is a broadcast-join against a 1024-row table.
+
+    Scale design: everything before the per-doc aggregate is a map-only
+    projection (hash → bucket → weight, no lookup table needed at all);
+    the single shuffle carries (doc_id, partial sums).  At 100 TB this
+    is scan-bound — the ideal shape for a corpus-wide filter.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    bkt = (F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+           .cast("bigint") % _CLS_BUCKETS)
+    w_milli = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("w#"), bkt.cast("string"))), 1, 15), 16, 10)
+        .cast("bigint") % 2001 - 1000)
+    return (t.select("doc_id", w_milli.alias("w_milli"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                 # no rounding: numerator and denominator are exact
+                 # integers < 2^53, so the single IEEE division is
+                 # bit-identical in every engine — rounding a quotient
+                 # that can land exactly on a .5 ulp boundary is what
+                 # *breaks* cross-engine equality (milli-weights make
+                 # x.xxx5 quotients common)
+                 (F.sum("w_milli").cast("double") /
+                  (F.count(F.lit(1)) * 1000.0)).alias("mean_weight"),
+                 (F.sum("w_milli") > 0).alias("keep")))
+
+
+# =========================================================================
+# SemDeDup-style semantic cluster pruning
+# =========================================================================
+
+_SEM_TAU = 0.35
+
+_O_SEM_EMB = ("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec "
+              "FROM embeddings")
+_O_SEM_COS = ("ROUND(list_dot_product(a.vec, b.vec) / "
+              "(sqrt(list_dot_product(a.vec, a.vec)) * "
+              "sqrt(list_dot_product(b.vec, b.vec))), 6)")
+
+
+@q("semdedup_prune", ("F10", "J5", "W2"), oracle=f"""
+WITH emb AS ({_O_SEM_EMB}),
+bucketed AS (
+  SELECT vec_id AS id, vec,
+         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM emb
+), mx AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS max_lower_cos
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.id < b.id
+  GROUP BY 1
+)
+SELECT e.id AS vec_id, e.bucket::INT AS cluster, m.max_lower_cos,
+       COALESCE(m.max_lower_cos >= {_SEM_TAU}, FALSE) AS pruned
+FROM bucketed e LEFT JOIN mx m ON e.id = m.id
+""")
+def semdedup_prune(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, and within each
+    cluster prune every item whose cosine to a surviving (lower-id)
+    member exceeds τ — semantic dedup where MinHash sees nothing
+    (paraphrases, re-encodings).  Output is the full keep/prune
+    decision per vector, not just pairs: ``pruned`` rows are the
+    documents a curation pipeline drops.
+
+    Clusters here are deterministic sign-LSH cells (first 4 dims), the
+    same cells the near-dup pair miner uses; production SemDeDup swaps
+    in k-means cells (``kmeans_lloyd``) — the pruning plan is identical.
+
+    Scale design: pairwise cosine runs only WITHIN cells (Σ cell² ≪ N²,
+    and cell size is capped in practice by the k-means K); the shuffle
+    key is the cell id; the per-item MAX combines map-side, so the
+    candidate matrix never materializes.  The keep-lowest-id rule makes
+    the result order-independent — no iterative greedy pass needed.
+    """
+    from .functions.vector import l2_norm, dot
+    from .operators.similarity import sign_bucket
+    e = load(spark, sf_dir, "embeddings")
+    v = (e.select(F.col("vec_id").alias("id"),
+                  F.col("embedding").cast("array<double>").alias("vec"))
+         .withColumn("bucket", sign_bucket(F.col("vec"), 4))
+         .withColumn("norm", l2_norm(F.col("vec"))))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(dot(F.col("a.vec"), F.col("b.vec")) /
+                  (F.col("a.norm") * F.col("b.norm")), 6)
+    mx = (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
+                 (F.col("a.id") < F.col("b.id")))
+          .groupBy(F.col("b.id").alias("id"))
+          .agg(F.max(cos).alias("max_lower_cos")))
+    return (v.join(mx, "id", "left")
+            .select(F.col("id").alias("vec_id"),
+                    F.col("bucket").cast("int").alias("cluster"),
+                    "max_lower_cos",
+                    F.coalesce(F.col("max_lower_cos") >= _SEM_TAU,
+                               F.lit(False)).alias("pruned")))
+
+
+# =========================================================================
+# Gopher rule-based quality filter
+# =========================================================================
+
+#: Gopher App. A thresholds, adapted to the whitespace-token corpus
+#: (the symbol/bullet/ellipsis rules need raw lines, which the synthetic
+#: corpus lacks; the word-level rules are the load-bearing ones).
+_GOPHER = {"min_words": 50, "max_words": 100_000,
+           "min_mean_len": 3.0, "max_mean_len": 10.0,
+           "min_alpha_frac": 0.8, "min_stop_hits": 2,
+           "max_top_share": 0.2}
+
+
+@q("gopher_quality_rules", ("F9", "P7", "A1"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), base AS (
+  SELECT doc_id,
+         len(toks)::INT AS n_words,
+         ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks), 4) AS mean_word_len,
+         ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    AS DOUBLE) / len(toks), 4) AS alpha_frac,
+         len(list_intersect(toks, {o_lex_array(sorted(LANG_LEXICONS['en']))}))
+           AS stop_hits
+  FROM tok WHERE len(toks) > 0
+), tcnt AS (
+  SELECT doc_id, COUNT(*) AS k
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t
+), top AS (
+  SELECT doc_id, MAX(k) AS top_k FROM tcnt GROUP BY 1
+)
+SELECT b.doc_id, b.n_words, b.mean_word_len, b.alpha_frac,
+       ROUND(CAST(t.top_k AS DOUBLE) / b.n_words, 4) AS top_tok_share,
+       b.n_words BETWEEN {_GOPHER['min_words']} AND {_GOPHER['max_words']}
+         AS ok_word_count,
+       b.mean_word_len BETWEEN {_GOPHER['min_mean_len']}
+         AND {_GOPHER['max_mean_len']} AS ok_mean_len,
+       b.alpha_frac >= {_GOPHER['min_alpha_frac']} AS ok_alpha,
+       b.stop_hits >= {_GOPHER['min_stop_hits']} AS ok_stopwords,
+       ROUND(CAST(t.top_k AS DOUBLE) / b.n_words, 4)
+         <= {_GOPHER['max_top_share']} AS ok_repetition,
+       (b.n_words BETWEEN {_GOPHER['min_words']} AND {_GOPHER['max_words']})
+         AND (b.mean_word_len BETWEEN {_GOPHER['min_mean_len']}
+              AND {_GOPHER['max_mean_len']})
+         AND b.alpha_frac >= {_GOPHER['min_alpha_frac']}
+         AND b.stop_hits >= {_GOPHER['min_stop_hits']}
+         AND ROUND(CAST(t.top_k AS DOUBLE) / b.n_words, 4)
+               <= {_GOPHER['max_top_share']} AS keep
+FROM base b JOIN top t USING (doc_id)
+""")
+def gopher_quality_rules(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Gopher rule-based filter (Rae et al. 2021, App. A): per-document
+    boolean verdicts for word-count bounds, mean-word-length bounds,
+    alphabetic-token fraction, stopword presence, and max-single-token
+    share (the repetition gate), plus the conjunction ``keep``.  Rule
+    *flags* rather than a blended score — pipelines route rejects per
+    rule (cf. ``text_quality_score`` for the scalar variant).
+
+    Scale design: every rule except repetition is a map-only array
+    expression over the token array (zero shuffles); repetition needs
+    per-(doc, token) counts — one shuffle keyed by doc_id carrying
+    count partials.  The final join is doc_id-keyed and AQE-local.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(LANG_LEXICONS["en"])])
+    base = (d.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select(
+                "doc_id", "toks",
+                F.size("toks").cast("int").alias("n_words"),
+                F.round(F.aggregate(
+                    "toks", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)).cast("double") /
+                    F.size("toks"), 4).alias("mean_word_len"),
+                F.round(F.size(F.filter(
+                    "toks", lambda x: x.rlike("[a-z]"))).cast("double") /
+                    F.size("toks"), 4).alias("alpha_frac"),
+                F.size(F.array_intersect("toks", stop_arr))
+                .alias("stop_hits")))
+    top = (base.select("doc_id", F.explode("toks").alias("t"))
+           .groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("k"))
+           .groupBy("doc_id").agg(F.max("k").alias("top_k")))
+    g = _GOPHER
+    j = base.join(top, "doc_id")
+    share = F.round(F.col("top_k").cast("double") / F.col("n_words"), 4)
+    ok_wc = F.col("n_words").between(g["min_words"], g["max_words"])
+    ok_ml = F.col("mean_word_len").between(g["min_mean_len"],
+                                           g["max_mean_len"])
+    ok_al = F.col("alpha_frac") >= g["min_alpha_frac"]
+    ok_st = F.col("stop_hits") >= g["min_stop_hits"]
+    ok_rep = share <= g["max_top_share"]
+    return j.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac",
+        share.alias("top_tok_share"),
+        ok_wc.alias("ok_word_count"), ok_ml.alias("ok_mean_len"),
+        ok_al.alias("ok_alpha"), ok_st.alias("ok_stopwords"),
+        ok_rep.alias("ok_repetition"),
+        (ok_wc & ok_ml & ok_al & ok_st & ok_rep).alias("keep"))

@@ -414,3 +414,30 @@ def test_no_hard_broadcast_of_sf_proportional_tables():
             if banned.search(line):
                 offenders.append(f"{f.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_bigram_lm_no_cartesian_model_join_keyed(spark):
+    plan = plan_of(spark, "bigram_lm_score")
+    # model scoring is an equi-join on (prev, cur); the only nested-loop
+    # allowed is the broadcast 1-row |V| scalar
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_single_shuffle_no_join(spark):
+    plan = plan_of(spark, "quality_classifier_score")
+    # weight lookup is pure expression (no lookup-table join); the only
+    # exchange is the per-doc aggregate
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(doc_id") == 1
+
+
+def test_semdedup_pairs_stay_within_buckets(spark):
+    plan = plan_of(spark, "semdedup_prune")
+    # pairwise cosine must be bucket-keyed, never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_rules_no_cartesian(spark):
+    plan = plan_of(spark, "gopher_quality_rules")
+    assert "CartesianProduct" not in plan
