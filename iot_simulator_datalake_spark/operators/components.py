@@ -61,7 +61,13 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # fixpoint — one map-side-combining aggregate per round replaces
     # the previous join-and-count (one fewer shuffle join per round;
     # at bench scale that join was ~40% of per-round wall time).
-    prev_sum: int | None = None
+    # Materialize the fused-init labels once and take their sum as the
+    # loop's starting point: near-dup clusters are near-cliques, so the
+    # init IS usually the fixpoint and the first propagate round merely
+    # confirms it — seeding prev_sum makes that confirmation round the
+    # LAST one instead of paying a second full round to re-confirm.
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum: int | None = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         # neighbour labels: for edge a→b, b receives a's current label
         prop = (sym.join(labels, sym["a"] == labels["node"])

@@ -352,3 +352,107 @@ def gopher_quality_rules(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         ok_al.alias("ok_alpha"), ok_st.alias("ok_stopwords"),
         ok_rep.alias("ok_repetition"),
         (ok_wc & ok_ml & ok_al & ok_st & ok_rep).alias("keep"))
+
+
+# =========================================================================
+# End-to-end curation funnel
+# =========================================================================
+
+_LM_TAU = 4.89     # splits the synthetic corpus ~50/50 (median ≈ 4.886)
+_SRC_CAP = 30      # survivors kept per source (diversity quota)
+
+
+def _funnel_oracle() -> str:
+    """Composes the per-filter oracles (verbatim, from the registry) so
+    the funnel's oracle cannot drift from the filters it chains."""
+    from .queries import REGISTRY
+    g = REGISTRY["gopher_quality_rules"].oracle
+    l = REGISTRY["bigram_lm_score"].oracle
+    c = REGISTRY["quality_classifier_score"].oracle
+    return f"""
+WITH flags AS (
+  SELECT d.doc_id, d.source,
+         g.keep AS g_ok,
+         COALESCE(l.avg_nll_bits <= {_LM_TAU}, FALSE) AS l_ok,
+         c.keep AS c_ok
+  FROM documents d
+  JOIN ({g}) g USING (doc_id)
+  LEFT JOIN ({l}) l USING (doc_id)
+  JOIN ({c}) c USING (doc_id)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source, (g_ok AND l_ok AND c_ok)
+      ORDER BY doc_id) AS rn
+  FROM flags
+), onerow AS (
+  SELECT COUNT(*)::INT AS n0,
+         COUNT(*) FILTER (WHERE g_ok)::INT AS n1,
+         COUNT(*) FILTER (WHERE g_ok AND l_ok)::INT AS n2,
+         COUNT(*) FILTER (WHERE g_ok AND l_ok AND c_ok)::INT AS n3,
+         COUNT(*) FILTER (WHERE g_ok AND l_ok AND c_ok
+                          AND rn <= {_SRC_CAP})::INT AS n4
+  FROM ranked
+)
+SELECT ord, stage, n_docs, CAST(n_docs AS DOUBLE) / n0 AS frac FROM (
+  SELECT 0 AS ord, 'total' AS stage, n0 AS n_docs, n0 FROM onerow
+  UNION ALL SELECT 1, 'gopher_rules', n1, n0 FROM onerow
+  UNION ALL SELECT 2, 'lm_perplexity', n2, n0 FROM onerow
+  UNION ALL SELECT 3, 'quality_classifier', n3, n0 FROM onerow
+  UNION ALL SELECT 4, 'per_source_cap', n4, n0 FROM onerow
+)
+"""
+
+
+@q("curation_funnel_report", ("F9", "A1", "W3", "O1"),
+   oracle=_funnel_oracle())
+def curation_funnel_report(spark: "SparkSession", sf_dir: str
+                           ) -> "DataFrame":
+    """The standard corpus-curation funnel: total → Gopher rules →
+    LM-perplexity gate → quality classifier → per-source diversity cap,
+    reported as per-stage surviving-document counts and fractions (the
+    table every data-curation paper prints, e.g. RefinedWeb Fig. 2's
+    "removal rate per stage").
+
+    Composes the three gated filters ABOVE by joining their outputs on
+    doc_id, so this is also an integration gate: a regression in any
+    filter moves these counts.  Exact dedup is omitted as a stage only
+    because the synthetic corpus has no byte-identical pairs (all 500
+    texts distinct at sf0.01) — composition is `exact_dedup` ∘ this.
+
+    Scale design: each filter is one pass over the corpus (their own
+    plans are gated individually); the funnel adds doc_id-keyed joins
+    (AQE-local after each filter's aggregate), ONE window partitioned by
+    (source, survivor-flag) for the cap — shuffle key has 2·|sources|
+    cells, payload is flag rows, never text — and a 1-row global
+    aggregate unpivoted to 5 stage rows driver-side-free via stack().
+    """
+    d = load(spark, sf_dir, "documents")
+    g = (gopher_quality_rules(spark, sf_dir)
+         .select("doc_id", F.col("keep").alias("g_ok")))
+    l = (bigram_lm_score(spark, sf_dir)
+         .select("doc_id", (F.col("avg_nll_bits") <= _LM_TAU)
+                 .alias("l_ok")))
+    c = (quality_classifier_score(spark, sf_dir)
+         .select("doc_id", F.col("keep").alias("c_ok")))
+    flags = (d.select("doc_id", "source")
+             .join(g, "doc_id").join(l, "doc_id", "left").join(c, "doc_id")
+             .withColumn("l_ok", F.coalesce("l_ok", F.lit(False))))
+    surv = F.col("g_ok") & F.col("l_ok") & F.col("c_ok")
+    ranked = flags.withColumn("rn", F.row_number().over(
+        W.partitionBy("source", surv).orderBy("doc_id")))
+    one = ranked.agg(
+        F.count(F.lit(1)).cast("int").alias("n0"),
+        F.count_if(F.col("g_ok")).cast("int").alias("n1"),
+        F.count_if(F.col("g_ok") & F.col("l_ok")).cast("int").alias("n2"),
+        F.count_if(surv).cast("int").alias("n3"),
+        F.count_if(surv & (F.col("rn") <= _SRC_CAP)).cast("int")
+        .alias("n4"))
+    stages = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(
+            ["total", "gopher_rules", "lm_perplexity",
+             "quality_classifier", "per_source_cap"]))
+    return (one.select(F.expr(f"stack(5, {stages}) AS (ord, stage, n_docs)"),
+                       "n0")
+            .select("ord", "stage", "n_docs",
+                    (F.col("n_docs").cast("double") / F.col("n0"))
+                    .alias("frac")))
