@@ -99,10 +99,17 @@ def bigram_lm_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     distributed result bit-equal to any serial evaluation.
     """
     d = load(spark, sf_dir, "documents")
-    bi = _doc_bigrams(d).cache()  # feeds model build AND scoring
-    vsz = bi.agg(F.countDistinct("cur").alias("vsz"))
-    c1 = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    bi = _doc_bigrams(d)
+    # The whole model derives from ONE corpus-sized aggregation: c2 is
+    # the distinct-bigram count table (vocab²-bounded), and both the
+    # conditional denominator c1 = Σ_cur c2 and |V| = |distinct cur|
+    # re-aggregate c2, never the corpus.  The bigram relation is
+    # therefore computed exactly twice (model pass + scoring pass),
+    # both map-only off the scan — no 10⁹-row cache materialization,
+    # which at ×10 was 1.5× the query's entire linear cost.
     c2 = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    vsz = c2.agg(F.countDistinct("cur").alias("vsz"))
     term = (c2.join(c1, "prev").crossJoin(F.broadcast(vsz))
             .select("prev", "cur",
                     F.round(-F.log2((F.col("n2") + F.lit(1.0)) /
