@@ -98,7 +98,12 @@ def bigram_lm_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     quantization to integer micro-bits before the per-doc sum keeps the
     distributed result bit-equal to any serial evaluation.
     """
-    d = load(spark, sf_dir, "documents")
+    return _bigram_lm(load(spark, sf_dir, "documents"))
+
+
+def _bigram_lm(d: "DataFrame") -> "DataFrame":
+    """Core of :func:`bigram_lm_score` over any (doc_id, text) relation
+    (separated so property tests can feed constructed corpora)."""
     bi = _doc_bigrams(d)
     # The whole model derives from ONE corpus-sized aggregation: c2 is
     # the distinct-bigram count table (vocab²-bounded), and both the

@@ -346,3 +346,32 @@ def test_asof_join_matches_python_reference(spark, left, right, direction):
                     if rk == k and rt >= t]
             want = min(cand)[1] if cand else None
         assert got.get(i) == want, (i, k, t, direction)
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=30),
+                      min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_bigram_lm_matches_python_reference(spark, texts):
+    """bigram_lm_score == a direct Python add-one bigram LM fold (same
+    micro-bit quantization), for arbitrary tiny corpora."""
+    import math
+    from collections import Counter
+    from iot_simulator_datalake_spark.queries_curation import _bigram_lm
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll_bits"])
+           for r in _bigram_lm(df).collect()}
+
+    doc_bi = {i: list(zip(t.lower().split(), t.lower().split()[1:]))
+              for i, t in enumerate(texts)}
+    all_bi = [b for bs in doc_bi.values() for b in bs]
+    c2, c1 = Counter(all_bi), Counter(b[0] for b in all_bi)
+    vsz = len({b[1] for b in all_bi})
+    expected = {}
+    for i, bs in doc_bi.items():
+        if not bs:
+            continue
+        tis = [round(-math.log2((c2[b] + 1.0) / (c1[b[0]] + vsz)) * 1e6)
+               for b in bs]
+        expected[i] = (len(bs), round(sum(tis) / (len(bs) * 1e6), 4))
+    assert got == expected
