@@ -468,3 +468,65 @@ def curation_funnel_report(spark: "SparkSession", sf_dir: str
             .select("ord", "stage", "n_docs",
                     (F.col("n_docs").cast("double") / F.col("n0"))
                     .alias("frac")))
+
+
+def _semdedup_kmeans_oracle() -> str:
+    from .queries_ml import _kmeans_assign_ctes
+    return f"""
+WITH {_kmeans_assign_ctes()},
+emb AS ({_O_SEM_EMB}),
+av AS (
+  SELECT e.vec_id AS id, a.cid, e.vec
+  FROM emb e JOIN afin a ON e.vec_id = a.vec_id
+), mx AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS max_lower_cos
+  FROM av a JOIN av b ON a.cid = b.cid AND a.id < b.id
+  GROUP BY 1
+)
+SELECT v.id AS vec_id, v.cid::INT AS cluster, m.max_lower_cos,
+       COALESCE(m.max_lower_cos >= {_SEM_TAU}, FALSE) AS pruned
+FROM av v LEFT JOIN mx m ON v.id = m.id
+"""
+
+
+@q("semdedup_kmeans_prune", ("F10", "J5", "W2", "A1"),
+   oracle=_semdedup_kmeans_oracle())
+def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str
+                          ) -> "DataFrame":
+    """SemDeDup over TRAINED clusters — the production path: Lloyd
+    k-means (the exact deterministic rounds certified by
+    ``kmeans_lloyd``) assigns every vector a cell, then within each
+    cell any vector whose cosine to a lower-id survivor exceeds τ is
+    pruned.  The sign-LSH twin above trades cluster quality for a
+    training-free assignment; this one is what SemDeDup (Abbas et al.
+    2023) actually prescribes (their K ≈ 11k cells on LAION).
+
+    Scale design: the clustering's per-round cost is one broadcast
+    join + argmin aggregate (see queries_ml docstring); pruning is
+    pairwise ONLY within cells, so its cost is Σ cell² — bounded by
+    choosing K ∝ corpus/target-cell-size, exactly the K-selection rule
+    the paper uses.  Nothing in the composition shuffles vectors more
+    than once per stage, and the keep-lowest-id rule keeps the output
+    independent of execution order.
+    """
+    from .functions.vector import dot, l2_norm
+    from .queries_ml import lloyd_final
+    _, afin, _ = lloyd_final(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    v = (e.select(F.col("vec_id").alias("id"),
+                  F.col("embedding").cast("array<double>").alias("vec"))
+         .join(afin.select(F.col("vec_id").alias("id"), "cid"), "id")
+         .withColumn("norm", l2_norm(F.col("vec"))))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(dot(F.col("a.vec"), F.col("b.vec")) /
+                  (F.col("a.norm") * F.col("b.norm")), 6)
+    mx = (a.join(b, (F.col("a.cid") == F.col("b.cid")) &
+                 (F.col("a.id") < F.col("b.id")))
+          .groupBy(F.col("b.id").alias("id"))
+          .agg(F.max(cos).alias("max_lower_cos")))
+    return (v.join(mx, "id", "left")
+            .select(F.col("id").alias("vec_id"),
+                    F.col("cid").cast("int").alias("cluster"),
+                    "max_lower_cos",
+                    F.coalesce(F.col("max_lower_cos") >= _SEM_TAU,
+                               F.lit(False)).alias("pruned")))

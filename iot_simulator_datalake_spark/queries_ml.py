@@ -70,13 +70,15 @@ _STEP_SQL = """
 )"""
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_assign_ctes() -> str:
+    """WITH-body through the final assignment (`afin`: vec_id → cid) —
+    shared by the k-means oracle below and by downstream consumers of
+    the clustering (``semdedup_kmeans_prune`` in queries_curation)."""
     steps = "".join(
         _STEP_SQL.format(k=k, prev=f"c{k - 1}" if k > 1 else "c0")
         for k in range(1, _ITERS + 1))
     last = f"c{_ITERS}"
-    return f"""
-WITH pts AS ({_PTS_SQL}),
+    return f"""pts AS ({_PTS_SQL}),
 c0 AS (SELECT vec_id AS cid, d, qv AS cv FROM pts WHERE vec_id < {_K})
 {steps}
 , dfin AS (
@@ -88,7 +90,14 @@ c0 AS (SELECT vec_id AS cid, d, qv AS cv FROM pts WHERE vec_id < {_K})
   SELECT dd.vec_id, MIN(dd.cid) AS cid
   FROM dfin dd JOIN mfin mm ON dd.vec_id = mm.vec_id AND dd.dist2 = mm.md
   GROUP BY 1
-), stats AS (
+)"""
+
+
+def _kmeans_oracle() -> str:
+    last = f"c{_ITERS}"
+    return f"""
+WITH {_kmeans_assign_ctes()}
+, stats AS (
   SELECT a.cid, COUNT(*) AS n_points, CAST(SUM(m.md) AS BIGINT) AS inertia
   FROM afin a JOIN mfin m USING (vec_id) GROUP BY 1
 ), cs AS (
@@ -101,14 +110,13 @@ FROM cs LEFT JOIN stats st USING (cid)
 """
 
 
-@q("kmeans_lloyd", ("F10", "A1", "J1", "W3"), oracle=_kmeans_oracle())
-def kmeans_lloyd(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Two exact Lloyd k-means rounds (k=8) over quantized embeddings;
-    returns per-cluster size, inertia and a centroid checksum.  Each
-    round: broadcast-join points to centroids on dim, integer-exact
-    distance aggregate, per-point argmin (ties → lowest cid),
-    floor-division centroid update, empty clusters keep their previous
-    centroid.  See module docstring for determinism + scale."""
+def lloyd_final(spark: "SparkSession", sf_dir: str
+                ) -> tuple["DataFrame", "DataFrame", "DataFrame"]:
+    """Run the deterministic Lloyd rounds and return
+    ``(cent, afin, mfin)`` — final centroids (cid, d, cv), final
+    assignment (vec_id, cid) and final min-distance (vec_id, md).
+    Shared by ``kmeans_lloyd`` and the SemDeDup k-means pruner
+    (queries_curation.semdedup_kmeans_prune)."""
     emb = load(spark, sf_dir, "embeddings")
     pts = (emb.select(
         "vec_id",
@@ -150,6 +158,18 @@ def kmeans_lloyd(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         cent = spark.createDataFrame(cent.collect(), cent.schema)
 
     afin, mfin = assign(cent)
+    return cent, afin, mfin
+
+
+@q("kmeans_lloyd", ("F10", "A1", "J1", "W3"), oracle=_kmeans_oracle())
+def kmeans_lloyd(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Two exact Lloyd k-means rounds (k=8) over quantized embeddings;
+    returns per-cluster size, inertia and a centroid checksum.  Each
+    round: broadcast-join points to centroids on dim, integer-exact
+    distance aggregate, per-point argmin (ties → lowest cid),
+    floor-division centroid update, empty clusters keep their previous
+    centroid.  See module docstring for determinism + scale."""
+    cent, afin, mfin = lloyd_final(spark, sf_dir)
     stats = (afin.join(mfin, "vec_id")
              .groupBy("cid")
              .agg(F.count(F.lit(1)).alias("n_points"),
