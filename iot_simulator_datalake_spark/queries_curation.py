@@ -530,3 +530,82 @@ def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str
                     "max_lower_cos",
                     F.coalesce(F.col("max_lower_cos") >= _SEM_TAU,
                                F.lit(False)).alias("pruned")))
+
+
+_SEM_CAP = 64  # max members per pruning cell (sub-split above this)
+
+
+@q("semdedup_prune_capped", ("F10", "J5", "W2"), oracle=f"""
+WITH emb AS ({_O_SEM_EMB}),
+bucketed AS (
+  SELECT vec_id AS id, vec,
+         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM emb
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS n FROM bucketed
+), sub AS (
+  SELECT id, vec, bucket, n,
+         CASE WHEN n <= {_SEM_CAP} THEN 0
+              ELSE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                   % ((n + {_SEM_CAP} - 1) // {_SEM_CAP})
+         END AS sub
+  FROM sized
+), mx AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS max_lower_cos
+  FROM sub a JOIN sub b
+    ON a.bucket = b.bucket AND a.sub = b.sub AND a.id < b.id
+  GROUP BY 1
+)
+SELECT s.id AS vec_id, s.bucket::INT AS cluster, s.sub::INT AS subcell,
+       m.max_lower_cos,
+       COALESCE(m.max_lower_cos >= {_SEM_TAU}, FALSE) AS pruned
+FROM sub s LEFT JOIN mx m ON s.id = m.id
+""")
+def semdedup_prune_capped(spark: "SparkSession", sf_dir: str
+                          ) -> "DataFrame":
+    """``semdedup_prune`` with a hard cell-size cap — the guard that
+    makes within-cell pairwise pruning safe when the clustering is
+    imperfect (the embedding analog of ``dedup_minhash_lsh_capped``'s
+    hot-band cap): a cell with n > cap members is deterministically
+    split into ⌈n/cap⌉ sub-cells by md5(id), so pair cost is bounded by
+    cells·cap² no matter how skewed the cell distribution gets (a giant
+    near-duplicate cluster, a degenerate quantizer, an all-zeros
+    embedding bug).  The trade is recall ACROSS sub-cells of the same
+    cell — exactly the trade SemDeDup makes by raising K, but enforced
+    locally so one pathological cell cannot take down the stage.
+
+    Plan: cell sizes come from ONE count window over (already tiny)
+    cell keys, the sub-cell id is a pure expression, and the pair join
+    key widens to (cell, sub-cell) — no new shuffle of vectors.
+    """
+    from .functions.vector import dot, l2_norm
+    from .operators.similarity import sign_bucket
+    e = load(spark, sf_dir, "embeddings")
+    v = (e.select(F.col("vec_id").alias("id"),
+                  F.col("embedding").cast("array<double>").alias("vec"))
+         .withColumn("bucket", sign_bucket(F.col("vec"), 4))
+         .withColumn("norm", l2_norm(F.col("vec"))))
+    n = F.count(F.lit(1)).over(W.partitionBy("bucket"))
+    sub = F.when(F.col("n") <= _SEM_CAP, F.lit(0).cast("bigint")).otherwise(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") %
+        F.floor((F.col("n") + _SEM_CAP - 1) / _SEM_CAP).cast("bigint"))
+    v = (v.withColumn("n", n).withColumn("sub", sub))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(dot(F.col("a.vec"), F.col("b.vec")) /
+                  (F.col("a.norm") * F.col("b.norm")), 6)
+    mx = (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
+                 (F.col("a.sub") == F.col("b.sub")) &
+                 (F.col("a.id") < F.col("b.id")))
+          .groupBy(F.col("b.id").alias("id"))
+          .agg(F.max(cos).alias("max_lower_cos")))
+    return (v.join(mx, "id", "left")
+            .select(F.col("id").alias("vec_id"),
+                    F.col("bucket").cast("int").alias("cluster"),
+                    F.col("sub").cast("int").alias("subcell"),
+                    "max_lower_cos",
+                    F.coalesce(F.col("max_lower_cos") >= _SEM_TAU,
+                               F.lit(False)).alias("pruned")))

@@ -122,3 +122,24 @@ def test_fuzzy_dedup_report_consistent_with_clusters(spark):
         assert r["n_kept"] == kept
         assert r["n_removed"] == n - kept
         assert r["n_kept"] >= 1          # every source keeps something
+
+
+def test_semdedup_cap_bounds_cell_sizes(spark):
+    """The capped SemDeDup variant must actually split oversized cells:
+    at sf0.1 the 16 sign-cells hold ~125 vectors each (cap=64), so
+    every cell splits into ≥2 sub-cells and no sub-cell holds more than
+    ~2× the cap (md5 splitting is uniform-in-expectation; the fixed
+    corpus makes the observed max deterministic)."""
+    from iot_simulator_datalake_spark.queries_curation import (
+        semdedup_prune_capped, _SEM_CAP)
+    out = semdedup_prune_capped(spark, "/root/testdata/sf0.1")
+    from pyspark.sql import functions as F
+    sizes = (out.groupBy("cluster", "subcell")
+             .agg(F.count("*").alias("n"),
+                  F.countDistinct("subcell").alias("_"))
+             .collect())
+    assert max(r["n"] for r in sizes) <= 2 * _SEM_CAP
+    n_sub = {}
+    for r in sizes:
+        n_sub.setdefault(r["cluster"], set()).add(r["subcell"])
+    assert max(len(s) for s in n_sub.values()) >= 2  # cap triggered
