@@ -135,6 +135,18 @@ def _bigram_lm(d: "DataFrame") -> "DataFrame":
 _CLS_BUCKETS = 1024
 
 
+def _w_milli(tok: "Column") -> "Column":
+    """Per-token classifier weight in milli-units: hash the token into
+    one of ``_CLS_BUCKETS`` buckets, derive the bucket weight from md5
+    of the bucket id — pure expression, identical recipe in the DuckDB
+    oracles."""
+    bkt = (F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
+           .cast("bigint") % _CLS_BUCKETS)
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit("w#"), bkt.cast("string"))), 1, 15), 16, 10)
+        .cast("bigint") % 2001 - 1000)
+
+
 @q("quality_classifier_score", ("F9", "A1"), oracle=f"""
 WITH tok AS (
   SELECT doc_id, unnest({O_TOKENS.format(c='text')}) AS t FROM documents
@@ -173,12 +185,7 @@ def quality_classifier_score(spark: "SparkSession", sf_dir: str
     """
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    bkt = (F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
-           .cast("bigint") % _CLS_BUCKETS)
-    w_milli = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("w#"), bkt.cast("string"))), 1, 15), 16, 10)
-        .cast("bigint") % 2001 - 1000)
-    return (t.select("doc_id", w_milli.alias("w_milli"))
+    return (t.select("doc_id", _w_milli(F.col("t")).alias("w_milli"))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
                  # no rounding: numerator and denominator are exact
@@ -609,3 +616,63 @@ def semdedup_prune_capped(spark: "SparkSession", sf_dir: str
                     "max_lower_cos",
                     F.coalesce(F.col("max_lower_cos") >= _SEM_TAU,
                                F.lit(False)).alias("pruned")))
+
+
+# =========================================================================
+# Streaming curation: the classifier as a stateless stream transform
+# =========================================================================
+
+@q("streaming_quality_filter", ("ST1", "ST3", "ST4", "F9"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({O_TOKENS.format(c='text')}) AS t FROM documents
+), w AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('w#' || CAST(
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % {_CLS_BUCKETS}
+           AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS w_milli
+  FROM tok
+)
+SELECT doc_id,
+       COUNT(*)::INT AS n_tokens,
+       CAST(SUM(w_milli) AS DOUBLE) / (COUNT(*) * 1000.0) AS mean_weight,
+       SUM(w_milli) > 0 AS keep
+FROM w GROUP BY 1
+""")
+def streaming_quality_filter(spark: "SparkSession", sf_dir: str
+                             ) -> "DataFrame":
+    """The quality classifier running INSIDE a Structured Streaming
+    query (ST4 stateless transform): readStream over the documents
+    parquet → per-doc score computed as ONE array expression
+    (aggregate over transform of the token array — no explode, no
+    groupBy, therefore no streaming state at all) → append-mode memory
+    sink drained with Trigger.AvailableNow.
+
+    This is the shape a 100 TB ingest-time filter runs in production:
+    scoring new documents as they land costs zero shuffle and zero
+    state store — every row is scored and routed in the map stage of
+    the micro-batch.  Result set equals the batch classifier (same
+    oracle recipe), which is the equivalence the gate certifies.
+    """
+    import uuid
+    from .streaming.runner import run_stream_available_now
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    toks = tokens(F.col("text"))
+    w_sum = F.aggregate(
+        F.transform(toks, lambda t: _w_milli(t)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    n = F.size(toks)
+    scored = (stream
+              .filter(n > 0)
+              .select("doc_id",
+                      n.cast("int").alias("n_tokens"),
+                      (w_sum.cast("double") / (n * 1000.0))
+                      .alias("mean_weight"),
+                      (w_sum > 0).alias("keep")))
+    name = f"stream_qfilter_{uuid.uuid4().hex[:8]}"
+    writer = (scored.writeStream.outputMode("append")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    return spark.table(name)
