@@ -23,7 +23,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .functions.text import LANG_LEXICONS, tokens
+from .functions.text import LANG_LEXICONS, ngrams, tokens
 from .queries import load, q
 from .queries_ext import O_TOKENS, o_lex_array
 
@@ -676,3 +676,70 @@ def streaming_quality_filter(spark: "SparkSession", sf_dir: str
               .format("memory").queryName(name))
     run_stream_available_now(writer)
     return spark.table(name)
+
+
+# =========================================================================
+# Exact-substring duplication coverage (Lee et al. 2022)
+# =========================================================================
+
+_SUB_W = 8  # window length in tokens (the paper uses 50 BPE tokens;
+            # scaled to the short synthetic docs so values spread)
+
+
+@q("substring_dup_coverage", ("W2", "J5", "F9"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) <= {_SUB_W}
+           THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+{_SUB_W - 1}], ' ')
+                 for i in generate_series(1, len(toks) - {_SUB_W - 1})]
+         END)) AS g
+  FROM tok
+), h AS (
+  SELECT doc_id, md5(g) AS gh FROM sh
+), cnt AS (
+  SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY 1
+)
+SELECT doc_id,
+       COUNT(*)::INT AS n_windows,
+       COUNT(*) FILTER (WHERE nd > 1)::INT AS dup_windows,
+       CAST(COUNT(*) FILTER (WHERE nd > 1) AS DOUBLE) / COUNT(*)
+         AS dup_frac
+FROM h JOIN cnt USING (gh)
+GROUP BY 1
+""")
+def substring_dup_coverage(spark: "SparkSession", sf_dir: str
+                           ) -> "DataFrame":
+    """Exact-substring duplication coverage per document — the
+    window-level dedup tier of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): a token window that
+    appears verbatim in ANY other document is duplicated text, and a
+    document's dup-window fraction is the signal for span-level
+    removal (vs MinHash's whole-doc verdicts).  Their suffix-array
+    oracle is replaced by the distributed equivalent: hash every
+    distinct W-token window, count distinct docs per window hash, and
+    roll back up to the document.
+
+    Scale design: windows are hashed to 16-byte md5 BEFORE any
+    shuffle, so both shuffles (per-window doc count; per-doc rollup)
+    move (hash, id) pairs, never text — the contamination-check shape,
+    turned inward on the corpus itself.  Both aggregates combine
+    map-side; nothing is pairwise, so a window shared by a million
+    docs costs one count row, not 10¹² pairs (the degenerate case that
+    breaks pairwise dedup is the cheap case here).
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  F.explode(ngrams(tokens(F.col("text")), _SUB_W))
+                  .alias("g"))
+    h = sh.select("doc_id", F.md5("g").alias("gh"))
+    cnt = h.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.count_if(F.col("nd") > 1)
+    return (h.join(cnt, "gh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_windows"),
+                 dup.cast("int").alias("dup_windows"),
+                 (dup.cast("double") / F.count(F.lit(1)))
+                 .alias("dup_frac")))
