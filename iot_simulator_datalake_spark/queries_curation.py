@@ -655,9 +655,16 @@ def streaming_quality_filter(spark: "SparkSession", sf_dir: str
     """
     import uuid
     from .streaming.runner import run_stream_available_now
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "documents.parquet")
+    # the file stream source requires a DIRECTORY: stream the table
+    # path when it is one (replica layouts), else glob the single file
+    # from its parent (the driver's single-file layout) — glob-on-parent
+    # alone silently matches nothing for directory layouts
+    import os
+    path = f"{sf_dir}/documents.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    stream = (reader.parquet(path) if os.path.isdir(path) else
+              reader.option("pathGlobFilter", "documents.parquet")
               .parquet(sf_dir))
     toks = tokens(F.col("text"))
     w_sum = F.aggregate(
