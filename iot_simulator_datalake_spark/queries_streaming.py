@@ -23,6 +23,21 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 
+def _stream_source(spark: "SparkSession", raw_schema, sf_dir: str,
+                   table: str = "events"):
+    """Layout-aware file-stream source for a driver table: stream the
+    table path when it is a directory of part files (replica / lake
+    layouts); otherwise glob the single file from its parent — the file
+    stream source refuses a plain-file basePath, and glob-on-parent
+    alone silently matches nothing for directory layouts."""
+    import os
+    path = f"{sf_dir}/{table}.parquet"
+    reader = spark.readStream.schema(raw_schema)
+    return (reader.parquet(path) if os.path.isdir(path) else
+            reader.option("pathGlobFilter", f"{table}.parquet")
+            .parquet(sf_dir))
+
+
 @q("streaming_hourly_rollup", ("ST1", "ST3", "ST5", "A6"), oracle=f"""
 SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events, {osum('value')} AS total_value
@@ -36,9 +51,7 @@ def streaming_hourly_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     state matches the batch oracle exactly."""
     batch = load(spark, sf_dir, "events")     # handles ns→µs conversion
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
+    stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -83,8 +96,7 @@ def streaming_sessionization(spark: "SparkSession",
     session_window's end is last-event+gap, so subtract the gap to get
     the oracle's MAX(ts)."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -124,8 +136,7 @@ def streaming_interval_join(spark: "SparkSession",
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def stream():
-        s = (spark.readStream.schema(raw_schema)
-             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        s = _stream_source(spark, raw_schema, sf_dir)
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return s
@@ -208,8 +219,7 @@ def streaming_enriched_rollup(spark: "SparkSession",
     re-probed each micro-batch, which is why this shape scales to any
     stream rate as long as the dim broadcasts."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -251,8 +261,7 @@ def streaming_dedup_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def stream():
-        s = (spark.readStream.schema(raw_schema)
-             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        s = _stream_source(spark, raw_schema, sf_dir)
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return s
@@ -315,8 +324,7 @@ def streaming_interval_join_left(spark: "SparkSession",
     source per trigger, independent of data size."""
     import tempfile
 
-    raw = spark.read.option("pathGlobFilter", "events.parquet") \
-        .parquet(sf_dir)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw_schema = raw.schema
     ts_is_long = dict(raw.dtypes).get("ts") == "bigint"
     max_ts = raw.agg(F.max("ts")).first()[0]
@@ -406,9 +414,7 @@ def streaming_hopping_rollup(spark: "SparkSession",
     pre-aggregate to the slide granularity and re-window in batch.
     """
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
+    stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -459,9 +465,7 @@ def streaming_stateful_totals(spark: "SparkSession",
     """
     from .streaming.stateful import quantize_micro, running_totals_micro
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
+    stream = _stream_source(spark, raw_schema, sf_dir)
     out = running_totals_micro(
         quantize_micro(stream, "user_id", "value").groupBy("key"))
     name = f"stream_tws_{uuid.uuid4().hex[:8]}"
@@ -505,8 +509,7 @@ def streaming_anomaly_scores(spark: "SparkSession",
          .cast("double").alias("s2"),
         F.count("value").cast("double").alias("n")))
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -550,8 +553,7 @@ def streaming_topk_users_hourly(spark: "SparkSession",
     engine-stable.  At scale the serving-side rank is WindowGroupLimit
     over |windows × keys| aggregated rows, not raw events."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -601,8 +603,7 @@ def streaming_apply_changes(spark: "SparkSession",
 
     from .operators.scd import ApplyChanges
 
-    raw = spark.read.option("pathGlobFilter", "events.parquet") \
-        .parquet(sf_dir)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw_schema = raw.schema
     ts_is_long = dict(raw.dtypes).get("ts") == "bigint"
 
@@ -656,8 +657,7 @@ def streaming_psi_drift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
           .select(psi_bin().alias("bin"))
           .groupBy("bin").agg(F.count("*").alias("ra")))
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -695,8 +695,7 @@ def streaming_hll_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     accumulation + serving-side merge algebra.
     """
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
