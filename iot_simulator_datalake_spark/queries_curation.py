@@ -101,9 +101,12 @@ def bigram_lm_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return _bigram_lm(load(spark, sf_dir, "documents"))
 
 
-def _bigram_lm(d: "DataFrame") -> "DataFrame":
+def _bigram_lm(d: "DataFrame", c2: "DataFrame | None" = None
+               ) -> "DataFrame":
     """Core of :func:`bigram_lm_score` over any (doc_id, text) relation
-    (separated so property tests can feed constructed corpora)."""
+    (separated so property tests can feed constructed corpora, and so
+    an externally-maintained model — the incrementally-merged count
+    table — can be injected in place of the in-plan aggregation)."""
     bi = _doc_bigrams(d)
     # The whole model derives from ONE corpus-sized aggregation: c2 is
     # the distinct-bigram count table (vocab²-bounded), and both the
@@ -112,7 +115,8 @@ def _bigram_lm(d: "DataFrame") -> "DataFrame":
     # therefore computed exactly twice (model pass + scoring pass),
     # both map-only off the scan — no 10⁹-row cache materialization,
     # which at ×10 was 1.5× the query's entire linear cost.
-    c2 = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    if c2 is None:
+        c2 = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
     vsz = c2.agg(F.countDistinct("cur").alias("vsz"))
     term = (c2.join(c1, "prev").crossJoin(F.broadcast(vsz))
@@ -750,3 +754,46 @@ def substring_dup_coverage(spark: "SparkSession", sf_dir: str
                  dup.cast("int").alias("dup_windows"),
                  (dup.cast("double") / F.count(F.lit(1)))
                  .alias("dup_frac")))
+
+
+@q("incremental_bigram_lm_equals_batch", ("F9", "A1", "ST2"), oracle=f"""
+WITH {_O_BIGRAMS},
+v AS (SELECT COUNT(DISTINCT cur) AS vsz FROM bi),
+c1 AS (SELECT prev, COUNT(*) AS n1 FROM bi GROUP BY 1),
+c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM bi GROUP BY 1, 2),
+term AS (
+  SELECT c2.prev, c2.cur,
+         CAST(ROUND(-log2((n2 + 1.0) / (n1 + vsz)) * 1000000)
+              AS BIGINT) AS ti
+  FROM c2 JOIN c1 USING (prev), v
+)
+SELECT b.doc_id,
+       COUNT(*)::INT AS n_bigrams,
+       ROUND(CAST(SUM(ti) AS DOUBLE) / (COUNT(*) * 1000000.0), 4)
+         AS avg_nll_bits
+FROM bi b JOIN term t ON b.prev = t.prev AND b.cur = t.cur
+GROUP BY 1
+""")
+def incremental_bigram_lm_equals_batch(spark: "SparkSession", sf_dir: str
+                                       ) -> "DataFrame":
+    """Incremental LM-model maintenance invariant: fold the corpus's
+    bigram counts in TWO batches through ``IncrementalAggTable``
+    (mergeable count partials at (prev, cur) granularity, atomic state
+    swap), inject the merged model into the scorer — the result must
+    hash-equal the one-shot model (the batch oracle).  This is how the
+    perplexity filter stays cheap on a growing corpus: new documents
+    merge count partials (O(batch + model)), they never retrain
+    (O(corpus)).  Smoothing (|V|, c1) derives from the maintained c2
+    at read time, so the incremental path shares the scorer verbatim.
+    """
+    import tempfile
+    from .engine.incremental import IncrementalAggTable, MergeableAgg
+    d = load(spark, sf_dir, "documents")
+    t = IncrementalAggTable(
+        spark, tempfile.mkdtemp(prefix="inc_lm_") + "/state",
+        keys=["prev", "cur"],
+        metrics=[MergeableAgg("n2", lambda: F.count(F.lit(1)),
+                              lambda c: F.sum(F.col(c)))])
+    t.refresh(_doc_bigrams(d.filter(F.col("doc_id") % 2 == 0)))
+    t.refresh(_doc_bigrams(d.filter(F.col("doc_id") % 2 == 1)))
+    return _bigram_lm(d, c2=t.read())

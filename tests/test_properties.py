@@ -375,3 +375,31 @@ def test_bigram_lm_matches_python_reference(spark, texts):
                for b in bs]
         expected[i] = (len(bs), round(sum(tis) / (len(bs) * 1e6), 4))
     assert got == expected
+
+
+@given(texts=st.lists(st.text(alphabet="xy z", min_size=0, max_size=25),
+                      min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_quality_classifier_matches_python_reference(spark, texts):
+    """Hashed-feature classifier == direct Python md5 fold."""
+    import hashlib
+    from iot_simulator_datalake_spark.queries_curation import (
+        _w_milli, _CLS_BUCKETS)
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    from iot_simulator_datalake_spark.functions.text import tokens
+    t = df.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    got = {(r["doc_id"], r["w"]) for r in
+           t.select("doc_id", _w_milli(F.col("t")).alias("w")).collect()}
+
+    def w_ref(tok: str) -> int:
+        bkt = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) \
+            % _CLS_BUCKETS
+        return int(hashlib.md5(f"w#{bkt}".encode()).hexdigest()[:15], 16) \
+            % 2001 - 1000
+    expected = set()
+    for i, txt in enumerate(texts):
+        for tok in txt.lower().split():
+            expected.add((i, w_ref(tok)))
+    # sets, not multisets: duplicate tokens map to the same weight
+    assert got == expected
