@@ -797,3 +797,97 @@ def incremental_bigram_lm_equals_batch(spark: "SparkSession", sf_dir: str
     t.refresh(_doc_bigrams(d.filter(F.col("doc_id") % 2 == 0)))
     t.refresh(_doc_bigrams(d.filter(F.col("doc_id") % 2 == 1)))
     return _bigram_lm(d, c2=t.read())
+
+
+@q("substring_dedup_rewrite", ("W2", "J5", "F9"), oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks))) AS p
+  FROM tok
+), tokp AS (
+  SELECT doc_id, p, toks[p] AS t FROM pos
+), win AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_SUB_W - 1})) AS i
+  FROM tok WHERE len(toks) >= {_SUB_W}
+), wh AS (
+  SELECT doc_id, i,
+         md5(array_to_string(toks[i:i+{_SUB_W - 1}], ' ')) AS gh
+  FROM win
+), dup AS (
+  SELECT gh FROM wh GROUP BY gh HAVING COUNT(*) > 1
+), covered AS (
+  SELECT DISTINCT w.doc_id, w.i + off.o AS p
+  FROM wh w JOIN dup USING (gh)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_SUB_W - 1})) AS o) off
+), kept AS (
+  SELECT tp.doc_id, tp.p, tp.t
+  FROM tokp tp LEFT JOIN covered c
+    ON tp.doc_id = c.doc_id AND tp.p = c.p
+  WHERE c.p IS NULL
+)
+SELECT t.doc_id,
+       len(t.toks)::INT AS n_tokens,
+       (len(t.toks) - COUNT(k.p))::INT AS n_removed,
+       COALESCE(string_agg(k.t, ' ' ORDER BY k.p), '') AS cleaned_text
+FROM tok t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, len(t.toks)
+""")
+def substring_dedup_rewrite(spark: "SparkSession", sf_dir: str
+                            ) -> "DataFrame":
+    """Span-level dedup REWRITE (the second half of Lee et al. 2022):
+    every token covered by a W-token window that appears more than once
+    in the corpus is removed, and the document is reconstructed from
+    the surviving tokens — the only operator in the dedup family that
+    edits documents instead of issuing keep/drop verdicts.  (Their
+    suffix-array pass removes one occurrence and keeps one; the
+    remove-all-covered policy here is the conservative variant used
+    when boilerplate — headers, license blocks — is the target.)
+
+    Scale design: window hashes (16-byte md5) are the ONLY shuffled
+    representation of text content — the dup set is found by one
+    count-per-hash aggregate (never pairwise); covered positions
+    explode from dup window STARTS (O(dup windows × W), proportional
+    to the text being deleted, not the corpus); the rebuild is one
+    per-doc sort-and-join of surviving tokens.  An all-boilerplate
+    corpus maximizes deletions but stays linear — degenerate dup mass
+    is again the cheap case.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"))
+    tokp = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "t")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "t")
+    win = (base.filter(F.size("toks") >= _SUB_W)
+           .select("doc_id",
+                   F.posexplode(F.expr(
+                       f"transform(sequence(1, size(toks) - {_SUB_W - 1}),"
+                       f" i -> array_join(slice(toks, i, {_SUB_W}), ' '))"
+                   )).alias("i0", "g"))
+           .select("doc_id", (F.col("i0") + 1).alias("i"),
+                   F.md5("g").alias("gh")))
+    dup = (win.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") > 1).select("gh"))
+    covered = (win.join(dup, "gh")
+               .select("doc_id",
+                       F.explode(F.sequence(
+                           F.col("i"), F.col("i") + _SUB_W - 1)).alias("p"))
+               .distinct())
+    kept = tokp.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("p", "t"))),
+                            lambda s: s["t"]), " ").alias("cleaned_text")))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.size("toks").cast("int").alias("n_tokens"),
+                    (F.size("toks") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("int").alias("n_removed"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                    .alias("cleaned_text")))
