@@ -187,7 +187,12 @@ def quality_classifier_score(spark: "SparkSession", sf_dir: str
     the single shuffle carries (doc_id, partial sums).  At 100 TB this
     is scan-bound — the ideal shape for a corpus-wide filter.
     """
-    d = load(spark, sf_dir, "documents")
+    return _classifier(load(spark, sf_dir, "documents"))
+
+
+def _classifier(d: "DataFrame") -> "DataFrame":
+    """Core of :func:`quality_classifier_score` over any (doc_id, text)
+    relation — shared with the curation Engine DAG."""
     t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     return (t.select("doc_id", _w_milli(F.col("t")).alias("w_milli"))
             .groupBy("doc_id")
@@ -339,7 +344,12 @@ def gopher_quality_rules(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     per-(doc, token) counts — one shuffle keyed by doc_id carrying
     count partials.  The final join is doc_id-keyed and AQE-local.
     """
-    d = load(spark, sf_dir, "documents")
+    return _gopher_rules(load(spark, sf_dir, "documents"))
+
+
+def _gopher_rules(d: "DataFrame") -> "DataFrame":
+    """Core of :func:`gopher_quality_rules` over any (doc_id, text)
+    relation — shared with the curation Engine DAG."""
     toks = tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(w) for w in sorted(LANG_LEXICONS["en"])])
     base = (d.select("doc_id", toks.alias("toks"))
@@ -457,6 +467,14 @@ def curation_funnel_report(spark: "SparkSession", sf_dir: str
                  .alias("l_ok")))
     c = (quality_classifier_score(spark, sf_dir)
          .select("doc_id", F.col("keep").alias("c_ok")))
+    return _funnel_report(d, g, l, c)
+
+
+def _funnel_report(d: "DataFrame", g: "DataFrame", l: "DataFrame",
+                   c: "DataFrame") -> "DataFrame":
+    """Funnel tail over pre-computed flag relations: g = (doc_id,
+    g_ok), l = (doc_id, l_ok), c = (doc_id, c_ok) — shared with the
+    curation Engine DAG, whose models materialize the flags first."""
     flags = (d.select("doc_id", "source")
              .join(g, "doc_id").join(l, "doc_id", "left").join(c, "doc_id")
              .withColumn("l_ok", F.coalesce("l_ok", F.lit(False))))
@@ -891,3 +909,31 @@ def substring_dedup_rewrite(spark: "SparkSession", sf_dir: str
                     .cast("int").alias("n_removed"),
                     F.coalesce("cleaned_text", F.lit(""))
                     .alias("cleaned_text")))
+
+
+@q("engine_curation_pipeline", ("O1", "O5", "F9", "A1", "W3"),
+   oracle=_funnel_oracle())
+def engine_curation_pipeline(spark: "SparkSession", sf_dir: str
+                             ) -> "DataFrame":
+    """The curation filter stack as the THIRD certified Engine DAG
+    (pipeline/curation_models.py): bronze landing → materialized
+    bigram-LM model table + flag tables → gold funnel report, with the
+    quality contract (unique/relationship checks + a singular check
+    that the funnel is monotonically non-increasing) asserted inside
+    the gate.  Same oracle as ``curation_funnel_report`` — the DAG
+    must produce byte-identical results to the single-plan query,
+    proving materialization boundaries don't change semantics."""
+    import tempfile
+    from .engine import Engine
+    from .pipeline.curation_models import (attach_curation_checks,
+                                           build_curation_registry)
+    workdir = tempfile.mkdtemp(prefix="curation_pipeline_")
+    eng = Engine(spark, build_curation_registry(),
+                 config={"documents_path": f"{sf_dir}/documents.parquet"},
+                 warehouse=f"{workdir}/wh")
+    attach_curation_checks(eng)
+    eng.run()
+    failures = [r for r in eng.test() if not r.passed]
+    if failures:
+        raise AssertionError(f"curation checks failed: {failures}")
+    return eng.table("gold.curation_funnel")
