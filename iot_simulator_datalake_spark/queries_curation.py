@@ -937,3 +937,68 @@ def engine_curation_pipeline(spark: "SparkSession", sf_dir: str
     if failures:
         raise AssertionError(f"curation checks failed: {failures}")
     return eng.table("gold.curation_funnel")
+
+
+@q("embedding_decontaminate", ("F10", "J5", "P5"), oracle=f"""
+WITH emb AS ({_O_SEM_EMB}),
+b AS (
+  SELECT vec_id AS id, vec,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 AS bkt,
+         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS cell
+  FROM emb
+),
+train AS (SELECT * FROM b WHERE bkt < 80),
+eval_ AS (SELECT * FROM b WHERE bkt >= 90),
+mx AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS max_train_cos
+  FROM train a JOIN eval_ b ON a.cell = b.cell
+  GROUP BY 1
+)
+SELECT e.id AS vec_id, m.max_train_cos,
+       COALESCE(m.max_train_cos >= {_SEM_TAU}, FALSE) AS contaminated
+FROM eval_ e LEFT JOIN mx m ON e.id = m.id
+""")
+def embedding_decontaminate(spark: "SparkSession", sf_dir: str
+                            ) -> "DataFrame":
+    """Embedding-level benchmark decontamination: flag every EVAL
+    vector whose cosine to any TRAIN vector exceeds τ — the semantic
+    twin of ``contamination_ngram`` (n-gram leakage catches verbatim
+    copies; embedding leakage catches paraphrased eval items, the
+    failure mode n-grams miss).  Splits reuse dataset_split's md5
+    buckets (train < 80, eval ≥ 90) so all three leakage surfaces
+    agree on what "train" and "eval" mean.
+
+    Scale design: the scoring join is sign-cell-keyed (never
+    all-pairs) and ASYMMETRIC — eval is benchmark-sized (≤10% here, a
+    fixed suite in production), so Spark broadcasts the eval side and
+    the 100 TB train side never shuffles; per-eval MAX combines
+    map-side.  Production swaps sign cells for the trained k-means
+    cells exactly as in ``semdedup_kmeans_prune``.
+    """
+    from .functions.vector import dot, l2_norm
+    from .operators.similarity import sign_bucket
+    e = load(spark, sf_dir, "embeddings")
+    bkt = (F.conv(F.substring(
+        F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100)
+    v = (e.select(F.col("vec_id").alias("id"),
+                  F.col("embedding").cast("array<double>").alias("vec"))
+         .withColumn("bkt", bkt)
+         .withColumn("cell", sign_bucket(F.col("vec"), 4))
+         .withColumn("norm", l2_norm(F.col("vec"))))
+    train = v.filter(F.col("bkt") < 80)
+    ev = v.filter(F.col("bkt") >= 90)
+    a, b = train.alias("a"), ev.alias("b")
+    cos = F.round(dot(F.col("a.vec"), F.col("b.vec")) /
+                  (F.col("a.norm") * F.col("b.norm")), 6)
+    mx = (a.join(b, F.col("a.cell") == F.col("b.cell"))
+          .groupBy(F.col("b.id").alias("id"))
+          .agg(F.max(cos).alias("max_train_cos")))
+    return (ev.join(mx, "id", "left")
+            .select(F.col("id").alias("vec_id"), "max_train_cos",
+                    F.coalesce(F.col("max_train_cos") >= _SEM_TAU,
+                               F.lit(False)).alias("contaminated")))
