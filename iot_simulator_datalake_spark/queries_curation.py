@@ -1002,3 +1002,79 @@ def embedding_decontaminate(spark: "SparkSession", sf_dir: str
             .select(F.col("id").alias("vec_id"), "max_train_cos",
                     F.coalesce(F.col("max_train_cos") >= _SEM_TAU,
                                F.lit(False)).alias("contaminated")))
+
+
+@q("semdedup_cap_recall_eval", ("F10", "A1"), oracle=f"""
+WITH emb AS ({_O_SEM_EMB}),
+bucketed AS (
+  SELECT vec_id AS id, vec,
+         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM emb
+), mx AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS max_lower_cos
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.id < b.id
+  GROUP BY 1
+), uncapped AS (
+  SELECT e.id, COALESCE(m.max_lower_cos >= {_SEM_TAU}, FALSE) AS pruned
+  FROM bucketed e LEFT JOIN mx m ON e.id = m.id
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS n FROM bucketed
+), sub AS (
+  SELECT id, vec, bucket,
+         CASE WHEN n <= {_SEM_CAP} THEN 0
+              ELSE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                   % ((n + {_SEM_CAP} - 1) // {_SEM_CAP})
+         END AS sub
+  FROM sized
+), mxc AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS max_lower_cos
+  FROM sub a JOIN sub b
+    ON a.bucket = b.bucket AND a.sub = b.sub AND a.id < b.id
+  GROUP BY 1
+), capped AS (
+  SELECT s.id, COALESCE(m.max_lower_cos >= {_SEM_TAU}, FALSE) AS pruned
+  FROM sub s LEFT JOIN mxc m ON s.id = m.id
+)
+SELECT COUNT(*)::INT AS n_vectors,
+       COUNT(*) FILTER (WHERE u.pruned)::INT AS pruned_uncapped,
+       COUNT(*) FILTER (WHERE c.pruned)::INT AS pruned_capped,
+       COUNT(*) FILTER (WHERE u.pruned AND c.pruned)::INT AS agree_pruned,
+       CAST(COUNT(*) FILTER (WHERE u.pruned AND c.pruned) AS DOUBLE)
+         / NULLIF(COUNT(*) FILTER (WHERE u.pruned), 0) AS cap_recall
+FROM uncapped u JOIN capped c USING (id)
+""")
+def semdedup_cap_recall_eval(spark: "SparkSession", sf_dir: str
+                             ) -> "DataFrame":
+    """Trust gate for the SemDeDup cell-size cap (the analog of
+    ``ann_recall_eval`` for the prune path): what fraction of the
+    uncapped prune decisions does the capped variant preserve?
+    ``cap_recall`` below ~0.9 says the cap is splitting real duplicate
+    neighborhoods and K (or the cap) needs raising — measured, not
+    assumed, which is the repo's standing rule for every approximate
+    path.
+
+    Cost note: this runs BOTH variants, so it is an offline QA query
+    over a sample, not a production stage; at 100 TB you run it on a
+    deterministic hash-sample (hash_sample_* pattern) exactly like
+    `ann_recall_eval`.
+    """
+    u = (semdedup_prune(spark, sf_dir)
+         .select(F.col("vec_id").alias("id"),
+                 F.col("pruned").alias("u_pruned")))
+    c = (semdedup_prune_capped(spark, sf_dir)
+         .select(F.col("vec_id").alias("id"),
+                 F.col("pruned").alias("c_pruned")))
+    both = u.join(c, "id")
+    agree = F.count_if(F.col("u_pruned") & F.col("c_pruned"))
+    n_u = F.count_if(F.col("u_pruned"))
+    return both.agg(
+        F.count(F.lit(1)).cast("int").alias("n_vectors"),
+        n_u.cast("int").alias("pruned_uncapped"),
+        F.count_if(F.col("c_pruned")).cast("int").alias("pruned_capped"),
+        agree.cast("int").alias("agree_pruned"),
+        (agree.cast("double") /
+         F.nullif(n_u.cast("double"), F.lit(0.0))).alias("cap_recall"))
