@@ -101,13 +101,19 @@ def minhash_signatures(df: DataFrame, text_col: str, key_col: str, *,
     return _sigs_from_exploded(ex, n_hashes)
 
 
-def _sigs_from_exploded(ex: DataFrame, n_hashes: int) -> DataFrame:
+def _sigs_from_exploded(ex: DataFrame, n_hashes: int,
+                        with_size: bool = False) -> DataFrame:
     """Signatures from (key, shingle) rows: one md5 projection, K
-    slice-mins with map-side combine."""
+    slice-mins with map-side combine.  ``with_size`` adds the per-key
+    distinct-shingle count ``sz`` in the SAME aggregate — the shingle
+    rows are distinct per (key, s) (ngrams() is array_distinct), so
+    |set| is a free count riding the signature shuffle."""
     hashed = ex.select("key", F.md5(F.col("s")).alias("h"))
-    return hashed.groupBy("key").agg(*[
-        F.min(F.substring("h", i * _SLICE + 1, _SLICE)).alias(f"sig_{i}")
-        for i in range(n_hashes)])
+    aggs = [F.min(F.substring("h", i * _SLICE + 1, _SLICE)).alias(f"sig_{i}")
+            for i in range(n_hashes)]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("sz"))
+    return hashed.groupBy("key").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
@@ -143,7 +149,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
         F.col(key_col).alias("key"),
         F.explode(ngrams(tokens(F.col(text_col)), shingle_n)).alias("s")
     ).cache()
-    sigs = _sigs_from_exploded(ex, n_hashes)
+    sigs = _sigs_from_exploded(ex, n_hashes, with_size=True).cache()
     band_keys = F.array(*[
         F.md5(F.concat_ws("|", F.lit(str(b)),
                           *[F.col(f"sig_{b * rows_per_band + r}")
@@ -178,7 +184,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     exc = ex.join(ckeys, "key", "leftsemi").cache()
     # |a∩b| by joining candidate pairs to both sides' shingle rows;
     # |a∪b| = |a| + |b| − |a∩b| (shingle sets are distinct).
-    sizes = exc.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
+    # |shingle set| per doc comes from the signature aggregate above —
+    # no second pass over (candidate) shingle rows
+    sizes = sigs.select("key", "sz")
     ex_a = exc.select(F.col("key").alias("key_a"), F.col("s"))
     ex_b = exc.select(F.col("key").alias("key_b"), F.col("s"))
     inter = (cand.join(ex_a, "key_a").join(ex_b, ["key_b", "s"])
