@@ -668,3 +668,63 @@ def mode_median_by_group(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  F.expr("percentile_disc(0.5) WITHIN GROUP "
                         "(ORDER BY l_quantity)")
                  .alias("median_disc_qty")))
+
+
+@q("segment_overlap_distinct", ("A2", "A8", "J5"), oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sz AS (
+  SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+         COUNT(*) AS n_inter
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.seg_a, i.seg_b,
+       sa.n AS n_a, sb.n AS n_b, i.n_inter,
+       sa.n + sb.n - i.n_inter AS n_union,
+       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sz sa ON i.seg_a = sa.event_type
+JOIN sz sb ON i.seg_b = sb.event_type
+""")
+def segment_overlap_distinct(spark: "SparkSession", sf_dir: str
+                             ) -> "DataFrame":
+    """Exact distinct-user overlap between every pair of behavioral
+    segments (event types): |A|, |B|, |A∩B|, |A∪B| and Jaccard — the
+    audience-overlap question theta sketches exist to answer
+    (HLL unions but cannot intersect; theta sketches intersect
+    approximately; this is the exact ground truth the sketch path is
+    validated against, the same exact-twin discipline as
+    `heavy_hitters_exact` for frequent-items).
+
+    Scale design: dedup to distinct (user, segment) FIRST (one
+    shuffle, map-side combine), then self-join on user_id — each user
+    contributes at most |segments|² pairs, so the blow-up is bounded
+    by segment-count², never user-count².  Segment sizes ride a
+    separate segment-keyed aggregate; the final joins are
+    segment-cardinality-sized.  At 100 TB with thousands of segments,
+    swap the exact intersection for theta sketches per segment and
+    keep THIS query on a hash-sample as the recall gate.
+    """
+    e = load(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (a.join(b, (F.col("a.user_id") == F.col("b.user_id")) &
+                    (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("seg_a"),
+                      F.col("b.event_type").alias("seg_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sz.select(F.col("event_type").alias("seg_a"),
+                   F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("seg_b"),
+                   F.col("n").alias("n_b"))
+    u = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (inter.join(sa, "seg_a").join(sb, "seg_b")
+            .select("seg_a", "seg_b", "n_a", "n_b", "n_inter",
+                    u.alias("n_union"),
+                    (F.col("n_inter").cast("double") / u)
+                    .alias("jaccard")))
