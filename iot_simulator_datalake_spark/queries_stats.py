@@ -728,3 +728,112 @@ def segment_overlap_distinct(spark: "SparkSession", sf_dir: str
                     u.alias("n_union"),
                     (F.col("n_inter").cast("double") / u)
                     .alias("jaccard")))
+
+
+_KMV_K = 64
+
+
+@q("segment_overlap_kmv", ("A8", "W3"), oracle=f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM ut
+), sk AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS r
+    FROM h
+  ) WHERE r <= {_KMV_K}
+), pairs AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b, a.hv,
+         (b.hv IS NOT NULL) AS in_b
+  FROM sk a LEFT JOIN sk b
+    ON a.hv = b.hv AND a.event_type < b.event_type
+  WHERE b.event_type IS NOT NULL OR TRUE
+), uni AS (
+  SELECT s1.event_type AS seg_a, s2.event_type AS seg_b, hv
+  FROM (SELECT DISTINCT event_type FROM sk) s1
+  JOIN (SELECT DISTINCT event_type FROM sk) s2
+    ON s1.event_type < s2.event_type
+  JOIN sk u ON u.event_type IN (s1.event_type, s2.event_type)
+  GROUP BY 1, 2, hv
+), unionk AS (
+  SELECT seg_a, seg_b, hv,
+         ROW_NUMBER() OVER (PARTITION BY seg_a, seg_b ORDER BY hv) AS r
+  FROM uni
+), theta AS (
+  SELECT seg_a, seg_b, MAX(hv) AS kth, COUNT(*) AS ku
+  FROM unionk WHERE r <= {_KMV_K} GROUP BY 1, 2
+), inboth AS (
+  SELECT u.seg_a, u.seg_b,
+         COUNT(*) FILTER (WHERE a.hv IS NOT NULL
+                          AND b.hv IS NOT NULL) AS n_both
+  FROM (SELECT seg_a, seg_b, hv FROM unionk WHERE r <= {_KMV_K}) u
+  LEFT JOIN sk a ON a.event_type = u.seg_a AND a.hv = u.hv
+  LEFT JOIN sk b ON b.event_type = u.seg_b AND b.hv = u.hv
+  GROUP BY 1, 2
+)
+SELECT t.seg_a, t.seg_b, t.ku::INT AS k_union,
+       i.n_both::INT AS n_both,
+       CAST(i.n_both AS DOUBLE) / t.ku AS jaccard_est
+FROM theta t JOIN inboth i USING (seg_a, seg_b)
+""")
+def segment_overlap_kmv(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Approximate segment overlap via K-Minimum-Values sketches — the
+    scale path beside ``segment_overlap_distinct``'s exact twin: per
+    segment keep the K smallest md5(user) values; for each segment
+    pair, Jaccard ≈ |both-sketch members among the union's K smallest|
+    / K (Beyer et al., SIGMOD'07).  md5 makes the sketch DETERMINISTIC,
+    so the estimate itself is oracle-gated — the approximation is
+    certified, not just the machinery.
+
+    Scale design: sketches are K rows per segment (a per-segment top-K
+    window with WindowGroupLimit partial ranking — no full sort);
+    everything pairwise happens between K-row sketches, so pair cost is
+    segments²·K regardless of user count.  The exact query above is
+    the recall gate; at production segment counts only this one runs.
+    """
+    e = load(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    hv = (F.conv(F.substring(
+        F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint"))
+    h = ut.select("event_type", hv.alias("hv"))
+    w = W.partitionBy("event_type").orderBy("hv")
+    sk = (h.withColumn("r", F.row_number().over(w))
+          .filter(F.col("r") <= _KMV_K).drop("r").cache())
+    segs = sk.select("event_type").distinct()
+    sp = (segs.alias("s1").join(
+        segs.alias("s2"),
+        F.col("s1.event_type") < F.col("s2.event_type"))
+        .select(F.col("s1.event_type").alias("seg_a"),
+                F.col("s2.event_type").alias("seg_b")))
+    # union sample: both sketches' values per pair, deduped, K smallest
+    ua = sp.join(sk.select(F.col("event_type").alias("seg_a"), "hv"),
+                 "seg_a")
+    ub = sp.join(sk.select(F.col("event_type").alias("seg_b"), "hv"),
+                 "seg_b")
+    uni = ua.unionByName(ub).distinct()
+    wk = W.partitionBy("seg_a", "seg_b").orderBy("hv")
+    unionk = (uni.withColumn("r", F.row_number().over(wk))
+              .filter(F.col("r") <= _KMV_K).drop("r"))
+    a_side = sk.select(F.col("event_type").alias("et_a"),
+                       F.col("hv").alias("hv_a"))
+    b_side = sk.select(F.col("event_type").alias("et_b"),
+                       F.col("hv").alias("hv_b"))
+    marked = (unionk
+              .join(a_side, (F.col("seg_a") == F.col("et_a")) &
+                    (F.col("hv") == F.col("hv_a")), "left")
+              .join(b_side, (F.col("seg_b") == F.col("et_b")) &
+                    (F.col("hv") == F.col("hv_b")), "left"))
+    return (marked.groupBy("seg_a", "seg_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("k_union"),
+                 F.count_if(F.col("hv_a").isNotNull() &
+                            F.col("hv_b").isNotNull())
+                 .cast("int").alias("n_both"))
+            .select("seg_a", "seg_b", "k_union", "n_both",
+                    (F.col("n_both").cast("double") / F.col("k_union"))
+                    .alias("jaccard_est")))
