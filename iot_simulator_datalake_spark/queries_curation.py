@@ -221,6 +221,23 @@ _O_SEM_COS = ("ROUND(list_dot_product(a.vec, b.vec) / "
               "sqrt(list_dot_product(b.vec, b.vec))), 6)")
 
 
+def _max_lower_cos(v: "DataFrame", key_cols: list) -> "DataFrame":
+    """(id, max_lower_cos): per vector, the max cosine to ANY lower-id
+    vector sharing ``key_cols`` — the shared core of every SemDeDup
+    variant (sign-cell / k-means-cell / capped sub-cell).  ``v`` must
+    carry id, vec, norm and the key columns."""
+    from .functions.vector import dot
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for k in key_cols:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    cos = F.round(dot(F.col("a.vec"), F.col("b.vec")) /
+                  (F.col("a.norm") * F.col("b.norm")), 6)
+    return (a.join(b, cond)
+            .groupBy(F.col("b.id").alias("id"))
+            .agg(F.max(cos).alias("max_lower_cos")))
+
+
 @q("semdedup_prune", ("F10", "J5", "W2"), oracle=f"""
 WITH emb AS ({_O_SEM_EMB}),
 bucketed AS (
@@ -242,8 +259,8 @@ FROM bucketed e LEFT JOIN mx m ON e.id = m.id
 """)
 def semdedup_prune(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """SemDeDup (Abbas et al. 2023): cluster embeddings, and within each
-    cluster prune every item whose cosine to a surviving (lower-id)
-    member exceeds τ — semantic dedup where MinHash sees nothing
+    cluster prune every item whose cosine to ANY lower-id member
+    (pruned or not) exceeds τ — semantic dedup where MinHash sees nothing
     (paraphrases, re-encodings).  Output is the full keep/prune
     decision per vector, not just pairs: ``pruned`` rows are the
     documents a curation pipeline drops.
@@ -258,20 +275,14 @@ def semdedup_prune(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     candidate matrix never materializes.  The keep-lowest-id rule makes
     the result order-independent — no iterative greedy pass needed.
     """
-    from .functions.vector import l2_norm, dot
+    from .functions.vector import l2_norm
     from .operators.similarity import sign_bucket
     e = load(spark, sf_dir, "embeddings")
     v = (e.select(F.col("vec_id").alias("id"),
                   F.col("embedding").cast("array<double>").alias("vec"))
          .withColumn("bucket", sign_bucket(F.col("vec"), 4))
          .withColumn("norm", l2_norm(F.col("vec"))))
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.round(dot(F.col("a.vec"), F.col("b.vec")) /
-                  (F.col("a.norm") * F.col("b.norm")), 6)
-    mx = (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
-                 (F.col("a.id") < F.col("b.id")))
-          .groupBy(F.col("b.id").alias("id"))
-          .agg(F.max(cos).alias("max_lower_cos")))
+    mx = _max_lower_cos(v, ["bucket"])
     return (v.join(mx, "id", "left")
             .select(F.col("id").alias("vec_id"),
                     F.col("bucket").cast("int").alias("cluster"),
@@ -525,8 +536,10 @@ def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str
     """SemDeDup over TRAINED clusters — the production path: Lloyd
     k-means (the exact deterministic rounds certified by
     ``kmeans_lloyd``) assigns every vector a cell, then within each
-    cell any vector whose cosine to a lower-id survivor exceeds τ is
-    pruned.  The sign-LSH twin above trades cluster quality for a
+    cell any vector whose cosine to ANY lower-id member (pruned or
+    not) exceeds τ is pruned — one pass, order-independent; the
+    iterative keep-one-survivor greedy variant differs only when a
+    chain's middle element is pruned.  The sign-LSH twin above trades cluster quality for a
     training-free assignment; this one is what SemDeDup (Abbas et al.
     2023) actually prescribes (their K ≈ 11k cells on LAION).
 
@@ -538,7 +551,7 @@ def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str
     than once per stage, and the keep-lowest-id rule keeps the output
     independent of execution order.
     """
-    from .functions.vector import dot, l2_norm
+    from .functions.vector import l2_norm
     from .queries_ml import lloyd_final
     _, afin, _ = lloyd_final(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
@@ -546,13 +559,7 @@ def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str
                   F.col("embedding").cast("array<double>").alias("vec"))
          .join(afin.select(F.col("vec_id").alias("id"), "cid"), "id")
          .withColumn("norm", l2_norm(F.col("vec"))))
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.round(dot(F.col("a.vec"), F.col("b.vec")) /
-                  (F.col("a.norm") * F.col("b.norm")), 6)
-    mx = (a.join(b, (F.col("a.cid") == F.col("b.cid")) &
-                 (F.col("a.id") < F.col("b.id")))
-          .groupBy(F.col("b.id").alias("id"))
-          .agg(F.max(cos).alias("max_lower_cos")))
+    mx = _max_lower_cos(v, ["cid"])
     return (v.join(mx, "id", "left")
             .select(F.col("id").alias("vec_id"),
                     F.col("cid").cast("int").alias("cluster"),
@@ -610,7 +617,7 @@ def semdedup_prune_capped(spark: "SparkSession", sf_dir: str
     cell keys, the sub-cell id is a pure expression, and the pair join
     key widens to (cell, sub-cell) — no new shuffle of vectors.
     """
-    from .functions.vector import dot, l2_norm
+    from .functions.vector import l2_norm
     from .operators.similarity import sign_bucket
     e = load(spark, sf_dir, "embeddings")
     v = (e.select(F.col("vec_id").alias("id"),
@@ -623,14 +630,7 @@ def semdedup_prune_capped(spark: "SparkSession", sf_dir: str
         .cast("bigint") %
         F.floor((F.col("n") + _SEM_CAP - 1) / _SEM_CAP).cast("bigint"))
     v = (v.withColumn("n", n).withColumn("sub", sub))
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.round(dot(F.col("a.vec"), F.col("b.vec")) /
-                  (F.col("a.norm") * F.col("b.norm")), 6)
-    mx = (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
-                 (F.col("a.sub") == F.col("b.sub")) &
-                 (F.col("a.id") < F.col("b.id")))
-          .groupBy(F.col("b.id").alias("id"))
-          .agg(F.max(cos).alias("max_lower_cos")))
+    mx = _max_lower_cos(v, ["bucket", "sub"])
     return (v.join(mx, "id", "left")
             .select(F.col("id").alias("vec_id"),
                     F.col("bucket").cast("int").alias("cluster"),
@@ -676,18 +676,10 @@ def streaming_quality_filter(spark: "SparkSession", sf_dir: str
     oracle recipe), which is the equivalence the gate certifies.
     """
     import uuid
+    from .queries_streaming import _stream_source
     from .streaming.runner import run_stream_available_now
-    # the file stream source requires a DIRECTORY: stream the table
-    # path when it is one (replica layouts), else glob the single file
-    # from its parent (the driver's single-file layout) — glob-on-parent
-    # alone silently matches nothing for directory layouts
-    import os
-    path = f"{sf_dir}/documents.parquet"
-    raw_schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(raw_schema)
-    stream = (reader.parquet(path) if os.path.isdir(path) else
-              reader.option("pathGlobFilter", "documents.parquet")
-              .parquet(sf_dir))
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = _stream_source(spark, raw_schema, sf_dir, table="documents")
     toks = tokens(F.col("text"))
     w_sum = F.aggregate(
         F.transform(toks, lambda t: _w_milli(t)),

@@ -737,7 +737,7 @@ _KMV_K = 64
 WITH ut AS (
   SELECT DISTINCT user_id, event_type FROM events
 ), h AS (
-  SELECT event_type,
+  SELECT DISTINCT event_type,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
            AS hv
   FROM ut
@@ -747,12 +747,6 @@ WITH ut AS (
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS r
     FROM h
   ) WHERE r <= {_KMV_K}
-), pairs AS (
-  SELECT a.event_type AS seg_a, b.event_type AS seg_b, a.hv,
-         (b.hv IS NOT NULL) AS in_b
-  FROM sk a LEFT JOIN sk b
-    ON a.hv = b.hv AND a.event_type < b.event_type
-  WHERE b.event_type IS NOT NULL OR TRUE
 ), uni AS (
   SELECT s1.event_type AS seg_a, s2.event_type AS seg_b, hv
   FROM (SELECT DISTINCT event_type FROM sk) s1
@@ -765,7 +759,7 @@ WITH ut AS (
          ROW_NUMBER() OVER (PARTITION BY seg_a, seg_b ORDER BY hv) AS r
   FROM uni
 ), theta AS (
-  SELECT seg_a, seg_b, MAX(hv) AS kth, COUNT(*) AS ku
+  SELECT seg_a, seg_b, COUNT(*) AS ku
   FROM unionk WHERE r <= {_KMV_K} GROUP BY 1, 2
 ), inboth AS (
   SELECT u.seg_a, u.seg_b,
@@ -801,7 +795,10 @@ def segment_overlap_kmv(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     hv = (F.conv(F.substring(
         F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
         .cast("bigint"))
-    h = ut.select("event_type", hv.alias("hv"))
+    # the sketch is a SET of hash values: distinct first, so a 60-bit
+    # collision between two users in one segment contributes one value
+    # (and the membership joins below cannot fan out)
+    h = ut.select("event_type", hv.alias("hv")).distinct()
     w = W.partitionBy("event_type").orderBy("hv")
     sk = (h.withColumn("r", F.row_number().over(w))
           .filter(F.col("r") <= _KMV_K).drop("r").cache())
@@ -824,16 +821,20 @@ def segment_overlap_kmv(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                        F.col("hv").alias("hv_a"))
     b_side = sk.select(F.col("event_type").alias("et_b"),
                        F.col("hv").alias("hv_b"))
+    # k_union is a property of the union sample alone — count it BEFORE
+    # the membership joins (the oracle's theta CTE does the same)
+    kcnt = unionk.groupBy("seg_a", "seg_b").agg(
+        F.count(F.lit(1)).cast("int").alias("k_union"))
     marked = (unionk
               .join(a_side, (F.col("seg_a") == F.col("et_a")) &
                     (F.col("hv") == F.col("hv_a")), "left")
               .join(b_side, (F.col("seg_b") == F.col("et_b")) &
                     (F.col("hv") == F.col("hv_b")), "left"))
-    return (marked.groupBy("seg_a", "seg_b")
-            .agg(F.count(F.lit(1)).cast("int").alias("k_union"),
-                 F.count_if(F.col("hv_a").isNotNull() &
+    both = (marked.groupBy("seg_a", "seg_b")
+            .agg(F.count_if(F.col("hv_a").isNotNull() &
                             F.col("hv_b").isNotNull())
-                 .cast("int").alias("n_both"))
+                 .cast("int").alias("n_both")))
+    return (kcnt.join(both, ["seg_a", "seg_b"])
             .select("seg_a", "seg_b", "k_union", "n_both",
                     (F.col("n_both").cast("double") / F.col("k_union"))
                     .alias("jaccard_est")))

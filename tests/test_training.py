@@ -135,8 +135,7 @@ def test_semdedup_cap_bounds_cell_sizes(spark):
     out = semdedup_prune_capped(spark, "/root/testdata/sf0.1")
     from pyspark.sql import functions as F
     sizes = (out.groupBy("cluster", "subcell")
-             .agg(F.count("*").alias("n"),
-                  F.countDistinct("subcell").alias("_"))
+             .agg(F.count("*").alias("n"))
              .collect())
     assert max(r["n"] for r in sizes) <= 2 * _SEM_CAP
     n_sub = {}
