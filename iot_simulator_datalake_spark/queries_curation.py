@@ -151,7 +151,7 @@ def _w_milli(tok: "Column") -> "Column":
         .cast("bigint") % 2001 - 1000)
 
 
-@q("quality_classifier_score", ("F9", "A1"), oracle=f"""
+@q("quality_classifier_score", ("F9", "A1"), bench=True, oracle=f"""
 WITH tok AS (
   SELECT doc_id, unnest({O_TOKENS.format(c='text')}) AS t FROM documents
 ), feat AS (
@@ -304,7 +304,8 @@ _GOPHER = {"min_words": 50, "max_words": 100_000,
            "max_top_share": 0.2}
 
 
-@q("gopher_quality_rules", ("F9", "P7", "A1"), oracle=f"""
+@q("gopher_quality_rules", ("F9", "P7", "A1"), bench=True,
+   oracle=f"""
 WITH tok AS (
   SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
 ), base AS (
