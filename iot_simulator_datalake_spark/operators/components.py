@@ -67,7 +67,15 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # confirms it — seeding prev_sum makes that confirmation round the
     # LAST one instead of paying a second full round to re-confirm.
     labels = labels.localCheckpoint(eager=True)
-    prev_sum: int | None = labels.agg(F.sum("comp")).collect()[0][0]
+    # The Σcomp check requires numeric labels (F.sum over strings is
+    # NULL, and None == None would exit the loop after one round no
+    # matter what) — for non-numeric node ids fall back to an exact
+    # changed-row probe: one extra node-keyed join per round, paid only
+    # on the string-id path.
+    from pyspark.sql.types import NumericType
+    numeric = isinstance(labels.schema["comp"].dataType, NumericType)
+    prev_sum: int | None = (
+        labels.agg(F.sum("comp")).collect()[0][0] if numeric else None)
     for _ in range(max_iter):
         # neighbour labels: for edge a→b, b receives a's current label
         prop = (sym.join(labels, sym["a"] == labels["node"])
@@ -75,9 +83,17 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         new = (labels.union(prop)
                .groupBy("node").agg(F.min("comp").alias("comp"))
                .localCheckpoint(eager=True))  # truncate per-round lineage
-        cur_sum = new.agg(F.sum("comp")).collect()[0][0]
-        labels = new
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if numeric:
+            cur_sum = new.agg(F.sum("comp")).collect()[0][0]
+            labels = new
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (new.alias("n").join(labels.alias("o"), "node")
+                       .filter(F.col("n.comp") != F.col("o.comp"))
+                       .limit(1).count())
+            labels = new
+            if changed == 0:
+                break
     return labels

@@ -185,8 +185,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     # |a∩b| by joining candidate pairs to both sides' shingle rows;
     # |a∪b| = |a| + |b| − |a∩b| (shingle sets are distinct).
     # |shingle set| per doc comes from the signature aggregate above —
-    # no second pass over (candidate) shingle rows
-    sizes = sigs.select("key", "sz")
+    # no second pass over (candidate) shingle rows.  Semi-join the size
+    # relation down to candidate keys first, so the two size joins
+    # shuffle a candidate-sized (key, sz) relation, not a corpus-sized
+    # one — same restriction the shingle rows get via `exc`.
+    sizes = sigs.join(ckeys, "key", "leftsemi").select("key", "sz")
     ex_a = exc.select(F.col("key").alias("key_a"), F.col("s"))
     ex_b = exc.select(F.col("key").alias("key_b"), F.col("s"))
     inter = (cand.join(ex_a, "key_a").join(ex_b, ["key_b", "s"])

@@ -78,7 +78,7 @@ term AS (
 )
 SELECT b.doc_id,
        COUNT(*)::INT AS n_bigrams,
-       ROUND(CAST(SUM(ti) AS DOUBLE) / (COUNT(*) * 1000000.0), 4)
+       CAST(SUM(ti) AS DOUBLE) / (COUNT(*) * 1000000.0)
          AS avg_nll_bits
 FROM bi b JOIN term t ON b.prev = t.prev AND b.cur = t.cur
 GROUP BY 1
@@ -127,8 +127,12 @@ def _bigram_lm(d: "DataFrame", c2: "DataFrame | None" = None
     return (bi.join(term, ["prev", "cur"])
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
-                 F.round(F.sum("ti").cast("double") /
-                         (F.count(F.lit(1)) * 1000000.0), 4)
+                 # raw IEEE quotient of exact integers — bit-identical
+                 # across engines; ROUND(q, 4) here was a cross-engine
+                 # HALF_UP-vs-scaled-double hazard when the exact
+                 # decimal lands on a x.xxxx5 boundary
+                 (F.sum("ti").cast("double") /
+                  (F.count(F.lit(1)) * 1000000.0))
                  .alias("avg_nll_bits")))
 
 
@@ -311,10 +315,10 @@ WITH tok AS (
 ), base AS (
   SELECT doc_id,
          len(toks)::INT AS n_words,
-         ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
-                    AS DOUBLE) / len(toks), 4) AS mean_word_len,
-         ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
-                    AS DOUBLE) / len(toks), 4) AS alpha_frac,
+         CAST(list_sum(list_transform(toks, x -> length(x)))
+              AS DOUBLE) / len(toks) AS mean_word_len,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS DOUBLE) / len(toks) AS alpha_frac,
          len(list_intersect(toks, {o_lex_array(sorted(LANG_LEXICONS['en']))}))
            AS stop_hits
   FROM tok WHERE len(toks) > 0
@@ -325,21 +329,21 @@ WITH tok AS (
   SELECT doc_id, MAX(k) AS top_k FROM tcnt GROUP BY 1
 )
 SELECT b.doc_id, b.n_words, b.mean_word_len, b.alpha_frac,
-       ROUND(CAST(t.top_k AS DOUBLE) / b.n_words, 4) AS top_tok_share,
+       CAST(t.top_k AS DOUBLE) / b.n_words AS top_tok_share,
        b.n_words BETWEEN {_GOPHER['min_words']} AND {_GOPHER['max_words']}
          AS ok_word_count,
        b.mean_word_len BETWEEN {_GOPHER['min_mean_len']}
          AND {_GOPHER['max_mean_len']} AS ok_mean_len,
        b.alpha_frac >= {_GOPHER['min_alpha_frac']} AS ok_alpha,
        b.stop_hits >= {_GOPHER['min_stop_hits']} AS ok_stopwords,
-       ROUND(CAST(t.top_k AS DOUBLE) / b.n_words, 4)
+       CAST(t.top_k AS DOUBLE) / b.n_words
          <= {_GOPHER['max_top_share']} AS ok_repetition,
        (b.n_words BETWEEN {_GOPHER['min_words']} AND {_GOPHER['max_words']})
          AND (b.mean_word_len BETWEEN {_GOPHER['min_mean_len']}
               AND {_GOPHER['max_mean_len']})
          AND b.alpha_frac >= {_GOPHER['min_alpha_frac']}
          AND b.stop_hits >= {_GOPHER['min_stop_hits']}
-         AND ROUND(CAST(t.top_k AS DOUBLE) / b.n_words, 4)
+         AND CAST(t.top_k AS DOUBLE) / b.n_words
                <= {_GOPHER['max_top_share']} AS keep
 FROM base b JOIN top t USING (doc_id)
 """)
@@ -369,13 +373,16 @@ def _gopher_rules(d: "DataFrame") -> "DataFrame":
             .select(
                 "doc_id", "toks",
                 F.size("toks").cast("int").alias("n_words"),
-                F.round(F.aggregate(
+                # raw IEEE quotients of exact ints (no ROUND): identical
+                # bits in Spark and DuckDB, immune to the HALF_UP
+                # boundary hazard a 4-digit ROUND carries
+                (F.aggregate(
                     "toks", F.lit(0).cast("bigint"),
                     lambda acc, x: acc + F.length(x)).cast("double") /
-                    F.size("toks"), 4).alias("mean_word_len"),
-                F.round(F.size(F.filter(
+                    F.size("toks")).alias("mean_word_len"),
+                (F.size(F.filter(
                     "toks", lambda x: x.rlike("[a-z]"))).cast("double") /
-                    F.size("toks"), 4).alias("alpha_frac"),
+                    F.size("toks")).alias("alpha_frac"),
                 F.size(F.array_intersect("toks", stop_arr))
                 .alias("stop_hits")))
     top = (base.select("doc_id", F.explode("toks").alias("t"))
@@ -383,7 +390,7 @@ def _gopher_rules(d: "DataFrame") -> "DataFrame":
            .groupBy("doc_id").agg(F.max("k").alias("top_k")))
     g = _GOPHER
     j = base.join(top, "doc_id")
-    share = F.round(F.col("top_k").cast("double") / F.col("n_words"), 4)
+    share = F.col("top_k").cast("double") / F.col("n_words")
     ok_wc = F.col("n_words").between(g["min_words"], g["max_words"])
     ok_ml = F.col("mean_word_len").between(g["min_mean_len"],
                                            g["max_mean_len"])
@@ -780,7 +787,7 @@ term AS (
 )
 SELECT b.doc_id,
        COUNT(*)::INT AS n_bigrams,
-       ROUND(CAST(SUM(ti) AS DOUBLE) / (COUNT(*) * 1000000.0), 4)
+       CAST(SUM(ti) AS DOUBLE) / (COUNT(*) * 1000000.0)
          AS avg_nll_bits
 FROM bi b JOIN term t ON b.prev = t.prev AND b.cur = t.cur
 GROUP BY 1

@@ -29,11 +29,24 @@ def _stream_source(spark: "SparkSession", raw_schema, sf_dir: str,
     table path when it is a directory of part files (replica / lake
     layouts); otherwise glob the single file from its parent — the file
     stream source refuses a plain-file basePath, and glob-on-parent
-    alone silently matches nothing for directory layouts."""
-    import os
+    alone silently matches nothing for directory layouts.
+
+    Directory detection goes through the Hadoop FileSystem API (not
+    ``os.path``), so it answers correctly for any supported scheme
+    (s3a://, hdfs://, file:) — a driver-local stat would always say
+    "not a directory" for object-store paths and silently pick the
+    wrong branch."""
     path = f"{sf_dir}/{table}.parquet"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    try:
+        is_dir = fs.getFileStatus(hpath).isDirectory()
+    except Exception:          # missing path → let the reader error out
+        is_dir = False
     reader = spark.readStream.schema(raw_schema)
-    return (reader.parquet(path) if os.path.isdir(path) else
+    return (reader.parquet(path) if is_dir else
             reader.option("pathGlobFilter", f"{table}.parquet")
             .parquet(sf_dir))
 

@@ -373,7 +373,7 @@ def test_bigram_lm_matches_python_reference(spark, texts):
             continue
         tis = [round(-math.log2((c2[b] + 1.0) / (c1[b[0]] + vsz)) * 1e6)
                for b in bs]
-        expected[i] = (len(bs), round(sum(tis) / (len(bs) * 1e6), 4))
+        expected[i] = (len(bs), sum(tis) / (len(bs) * 1e6))
     assert got == expected
 
 

@@ -25,6 +25,18 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_string_ids(spark):
+    # non-numeric node ids: Σcomp convergence is impossible (SUM over
+    # strings is NULL), so the operator must fall back to the exact
+    # changed-row probe instead of exiting after one round.  The chain
+    # a-b-c-d needs MULTIPLE propagate rounds to reach the fixpoint —
+    # a premature None == None exit would leave d labeled "b".
+    comp = _comp_map(spark, [("b", "a"), ("b", "c"), ("c", "d"),
+                             ("x", "y")])
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "x": "x", "y": "x"}
+
+
 def test_connected_components_merges_via_shared_node(spark):
     # two stars sharing node 5 collapse into one component
     comp = _comp_map(spark, [(5, 7), (5, 8), (9, 5), (20, 21)])

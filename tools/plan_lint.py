@@ -53,6 +53,9 @@ CROSS_ALLOW = {
     "skipgram_pairs",               # composes random_walk_corpus
     "hard_negative_mining",         # bounded probe set × bucketed corpus
     "ab_ttest_welch",               # 1-row segA stats × 1-row segB stats
+    "segment_overlap_kmv",          # pair-gen over the distinct-segment
+                                    # relation: segments²·K bound cited
+                                    # in queries_stats.py docstring
 }
 
 #: Python row paths that exist BY DESIGN (the UDTF API-correctness
