@@ -1,0 +1,141 @@
+"""Two-level (bucketed) global prefix aggregation — the scalable form
+of ``SUM(x) OVER (ORDER BY ...)`` / ``ROW_NUMBER() OVER (ORDER BY ...)``.
+
+An unpartitioned window funnels the whole relation through ONE task —
+fine for calendar grids and quantized histograms, a scale killer for
+anything dimension- or fact-proportional (parts, customers, vocabulary,
+raw events).  Several analytics queries here need a global total order
+(Pareto cumshare, Gini ranks, NTILE quantiles, Zipf ranks); their
+docstrings have always promised "switches to the two-level prefix sum
+at catalog sizes" — this operator IS that switch, and the queries now
+use it unconditionally.
+
+The classic two-pass construction (Blelloch scan, distributed):
+
+1. ``repartitionByRange(buckets, *order)`` splits the relation into
+   ``buckets`` contiguous ranges of the total order (Spark's range
+   partitioner guarantees every row of bucket *p* precedes every row
+   of bucket *p+1* under ``order``).
+2. A bucket-partitioned window computes LOCAL ranks / running sums —
+   each bucket is its own window partition (~N/buckets rows), so no
+   single task ever sees the whole relation.
+3. Per-bucket totals (≤ ``buckets`` rows — bounded by a config knob,
+   not by data) come back to the driver, which folds them into
+   per-bucket OFFSET literals (a ``CASE _pid WHEN...`` expression).
+   global = local + offset-of-all-earlier-buckets.
+
+The relation is ``localCheckpoint``-pinned between the two passes:
+range-partitioner boundaries come from sampling whose seed varies per
+RDD instantiation, so the totals job and the window job MUST read the
+same materialized partitioning or bucket ids would disagree between
+passes.  The checkpoint is the one materialization; its cost is the
+slim (pre-projected) relation, paid once.
+
+Determinism: the returned global rank / cumulative values are
+partitioning-INVARIANT — rank(row) = |{rows ≤ row in the total
+order}| no matter where bucket boundaries fall — so results hash-match
+the naive single-partition window (and the DuckDB oracles) exactly,
+provided ``order`` is a total order (callers pass a unique tiebreak
+column, the same requirement the naive window already had).
+
+Reference parity: the reference delegates windowed SQL to its
+warehouse; this operator is part of the [EXT] scale surface (SURVEY
+§2 W1/W3 escalation path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _offset_expr(offsets: dict[int, int]) -> Column:
+    """CASE _pid WHEN p THEN offset — ≤ ``buckets`` branches, all
+    literals, evaluated JVM-side per row."""
+    expr = None
+    for pid, v in offsets.items():
+        w = (F.when(F.col("_pid") == F.lit(pid), F.lit(v)) if expr is None
+             else expr.when(F.col("_pid") == F.lit(pid), F.lit(v)))
+        expr = w
+    return expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+
+
+def ranged_prefix(df: DataFrame, order: list, *,
+                  sums: dict[str, str] | None = None,
+                  rank_col: str | None = None,
+                  buckets: int = 32) -> tuple[DataFrame, dict]:
+    """Global prefix aggregates over ``order`` without a
+    single-partition window.
+
+    ``order``: columns/Columns forming a TOTAL order (unique tiebreak).
+    ``sums``: {out_col: src_col} running sums (``SUM(src) OVER (ORDER
+    BY order ROWS UNBOUNDED PRECEDING)`` equivalents).  Source columns
+    must be EXACT types (integral/decimal): the two-level sum adds in
+    a different order than the naive window, which only bit-matches
+    when addition is associative.
+    ``rank_col``: name for the global ROW_NUMBER equivalent (long).
+    ``buckets``: range-partition count — size so N/buckets rows fit a
+    task (thousands on a real cluster; 32 covers test scale).
+
+    Returns ``(out_df, totals)`` where ``totals`` carries the grand
+    totals {"n": N, out_col: Σsrc} so callers can inject global
+    scalars (``COUNT(*) OVER ()``, ``SUM(x) OVER ()``) as literals
+    instead of adding another global window.
+    """
+    sums = dict(sums or {})
+    d = (df.repartitionByRange(buckets, *order)
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=True))
+    skeys = list(dict.fromkeys(sums.values()))
+    rows = sorted(
+        d.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(src).alias(f"_t_{src}") for src in skeys]).collect(),
+        key=lambda r: r["_pid"])
+    rank_off: dict[int, int] = {}
+    sum_off: dict[str, dict[int, int]] = {s: {} for s in skeys}
+    run_n = 0
+    run_s = {s: 0 for s in skeys}
+    for r in rows:
+        rank_off[r["_pid"]] = run_n
+        run_n += r["_n"]
+        for s in skeys:
+            sum_off[s][r["_pid"]] = run_s[s]
+            run_s[s] += (r[f"_t_{s}"] or 0)
+    w = W.partitionBy("_pid").orderBy(*order)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    out = d
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col,
+            (F.row_number().over(w).cast("long") +
+             _offset_expr(rank_off)).cast("long"))
+    for name, src in sums.items():
+        out = out.withColumn(
+            name, F.sum(src).over(wcum) + _offset_expr(sum_off[src]))
+    totals = {"n": run_n,
+              **{name: run_s[src] for name, src in sums.items()}}
+    return out.drop("_pid"), totals
+
+
+def global_ntile(df: DataFrame, order: list, n_tiles: int,
+                 out_col: str, *, buckets: int = 32) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order)`` via :func:`ranged_prefix` —
+    ANSI semantics reproduced from the global rank: with N rows and
+    q, r = divmod(N, n_tiles), the first r tiles hold q+1 rows.  The
+    tile boundary arithmetic runs on driver-side literals (N is known
+    from the bucket totals), everything per-row stays JVM-side."""
+    ranked, totals = ranged_prefix(df, order, rank_col="_grnk",
+                                   buckets=buckets)
+    n = totals["n"]
+    q, r = divmod(n, n_tiles) if n else (0, 0)
+    if q == 0:            # fewer rows than tiles: tile = rank
+        tile = F.col("_grnk")
+    else:
+        head = r * (q + 1)   # rows covered by the q+1-sized tiles
+        tile = F.when(
+            F.col("_grnk") <= F.lit(head),
+            F.expr(f"(_grnk - 1) div {q + 1}") + 1
+        ).otherwise(
+            F.expr(f"(_grnk - 1 - {head}) div {q}") + F.lit(r + 1))
+    return ranked.withColumn(out_col, tile.cast("long")).drop("_grnk")

@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .operators.hints import maybe_broadcast
+from .operators.prefix import global_ntile, ranged_prefix
 from .queries import load, oavg, osum, q
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -256,15 +257,18 @@ FROM (
 """)
 def ntile_value_quartiles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """NTILE bucketing → per-quartile stats — the eval-set binning /
-    decile-report primitive.  A global NTILE needs a total order (one
-    single-partition window: acceptable because it feeds an aggregate
-    that collapses immediately; at 100 TB scale the same report uses
-    percentile_approx cutpoints instead — see percentile_by_group).
-    event_id tiebreak keeps the tile assignment total and
-    cross-engine deterministic."""
-    e = load(spark, sf_dir, "events")
-    w = W.orderBy("value", "event_id")
-    return (e.select("value", F.ntile(4).over(w).alias("tile"))
+    decile-report primitive.  A global NTILE needs a total order; a
+    naive ``NTILE OVER (ORDER BY ...)`` would funnel every event row
+    through ONE window task, so the tile comes from
+    ``operators.prefix.global_ntile`` instead: range-partitioned local
+    ranks + driver-folded bucket offsets reproduce the exact ANSI
+    NTILE assignment with no single-partition stage (the oracle keeps
+    the naive form — the gate certifies the equivalence).  event_id
+    tiebreak keeps the tile assignment total and cross-engine
+    deterministic."""
+    e = load(spark, sf_dir, "events").select("value", "event_id")
+    t = global_ntile(e, [F.col("value"), F.col("event_id")], 4, "tile")
+    return (t.select("value", F.col("tile").cast("int").alias("tile"))
             .groupBy("tile")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("value").alias("lo"),
@@ -861,13 +865,14 @@ def rfm_segmentation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     NTILE windows over one aggregated base.
 
     Scale design: the base is ONE map-side-combined aggregation (one
-    row per customer); the quintile windows run over that customer-
-    sized relation, deterministic via the customer tiebreak (NTILE
-    without a total order is not a function — same doctrine as mode's
-    tie-break).  A truly giant customer base swaps NTILE for the exact
-    histogram-rank machinery (curriculum_order) with identical
-    semantics; the scores are then broadcast-joinable back onto any
-    fact table as features.
+    row per customer); each quintile comes from
+    ``operators.prefix.global_ntile`` (range-partitioned rank +
+    driver-folded offsets), so NO single-partition window exists even
+    over a planet-scale customer base — three slim range shuffles of
+    the per-customer relation, deterministic via the customer tiebreak
+    (NTILE without a total order is not a function — same doctrine as
+    mode's tie-break).  The scores are then broadcast-joinable back
+    onto any fact table as features.
     """
     o = load(spark, sf_dir, "orders")
     mx = o.groupBy().agg(F.max(F.col("o_orderdate").cast("date"))
@@ -882,14 +887,17 @@ def rfm_segmentation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                     F.datediff("ref_date", "last_d").cast("long")
                     .alias("recency_days"),
                     "frequency", "monetary_cents"))
-    r = (6 - F.ntile(5).over(W.orderBy("recency_days", "customer")))
-    f_ = F.ntile(5).over(W.orderBy("frequency", "customer"))
-    m = F.ntile(5).over(W.orderBy("monetary_cents", "customer"))
+    base = global_ntile(base, [F.col("recency_days"), F.col("customer")],
+                        5, "_rt")
+    base = global_ntile(base, [F.col("frequency"), F.col("customer")],
+                        5, "_ft")
+    base = global_ntile(base, [F.col("monetary_cents"), F.col("customer")],
+                        5, "_mt")
     return base.select("customer", "recency_days", "frequency",
                        "monetary_cents",
-                       r.cast("long").alias("r_score"),
-                       f_.cast("long").alias("f_score"),
-                       m.cast("long").alias("m_score"))
+                       (6 - F.col("_rt")).cast("long").alias("r_score"),
+                       F.col("_ft").cast("long").alias("f_score"),
+                       F.col("_mt").cast("long").alias("m_score"))
 
 
 # =========================================================================
@@ -925,24 +933,25 @@ def abc_pareto_classification(spark: "SparkSession",
 
     Scale design: per-part revenue map-side combines; the ranking
     cumsum runs over the PART-cardinality relation (the distinct-key
-    doctrine again).  The global window is a single partition of parts
-    — at catalog sizes that ever matter this switches to the two-level
-    prefix sum; the fact volume never touches the window either way.
+    doctrine again) via ``operators.prefix.ranged_prefix`` — the
+    two-level prefix sum the old docstring only promised: range-
+    partitioned local cumsums + driver-folded bucket offsets, so no
+    single-partition window exists at ANY catalog size; the grand
+    total rides back as a literal instead of a second global window.
+    The fact volume never touches the window either way.
     """
     li = load(spark, sf_dir, "lineitem")
     rev = (li.groupBy(F.col("l_partkey").alias("part"))
            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
                       .cast("long")).cast("long").alias("revenue_cents")))
-    wc = (W.orderBy(F.col("revenue_cents").desc(), "part")
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    c = rev.select("part", "revenue_cents",
-                   F.sum("revenue_cents").over(wc).alias("cum"),
-                   F.sum("revenue_cents").over(W.partitionBy())
-                   .alias("tot"))
+    c, totals = ranged_prefix(
+        rev, [F.col("revenue_cents").desc(), F.col("part")],
+        sums={"cum": "revenue_cents"})
+    tot = F.lit(totals["cum"]).cast("long")
     return c.select(
         "part", "revenue_cents",
-        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
-         .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        F.when(F.col("cum") * 100 <= tot * 80, "A")
+         .when(F.col("cum") * 100 <= tot * 95, "B")
          .otherwise("C").alias("abc_class"))
 
 
@@ -1068,25 +1077,26 @@ def gini_concentration(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     sequence, in integer ppm — the single-number companion to the ABC
     curve and skew_profile's entropy (0 = equal, →1 = one whale).
 
-    Scale design: per-customer spend map-side combines; the rank-
-    weighted sum runs over the CUSTOMER-sized relation with the rank
-    from one sort window (ties resolve identically on both engines
+    Scale design: per-customer spend map-side combines; the rank
+    comes from ``operators.prefix.ranged_prefix`` (range-partitioned
+    local row_numbers + driver-folded offsets — no single-partition
+    window over the CUSTOMER-sized relation), with the customer key as
+    the bucketing tiebreak; ties resolve identically on both engines
     because equal spends contribute the same Σ i·x regardless of
-    order — the formula is tie-invariant).  All integer until the
-    final ppm floor division.
+    order — the formula is tie-invariant.  n and Σx come from the
+    final 1-row aggregate (which collapses the relation anyway).  All
+    integer until the final ppm floor division.
     """
     o = load(spark, sf_dir, "orders")
     s = (o.groupBy("o_custkey")
          .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
               .cast("long").alias("spend")))
-    r = s.select(
-        "spend",
-        F.row_number().over(W.orderBy("spend")).alias("i"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-        F.sum("spend").over(W.partitionBy()).alias("tot"))
-    return (r.groupBy()
-            .agg(F.max("n").cast("long").alias("n_customers"),
-                 F.max("tot").cast("long").alias("total_cents"),
+    ranked, _ = ranged_prefix(
+        s, [F.col("spend"), F.col("o_custkey")], rank_col="i")
+    return (ranked
+            .groupBy()
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum("spend").cast("long").alias("total_cents"),
                  F.sum(F.col("i").cast("decimal(38,0)") * F.col("spend"))
                  .cast("double").alias("iws"))
             .select("n_customers", "total_cents",

@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .engine import Engine
+from .operators.prefix import ranged_prefix
 from .pipeline.corpus_models import (CORPUS, attach_corpus_checks,
                                      build_corpus_registry)
 from .queries import load, q
@@ -324,16 +325,19 @@ def zipf_fit(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     vocabulary relation; ln(rank)/ln(freq) are QUANTIZED to int64
     nanos FIRST, so the regression moments accumulate exactly
     (doctrine 4 applied to a log-log fit) and only the final slope
-    ratio is floating point.  The rank window runs over the
-    vocabulary — for web-scale vocabularies the histogram-rank
-    escalation applies, the fit math is unchanged.
+    ratio is floating point.  The rank comes from
+    ``operators.prefix.ranged_prefix`` (two-level bucketed
+    row_number), so even a web-scale vocabulary never funnels through
+    a single-partition window; the fit math is unchanged.
     """
     d = load(spark, sf_dir, "documents")
     tf = (d.select(F.explode(F.split("text", " ")).alias("term"))
           .groupBy("term").agg(F.count("*").cast("long").alias("freq")))
-    rnk = F.row_number().over(W.orderBy(F.col("freq").desc(), "term"))
-    q_ = tf.select(
-        F.round(F.log(rnk.cast("double")) * 1e9).cast("long").alias("x"),
+    ranked, _ = ranged_prefix(
+        tf, [F.col("freq").desc(), F.col("term")], rank_col="rnk")
+    q_ = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1e9).cast("long")
+        .alias("x"),
         F.round(F.log(F.col("freq").cast("double")) * 1e9).cast("long")
         .alias("y"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
@@ -383,26 +387,26 @@ def vocab_coverage_curve(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     is the practical UNK-rate knob).
 
     Scale design: the same ranked-cumsum-over-the-vocabulary shape as
-    zipf_fit/abc_pareto, with the coverage test as the integer
-    cross-multiplication cum·100 ≥ tot·pct evaluated for all targets
-    in ONE pass over the ranked relation (the targets ride along as a
-    3-row explode) — no per-threshold rescans.
+    zipf_fit/abc_pareto, through ``operators.prefix.ranged_prefix``
+    (two-level rank + cumsum, total token mass as a literal from the
+    bucket totals — no single-partition window at any vocabulary
+    size), with the coverage test as the integer cross-multiplication
+    cum·100 ≥ tot·pct evaluated for all targets in ONE pass over the
+    ranked relation (the targets ride along as a 3-row explode) — no
+    per-threshold rescans.
     """
     d = load(spark, sf_dir, "documents")
     tf = (d.select(F.explode(F.split("text", " ")).alias("term"))
           .groupBy("term").agg(F.count("*").cast("long").alias("freq")))
-    wr = W.orderBy(F.col("freq").desc(), "term")
-    ranked = tf.select(
-        "freq", F.row_number().over(wr).alias("rnk"),
-        F.sum("freq").over(
-            wr.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum"),
-        F.sum("freq").over(W.partitionBy()).alias("tot"))
+    ranked, totals = ranged_prefix(
+        tf, [F.col("freq").desc(), F.col("term")],
+        sums={"cum": "freq"}, rank_col="rnk")
+    tot = F.lit(totals["cum"]).cast("long")
     targets = F.explode(F.array(*[F.lit(p) for p in _VCOV["targets"]]))
-    return (ranked.select("rnk", "cum", "tot", targets.alias("pct"))
+    return (ranked.select("rnk", "cum", targets.alias("pct"))
             .groupBy("pct")
             .agg(F.min(F.when(F.col("cum") * 100 >=
-                              F.col("tot") * F.col("pct"), F.col("rnk")))
+                              tot * F.col("pct"), F.col("rnk")))
                  .cast("long").alias("vocab_needed")))
 
 
@@ -480,27 +484,31 @@ def quantile_normalize_scores(spark: "SparkSession",
     comparable to "top 10% of source Y" before a global quality cut
     (raw thresholds systematically favor verbose sources).
 
-    Scale design: two rank windows (per-source, pooled) and one
-    equi-join on the integer target rank ceil(r·N/n_s) — computed with
-    the cross-multiplied ceiling (r·N + n_s − 1) div n_s, so the
-    quantile mapping is exact integer arithmetic, no float quantiles.
-    The pooled rank relation is the same histogram-rank escalation
-    surface as every percentile op here; at web scale both windows
-    become two-level prefix sums, the mapping join is unchanged.
+    Scale design: the per-source rank window is partitioned (fine at
+    any scale); the POOLED rank comes from
+    ``operators.prefix.ranged_prefix`` (two-level bucketed
+    row_number — no single-partition window over the full corpus),
+    and the global count N rides back as a literal from the bucket
+    totals.  The equi-join on the integer target rank
+    ceil(r·N/n_s) — computed with the cross-multiplied ceiling
+    (r·N + n_s − 1) div n_s — keeps the quantile mapping exact
+    integer arithmetic, no float quantiles.
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars")
     ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    pooled, totals = ranged_prefix(
+        d.select(F.col("n_chars").alias("pooled_value"),
+                 F.col("doc_id").alias("_pdoc")),
+        [F.col("pooled_value"), F.col("_pdoc")], rank_col="prank")
     ranked = d.select(
         "doc_id", "source", "n_chars",
         F.row_number().over(ws).alias("r"),
         F.count("*").over(W.partitionBy("source")).alias("ns"),
-        F.count("*").over(W.partitionBy()).alias("n"))
-    pooled = d.select(
-        F.col("n_chars").alias("pooled_value"),
-        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("prank"))
+        F.lit(totals["n"]).cast("long").alias("n"))
     return (ranked
             .withColumn("target", F.expr("(r * n + ns - 1) div ns"))
-            .join(pooled, F.col("target") == F.col("prank"))
+            .join(pooled.select("pooled_value", "prank"),
+                  F.col("target") == F.col("prank"))
             .select("doc_id", "source", "n_chars",
                     F.col("pooled_value").alias("normalized_chars")))

@@ -1,0 +1,100 @@
+"""Self-tests for tools/plan_lint.py's rule engine — the lint is a
+round-close gate, so its rules get their own regression tests: the
+global-window rule must FIRE on a synthetic unbounded plan (the old
+text-adjacency heuristic never did — "Exchange SinglePartition" is two
+lines in formatted output, so the substring never matched) and must
+stay quiet on the legitimate shapes (keyless-aggregate input,
+partitioned windows, the two-level prefix operator)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/tools")
+
+from plan_lint import lint, parse_tree  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_global_window_fires_on_unbounded_plan(spark):
+    # row_number over the raw table with no partition spec: the exact
+    # single-partition funnel the rule exists for
+    bad = _orders(spark).withColumn(
+        "r", F.row_number().over(W.orderBy("o_orderkey")))
+    assert "global-window" in lint("synthetic_bad", _plan(bad))
+
+
+def test_global_window_quiet_on_keyless_agg_input(spark):
+    # window over a 1-row global aggregate: bounded by construction
+    one = _orders(spark).agg(F.sum("o_totalprice").alias("t"))
+    ben = one.withColumn("r", F.row_number().over(W.orderBy("t")))
+    assert lint("synthetic_agg", _plan(ben)) == []
+
+
+def test_global_window_quiet_on_partitioned_window(spark):
+    part = _orders(spark).withColumn(
+        "r", F.row_number().over(
+            W.partitionBy("o_custkey").orderBy("o_orderkey")))
+    assert lint("synthetic_part", _plan(part)) == []
+
+
+def test_global_window_quiet_on_grouped_then_global(spark):
+    # grouped agg (keys non-empty) then a global window over it: the
+    # walk reaches Exchange SinglePartition through the Sort and must
+    # still flag — the input is key-cardinality-sized, which only an
+    # explicit allowlist entry may bless
+    g = (_orders(spark).groupBy("o_custkey")
+         .agg(F.count("*").alias("n"))
+         .withColumn("r", F.row_number().over(W.orderBy("n", "o_custkey"))))
+    assert "global-window" in lint("synthetic_grouped", _plan(g))
+
+
+def test_ranged_prefix_plans_clean(spark):
+    # the two-level prefix operator must not trip any rule: its
+    # windows are _pid-partitioned and its offsets are literals
+    from iot_simulator_datalake_spark.operators.prefix import (
+        global_ntile, ranged_prefix)
+    o = _orders(spark).select("o_orderkey", "o_totalprice")
+    ranked, _ = ranged_prefix(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")],
+        sums={"cum": "o_orderkey"}, rank_col="rn", buckets=8)
+    assert lint("prefix_op", _plan(ranked)) == []
+    nt = global_ntile(o, [F.col("o_totalprice"), F.col("o_orderkey")],
+                      4, "tile", buckets=8)
+    assert lint("ntile_op", _plan(nt)) == []
+
+
+def test_python_row_udf_rule_still_fires(spark):
+    from pyspark.sql.types import LongType
+    plus = F.udf(lambda x: x + 1, LongType())
+    bad = _orders(spark).select(plus(F.col("o_orderkey")).alias("k"))
+    assert "python-row-udf" in lint("synthetic_udf", _plan(bad))
+
+
+def test_parse_tree_shapes(spark):
+    # the walker's foundation: depths and ids parse out of a real plan
+    df = _orders(spark).withColumn(
+        "r", F.row_number().over(W.orderBy("o_orderkey")))
+    tree = parse_tree(_plan(df))
+    names = [n for _, n, _ in tree]
+    assert "Window" in names and any(n.startswith("Exchange")
+                                     or n == "Exchange" for n in names)
+    depths = [d for d, _, _ in tree]
+    assert depths[0] == 0 and max(depths) >= 2

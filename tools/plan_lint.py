@@ -62,6 +62,24 @@ CROSS_ALLOW = {
 #: gate); everything else must be Arrow-batched or JVM builtins.
 PYTHON_ALLOW = {"udtf_doc_chunker"}
 
+#: queries whose single-partition window runs over a PRE-REDUCED bounded
+#: relation (the correct pattern for "rank a small summary"); each cites
+#: its bound.  An unpartitioned window over anything dimension- or
+#: row-proportional must NOT be added here — migrate it to
+#: operators/prefix.py ranged_prefix/global_ntile instead (as
+#: abc_pareto/gini/ntile/rfm/zipf/vocab_coverage/quantile_normalize
+#: were).
+GLOBAL_WINDOW_ALLOW = {
+    "ks_drift_detect",          # quantized value grid ≤ range×1000 cells
+    "moving_avg_7d",            # day-calendar pre-aggregate (~2.5k rows)
+    "rolling_corr_30d",         # day-calendar pre-aggregate
+    "kaplan_meier_churn",       # duration-day grid (calendar-bounded)
+    "monthly_active_users_hll",  # per-day sketch relation, KB sketches
+    "revenue_share_of_total",   # nation-grouped aggregate: 25 rows
+    "curriculum_order",         # per-value length histogram: |distinct
+                                # n_chars| rows (value-range bounded)
+}
+
 #: streaming / engine-run queries execute side effects at build time and
 #: return small batch results — their final plan is not the interesting
 #: one, and building them is expensive; the streaming twins are gated by
@@ -78,6 +96,88 @@ def plan_of(spark, name: str, sf_dir: str) -> str:
     return buf.getvalue()
 
 
+import re
+
+_NODE_RE = re.compile(r"^([+:\-\s|]*)(\*(?:\(\d+\))?\s+)?(.+?)\s*\((\d+)\)\s*$")
+
+
+def parse_tree(plan: str) -> list[tuple[int, str, int]]:
+    """Parse the formatted plan's tree section into
+    ``[(depth, node_name, node_id), ...]`` in pre-order.  Depth derives
+    from the indentation markers (3 chars per level); the codegen
+    ``*(n)`` prefix is stripped from names."""
+    out = []
+    in_tree = False
+    for ln in plan.splitlines():
+        if ln.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if in_tree:
+            if not ln.strip():
+                break
+            m = _NODE_RE.match(ln)
+            if not m:
+                continue
+            depth = len(m.group(1)) // 3
+            out.append((depth, m.group(3).strip(), int(m.group(4))))
+    return out
+
+
+def parse_details(plan: str) -> dict[int, str]:
+    """Map node id → its detail block ("(n) Name\\n..." section)."""
+    det: dict[int, str] = {}
+    cur = None
+    for ln in plan.splitlines():
+        m = re.match(r"^\((\d+)\) \S", ln)
+        if m:
+            cur = int(m.group(1))
+            det[cur] = ln
+        elif cur is not None:
+            if not ln.strip():
+                cur = None
+            else:
+                det[cur] += "\n" + ln
+    return det
+
+
+def _global_windows(plan: str) -> bool:
+    """True iff some Window node's input partitioning is a
+    single-partition Exchange over a NON-pre-reduced relation.
+
+    Walks the parsed plan tree: from each Window node, descend the
+    unary child chain to the nearest Exchange.  SinglePartition there
+    means the whole input is funneled to one task — the scale killer —
+    UNLESS the chain first passes a keyless aggregate ("Keys: []"),
+    whose output is one row by construction.  Joins/unions/scans end
+    the walk (their output partitioning is not a single-partition
+    funnel).  Tree-positional, so unrelated Exchange SinglePartition
+    nodes elsewhere in the plan (TakeOrderedAndProject, global aggs)
+    can no longer mask — or falsely trigger — the rule the way the old
+    6-line text-adjacency heuristic could."""
+    tree = parse_tree(plan)
+    details = parse_details(plan)
+    for i, (d, nm, _nid) in enumerate(tree):
+        if nm != "Window":
+            continue
+        want = d + 1
+        for dd, cnm, cid in tree[i + 1:]:
+            if dd != want:
+                break                        # left the unary chain
+            detail = details.get(cid, "")
+            if cnm == "Exchange" or cnm.startswith("Exchange "):
+                if "SinglePartition" in detail:
+                    return True
+                break                        # hash/range exchange: fine
+            if "Aggregate" in cnm and "Keys: []" in detail:
+                break                        # 1-row global-agg input
+            if ("Join" in cnm or "Union" in cnm or "Cartesian" in cnm
+                    or cnm.startswith(("Scan", "LocalTableScan", "Range",
+                                       "InMemoryTableScan", "Reused"))):
+                break                        # not a single-part funnel
+            want = dd + 1                    # unary op: keep descending
+    return False
+
+
 def lint(name: str, plan: str) -> list[str]:
     hits = []
     if "CartesianProduct" in plan and name not in CROSS_ALLOW:
@@ -91,18 +191,8 @@ def lint(name: str, plan: str) -> list[str]:
         hits.append("bnl-join")
     if "BatchEvalPython" in plan and name not in PYTHON_ALLOW:
         hits.append("python-row-udf")
-    # single-partition window funnel: Exchange SinglePartition directly
-    # feeding a Window/Sort — scan the formatted tree for the pair
-    if "Exchange SinglePartition" in plan and "Window" in plan:
-        # tolerate TakeOrderedAndProject/global agg single partitions;
-        # flag only when a Window consumes the single partition
-        lines = plan.splitlines()
-        for i, ln in enumerate(lines):
-            if "Exchange SinglePartition" in ln:
-                above = "".join(lines[max(0, i - 6):i])
-                if "Window" in above:
-                    hits.append("global-window")
-                    break
+    if name not in GLOBAL_WINDOW_ALLOW and _global_windows(plan):
+        hits.append("global-window")
     return hits
 
 
