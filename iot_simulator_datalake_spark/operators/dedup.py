@@ -149,7 +149,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
         F.col(key_col).alias("key"),
         F.explode(ngrams(tokens(F.col(text_col)), shingle_n)).alias("s")
     ).cache()
-    sigs = _sigs_from_exploded(ex, n_hashes, with_size=True).cache()
+    sigs = _sigs_from_exploded(ex, n_hashes).cache()
     band_keys = F.array(*[
         F.md5(F.concat_ws("|", F.lit(str(b)),
                           *[F.col(f"sig_{b * rows_per_band + r}")
@@ -184,12 +184,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     exc = ex.join(ckeys, "key", "leftsemi").cache()
     # |a∩b| by joining candidate pairs to both sides' shingle rows;
     # |a∪b| = |a| + |b| − |a∩b| (shingle sets are distinct).
-    # |shingle set| per doc comes from the signature aggregate above —
-    # no second pass over (candidate) shingle rows.  Semi-join the size
-    # relation down to candidate keys first, so the two size joins
-    # shuffle a candidate-sized (key, sz) relation, not a corpus-sized
-    # one — same restriction the shingle rows get via `exc`.
-    sizes = sigs.join(ckeys, "key", "leftsemi").select("key", "sz")
+    # |shingle set| per doc is a count over the CANDIDATE-restricted
+    # shingle rows (exc is cached; (key, s) rows are distinct because
+    # ngrams() array_distincts) — the size aggregate's shuffle carries
+    # candidate keys only, never a corpus-sized (key, sz) relation,
+    # and no second tokenization pass happens (cache hit).
+    sizes = exc.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
     ex_a = exc.select(F.col("key").alias("key_a"), F.col("s"))
     ex_b = exc.select(F.col("key").alias("key_b"), F.col("s"))
     inter = (cand.join(ex_a, "key_a").join(ex_b, ["key_b", "s"])
