@@ -28,6 +28,8 @@ AQE restores.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -35,7 +37,11 @@ from pyspark.sql import functions as F
 #: autoBroadcastJoinThreshold (a relation in 10–64 MB is still a safe,
 #: profitable broadcast on any real executor) but far below anything that
 #: could hurt: a 64 MB cap bounds driver collect + per-executor copy.
-DEFAULT_MAX_BYTES = 64 << 20
+#: Overridable via SPARK_GRAFT_BROADCAST_GATE (bytes) — used by
+#: SCALE.md's disengage probe to exercise the no-hint/AQE branch at
+#: replica scale, and a legitimate ops knob on memory-tight drivers.
+DEFAULT_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_BROADCAST_GATE",
+                                       64 << 20))
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:
