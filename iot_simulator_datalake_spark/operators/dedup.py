@@ -200,8 +200,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
                         .withColumnRenamed("sz", "sz_a"), "key_a")
              .join(sizes.withColumnRenamed("key", "key_b")
                         .withColumnRenamed("sz", "sz_b"), "key_b"))
-    jac = F.round(F.col("inter") /
-                  (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)
+    # raw IEEE quotient of exact ints (no ROUND): bit-identical across
+    # engines; ROUND(q, 6) was a cross-engine HALF_UP boundary hazard
+    # whenever inter/union lands exactly on a x.xxxxxx5 decimal
+    jac = (F.col("inter") /
+           (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
     return (sized.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("key_a", "key_b", "jaccard"))
@@ -225,9 +228,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, key_col: str, *,
                     (F.col("a.key") < F.col("b.key")))
              .select(F.col("a.key").alias("key_a"),
                      F.col("b.key").alias("key_b"),
-                     F.round(
-                         F.size(F.array_intersect("a.sh", "b.sh")) /
-                         F.size(F.array_union("a.sh", "b.sh")), 6)
+                     # raw int quotient — see minhash_lsh_pairs note
+                     (F.size(F.array_intersect("a.sh", "b.sh")) /
+                      F.size(F.array_union("a.sh", "b.sh")))
                      .alias("jaccard")))
     return pairs.filter(F.col("jaccard") >= threshold)
 
@@ -284,9 +287,9 @@ def ngram_containment_pairs(df: DataFrame, text_col: str, key_col: str, *,
              .filter(F.size("a.sh") > 0)
              .select(F.col("a.key").alias("key_src"),
                      F.col("b.key").alias("key_in"),
-                     F.round(
-                         F.size(F.array_intersect("a.sh", "b.sh")) /
-                         F.size("a.sh"), 6).alias("containment")))
+                     # raw int quotient — see minhash_lsh_pairs note
+                     (F.size(F.array_intersect("a.sh", "b.sh")) /
+                      F.size("a.sh")).alias("containment")))
     return pairs.filter(F.col("containment") >= threshold)
 
 

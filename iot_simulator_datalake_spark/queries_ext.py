@@ -250,8 +250,8 @@ WITH tok AS (
     ON a.band = b.band AND a.doc_id < b.doc_id
 ), scored AS (
   SELECT key_a, key_b,
-         ROUND(len(list_intersect(sa.sh, sb.sh))
-               / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+         len(list_intersect(sa.sh, sb.sh))
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
   FROM cand
   JOIN sh sa ON sa.doc_id = cand.key_a
   JOIN sh sb ON sb.doc_id = cand.key_b
@@ -344,11 +344,11 @@ WITH tok AS (
   FROM tok
 )
 SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-       ROUND(len(list_intersect(a.sh, b.sh))
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       len(list_intersect(a.sh, b.sh))
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
 FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE ROUND(len(list_intersect(a.sh, b.sh))
-            / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+WHERE len(list_intersect(a.sh, b.sh))
+        / len(list_distinct(list_concat(a.sh, b.sh)))
       >= {_JACCARD["threshold"]}
 """)
 def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -373,8 +373,8 @@ WITH tok AS (
 SELECT doc_id,
        CAST(len(sh) AS INT) AS n_ngrams,
        CAST(len(list_distinct(sh)) AS INT) AS n_distinct,
-       ROUND((len(sh) - len(list_distinct(sh))) /
-             CAST(len(sh) AS DOUBLE), 6) AS rep_ratio
+       (len(sh) - len(list_distinct(sh))) /
+         CAST(len(sh) AS DOUBLE) AS rep_ratio
 FROM sh
 """)
 def text_repetition_ngram(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -398,8 +398,8 @@ def text_repetition_ngram(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "doc_id",
         n_all.alias("n_ngrams"),
         n_dist.alias("n_distinct"),
-        F.round((n_all - n_dist) / n_all.cast("double"), 6)
-         .alias("rep_ratio"))
+        # raw int quotient (no ROUND) — cross-engine boundary hazard
+        ((n_all - n_dist) / n_all.cast("double")).alias("rep_ratio"))
 
 
 # =========================================================================
@@ -1013,10 +1013,10 @@ WITH tok AS (
   FROM tok
 )
 SELECT a.doc_id AS key_src, b.doc_id AS key_in,
-       ROUND(len(list_intersect(a.sh, b.sh)) / len(a.sh), 6) AS containment
+       len(list_intersect(a.sh, b.sh)) / len(a.sh) AS containment
 FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
 WHERE len(a.sh) > 0
-  AND ROUND(len(list_intersect(a.sh, b.sh)) / len(a.sh), 6)
+  AND len(list_intersect(a.sh, b.sh)) / len(a.sh)
       >= {_CONTAIN["threshold"]}
 """)
 def dedup_ngram_containment(spark: "SparkSession", sf_dir: str
