@@ -68,8 +68,12 @@ def main() -> None:
     timings = {n: sorted(ts)[len(ts) // 2] for n, ts in passes.items()}
 
     total = round(sum(timings.values()), 3)
-    subset = round(sum(timings[n] for n in BASELINE_SUBSET
-                       if n in timings), 3)
+    # the subset is a fixed comparison contract: a missing key means a
+    # baseline query was renamed or un-benched, which must break the
+    # bench loudly rather than silently shrink the like-for-like total
+    missing = [n for n in BASELINE_SUBSET if n not in timings]
+    assert not missing, f"baseline-subset queries absent: {missing}"
+    subset = round(sum(timings[n] for n in BASELINE_SUBSET), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,

@@ -92,17 +92,31 @@ def quality_score(text: Column | str,
     pre-training quality gates, each a cheap column expression)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens(c)
-    n_tok = F.size(toks)
-    n_chars = F.length(c)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(c).cast("long")
     stop_hits = F.size(F.array_intersect(
-        toks, F.array(*[F.lit(w) for w in stopwords])))
-    # length saturation: 1 at ≥200 tokens; mean token length ideal ≈ 5
-    len_score = F.least(n_tok / F.lit(200.0), F.lit(1.0))
-    mean_tok_len = n_chars / (n_tok + F.lit(1))
-    shape_score = F.lit(1.0) - F.least(
-        F.abs(mean_tok_len - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
-    stop_score = F.least(stop_hits / F.lit(4.0), F.lit(1.0))
-    return F.round((len_score + shape_score + stop_score) / 3.0, 6)
+        toks, F.array(*[F.lit(w) for w in stopwords]))).cast("long")
+    # Integer micro-unit arithmetic end-to-end (doctrine 4): each
+    # component is an exact integer in [0, 1e6], so the blend is exact
+    # and the ONLY float op is the final division of an exact int by
+    # 3e6 — bit-identical in any engine.  (A raw double blend differs
+    # in the last ulp between Spark and DuckDB — different expression
+    # compilation — and ROUND(blend, 6) trades that for the HALF_UP
+    # boundary hazard; exact integers sidestep both.)
+    # length saturation: 1 at ≥200 tokens → n_tok/200 = n_tok·5000 µ
+    len_u = F.least(n_tok * 5000, F.lit(1000000).cast("long"))
+    # mean token length ideal ≈ 5: |n_chars/(n_tok+1) − 5|/5 =
+    # |n_chars − 5(n_tok+1)| / (5(n_tok+1)), floored at micro
+    # precision via the mod identity (a − a%b)/b — the numerator is
+    # exactly divisible, so the one double division is exact
+    den = 5 * (n_tok + 1)
+    sh_dev = F.abs(n_chars - 5 * (n_tok + 1)) * 1000000
+    sh_q = ((sh_dev - sh_dev % den) / den).cast("long")
+    sh_u = (F.lit(1000000).cast("long")
+            - F.least(sh_q, F.lit(1000000).cast("long")))
+    # stopword ratio: stop_hits/4 = stop_hits·250000 µ
+    stop_u = F.least(stop_hits * 250000, F.lit(1000000).cast("long"))
+    return (len_u + sh_u + stop_u).cast("double") / F.lit(3000000.0)
 
 
 def regex_token_count(text: Column | str,

@@ -101,18 +101,16 @@ def minhash_signatures(df: DataFrame, text_col: str, key_col: str, *,
     return _sigs_from_exploded(ex, n_hashes)
 
 
-def _sigs_from_exploded(ex: DataFrame, n_hashes: int,
-                        with_size: bool = False) -> DataFrame:
+def _sigs_from_exploded(ex: DataFrame, n_hashes: int) -> DataFrame:
     """Signatures from (key, shingle) rows: one md5 projection, K
-    slice-mins with map-side combine.  ``with_size`` adds the per-key
-    distinct-shingle count ``sz`` in the SAME aggregate — the shingle
-    rows are distinct per (key, s) (ngrams() is array_distinct), so
-    |set| is a free count riding the signature shuffle."""
+    slice-mins with map-side combine.  Shingle-set sizes are NOT
+    aggregated here — minhash_lsh_pairs counts them over the
+    candidate-restricted shingle rows instead (the (key, s) rows are
+    distinct because ngrams() array_distincts), so no corpus-sized
+    (key, sz) relation ever exists."""
     hashed = ex.select("key", F.md5(F.col("s")).alias("h"))
     aggs = [F.min(F.substring("h", i * _SLICE + 1, _SLICE)).alias(f"sig_{i}")
             for i in range(n_hashes)]
-    if with_size:
-        aggs.append(F.count(F.lit(1)).alias("sz"))
     return hashed.groupBy("key").agg(*aggs)
 
 

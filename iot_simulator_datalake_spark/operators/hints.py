@@ -40,8 +40,20 @@ from pyspark.sql import functions as F
 #: Overridable via SPARK_GRAFT_BROADCAST_GATE (bytes) — used by
 #: SCALE.md's disengage probe to exercise the no-hint/AQE branch at
 #: replica scale, and a legitimate ops knob on memory-tight drivers.
-DEFAULT_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_BROADCAST_GATE",
-                                       64 << 20))
+DEFAULT_MAX_BYTES = 64 << 20
+
+
+def _gate_bytes() -> int:
+    """Resolve the gate at CALL time (env changes take effect without
+    re-import) and tolerate malformed values (fall back to the default
+    rather than crashing the package import path)."""
+    raw = os.environ.get("SPARK_GRAFT_BROADCAST_GATE")
+    if raw is None:
+        return DEFAULT_MAX_BYTES
+    try:
+        return int(raw)
+    except ValueError:
+        return DEFAULT_MAX_BYTES
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:
@@ -59,7 +71,7 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return size
 
 
-def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     """Broadcast-hint ``df`` iff plan statistics prove it is small.
 
     Unknown size → NO hint (fail safe: AQE decides from runtime sizes).
@@ -68,6 +80,8 @@ def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFr
     reserved for relations whose cardinality is bounded by schema
     (nation=25, region=5, calendar, 1-row aggregates).
     """
+    if max_bytes is None:
+        max_bytes = _gate_bytes()
     size = plan_size_bytes(df)
     if size is not None and size <= max_bytes:
         return F.broadcast(df)

@@ -50,14 +50,18 @@ from pyspark.sql import functions as F
 
 
 def _offset_expr(offsets: dict[int, int]) -> Column:
-    """CASE _pid WHEN p THEN offset — ≤ ``buckets`` branches, all
-    literals, evaluated JVM-side per row."""
-    expr = None
-    for pid, v in offsets.items():
-        w = (F.when(F.col("_pid") == F.lit(pid), F.lit(v)) if expr is None
-             else expr.when(F.col("_pid") == F.lit(pid), F.lit(v)))
-        expr = w
-    return expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    """O(1) per-row offset lookup: ``element_at(array<literal>, _pid+1)``
+    — an array literal indexed by bucket id, NOT a chained CASE (which
+    would cost O(buckets) comparisons per row per column and risk the
+    codegen 64KB-method fallback at the thousands-of-buckets sizing the
+    operator documents for real clusters).  Bucket ids are dense
+    [0, max_pid]; ids with no rows get offset 0 (nothing looks them up).
+    """
+    if not offsets:
+        return F.lit(0).cast("long")
+    arr = [offsets.get(p, 0) for p in range(max(offsets) + 1)]
+    return F.element_at(F.array(*[F.lit(int(v)).cast("long") for v in arr]),
+                        F.col("_pid") + 1)
 
 
 def ranged_prefix(df: DataFrame, order: list, *,

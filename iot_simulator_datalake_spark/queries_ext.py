@@ -86,9 +86,11 @@ WITH tok AS (
   FROM tok
 )
 SELECT doc_id,
-       ROUND((least(n_tok / 200.0, 1.0)
-            + 1.0 - least(abs(n_chars / (n_tok + 1) - 5.0) / 5.0, 1.0)
-            + least(stop_hits / 4.0, 1.0)) / 3.0, 6) AS quality
+       CAST(least(n_tok * 5000, 1000000)
+            + 1000000 - least((abs(n_chars - 5 * (n_tok + 1)) * 1000000)
+                              // (5 * (n_tok + 1)), 1000000)
+            + least(stop_hits * 250000, 1000000)
+          AS DOUBLE) / 3000000.0 AS quality
 FROM m
 """)
 def text_quality_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -114,8 +116,8 @@ WITH ch AS (
   FROM wn
 )
 SELECT doc_id,
-       ROUND(CAST(SUM(ti) AS DOUBLE) /
-             (CAST(MAX(n) AS DOUBLE) * 1000.0), 4) AS entropy_bits
+       CAST(SUM(ti) AS DOUBLE) /
+         (CAST(MAX(n) AS DOUBLE) * 1000.0) AS entropy_bits
 FROM t GROUP BY 1
 """)
 def text_char_entropy(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -147,8 +149,8 @@ def text_char_entropy(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                 F.log2(n.cast("double") / F.col("k").cast("double"))
                 * 1000).cast("bigint").alias("ti"))
     return (t.groupBy("doc_id")
-            .agg(F.round(F.sum("ti").cast("double") /
-                         (F.max("n").cast("double") * 1000.0), 4)
+            .agg((F.sum("ti").cast("double") /
+                  (F.max("n").cast("double") * 1000.0))
                  .alias("entropy_bits")))
 
 
@@ -1134,10 +1136,16 @@ def udtf_doc_chunker(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     same chunker gated by the same oracle through ``mapInPandas``."""
     from pyspark.sql.functions import udtf
 
+    import re as _re
+    # split on the RE2 \s class ([\t\n\f\r ]) exactly as the DuckDB
+    # oracle's string_split_regex does — Python str.split() would also
+    # split on Unicode whitespace (U+00A0 …) and silently diverge
+    ws = _re.compile(r"[\t\n\f\r ]+")
+
     @udtf(returnType="pos: int, chunk: string")
     class FixedChunker:
         def eval(self, text: str):
-            toks = [t for t in (text or "").lower().split() if t]
+            toks = [t for t in ws.split((text or "").lower()) if t]
             for i in range(0, len(toks), 8):
                 yield (i // 8, " ".join(toks[i:i + 8]))
 
@@ -1177,7 +1185,12 @@ def arrow_doc_chunker(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     batch, and only (doc_id, pos, chunk) columns cross the boundary.
     Plan shows FlatMapGroupsInPandas-family Arrow eval, never
     BatchEvalPython (plan-lint enforced)."""
+    import re as _re
+
     import pandas as pd
+
+    # RE2-\s-compatible split — see udtf_doc_chunker's note
+    ws = _re.compile(r"[\t\n\f\r ]+")
 
     def chunk(batches):
         for pdf in batches:
@@ -1185,7 +1198,7 @@ def arrow_doc_chunker(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             poss: list = []
             chunks: list = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in (text or "").lower().split() if t]
+                toks = [t for t in ws.split((text or "").lower()) if t]
                 for i in range(0, len(toks), 8):
                     ids.append(doc_id)
                     poss.append(i // 8)

@@ -55,7 +55,7 @@ def test_global_window_quiet_on_partitioned_window(spark):
     assert lint("synthetic_part", _plan(part)) == []
 
 
-def test_global_window_quiet_on_grouped_then_global(spark):
+def test_global_window_fires_on_grouped_then_global(spark):
     # grouped agg (keys non-empty) then a global window over it: the
     # walk reaches Exchange SinglePartition through the Sort and must
     # still flag — the input is key-cardinality-sized, which only an
@@ -79,6 +79,57 @@ def test_ranged_prefix_plans_clean(spark):
     nt = global_ntile(o, [F.col("o_totalprice"), F.col("o_orderkey")],
                       4, "tile", buckets=8)
     assert lint("ntile_op", _plan(nt)) == []
+
+
+_REUSED_PLAN = """== Physical Plan ==
+AdaptiveSparkPlan (9)
++- BroadcastHashJoin Inner BuildRight (8)
+   :- Window (4)
+   :  +- Sort (3)
+   :     +- Exchange (2)
+   :        +- Scan parquet  (1)
+   +- BroadcastExchange (7)
+      +- Window (6)
+         +- ReusedExchange (5)
+
+(2) Exchange
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=20]
+
+(5) ReusedExchange [Reuses operator id: 2]
+Output [1]: [x#1]
+"""
+
+_SUBQ_PLAN = """== Physical Plan ==
+Project (3)
++- Scan parquet  (1)
+
+(1) Scan parquet
+Output [1]: [x#1]
+
+===== Subqueries =====
+
+Subquery:1 Hosting operator id = 3 Hosting Expression = Subquery subquery#17
+AdaptiveSparkPlan (8)
++- Window (7)
+   +- Sort (6)
+      +- Exchange (5)
+         +- Scan parquet  (4)
+
+(5) Exchange
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=54]
+"""
+
+
+def test_global_window_resolves_reused_exchange():
+    # a deduped SinglePartition exchange behind ReusedExchange must
+    # still flag (the walker resolves 'Reuses operator id')
+    assert "global-window" in lint("synthetic_reused", _REUSED_PLAN)
+
+
+def test_global_window_reaches_subquery_trees():
+    # parse_tree must not stop at the main tree's blank line: a
+    # whole-relation window inside a subquery plan is the same funnel
+    assert "global-window" in lint("synthetic_subq", _SUBQ_PLAN)
 
 
 def test_python_row_udf_rule_still_fires(spark):

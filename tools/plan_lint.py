@@ -102,19 +102,24 @@ _NODE_RE = re.compile(r"^([+:\-\s|]*)(\*(?:\(\d+\))?\s+)?(.+?)\s*\((\d+)\)\s*$")
 
 
 def parse_tree(plan: str) -> list[tuple[int, str, int]]:
-    """Parse the formatted plan's tree section into
-    ``[(depth, node_name, node_id), ...]`` in pre-order.  Depth derives
-    from the indentation markers (3 chars per level); the codegen
-    ``*(n)`` prefix is stripped from names."""
+    """Parse EVERY tree section of a formatted plan — the main
+    ``== Physical Plan ==`` block AND each ``Subquery:N Hosting ...``
+    block — into ``[(depth, node_name, node_id), ...]`` in pre-order.
+    Depth derives from the indentation markers (3 chars per level); the
+    codegen ``*(n)`` prefix is stripped from names.  Subquery trees
+    append sequentially; their roots restart at depth 0, which
+    naturally terminates any walk that runs off the previous tree."""
     out = []
     in_tree = False
     for ln in plan.splitlines():
-        if ln.startswith("== Physical Plan =="):
+        if (ln.startswith("== Physical Plan ==")
+                or re.match(r"Subquery(:|\s)", ln)):
             in_tree = True
             continue
         if in_tree:
             if not ln.strip():
-                break
+                in_tree = False
+                continue
             m = _NODE_RE.match(ln)
             if not m:
                 continue
@@ -164,7 +169,14 @@ def _global_windows(plan: str) -> bool:
             if dd != want:
                 break                        # left the unary chain
             detail = details.get(cid, "")
-            if cnm == "Exchange" or cnm.startswith("Exchange "):
+            if cnm.split(" ")[0] in ("Exchange", "ReusedExchange"):
+                if cnm.startswith("ReusedExchange"):
+                    # resolve to the original exchange's detail — a
+                    # deduped SinglePartition funnel must still flag
+                    mref = re.search(r"Reuses operator id:\s*(\d+)",
+                                     detail)
+                    detail = (details.get(int(mref.group(1)), "")
+                              if mref else "")
                 if "SinglePartition" in detail:
                     return True
                 break                        # hash/range exchange: fine
