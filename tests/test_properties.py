@@ -403,3 +403,43 @@ def test_quality_classifier_matches_python_reference(spark, texts):
             expected.add((i, w_ref(tok)))
     # sets, not multisets: duplicate tokens map to the same weight
     assert got == expected
+
+
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+       buckets=st.integers(1, 9), k=st.integers(1, 7))
+@settings(**SETTINGS)
+def test_ranged_prefix_matches_python_reference(spark, vals, buckets, k):
+    """ranged_prefix rank/cumsum and global_ntile == direct Python
+    folds over the sorted sequence, for arbitrary data and bucket
+    counts (incl. buckets > n and duplicate values — the id column
+    keeps the order total)."""
+    from iot_simulator_datalake_spark.operators.prefix import (
+        global_ntile, ranged_prefix)
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    order = [F.col("v"), F.col("id")]
+    ranked, totals = ranged_prefix(df, order, sums={"cum": "v"},
+                                   rank_col="rn", buckets=buckets)
+    got = {r["id"]: (r["rn"], r["cum"]) for r in ranked.collect()}
+    ref = sorted(rows, key=lambda r: (r[1], r[0]))
+    run = 0
+    exp = {}
+    for rnk, (i, v) in enumerate(ref, start=1):
+        run += v
+        exp[i] = (rnk, run)
+    assert got == exp
+    assert totals == {"n": len(vals), "cum": run}
+
+    nt = global_ntile(df, order, k, "tile", buckets=buckets)
+    gott = {r["id"]: r["tile"] for r in nt.collect()}
+    n = len(vals)
+    q, r_ = divmod(n, k)
+    expt = {}
+    for rnk, (i, _v) in enumerate(ref, start=1):
+        if q == 0:
+            expt[i] = rnk
+        elif rnk <= r_ * (q + 1):
+            expt[i] = (rnk - 1) // (q + 1) + 1
+        else:
+            expt[i] = r_ + (rnk - 1 - r_ * (q + 1)) // q + 1
+    assert gott == expt
