@@ -166,7 +166,8 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
 def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.9,
-                            n_planes: int = 4) -> DataFrame:
+                            n_planes: int = 4,
+                            max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector member of the
     dedup family): self-join within sign-LSH buckets, keep pairs with
     cosine ≥ threshold (id_a < id_b).
@@ -176,11 +177,25 @@ def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     agree on sign bits with high probability, so recall concentrates
     exactly where the operator is aimed.  Multi-probe (flipping one
     plane) trades compute for the residual recall if needed.
+
+    ``max_bucket`` is the hot-bucket guard (the vector twin of
+    minhash's ``max_band_bucket``, SCALE.md): a bucket with B members
+    costs B² scored pairs, and a mass-duplicated corpus (the ×100
+    replica: 100 byte-identical copies per vector) concentrates the
+    duplicate mass into a few buckets whose pair explosion is
+    unbounded.  Buckets past the cap are dropped here and their
+    duplicate mass routed through exact dedup on md5(vector bytes) —
+    identical vectors don't need cosine to be found.  More planes
+    shrink buckets sub-quadratically; the cap is the hard bound.
     """
     from ..functions.vector import dot, l2_norm
     v = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
          .withColumn("bucket", sign_bucket(F.col("vec"), n_planes))
          .withColumn("norm", l2_norm(F.col("vec"))))
+    if max_bucket is not None:
+        counts = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        v = (v.join(counts, "bucket")
+             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a, b = v.alias("a"), v.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
                    (F.col("a.id") < F.col("b.id")))

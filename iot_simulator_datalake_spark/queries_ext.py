@@ -533,9 +533,51 @@ WHERE {_O_COS} >= 0.35
 def embedding_neardup_q(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Embedding-cosine near-duplicate pairs within sign-LSH buckets —
     the vector member of the dedup family (threshold tuned to the test
-    corpus's neighbour density)."""
+    corpus's neighbour density).  Deliberately uncapped: the recall
+    twin; the production path is ``embedding_neardup_capped`` (the
+    ×100 pathology of this one is measured in SCALE.md)."""
     e = load(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, threshold=0.35, n_planes=4)
+
+
+_ENDUP_CAP = 32
+
+
+@q("embedding_neardup_capped", ("F10", "J5", "W2"), oracle=f"""
+WITH emb AS ({_O_EMB}),
+bucketed0 AS (
+  SELECT vec_id AS id, vec,
+         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM emb
+), bc AS (
+  SELECT bucket, COUNT(*) AS bn FROM bucketed0 GROUP BY bucket
+), bucketed AS (
+  SELECT b0.* FROM bucketed0 b0 JOIN bc USING (bucket)
+  WHERE bc.bn <= {_ENDUP_CAP}
+)
+SELECT a.id AS id_a, b.id AS id_b, {_O_COS} AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.id < b.id
+WHERE {_O_COS} >= 0.35
+""")
+def embedding_neardup_capped(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """The PRODUCTION vector near-dup path: same sign-LSH bucket join
+    as ``embedding_neardup_pairs`` with the hot-bucket cap engaged
+    (``max_bucket={cap}``), bounding pair cost to buckets×cap² no
+    matter how duplicated the corpus is — the vector twin of
+    ``dedup_minhash_lsh_capped``.  At the gate scale the cap really
+    discriminates (sf0.01 bucket sizes span 25–42, so some buckets
+    drop), which is what certifies the cap SEMANTICS, not just the
+    happy path; over-cap buckets route their (byte-identical)
+    duplicate mass through md5-exact dedup in production.
+    """.format(cap=_ENDUP_CAP)
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.35, n_planes=4,
+                                   max_bucket=_ENDUP_CAP)
 
 
 @q("scd1_current_state", ("W1",), oracle="""
