@@ -544,16 +544,18 @@ def robust_mad_by_group(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                               0.5).alias("mad")))
 
 
-@q("revenue_share_of_total", ("A1", "W1", "F7"), oracle=f"""
+@q("revenue_share_of_total", ("A1", "W1", "F7"), oracle="""
 WITH rev AS (
-  SELECT n.n_name AS nation, {osum('o.o_totalprice')} AS revenue
+  SELECT n.n_name AS nation,
+         SUM(CAST(o.o_totalprice AS DECIMAL(25,4))) AS rev_dec
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   GROUP BY 1
 )
-SELECT nation, revenue,
-       ROUND(revenue / SUM(revenue) OVER (), 6) AS share
+SELECT nation, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS share
 FROM rev
 """)
 def revenue_share_of_total(spark: "SparkSession", sf_dir: str
@@ -563,20 +565,25 @@ def revenue_share_of_total(spark: "SparkSession", sf_dir: str
     frame) the frame/offset family didn't cover.  Scale discipline:
     the global window runs AFTER aggregation, over 25 rows — putting
     OVER () on the fact table would serialize everything into one
-    partition; over the aggregate it is free.  Both engines divide the
-    same two exact-decimal-derived doubles."""
-    from .queries import dsum
+    partition; over the aggregate it is free.  Determinism: the
+    revenue stays DECIMAL through the window total (a double window
+    sum of the 25 nation rows would be addition-order-dependent
+    across engines — the hazard the old ROUND masked), so the share
+    is ONE division of two exact-decimal-derived doubles, raw IEEE,
+    bit-identical."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     rev = (o.join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
            .groupBy(F.col("n_name").alias("nation"))
-           .agg(dsum("o_totalprice").alias("revenue")))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+                .alias("rev_dec")))
+    tot_dec = F.sum("rev_dec").over(W.partitionBy())
     return rev.select(
-        "nation", "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(W.partitionBy()),
-                6).alias("share"))
+        "nation", F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / tot_dec.cast("double"))
+        .alias("share"))
 
 
 @q("null_safe_join", ("J1", "P7", "F8"), oracle="""

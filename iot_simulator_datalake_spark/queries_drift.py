@@ -340,7 +340,7 @@ SELECT a.n AS n_a, b.n AS n_b,
        ROUND((a.s / a.n - b.s / b.n) / SQRT(
          ((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n +
          ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n), 9) AS t_stat,
-       ROUND(a.s / a.n - b.s / b.n, 6) AS mean_diff_micro
+       a.s / a.n - b.s / b.n AS mean_diff_micro
 FROM (SELECT * FROM m WHERE seg = '{_SEG['a']}') a
 CROSS JOIN (SELECT * FROM m WHERE seg = '{_SEG['b']}') b
 """)
@@ -374,7 +374,10 @@ def ab_ttest_welch(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return a.crossJoin(b).select(
         an.alias("n_a"), bn.alias("n_b"),
         F.round((as_ / an - bs / bn) / se, 9).alias("t_stat"),
-        F.round(as_ / an - bs / bn, 6).alias("mean_diff_micro"))
+        # raw difference of exact-int quotients (no ROUND — the
+        # dyadic-boundary hazard); t_stat keeps its 9-digit round:
+        # the sqrt makes a boundary landing measure-zero
+        (as_ / an - bs / bn).alias("mean_diff_micro"))
 
 
 # =========================================================================

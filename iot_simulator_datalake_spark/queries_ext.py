@@ -710,21 +710,25 @@ def multimodal_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 @q("entity_resolution_best_match", ("J5", "F11", "W3"), oracle="""
 WITH p AS (
   SELECT c.c_custkey, s.s_suppkey,
-         0.7 * (1 - CAST(levenshtein(c.c_name, s.s_name) AS DOUBLE) /
-                    CAST(GREATEST(length(c.c_name), length(s.s_name))
-                         AS DOUBLE))
-       + 0.3 * (1 - ABS(c.c_acctbal - s.s_acctbal) /
-                    (ABS(c.c_acctbal) + ABS(s.s_acctbal) + 1.0))
-           AS score
+         (700000 * (GREATEST(length(c.c_name), length(s.s_name))
+                    - levenshtein(c.c_name, s.s_name)))
+           // GREATEST(length(c.c_name), length(s.s_name))
+       + (300000 * (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                    + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100
+                    - ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                          - CAST(ROUND(s.s_acctbal * 100) AS BIGINT))))
+           // (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+               + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100)
+           AS score_u
   FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
 ), r AS (
-  SELECT c_custkey, s_suppkey, score,
+  SELECT c_custkey, s_suppkey, score_u,
          ROW_NUMBER() OVER (PARTITION BY c_custkey
-                            ORDER BY score DESC, s_suppkey) AS rn
+                            ORDER BY score_u DESC, s_suppkey) AS rn
   FROM p
 )
 SELECT c_custkey AS customer, s_suppkey AS supplier,
-       ROUND(score, 6) AS match_score
+       CAST(score_u AS DOUBLE) / 1000000.0 AS match_score
 FROM r WHERE rn = 1
 """)
 def entity_resolution_best_match(spark: "SparkSession",
@@ -735,9 +739,10 @@ def entity_resolution_best_match(spark: "SparkSession",
     Σ block_c × block_s, never |C|×|S|; (2) score candidates with a
     weighted multi-signal blend (name edit-similarity + balance
     proximity — all JVM builtins); (3) keep the argmax per left entity
-    via ROW_NUMBER (deterministic: score ties break on supplier key,
-    and scores are bit-identical across engines because both compute
-    the same IEEE expressions).
+    via ROW_NUMBER over the INTEGER micro-unit score (doctrine 4: a
+    raw double blend differs in the last ulp between engines, which
+    would silently flip the argmax near score ties — the failure mode
+    quality_score exhibited; exact ties break on supplier key).
 
     Scale: the blocked join broadcasts the smaller side per block; at
     100 TB with skewed blocks, swap the blocking key for (nation,
@@ -748,24 +753,33 @@ def entity_resolution_best_match(spark: "SparkSession",
     s = load(spark, sf_dir, "supplier")
     pairs = c.join(maybe_broadcast(s),
                    c["c_nationkey"] == s["s_nationkey"])
-    sim_name = (F.lit(1.0) -
-                F.levenshtein("c_name", "s_name").cast("double") /
-                F.greatest(F.length("c_name"),
-                           F.length("s_name")).cast("double"))
-    sim_acct = (F.lit(1.0) -
-                F.abs(F.col("c_acctbal") - F.col("s_acctbal")) /
-                (F.abs(F.col("c_acctbal")) + F.abs(F.col("s_acctbal"))
-                 + F.lit(1.0)))
+    # name similarity in micro-units: 0.7·(1 − lev/maxlen) =
+    # 700000·(maxlen − lev) div maxlen (floor via the mod identity —
+    # the numerator becomes exactly divisible, so the division is an
+    # exact IEEE op)
+    maxlen = F.greatest(F.length("c_name"), F.length("s_name")) \
+        .cast("long")
+    name_num = (maxlen - F.levenshtein("c_name", "s_name")) * 700000
+    name_u = ((name_num - name_num % maxlen) / maxlen).cast("long")
+    # balance proximity in micro-units over exact cents:
+    # 0.3·(1 − |Δ|/(|a|+|b|+1$)) = 300000·(den − |Δc|) div den,
+    # den = |a_c|+|b_c|+100
+    c_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    s_c = F.round(F.col("s_acctbal") * 100).cast("long")
+    den = F.abs(c_c) + F.abs(s_c) + 100
+    acct_num = (den - F.abs(c_c - s_c)) * 300000
+    acct_u = ((acct_num - acct_num % den) / den).cast("long")
     scored = pairs.select(
         F.col("c_custkey").alias("customer"),
         F.col("s_suppkey").alias("supplier"),
-        (F.lit(0.7) * sim_name + F.lit(0.3) * sim_acct).alias("score"))
-    w = W.partitionBy("customer").orderBy(F.col("score").desc(),
+        (name_u + acct_u).alias("score_u"))
+    w = W.partitionBy("customer").orderBy(F.col("score_u").desc(),
                                           F.col("supplier"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("customer", "supplier",
-                    F.round(F.col("score"), 6).alias("match_score")))
+                    (F.col("score_u").cast("double") / 1000000.0)
+                    .alias("match_score")))
 
 
 @q("multimodal_frame_sample", ("F10",), oracle="""
