@@ -482,29 +482,112 @@ def maxsim_late_interaction(spark: "SparkSession",
     production escalation is the standard ColBERT two-stage: ANN over
     token-vectors to gather candidates, exact MaxSim only on those.
     """.format(**_MAXSIM)
-    subs, dim = _MAXSIM["subs"], _MAXSIM["dim"]
     e = load(spark, sf_dir, "embeddings")
+    sub = _sub_split(e)
+    return (_maxsim_scores(sub.filter(F.col("vec_id") != 0),
+                           _probe_subs(sub))
+            .orderBy(F.col("maxsim_micro").desc(), "vec_id")
+            .limit(_MAXSIM["topk"]))
+
+
+def _sub_split(e: "DataFrame") -> "DataFrame":
+    """(vec_id, sub_id, v): each 64-d embedding split into ``subs``
+    token-vectors of ``dim`` dims — the ColBERT token decomposition."""
+    subs, dim = _MAXSIM["subs"], _MAXSIM["dim"]
     emb = F.col("embedding").cast("array<double>")
-    sub = (e.select("vec_id", emb.alias("v"),
-                    F.explode(F.array(*[F.lit(i) for i in range(subs)]))
-                    .alias("sub_id"))
-           .select("vec_id", "sub_id",
-                   F.slice("v", F.col("sub_id") * dim + 1, dim)
-                   .alias("v")))
-    probe = (sub.filter(F.col("vec_id") == 0)
-             .select(F.col("sub_id").alias("q_sub"),
-                     F.col("v").alias("qv")))
+    return (e.select("vec_id", emb.alias("v"),
+                     F.explode(F.array(*[F.lit(i) for i in range(subs)]))
+                     .alias("sub_id"))
+            .select("vec_id", "sub_id",
+                    F.slice("v", F.col("sub_id") * dim + 1, dim)
+                    .alias("v")))
+
+
+def _probe_subs(sub: "DataFrame") -> "DataFrame":
+    return (sub.filter(F.col("vec_id") == 0)
+            .select(F.col("sub_id").alias("q_sub"),
+                    F.col("v").alias("qv")))
+
+
+def _maxsim_scores(corpus_sub: "DataFrame",
+                   probe_sub: "DataFrame") -> "DataFrame":
+    """(vec_id, maxsim_micro): Σ over query token-vectors of the max
+    dot product against any doc token-vector — dot products quantized
+    to integer micro-units BEFORE max/sum, so ranking is bit-stable."""
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda a, b: a * b),
         F.lit(0.0), lambda acc, x: acc + x)
-    sims = (sub.filter(F.col("vec_id") != 0)
-            .join(F.broadcast(probe))
+    sims = (corpus_sub
+            .join(F.broadcast(probe_sub))
             .select("vec_id", "q_sub",
                     F.round(dot * 1e6).cast("long").alias("milli2"))
             .groupBy("vec_id", "q_sub")
             .agg(F.max("milli2").alias("best_milli2")))
     return (sims.groupBy("vec_id")
-            .agg(F.sum("best_milli2").cast("long").alias("maxsim_micro"))
+            .agg(F.sum("best_milli2").cast("long").alias("maxsim_micro")))
+
+
+@q("maxsim_rerank_lsh", ("F10", "W3", "J5"), oracle=f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+             FROM embeddings),
+bkt AS (
+  SELECT vec_id, vec,
+         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM emb
+), pb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id, b.vec FROM bkt b JOIN pb USING (bucket)
+  WHERE b.vec_id <> 0
+), sub AS (
+  SELECT vec_id, s.s AS sub_id,
+         vec[s.s * {_MAXSIM['dim']} + 1 :
+             s.s * {_MAXSIM['dim']} + {_MAXSIM['dim']}] AS v
+  FROM cand CROSS JOIN (SELECT UNNEST(range({_MAXSIM['subs']})) AS s) s
+), probe AS (
+  SELECT s.s AS sub_id,
+         vec[s.s * {_MAXSIM['dim']} + 1 :
+             s.s * {_MAXSIM['dim']} + {_MAXSIM['dim']}] AS v
+  FROM emb CROSS JOIN (SELECT UNNEST(range({_MAXSIM['subs']})) AS s) s
+  WHERE vec_id = 0
+), sims AS (
+  SELECT c.vec_id, p.sub_id AS q_sub,
+         MAX(CAST(ROUND(list_dot_product(p.v, c.v) * 1e6) AS BIGINT))
+             AS best_milli2
+  FROM sub c JOIN probe p ON TRUE
+  GROUP BY c.vec_id, p.sub_id
+)
+SELECT vec_id, CAST(SUM(best_milli2) AS BIGINT) AS maxsim_micro
+FROM sims GROUP BY vec_id
+ORDER BY maxsim_micro DESC, vec_id LIMIT {_MAXSIM['topk']}
+""")
+def maxsim_rerank_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The PRODUCTION two-stage ColBERT shape that
+    ``maxsim_late_interaction``'s docstring (and SCALE.md's ×100
+    probe) prescribe: stage 1 gathers CANDIDATES by cheap ANN routing
+    (the probe's sign-LSH bucket — ~corpus/2^planes vectors), stage 2
+    runs exact MaxSim only on those.  Full-corpus MaxSim (45.7 s at
+    the ×100 replica) is the recall ceiling; this path's cost is
+    bucket-bounded no matter the corpus size, and the gate certifies
+    the composition end-to-end (routing + rerank in ONE oracle).
+
+    Scale design: the bucket join prunes BEFORE the ×subs sub-vector
+    explode, so stage-2 cost is |bucket|×subs²; the probe broadcasts;
+    everything else inherits maxsim_late_interaction's bit-stable
+    integer quantization.
+    """
+    from .operators.similarity import sign_bucket
+    e = load(spark, sf_dir, "embeddings")
+    b = e.withColumn("bucket", sign_bucket(F.col("embedding"), 4))
+    pb = (b.filter(F.col("vec_id") == 0)
+          .select(F.col("bucket").alias("pbucket")))
+    cand = (b.join(F.broadcast(pb), F.col("bucket") == F.col("pbucket"))
+            .filter(F.col("vec_id") != 0)
+            .select("vec_id", "embedding"))
+    probe_sub = _probe_subs(_sub_split(e))
+    return (_maxsim_scores(_sub_split(cand), probe_sub)
             .orderBy(F.col("maxsim_micro").desc(), "vec_id")
             .limit(_MAXSIM["topk"]))
 

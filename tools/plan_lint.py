@@ -45,6 +45,8 @@ CROSS_ALLOW = {
     "ann_recall_eval",              # brute-force ground truth inside
     "embedding_neardup_pairs",      # blocked; block sizes bounded
     "maxsim_late_interaction",      # query set × doc tokens, Q bounded
+    "maxsim_rerank_lsh",            # same Q bound; corpus side already
+                                    # bucket-pruned before the cross
     "mmr_diverse_rerank",           # k×k re-rank, k bounded
     "stats_weighted_sample",        # 1-row total broadcast
     "string_similarity_levenshtein",  # blocked pair relation
