@@ -564,14 +564,23 @@ FROM sims GROUP BY vec_id
 ORDER BY maxsim_micro DESC, vec_id LIMIT {_MAXSIM['topk']}
 """)
 def maxsim_rerank_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """The PRODUCTION two-stage ColBERT shape that
-    ``maxsim_late_interaction``'s docstring (and SCALE.md's ×100
-    probe) prescribe: stage 1 gathers CANDIDATES by cheap ANN routing
-    (the probe's sign-LSH bucket — ~corpus/2^planes vectors), stage 2
-    runs exact MaxSim only on those.  Full-corpus MaxSim (45.7 s at
-    the ×100 replica) is the recall ceiling; this path's cost is
-    bucket-bounded no matter the corpus size, and the gate certifies
-    the composition end-to-end (routing + rerank in ONE oracle).
+    """The two-stage ColBERT shape that ``maxsim_late_interaction``'s
+    docstring (and SCALE.md's ×100 probe) prescribe: stage 1 gathers
+    CANDIDATES by cheap ANN routing (here the probe's sign-LSH bucket
+    — ~corpus/2^planes vectors), stage 2 runs exact MaxSim only on
+    those.  Full-corpus MaxSim (45.7 s at the ×100 replica) is the
+    recall ceiling; this path's cost is bucket-bounded no matter the
+    corpus size, and the gate certifies the composition end-to-end
+    (routing + rerank in ONE oracle).
+
+    Route-ability is a property of the EMBEDDING DISTRIBUTION, not of
+    this plan: ``maxsim_rerank_recall_eval`` measures it, and on the
+    driver's iid-random synthetic vectors it reads 0 — no cheap
+    signal predicts sub-vector maxima there (pooled-cosine top-500 of
+    2000 still only covers 4/10; measured in SCALE.md).  On real
+    ColBERT embeddings, token vectors cluster and the same two-stage
+    plan routes well; the recall gate is precisely the tool that
+    decides, per corpus, whether this path may replace the exact one.
 
     Scale design: the bucket join prunes BEFORE the ×subs sub-vector
     explode, so stage-2 cost is |bucket|×subs²; the probe broadcasts;
@@ -590,6 +599,94 @@ def maxsim_rerank_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (_maxsim_scores(_sub_split(cand), probe_sub)
             .orderBy(F.col("maxsim_micro").desc(), "vec_id")
             .limit(_MAXSIM["topk"]))
+
+
+def _maxsim_topk_sql(restrict_to_probe_bucket: bool) -> str:
+    """DuckDB CTE body producing the maxsim top-k (vec_id) list —
+    optionally with the corpus restricted to the probe's sign-LSH
+    bucket (the two-stage path).  Shared by the recall oracle so the
+    compared pipelines can't drift from the gated originals."""
+    m = _MAXSIM
+    cand = ("JOIN (SELECT (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)"
+            " + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)"
+            " + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket"
+            " FROM emb WHERE vec_id = 0) pb"
+            " ON (CASE WHEN c0.vec[1] >= 0 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN c0.vec[2] >= 0 THEN 2 ELSE 0 END)"
+            " + (CASE WHEN c0.vec[3] >= 0 THEN 4 ELSE 0 END)"
+            " + (CASE WHEN c0.vec[4] >= 0 THEN 8 ELSE 0 END) = pb.bucket"
+            if restrict_to_probe_bucket else "")
+    return f"""
+  SELECT vec_id FROM (
+    SELECT c.vec_id,
+           CAST(SUM(best) AS BIGINT) AS ms
+    FROM (
+      SELECT cs.vec_id, p.sub_id,
+             MAX(CAST(ROUND(list_dot_product(p.v, cs.v) * 1e6)
+                 AS BIGINT)) AS best
+      FROM (
+        SELECT c0.vec_id, s.s AS sub_id,
+               c0.vec[s.s * {m['dim']} + 1 :
+                      s.s * {m['dim']} + {m['dim']}] AS v
+        FROM emb c0 {cand}
+        CROSS JOIN (SELECT UNNEST(range({m['subs']})) AS s) s
+        WHERE c0.vec_id <> 0
+      ) cs
+      JOIN (
+        SELECT s.s AS sub_id,
+               vec[s.s * {m['dim']} + 1 :
+                   s.s * {m['dim']} + {m['dim']}] AS v
+        FROM emb CROSS JOIN (SELECT UNNEST(range({m['subs']})) AS s) s
+        WHERE vec_id = 0
+      ) p ON TRUE
+      GROUP BY cs.vec_id, p.sub_id
+    ) c GROUP BY c.vec_id
+    ORDER BY ms DESC, c.vec_id LIMIT {m['topk']}
+  )"""
+
+
+@q("maxsim_rerank_recall_eval", ("F10", "W3", "J5"), oracle=f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+             FROM embeddings),
+full_k AS ({_maxsim_topk_sql(False)}),
+rr_k AS ({_maxsim_topk_sql(True)})
+SELECT COUNT(*)::INT AS k,
+       COUNT(rr_k.vec_id)::INT AS hits,
+       CAST(COUNT(rr_k.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+         AS recall_ppm
+FROM full_k LEFT JOIN rr_k USING (vec_id)
+""")
+def maxsim_rerank_recall_eval(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Recall@{topk} of the two-stage MaxSim (``maxsim_rerank_lsh``)
+    against the full-corpus scan (``maxsim_late_interaction``) — the
+    trust gate that decides whether the 30× cheaper routed path may
+    replace the exact one (same harness shape as ``ann_recall_eval``
+    and ``semdedup_cap_recall_eval``: the approximation's quality is
+    itself an oracle-gated number, not an assertion).  Comparison is
+    on neighbor IDs, not scores.
+
+    On the driver's iid-random vectors this measures recall 0 — the
+    honest finding that no cheap routing signal exists for MaxSim on
+    structureless embeddings (SCALE.md) — which is exactly what the
+    gate is FOR: run it on your real corpus before trusting the
+    routed path.
+    """.format(**_MAXSIM)
+    e = load(spark, sf_dir, "embeddings")
+    sub = _sub_split(e)
+    probe_sub = _probe_subs(sub)
+    full_k = (_maxsim_scores(sub.filter(F.col("vec_id") != 0), probe_sub)
+              .orderBy(F.col("maxsim_micro").desc(), "vec_id")
+              .limit(_MAXSIM["topk"]).select("vec_id"))
+    rr_k = (maxsim_rerank_lsh(spark, sf_dir)
+            .select("vec_id", F.lit(1).alias("_hit")))
+    return (full_k.join(rr_k, "vec_id", "left")
+            .agg(F.count("*").cast("int").alias("k"),
+                 F.count("_hit").cast("int").alias("hits"))
+            .selectExpr("k", "hits",
+                        "CAST((hits * 1000000) div k AS BIGINT)"
+                        " AS recall_ppm"))
 
 
 # =========================================================================
