@@ -431,7 +431,7 @@ def kaplan_meier_churn(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     per-shard curves can be re-derived by merging the (dur, d, leaving)
     histograms.  Rows where the risk set would hit zero are the curve's
     terminal point (S=0, ln S=−∞) and are excluded by definition.
-    """.format(**_KM)
+    """
     e = load(spark, sf_dir, "events")
     span = e.groupBy().agg(F.max("ts").alias("tmax"))
     u = (e.groupBy("user_id")
@@ -628,7 +628,7 @@ def attribution_linear(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     First/last-touch attribution are the same query with pos=1 /
     pos=n filters; position-decay swaps the equal split for a
     weight-by-pos division — all on this one pair relation.
-    """.format(**_ATTR)
+    """
     e = load(spark, sf_dir, "events")
     p = (e.filter((F.col("event_type") == "purchase") &
                   F.col("value").isNotNull())
@@ -653,3 +653,11 @@ def attribution_linear(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "purchase_id", "touch_id", "event_type",
         "value_micro div n_touches + CASE WHEN pos = 1 "
         "THEN value_micro % n_touches ELSE 0 END AS credit_micro")
+
+
+# Interpolate the parameter placeholders into the real
+# __doc__ attributes (a '"""...""".format(...)' first statement
+# is a discarded expression, not a docstring — help()/inspect
+# saw None for these functions until this pass).
+kaplan_meier_churn.__doc__ = kaplan_meier_churn.__doc__.format(**_KM)
+attribution_linear.__doc__ = attribution_linear.__doc__.format(**_ATTR)

@@ -213,7 +213,7 @@ def chunk_dup_ratio(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     relation map-side combines, and the dup flag comes back via a
     hash-keyed join — at corpus scale the frequency table is the
     dedup index you already maintain.  Ratio is integer milli.
-    """.format(**_CHD)
+    """
     ch = _CHD["chunk"]
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", F.split("text", " ").alias("toks"))
@@ -512,3 +512,10 @@ def quantile_normalize_scores(spark: "SparkSession",
                   F.col("target") == F.col("prank"))
             .select("doc_id", "source", "n_chars",
                     F.col("pooled_value").alias("normalized_chars")))
+
+
+# Interpolate the parameter placeholders into the real
+# __doc__ attributes (a '"""...""".format(...)' first statement
+# is a discarded expression, not a docstring — help()/inspect
+# saw None for these functions until this pass).
+chunk_dup_ratio.__doc__ = chunk_dup_ratio.__doc__.format(**_CHD)

@@ -293,7 +293,7 @@ def dedup_minhash_lsh_capped(spark: "SparkSession",
     regardless of how template-heavy the corpus is.  Same plan as
     dedup_minhash_lsh plus one band-count aggregate (tiny: one row per
     distinct band hash) joined back onto the banded relation.
-    """.format(cap=_MINHASH_CAP)
+    """
     d = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "text", "doc_id",
                              max_band_bucket=_MINHASH_CAP, **_MINHASH)
@@ -574,7 +574,7 @@ def embedding_neardup_capped(spark: "SparkSession",
     drop), which is what certifies the cap SEMANTICS, not just the
     happy path; over-cap buckets route their (byte-identical)
     duplicate mass through md5-exact dedup in production.
-    """.format(cap=_ENDUP_CAP)
+    """
     e = load(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, threshold=0.35, n_planes=4,
                                    max_bucket=_ENDUP_CAP)
@@ -1342,3 +1342,11 @@ def map_token_frequencies(spark: "SparkSession",
         .alias("data_count"),
         F.size(F.map_filter("tf", lambda k, v: v >= 5)).cast("long")
         .alias("n_frequent"))
+
+
+# Interpolate the parameter placeholders into the real
+# __doc__ attributes (a '"""...""".format(...)' first statement
+# is a discarded expression, not a docstring — help()/inspect
+# saw None for these functions until this pass).
+dedup_minhash_lsh_capped.__doc__ = dedup_minhash_lsh_capped.__doc__.format(cap=_MINHASH_CAP)
+embedding_neardup_capped.__doc__ = embedding_neardup_capped.__doc__.format(cap=_ENDUP_CAP)

@@ -344,7 +344,7 @@ def random_walk_corpus(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     sequential decisions), and the oracle unrolls the walk as chained
     CTEs replaying the identical coins.  Dead-end nodes absorb the
     walk (path stops growing) on both engines.
-    """.format(**_WALK)
+    """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -435,7 +435,7 @@ def skipgram_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     count map-side combines to ≤|nodes|² cells.  The full graph →
     walks → pairs → (PMI/factorize) chain is thereby gate-certified
     end-to-end, each stage reusing the previous one's oracle as a CTE.
-    """.format(**_SG)
+    """
     walks = random_walk_corpus(spark, sf_dir)
     nodes = (walks.select("walk_id",
                           F.posexplode(F.split("path", ">"))
@@ -449,3 +449,11 @@ def skipgram_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .groupBy(F.col("a.node").alias("center"),
                      F.col("b.node").alias("context"))
             .agg(F.count("*").alias("n_cooccur")))
+
+
+# Interpolate the parameter placeholders into the real
+# __doc__ attributes (a '"""...""".format(...)' first statement
+# is a discarded expression, not a docstring — help()/inspect
+# saw None for these functions until this pass).
+random_walk_corpus.__doc__ = random_walk_corpus.__doc__.format(**_WALK)
+skipgram_pairs.__doc__ = skipgram_pairs.__doc__.format(**_SG)

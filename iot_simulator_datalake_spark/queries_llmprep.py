@@ -415,7 +415,7 @@ def boilerplate_chunk_removal(spark: "SparkSession",
     vocab-of-chunks-sized — far smaller than the corpus — and the
     df > threshold subset (the only part that must be dense) is
     smaller still.
-    """.format(**_BP)
+    """
     k = _BP["chunk"]
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -506,7 +506,7 @@ def dsir_importance_weights(spark: "SparkSession",
     only corpus-sized work is one token explode + one per-doc sum
     (map-side combining).  This is why DSIR hashes: the unhanshed
     vocab LLR table at 100 TB would itself be a shuffle problem.
-    """.format(**_DSIR)
+    """
     B, S, tgt = _DSIR["buckets"], _DSIR["scale"], _DSIR["target_source"]
     d = load(spark, sf_dir, "documents")
     feat = (d.select("doc_id", "source",
@@ -530,3 +530,11 @@ def dsir_importance_weights(spark: "SparkSession",
     return (term.groupBy("doc_id")
             .agg(F.sum("m").alias("weight_milli_nats"),
                  F.count(F.lit(1)).alias("n_tokens")))
+
+
+# Interpolate the parameter placeholders into the real
+# __doc__ attributes (a '"""...""".format(...)' first statement
+# is a discarded expression, not a docstring — help()/inspect
+# saw None for these functions until this pass).
+boilerplate_chunk_removal.__doc__ = boilerplate_chunk_removal.__doc__.format(**_BP)
+dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(**_DSIR)

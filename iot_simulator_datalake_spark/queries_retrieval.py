@@ -77,7 +77,7 @@ def bm25_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     TakeOrderedAndProject (per-partition partial top-k, k rows per
     partition to the driver).  dl/avgdl is computed as (dl·N)/Σdl to
     keep the only division in one deterministic double expression.
-    """.format(**_BM25)
+    """
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", F.split("text", " ").alias("toks")))
     dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
@@ -140,7 +140,7 @@ def inverted_index_postings(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     only (array_sort of a bounded list); global order is implied by
     segment order.  DISTINCT-before-group gives set semantics per
     (term, doc).
-    """.format(**_IDX)
+    """
     seg = _IDX["segment"]
     t = (load(spark, sf_dir, "documents")
          .select(F.col("doc_id"), F.explode(F.split("text", " "))
@@ -355,7 +355,7 @@ def hybrid_search_rrf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     is depth-sized regardless of corpus size, and the fused score is
     an integer sum of per-ranking reciprocal terms (rank ties are
     impossible by construction, so RRF is bit-stable).
-    """.format(**_RRF)
+    """
     depth, kk = _RRF["depth"], _RRF["k"]
     bm = (bm25_topk.__wrapped__(spark, sf_dir)
           if hasattr(bm25_topk, "__wrapped__") else
@@ -420,7 +420,7 @@ def phrase_search_positional(spark: "SparkSession",
     position — identical shape, no text scan at all.  Longer phrases
     chain one join per extra term, each narrowed by the rarest
     remaining term first (the classic phrase-query optimization).
-    """.format(*_PHRASE)
+    """
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", F.posexplode(F.split("text", " "))
                  .alias("i", "term")))
@@ -441,28 +441,61 @@ def phrase_search_positional(spark: "SparkSession",
 
 _MAXSIM = dict(subs=8, dim=8, topk=10)  # 64-d vector as 8 token-vectors
 
+#: DuckDB prelude shared by every maxsim oracle
+_O_MAXSIM_EMB = ("WITH emb AS (SELECT vec_id, "
+                 "CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)")
 
-@q("maxsim_late_interaction", ("F10", "W3", "A1"), oracle=f"""
-WITH sub AS (
-  SELECT vec_id, s.s AS sub_id,
-         (CAST(embedding AS DOUBLE[]))
-           [s.s * {_MAXSIM['dim']} + 1 :
-            s.s * {_MAXSIM['dim']} + {_MAXSIM['dim']}] AS v
-  FROM embeddings
-  CROSS JOIN (SELECT UNNEST(range({_MAXSIM['subs']})) AS s) s
-), probe AS (SELECT sub_id, v FROM sub WHERE vec_id = 0),
-sims AS (
-  SELECT c.vec_id, p.sub_id AS q_sub,
-         MAX(CAST(ROUND(list_dot_product(p.v, c.v) * 1e6) AS BIGINT))
-             AS best_milli2
-  FROM sub c JOIN probe p ON TRUE
-  WHERE c.vec_id <> 0
-  GROUP BY c.vec_id, p.sub_id
-)
-SELECT vec_id, CAST(SUM(best_milli2) AS BIGINT) AS maxsim_micro
-FROM sims GROUP BY vec_id
-ORDER BY maxsim_micro DESC, vec_id LIMIT {_MAXSIM['topk']}
-""")
+
+def _maxsim_topk_sql(restrict_to_probe_bucket: bool) -> str:
+    """DuckDB query body producing the maxsim top-k
+    ``(vec_id, maxsim_micro)`` list over an ``emb(vec_id, vec)`` CTE —
+    optionally with the corpus restricted to the probe's sign-LSH
+    bucket (the two-stage path).  This is THE single source for all
+    three maxsim oracles (full scan, routed rerank, recall eval), so
+    the gated pipelines and the recall comparison cannot drift apart.
+    """
+    m = _MAXSIM
+    cand = ("JOIN (SELECT (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)"
+            " + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)"
+            " + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket"
+            " FROM emb WHERE vec_id = 0) pb"
+            " ON (CASE WHEN c0.vec[1] >= 0 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN c0.vec[2] >= 0 THEN 2 ELSE 0 END)"
+            " + (CASE WHEN c0.vec[3] >= 0 THEN 4 ELSE 0 END)"
+            " + (CASE WHEN c0.vec[4] >= 0 THEN 8 ELSE 0 END) = pb.bucket"
+            if restrict_to_probe_bucket else "")
+    return f"""
+  SELECT vec_id, ms AS maxsim_micro FROM (
+    SELECT c.vec_id,
+           CAST(SUM(best) AS BIGINT) AS ms
+    FROM (
+      SELECT cs.vec_id, p.sub_id,
+             MAX(CAST(ROUND(list_dot_product(p.v, cs.v) * 1e6)
+                 AS BIGINT)) AS best
+      FROM (
+        SELECT c0.vec_id, s.s AS sub_id,
+               c0.vec[s.s * {m['dim']} + 1 :
+                      s.s * {m['dim']} + {m['dim']}] AS v
+        FROM emb c0 {cand}
+        CROSS JOIN (SELECT UNNEST(range({m['subs']})) AS s) s
+        WHERE c0.vec_id <> 0
+      ) cs
+      JOIN (
+        SELECT s.s AS sub_id,
+               vec[s.s * {m['dim']} + 1 :
+                   s.s * {m['dim']} + {m['dim']}] AS v
+        FROM emb CROSS JOIN (SELECT UNNEST(range({m['subs']})) AS s) s
+        WHERE vec_id = 0
+      ) p ON TRUE
+      GROUP BY cs.vec_id, p.sub_id
+    ) c GROUP BY c.vec_id
+    ORDER BY ms DESC, c.vec_id LIMIT {m['topk']}
+  )"""
+
+
+@q("maxsim_late_interaction", ("F10", "W3", "A1"),
+   oracle=f"{_O_MAXSIM_EMB}{_maxsim_topk_sql(False)}")
 def maxsim_late_interaction(spark: "SparkSession",
                             sf_dir: str) -> "DataFrame":
     """Late-interaction retrieval (the ColBERT MaxSim operator): treat
@@ -481,7 +514,7 @@ def maxsim_late_interaction(spark: "SparkSession",
     micro-units BEFORE max/sum, so the ranking is bit-stable.  The
     production escalation is the standard ColBERT two-stage: ANN over
     token-vectors to gather candidates, exact MaxSim only on those.
-    """.format(**_MAXSIM)
+    """
     e = load(spark, sf_dir, "embeddings")
     sub = _sub_split(e)
     return (_maxsim_scores(sub.filter(F.col("vec_id") != 0),
@@ -527,42 +560,8 @@ def _maxsim_scores(corpus_sub: "DataFrame",
             .agg(F.sum("best_milli2").cast("long").alias("maxsim_micro")))
 
 
-@q("maxsim_rerank_lsh", ("F10", "W3", "J5"), oracle=f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
-             FROM embeddings),
-bkt AS (
-  SELECT vec_id, vec,
-         (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)
-       + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)
-       + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-  FROM emb
-), pb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
-cand AS (
-  SELECT b.vec_id, b.vec FROM bkt b JOIN pb USING (bucket)
-  WHERE b.vec_id <> 0
-), sub AS (
-  SELECT vec_id, s.s AS sub_id,
-         vec[s.s * {_MAXSIM['dim']} + 1 :
-             s.s * {_MAXSIM['dim']} + {_MAXSIM['dim']}] AS v
-  FROM cand CROSS JOIN (SELECT UNNEST(range({_MAXSIM['subs']})) AS s) s
-), probe AS (
-  SELECT s.s AS sub_id,
-         vec[s.s * {_MAXSIM['dim']} + 1 :
-             s.s * {_MAXSIM['dim']} + {_MAXSIM['dim']}] AS v
-  FROM emb CROSS JOIN (SELECT UNNEST(range({_MAXSIM['subs']})) AS s) s
-  WHERE vec_id = 0
-), sims AS (
-  SELECT c.vec_id, p.sub_id AS q_sub,
-         MAX(CAST(ROUND(list_dot_product(p.v, c.v) * 1e6) AS BIGINT))
-             AS best_milli2
-  FROM sub c JOIN probe p ON TRUE
-  GROUP BY c.vec_id, p.sub_id
-)
-SELECT vec_id, CAST(SUM(best_milli2) AS BIGINT) AS maxsim_micro
-FROM sims GROUP BY vec_id
-ORDER BY maxsim_micro DESC, vec_id LIMIT {_MAXSIM['topk']}
-""")
+@q("maxsim_rerank_lsh", ("F10", "W3", "J5"),
+   oracle=f"{_O_MAXSIM_EMB}{_maxsim_topk_sql(True)}")
 def maxsim_rerank_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """The two-stage ColBERT shape that ``maxsim_late_interaction``'s
     docstring (and SCALE.md's ×100 probe) prescribe: stage 1 gathers
@@ -601,54 +600,8 @@ def maxsim_rerank_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .limit(_MAXSIM["topk"]))
 
 
-def _maxsim_topk_sql(restrict_to_probe_bucket: bool) -> str:
-    """DuckDB CTE body producing the maxsim top-k (vec_id) list —
-    optionally with the corpus restricted to the probe's sign-LSH
-    bucket (the two-stage path).  Shared by the recall oracle so the
-    compared pipelines can't drift from the gated originals."""
-    m = _MAXSIM
-    cand = ("JOIN (SELECT (CASE WHEN vec[1] >= 0 THEN 1 ELSE 0 END)"
-            " + (CASE WHEN vec[2] >= 0 THEN 2 ELSE 0 END)"
-            " + (CASE WHEN vec[3] >= 0 THEN 4 ELSE 0 END)"
-            " + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket"
-            " FROM emb WHERE vec_id = 0) pb"
-            " ON (CASE WHEN c0.vec[1] >= 0 THEN 1 ELSE 0 END)"
-            " + (CASE WHEN c0.vec[2] >= 0 THEN 2 ELSE 0 END)"
-            " + (CASE WHEN c0.vec[3] >= 0 THEN 4 ELSE 0 END)"
-            " + (CASE WHEN c0.vec[4] >= 0 THEN 8 ELSE 0 END) = pb.bucket"
-            if restrict_to_probe_bucket else "")
-    return f"""
-  SELECT vec_id FROM (
-    SELECT c.vec_id,
-           CAST(SUM(best) AS BIGINT) AS ms
-    FROM (
-      SELECT cs.vec_id, p.sub_id,
-             MAX(CAST(ROUND(list_dot_product(p.v, cs.v) * 1e6)
-                 AS BIGINT)) AS best
-      FROM (
-        SELECT c0.vec_id, s.s AS sub_id,
-               c0.vec[s.s * {m['dim']} + 1 :
-                      s.s * {m['dim']} + {m['dim']}] AS v
-        FROM emb c0 {cand}
-        CROSS JOIN (SELECT UNNEST(range({m['subs']})) AS s) s
-        WHERE c0.vec_id <> 0
-      ) cs
-      JOIN (
-        SELECT s.s AS sub_id,
-               vec[s.s * {m['dim']} + 1 :
-                   s.s * {m['dim']} + {m['dim']}] AS v
-        FROM emb CROSS JOIN (SELECT UNNEST(range({m['subs']})) AS s) s
-        WHERE vec_id = 0
-      ) p ON TRUE
-      GROUP BY cs.vec_id, p.sub_id
-    ) c GROUP BY c.vec_id
-    ORDER BY ms DESC, c.vec_id LIMIT {m['topk']}
-  )"""
-
-
 @q("maxsim_rerank_recall_eval", ("F10", "W3", "J5"), oracle=f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
-             FROM embeddings),
+{_O_MAXSIM_EMB},
 full_k AS ({_maxsim_topk_sql(False)}),
 rr_k AS ({_maxsim_topk_sql(True)})
 SELECT COUNT(*)::INT AS k,
@@ -672,13 +625,10 @@ def maxsim_rerank_recall_eval(spark: "SparkSession",
     structureless embeddings (SCALE.md) — which is exactly what the
     gate is FOR: run it on your real corpus before trusting the
     routed path.
-    """.format(**_MAXSIM)
-    e = load(spark, sf_dir, "embeddings")
-    sub = _sub_split(e)
-    probe_sub = _probe_subs(sub)
-    full_k = (_maxsim_scores(sub.filter(F.col("vec_id") != 0), probe_sub)
-              .orderBy(F.col("maxsim_micro").desc(), "vec_id")
-              .limit(_MAXSIM["topk"]).select("vec_id"))
+    """
+    # both sides reuse the GATED queries verbatim — the eval compares
+    # exactly the pipelines the registry certifies, nothing re-derived
+    full_k = maxsim_late_interaction(spark, sf_dir).select("vec_id")
     rr_k = (maxsim_rerank_lsh(spark, sf_dir)
             .select("vec_id", F.lit(1).alias("_hit")))
     return (full_k.join(rr_k, "vec_id", "left")
@@ -766,7 +716,7 @@ def mmr_diverse_rerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     rounds — the identical driver-state pattern as kmeans_lloyd/BPE.
     Integer micro-unit scores end-to-end; the oracle unrolls all
     {out} greedy rounds as chained CTEs.
-    """.format(**_MMR)
+    """
     m = _MMR
     e = load(spark, sf_dir, "embeddings")
     cands = (brute_force_topk(e, e.filter(F.col("vec_id") == 0),
@@ -804,3 +754,16 @@ def mmr_diverse_rerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         [(v, i + 1) for i, v in enumerate(chosen)], "vec_id long, rank int")
     return (order.join(rel, order["vec_id"] == rel["id"])
             .select("vec_id", "rank", F.col("rel").alias("rel_micro")))
+
+
+# Interpolate the parameter placeholders into the real
+# __doc__ attributes (a '"""...""".format(...)' first statement
+# is a discarded expression, not a docstring — help()/inspect
+# saw None for these functions until this pass).
+bm25_topk.__doc__ = bm25_topk.__doc__.format(**_BM25)
+inverted_index_postings.__doc__ = inverted_index_postings.__doc__.format(**_IDX)
+hybrid_search_rrf.__doc__ = hybrid_search_rrf.__doc__.format(**_RRF)
+phrase_search_positional.__doc__ = phrase_search_positional.__doc__.format(*_PHRASE)
+maxsim_late_interaction.__doc__ = maxsim_late_interaction.__doc__.format(**_MAXSIM)
+maxsim_rerank_recall_eval.__doc__ = maxsim_rerank_recall_eval.__doc__.format(**_MAXSIM)
+mmr_diverse_rerank.__doc__ = mmr_diverse_rerank.__doc__.format(**_MMR)

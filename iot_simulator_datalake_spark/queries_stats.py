@@ -235,7 +235,7 @@ def countmin_freq_estimate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     so the sketch (and any collision over-count) is bit-identical —
     the oracle replays construction + probe, not a true-count compare
     (heavy_hitters_exact covers ground truth for this family).
-    """.format(**_CMS)
+    """
     li = load(spark, sf_dir, "lineitem")
     d, w = _CMS["depth"], _CMS["width"]
     # build: exact per-key counts FIRST (a cheap long-key hash agg that
@@ -298,7 +298,7 @@ def spatial_grid_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     dedups the 9-fold candidate multiplicity (each pair found once per
     covering offset, DISTINCT collapses it).  Exact integer Chebyshev
     metric end-to-end.
-    """.format(**_GRID)
+    """
     cell, space = _GRID["cell"], _GRID["space"]
 
     def axis(seed: str):
@@ -628,7 +628,7 @@ def weighted_sample_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     incrementally.  The md5 coin (not rand()) makes the sample
     reproducible across engines, retries and backfills — same property
     as hash_sample_stratified, extended to weighted inclusion.
-    """.format(**_WSAMP)
+    """
     o = load(spark, sf_dir, "orders")
     mod = _WSAMP["mod"]
     h = (F.conv(F.substring(
@@ -838,3 +838,12 @@ def segment_overlap_kmv(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .select("seg_a", "seg_b", "k_union", "n_both",
                     (F.col("n_both").cast("double") / F.col("k_union"))
                     .alias("jaccard_est")))
+
+
+# Interpolate the parameter placeholders into the real
+# __doc__ attributes (a '"""...""".format(...)' first statement
+# is a discarded expression, not a docstring — help()/inspect
+# saw None for these functions until this pass).
+countmin_freq_estimate.__doc__ = countmin_freq_estimate.__doc__.format(**_CMS)
+spatial_grid_join.__doc__ = spatial_grid_join.__doc__.format(**_GRID)
+weighted_sample_topk.__doc__ = weighted_sample_topk.__doc__.format(**_WSAMP)

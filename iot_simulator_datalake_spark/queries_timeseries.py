@@ -588,7 +588,7 @@ def ewma_forecast(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     fold costs O(days) per device no matter how hot the device is
     (the same grid-bounding move as KS/Kaplan–Meier).  Integer state
     end-to-end ⇒ bit-identical to the recursive-CTE oracle.
-    """.format(**_EWMA)
+    """
     ev = load(spark, sf_dir, "events")
     daily = (ev.groupBy("user_id",
                         F.datediff(F.col("ts").cast("date"),
@@ -673,7 +673,7 @@ def hysteresis_alerts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     which side of that line an operator falls on is the difference
     between a window and an applyInPandas at 100 TB).  Episode starts
     fall out of a LAG over the same shuffle.
-    """.format(**_HYST)
+    """
     e = load(spark, sf_dir, "events")
     t = (e.filter(F.col("value").isNotNull())
          .select("user_id", "event_id", "ts",
@@ -692,3 +692,11 @@ def hysteresis_alerts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.when((F.col("alert_on") == 1) &
                (F.coalesce(F.lag("alert_on").over(wl), F.lit(0)) == 0), 1)
         .otherwise(0).cast("long").alias("alert_started"))
+
+
+# Interpolate the parameter placeholders into the real
+# __doc__ attributes (a '"""...""".format(...)' first statement
+# is a discarded expression, not a docstring — help()/inspect
+# saw None for these functions until this pass).
+ewma_forecast.__doc__ = ewma_forecast.__doc__.format(**_EWMA)
+hysteresis_alerts.__doc__ = hysteresis_alerts.__doc__.format(**_HYST)

@@ -432,14 +432,12 @@ def test_ranged_prefix_matches_python_reference(spark, vals, buckets, k):
 
     nt = global_ntile(df, order, k, "tile", buckets=buckets)
     gott = {r["id"]: r["tile"] for r in nt.collect()}
-    n = len(vals)
-    q, r_ = divmod(n, k)
-    expt = {}
-    for rnk, (i, _v) in enumerate(ref, start=1):
-        if q == 0:
-            expt[i] = rnk
-        elif rnk <= r_ * (q + 1):
-            expt[i] = (rnk - 1) // (q + 1) + 1
-        else:
-            expt[i] = r_ + (rnk - 1 - r_ * (q + 1)) // q + 1
+    # independent oracle: Spark's own NTILE over a naive global window
+    # (NOT a re-statement of global_ntile's divmod arithmetic — a
+    # mirrored formula would test the implementation against itself,
+    # leaving the n < k and boundary branches uncertified)
+    from pyspark.sql import Window as W
+    expt = {r["id"]: r["tile"] for r in
+            df.select("id", F.ntile(k).over(W.orderBy(*order))
+                      .cast("long").alias("tile")).collect()}
     assert gott == expt

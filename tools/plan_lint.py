@@ -47,6 +47,9 @@ CROSS_ALLOW = {
     "maxsim_late_interaction",      # query set × doc tokens, Q bounded
     "maxsim_rerank_lsh",            # same Q bound; corpus side already
                                     # bucket-pruned before the cross
+    "maxsim_rerank_recall_eval",    # composes the two queries above —
+                                    # both probe crosses carry their
+                                    # own cited Q bounds
     "mmr_diverse_rerank",           # k×k re-rank, k bounded
     "stats_weighted_sample",        # 1-row total broadcast
     "string_similarity_levenshtein",  # blocked pair relation
