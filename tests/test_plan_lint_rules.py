@@ -149,3 +149,19 @@ def test_parse_tree_shapes(spark):
                                      or n == "Exchange" for n in names)
     depths = [d for d, _, _ in tree]
     assert depths[0] == 0 and max(depths) >= 2
+
+
+def test_ranged_prefix_empty_input(spark):
+    # empty relation: no bucket totals, offsets default to 0, no rows
+    # out — the operator must not divide by zero or emit a bad plan
+    from iot_simulator_datalake_spark.operators.prefix import (
+        global_ntile, ranged_prefix)
+    from pyspark.sql import functions as F
+    empty = (spark.createDataFrame([(1, 2.0)], ["id", "v"])
+             .filter(F.lit(False)))
+    out, totals = ranged_prefix(empty, [F.col("v"), F.col("id")],
+                                sums={"cum": "v"}, rank_col="rn",
+                                buckets=4)
+    assert out.collect() == [] and totals == {"n": 0, "cum": 0}
+    nt = global_ntile(empty, [F.col("v"), F.col("id")], 3, "t", buckets=4)
+    assert nt.collect() == []

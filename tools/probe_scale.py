@@ -20,8 +20,21 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from iot_simulator_datalake_spark.queries import REGISTRY  # noqa: E402
 from iot_simulator_datalake_spark.session import get_spark  # noqa: E402
+
+
+def full_mat(df) -> int:
+    """Materialize EVERY column and return the row count.  A bare
+    ``count()`` lets Catalyst eliminate unique-key joins whose columns
+    nobody consumes — the probe would then time a no-op plan (this
+    bit the first semdedup ×100 probe; see SCALE.md)."""
+    row = df.agg(F.count(F.lit(1)).alias("_n"),
+                 *[F.count(c).alias(f"_c{i}")
+                   for i, c in enumerate(df.columns)]).collect()[0]
+    return row["_n"]
 
 
 def main(argv: list[str]) -> int:
@@ -37,13 +50,13 @@ def main(argv: list[str]) -> int:
     spark = get_spark("probe_scale")
     print(f"# warmup at {sfs[0]}")
     for n in names:
-        REGISTRY[n].fn(spark, sfs[0]).count()
+        full_mat(REGISTRY[n].fn(spark, sfs[0]))
     rows = []
     for n in names:
         times = []
         for sf in sfs:
             t0 = time.time()
-            cnt = REGISTRY[n].fn(spark, sf).count()
+            cnt = full_mat(REGISTRY[n].fn(spark, sf))
             times.append((time.time() - t0, cnt))
         (t_small, c_small), (t_big, c_big) = times
         ratio = t_big / t_small if t_small > 0 else float("inf")
