@@ -64,10 +64,26 @@ def _offset_expr(offsets: dict[int, int]) -> Column:
                         F.col("_pid") + 1)
 
 
+#: auto-sizing target: one bucket per ~64 MB of Catalyst-estimated
+#: input, clamped to [32, 4096] — at test scale this floors to 32, on
+#: a 100 TB relation it rides the cap with ~25 GB logical per bucket
+#: before projection (results are bucket-count-invariant, so the
+#: estimate only tunes task sizing, never correctness)
+_BUCKET_TARGET_BYTES = 64 << 20
+
+
+def _auto_buckets(df: DataFrame) -> int:
+    from .hints import plan_size_bytes
+    size = plan_size_bytes(df)
+    if size is None:
+        return 32
+    return min(4096, max(32, size // _BUCKET_TARGET_BYTES))
+
+
 def ranged_prefix(df: DataFrame, order: list, *,
                   sums: dict[str, str] | None = None,
                   rank_col: str | None = None,
-                  buckets: int = 32) -> tuple[DataFrame, dict]:
+                  buckets: int | None = None) -> tuple[DataFrame, dict]:
     """Global prefix aggregates over ``order`` without a
     single-partition window.
 
@@ -79,13 +95,18 @@ def ranged_prefix(df: DataFrame, order: list, *,
     when addition is associative.
     ``rank_col``: name for the global ROW_NUMBER equivalent (long).
     ``buckets``: range-partition count — size so N/buckets rows fit a
-    task (thousands on a real cluster; 32 covers test scale).
+    task.  Default (None) auto-sizes from Catalyst plan statistics at
+    ~64 MB of input per bucket, clamped to [32, 4096], so the same
+    call scales from the test SFs to a cluster without retuning;
+    results are bucket-count-INVARIANT either way.
 
     Returns ``(out_df, totals)`` where ``totals`` carries the grand
     totals {"n": N, out_col: Σsrc} so callers can inject global
     scalars (``COUNT(*) OVER ()``, ``SUM(x) OVER ()``) as literals
     instead of adding another global window.
     """
+    if buckets is None:
+        buckets = _auto_buckets(df)
     sums = dict(sums or {})
     d = (df.repartitionByRange(buckets, *order)
          .withColumn("_pid", F.spark_partition_id())
@@ -123,7 +144,7 @@ def ranged_prefix(df: DataFrame, order: list, *,
 
 
 def global_ntile(df: DataFrame, order: list, n_tiles: int,
-                 out_col: str, *, buckets: int = 32) -> DataFrame:
+                 out_col: str, *, buckets: int | None = None) -> DataFrame:
     """``NTILE(n) OVER (ORDER BY order)`` via :func:`ranged_prefix` —
     ANSI semantics reproduced from the global rank: with N rows and
     q, r = divmod(N, n_tiles), the first r tiles hold q+1 rows.  The

@@ -538,3 +538,13 @@ def dsir_importance_weights(spark: "SparkSession",
 # saw None for these functions until this pass).
 boilerplate_chunk_removal.__doc__ = boilerplate_chunk_removal.__doc__.format(**_BP)
 dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(**_DSIR)
+
+
+# Interpolate the remaining literal {placeholders} into real __doc__
+# values (never .format()ed before; guarded by the registry lint now).
+corpus_shard_shuffle.__doc__ = corpus_shard_shuffle.__doc__.format(
+    shards=_SHUF["shards"])
+seq_packing.__doc__ = seq_packing.__doc__.format(
+    block=_PACK["block"], shards=_PACK["shards"])
+contamination_ngram.__doc__ = contamination_ngram.__doc__.format(
+    ngram=_CONTAM["ngram"])

@@ -556,3 +556,10 @@ def temperature_mix_rates(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                         "CAST(FLOOR((CAST(wq AS DOUBLE) / z) /"
                         " (CAST(n_docs AS DOUBLE) / tot) * 1000)"
                         " AS BIGINT) AS upweight_milli"))
+
+
+# Interpolate the remaining literal {placeholders} into real __doc__
+# values (never .format()ed before; guarded by the registry lint now).
+bpe_pair_stats.__doc__ = bpe_pair_stats.__doc__.format(N=BPE_TOP)
+bpe_apply_merges.__doc__ = bpe_apply_merges.__doc__.format(
+    V=_BPE_VOCAB_TOP)

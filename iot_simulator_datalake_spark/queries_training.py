@@ -377,3 +377,11 @@ def fuzzy_dedup_report(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.count("*").alias("n_docs"),
                  F.sum(keep).alias("n_kept"),
                  F.sum(1 - keep).alias("n_removed")))
+
+
+# Interpolate the remaining literal {placeholders} into real __doc__
+# values (these docstrings referenced module constants but were never
+# .format()ed — the registry docstring lint now guards this).
+doc_chunking.__doc__ = doc_chunking.__doc__.format(_CHUNK=_CHUNK,
+                                                   _STRIDE=_STRIDE)
+vocab_topk.__doc__ = vocab_topk.__doc__.format(_VOCAB_N=_VOCAB_N)

@@ -165,3 +165,18 @@ def test_ranged_prefix_empty_input(spark):
     assert out.collect() == [] and totals == {"n": 0, "cum": 0}
     nt = global_ntile(empty, [F.col("v"), F.col("id")], 3, "t", buckets=4)
     assert nt.collect() == []
+
+
+def test_registry_docstrings_are_real(spark):
+    # regression guard for the '"""...""".format(...)' trap: a string
+    # literal followed by .format() is a discarded expression, leaving
+    # __doc__ = None — every registered query must carry a real,
+    # fully-interpolated docstring (no {placeholders} left behind)
+    import re
+    from iot_simulator_datalake_spark.queries import REGISTRY
+    bad = [n for n, qd in REGISTRY.items()
+           if not (qd.fn.__doc__ or "").strip()]
+    assert bad == [], f"queries with empty __doc__: {bad}"
+    unfilled = [n for n, qd in REGISTRY.items()
+                if re.search(r"\{\w+\}", qd.fn.__doc__ or "")]
+    assert unfilled == [], f"uninterpolated placeholders: {unfilled}"
