@@ -180,3 +180,13 @@ def test_registry_docstrings_are_real(spark):
     unfilled = [n for n, qd in REGISTRY.items()
                 if re.search(r"\{\w+\}", qd.fn.__doc__ or "")]
     assert unfilled == [], f"uninterpolated placeholders: {unfilled}"
+
+
+def test_lint_allowlists_reference_real_queries(spark):
+    # stale allowlist entries mask nothing today but rot the lint's
+    # audit trail; every allowlisted name must be a registered query
+    from plan_lint import CROSS_ALLOW, GLOBAL_WINDOW_ALLOW, PYTHON_ALLOW
+    from iot_simulator_datalake_spark.queries import REGISTRY
+    for allow in (CROSS_ALLOW, GLOBAL_WINDOW_ALLOW, PYTHON_ALLOW):
+        stale = sorted(allow - set(REGISTRY))
+        assert stale == [], f"allowlist entries with no query: {stale}"

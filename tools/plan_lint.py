@@ -51,7 +51,10 @@ CROSS_ALLOW = {
                                     # both probe crosses carry their
                                     # own cited Q bounds
     "mmr_diverse_rerank",           # k×k re-rank, k bounded
-    "stats_weighted_sample",        # 1-row total broadcast
+    "weighted_sample_topk",         # 1-row total broadcast (was listed
+                                    # under its pre-rename name
+                                    # stats_weighted_sample — stale
+                                    # entries now test-guarded)
     "string_similarity_levenshtein",  # blocked pair relation
     "random_walk_corpus",           # crossJoin with Range(per_node=10)
     "similarity_topk_ivf",          # probes × nlist centroid table
