@@ -425,7 +425,7 @@ def semi_join_exists(spark: "SparkSession", sf_dir: str) -> "DataFrame":
    oracle=f"""
 WITH thresholds AS (
     SELECT event_type AS t_event_type,
-           ROUND({oavg('value')} * 1.5, 6) AS max_value
+           {oavg('value')} * 1.5 AS max_value
     FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value, t.max_value,
@@ -441,7 +441,9 @@ def threshold_theta_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     nested-loop/hash join; the events side never shuffles."""
     e = load(spark, sf_dir, "events")
     thr = (e.groupBy(F.col("event_type").alias("t_event_type"))
-           .agg(F.round(davg("value") * 1.5, 6).alias("max_value")))
+           # raw ×1.5 of the identical rounded avg on both engines —
+           # the outer ROUND was a second boundary hazard for nothing
+           .agg((davg("value") * 1.5).alias("max_value")))
     joined = e.join(
         F.broadcast(thr),
         (e["event_type"] == thr["t_event_type"]) &

@@ -136,9 +136,8 @@ WITH pairs AS (
   FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT from_type, to_type, n,
-       ROUND(CAST(n AS DOUBLE) /
-             CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
-         AS p
+       CAST(n AS DOUBLE) /
+         CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
 FROM cnt
 """)
 def event_transition_matrix(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -158,9 +157,10 @@ def event_transition_matrix(spark: "SparkSession", sf_dir: str) -> "DataFrame":
            .groupBy("from_type", "to_type")
            .agg(F.count(F.lit(1)).alias("n")))
     norm = W.partitionBy("from_type")
+    # raw exact-int quotient (no ROUND) — cross-engine boundary hazard
     return cnt.withColumn(
-        "p", F.round(F.col("n").cast("double") /
-                     F.sum("n").over(norm).cast("double"), 6))
+        "p", F.col("n").cast("double") /
+             F.sum("n").over(norm).cast("double"))
 
 
 # =========================================================================
@@ -198,8 +198,8 @@ def heavy_hitters_exact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 @q("percent_rank_segment", ("W3", "A7"), oracle="""
 SELECT c_custkey AS customer, c_mktsegment AS segment,
-       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-       ROUND(CUME_DIST() OVER w, 6) AS cd
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
 """)
@@ -216,8 +216,11 @@ def percent_rank_segment(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return c.select(
         F.col("c_custkey").alias("customer"),
         F.col("c_mktsegment").alias("segment"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"))
+        # raw (rank−1)/(n−1) and rank/n quotients of exact ints — bit-
+        # identical across engines; ROUND(q, 6) carried the HALF_UP
+        # boundary hazard
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"))
 
 
 # =========================================================================
