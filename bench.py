@@ -2,11 +2,21 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Each query is built lazily and executed via a count-style action that
-materializes every row (``df.toLocalIterator`` would serialize; we use
-``df.write.format("noop")``-equivalent: count over all columns is enough
-since Catalyst cannot prune the aggregates away once collected — we use
-``df.collect()`` length only for small results and a count() otherwise).
+Each query is built lazily and executed via ``count()`` — the same
+action every prior round's baseline used, so totals stay comparable.
+The known hazard with count() is that Catalyst can ELIMINATE a
+join whose output nobody consumes (the semdedup ×100 probe trap —
+SCALE.md), making the timing describe a plan production never runs.
+The warm-up pass therefore checks, per query, whether the
+count()-pruned optimized plan retains every join of the full output
+plan; queries where it doesn't are benched with a per-column
+full-materialization aggregate instead, and the JSON lists them
+under "full_mat_queries".  (Full-mat everywhere would dodge the
+check but measures ~45% high on column-heavy outputs and breaks the
+round-1 baseline protocol.)  Round-4 finding: `customer_scorecard`
+is such a query — its LEFT JOIN collapses under count-of-groups, so
+rounds 1–3 under-timed it (~0.33 s measured a customer-side
+distinct); its entry is honestly higher from round 4 on.
 """
 
 from __future__ import annotations
@@ -18,8 +28,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from iot_simulator_datalake_spark.queries import REGISTRY  # noqa: E402
 from iot_simulator_datalake_spark.session import get_spark  # noqa: E402
+
+
+def _join_nodes(df) -> int:
+    """Number of Join nodes in the optimized logical plan."""
+    return df._jdf.queryExecution().optimizedPlan().toString().count("Join")
+
+
+def count_is_faithful(df) -> bool:
+    """True iff count() executes every join of the full output plan
+    (module docstring)."""
+    return _join_nodes(df.groupBy().count()) >= _join_nodes(df)
+
+
+def full_mat(df) -> int:
+    """Execute the WHOLE plan (count of every output column) and
+    return the row count — the action for queries where count() would
+    time a join-pruned plan."""
+    row = df.agg(F.count(F.lit(1)).alias("_n"),
+                 *[F.count(c).alias(f"_c{i}")
+                   for i, c in enumerate(df.columns)]).collect()[0]
+    return row["_n"]
 
 #: the 14 queries BENCH_r01 (the baseline, 9.62 s at sf0.1) timed —
 #: the like-for-like cross-round comparison set (BASELINE.md).  The
@@ -46,8 +79,14 @@ def main() -> None:
     # codegen compilation and file-listing costs, so the timed pass
     # measures steady-state query execution — what a long-lived cluster
     # actually sees (plans are rebuilt fresh; no DataFrame caching).
+    needs_full_mat: set = set()
     for name in names:
-        REGISTRY[name].fn(spark, sf_dir).count()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        if not count_is_faithful(df):
+            needs_full_mat.add(name)
+            full_mat(df)
+        else:
+            df.count()
 
     # Three timed passes, report the MEDIAN per query: local[N] on a
     # shared host is noisy (GC, co-tenants); the median is robust to a
@@ -60,7 +99,7 @@ def main() -> None:
             qd = REGISTRY[name]
             t0 = time.monotonic()
             df = qd.fn(spark, sf_dir)
-            n = df.count()
+            n = full_mat(df) if name in needs_full_mat else df.count()
             dt = round(time.monotonic() - t0, 3)
             passes[name].append(dt)
             print(f"# pass{_pass} {name}: {n} rows in {dt:.2f}s",
@@ -81,6 +120,7 @@ def main() -> None:
         "queries": timings,
         "baseline_subset_sec": subset,
         "aggregation": "median_of_3",
+        "full_mat_queries": sorted(needs_full_mat),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

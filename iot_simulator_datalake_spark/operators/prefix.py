@@ -64,20 +64,22 @@ def _offset_expr(offsets: dict[int, int]) -> Column:
                         F.col("_pid") + 1)
 
 
-#: auto-sizing target: one bucket per ~64 MB of Catalyst-estimated
-#: input, clamped to [32, 4096] — at test scale this floors to 32, on
-#: a 100 TB relation it rides the cap with ~25 GB logical per bucket
-#: before projection (results are bucket-count-invariant, so the
-#: estimate only tunes task sizing, never correctness)
-_BUCKET_TARGET_BYTES = 64 << 20
-
-
 def _auto_buckets(df: DataFrame) -> int:
-    from .hints import plan_size_bytes
-    size = plan_size_bytes(df)
-    if size is None:
-        return 32
-    return min(4096, max(32, size // _BUCKET_TARGET_BYTES))
+    """Default bucket count = ``spark.sql.shuffle.partitions`` (floored
+    at 32) — the same knob that sizes every other reducer stage, so the
+    operator scales with the CLUSTER configuration, not with a size
+    guess.  Catalyst size estimates are explicitly NOT used: a
+    localCheckpoint input (chained ranged_prefix calls, e.g. RFM's
+    three quintiles) reports the defaultSizeInBytes sentinel, and a
+    groupBy output without CBO reports ~its child scan size — both
+    wildly wrong in opposite directions.  Results are bucket-count-
+    invariant; the count only tunes task sizing, and a caller with a
+    known shape can always pass ``buckets=`` explicitly."""
+    try:
+        conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        conf = 32
+    return max(32, conf)
 
 
 def ranged_prefix(df: DataFrame, order: list, *,
@@ -95,10 +97,10 @@ def ranged_prefix(df: DataFrame, order: list, *,
     when addition is associative.
     ``rank_col``: name for the global ROW_NUMBER equivalent (long).
     ``buckets``: range-partition count — size so N/buckets rows fit a
-    task.  Default (None) auto-sizes from Catalyst plan statistics at
-    ~64 MB of input per bucket, clamped to [32, 4096], so the same
-    call scales from the test SFs to a cluster without retuning;
-    results are bucket-count-INVARIANT either way.
+    task.  Default (None) uses ``spark.sql.shuffle.partitions``
+    (floored at 32), so the same call scales from the test SFs to a
+    cluster tuned for its data volume without retuning here; results
+    are bucket-count-INVARIANT either way.
 
     Returns ``(out_df, totals)`` where ``totals`` carries the grand
     totals {"n": N, out_col: Σsrc} so callers can inject global
