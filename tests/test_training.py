@@ -37,6 +37,21 @@ def test_connected_components_string_ids(spark):
                     "x": "x", "y": "x"}
 
 
+def test_connected_components_distributed_path_parity(spark, monkeypatch):
+    # All other graph tests are below SMALL_GRAPH_EDGES and exercise
+    # the driver-side union-find; force the gate to 0 so the
+    # distributed label-propagation loop (the 100-TB path) stays
+    # tested, and assert both paths agree on a multi-round chain plus
+    # an island — numeric ids (Σcomp convergence) and string ids
+    # (changed-row probe) both.
+    from iot_simulator_datalake_spark.operators import components as C
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", -1)
+    comp = _comp_map(spark, [(2, 1), (2, 3), (3, 4), (10, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    comp = _comp_map(spark, [("b", "a"), ("b", "c"), ("c", "d")])
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
 def test_connected_components_merges_via_shared_node(spark):
     # two stars sharing node 5 collapse into one component
     comp = _comp_map(spark, [(5, 7), (5, 8), (9, 5), (20, 21)])
