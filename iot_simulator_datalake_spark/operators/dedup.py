@@ -114,6 +114,18 @@ def _sigs_from_exploded(ex: DataFrame, n_hashes: int) -> DataFrame:
     return hashed.groupBy("key").agg(*aggs)
 
 
+def _band_key_col(n_hashes: int, bands: int) -> Column:
+    """Array of ``bands`` band keys from sig_0..sig_{K-1} columns: each
+    band key is md5 over its band index + its rows_per_band signature
+    slices, so two docs share a band key iff that whole band agrees."""
+    rows_per_band = n_hashes // bands
+    return F.array(*[
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)]))
+        for b in range(bands)])
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
                       n_hashes: int = 6, bands: int = 3,
                       shingle_n: int = 3,
@@ -128,7 +140,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     intersection.  Candidate count ≈ true-positive pairs + banding
     false positives; nothing is quadratic in corpus size.
     """
-    rows_per_band = n_hashes // bands
     # Small inputs often arrive as one parquet file = one partition; the
     # md5/shingle work is CPU-bound map work, so spread it before
     # computing signatures (at real scale the scan already has enough
@@ -148,12 +159,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
         F.explode(ngrams(tokens(F.col(text_col)), shingle_n)).alias("s")
     ).cache()
     sigs = _sigs_from_exploded(ex, n_hashes).cache()
-    band_keys = F.array(*[
-        F.md5(F.concat_ws("|", F.lit(str(b)),
-                          *[F.col(f"sig_{b * rows_per_band + r}")
-                            for r in range(rows_per_band)]))
-        for b in range(bands)])
-    slim = sigs.select("key", F.explode(band_keys).alias("band"))
+    slim = sigs.select("key",
+                       F.explode(_band_key_col(n_hashes, bands)).alias("band"))
     if max_band_bucket is not None:
         # Hot-band guard (SCALE.md): a band bucket with B members costs
         # B² candidate pairs; buckets past the cap are boilerplate /
@@ -206,6 +213,81 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     return (sized.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("key_a", "key_b", "jaccard"))
+
+
+def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
+                            text_col: str, key_col: str, *,
+                            n_hashes: int = 6, bands: int = 3,
+                            shingle_n: int = 3,
+                            threshold: float = 0.5) -> DataFrame:
+    """(batch_key, base_key, jaccard): near-dup pairs ACROSS corpora —
+    every ``batch`` doc matched against ``base`` docs only (no
+    batch×batch or base×base pairs).
+
+    This is the INCREMENTAL dedup primitive: production corpora are not
+    re-deduped end-to-end per ingest; the daily delta is matched against
+    the standing corpus.  Plan shape for that regime:
+
+    - The base side's (band, key) index and (key, shingle) store are
+      computed from the corpus ONCE per snapshot — in production they
+      are persisted artifacts (partitioned by band / bucketed by key),
+      and this function's base-side lineage is exactly the job that
+      builds them.
+    - The delta side is small by definition, so its band relation is
+      size-gate broadcast (hints.maybe_broadcast) into the band join —
+      the 100-TB base index never shuffles.
+    - Exact-Jaccard verification touches base shingles ONLY for
+      candidate keys (leftsemi first), so the expensive side's read is
+      candidate-proportional, not corpus-proportional.
+
+    Same signature recipe as minhash_lsh_pairs (one md5 per shingle
+    split into K 20-bit slice-mins), so a batch doc identical to a base
+    doc is GUARANTEED a candidate (identical shingle sets → identical
+    signatures → same band keys).
+    """
+    from .hints import maybe_broadcast
+
+    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        ex = df.select(
+            F.col(key_col).alias("key"),
+            F.explode(ngrams(tokens(F.col(text_col)), shingle_n)).alias("s")
+        ).cache()
+        sigs = _sigs_from_exploded(ex, n_hashes)
+        slim = sigs.select(
+            "key", F.explode(_band_key_col(n_hashes, bands)).alias("band"))
+        return ex, slim
+
+    ex_b, slim_b = prep(batch)
+    ex_a, slim_a = prep(base)
+    cand = (maybe_broadcast(
+                slim_b.select(F.col("key").alias("batch_key"), "band"))
+            .join(slim_a.select(F.col("key").alias("base_key"), "band"),
+                  "band")
+            .select("batch_key", "base_key")
+            .dropDuplicates(["batch_key", "base_key"])
+            .cache())  # feeds both key-filters AND the intersection join
+    exc_b = ex_b.join(cand.select(F.col("batch_key").alias("key")).distinct(),
+                      "key", "leftsemi")
+    exc_a = ex_a.join(cand.select(F.col("base_key").alias("key")).distinct(),
+                      "key", "leftsemi").cache()
+    sz_b = exc_b.groupBy("key").agg(F.count(F.lit(1)).alias("sz_b"))
+    sz_a = exc_a.groupBy("key").agg(F.count(F.lit(1)).alias("sz_a"))
+    inter = (cand
+             .join(exc_b.select(F.col("key").alias("batch_key"), "s"),
+                   "batch_key")
+             .join(exc_a.select(F.col("key").alias("base_key"), "s"),
+                   ["base_key", "s"])
+             .groupBy("batch_key", "base_key")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sized = (inter
+             .join(sz_b.withColumnRenamed("key", "batch_key"), "batch_key")
+             .join(sz_a.withColumnRenamed("key", "base_key"), "base_key"))
+    # raw IEEE quotient of exact ints — see minhash_lsh_pairs note
+    jac = (F.col("inter") /
+           (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return (sized.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("batch_key", "base_key", "jaccard"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, key_col: str, *,

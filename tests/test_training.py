@@ -151,6 +151,38 @@ def test_fuzzy_dedup_report_consistent_with_clusters(spark):
         assert r["n_kept"] >= 1          # every source keeps something
 
 
+def test_incremental_dedup_verdicts(spark):
+    """Incremental dedup invariants at sf0.1 — the one SF whose corpus
+    holds a byte-identical cross-split pair, so the exact tier actually
+    fires (at sf0.01/0.001 the oracle gate certifies it only as
+    agreeing-empty).  'exact' must out-rank 'near'; every verdict row
+    carries a consistent (match_id, best_jaccard)."""
+    from iot_simulator_datalake_spark.queries_training import (
+        _DELTA_MOD, incremental_dedup_batch)
+    sf = "/root/testdata/sf0.1"
+    rows = incremental_dedup_batch(spark, sf).collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    batch_ids = {i for i in docs if i % _DELTA_MOD == 0}
+    assert {r["doc_id"] for r in rows} == batch_ids  # total partition
+    by_verdict: dict[str, list] = {}
+    for r in rows:
+        by_verdict.setdefault(r["verdict"], []).append(r)
+    assert by_verdict.get("exact"), "exact tier never fired at sf0.1"
+    for r in by_verdict["exact"]:
+        assert docs[r["match_id"]] == docs[r["doc_id"]]  # byte-identical
+        assert r["match_id"] % _DELTA_MOD != 0           # matched BASE doc
+    for r in by_verdict.get("near", []):
+        assert r["match_id"] % _DELTA_MOD != 0
+        assert r["best_jaccard"] >= 0.3
+        # 'near' means NO byte-identical base doc exists (else the
+        # exact tier would have out-ranked it)
+        assert docs[r["match_id"]] != docs[r["doc_id"]]
+    for r in by_verdict.get("new", []):
+        assert r["match_id"] is None and r["best_jaccard"] is None
+
+
 def test_semdedup_cap_bounds_cell_sizes(spark):
     """The capped SemDeDup variant must actually split oversized cells:
     at sf0.1 the 16 sign-cells hold ~125 vectors each (cap=64), so

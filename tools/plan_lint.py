@@ -93,7 +93,11 @@ GLOBAL_WINDOW_ALLOW = {
 #: one, and building them is expensive; the streaming twins are gated by
 #: their own batch-equivalence oracles instead.
 SKIP_PREFIX = ("streaming_", "engine_", "simulator_streaming",
-               "incremental_", "apply_changes", "snapshot_changes")
+               "incremental_rollup_equals", "incremental_join_rollup_equals",
+               "incremental_bigram_lm_equals",  # state-building MV gates —
+               # NOT a blanket "incremental_" (incremental_dedup_batch is a
+               # plain batch plan and must stay in the sweep)
+               "apply_changes", "snapshot_changes")
 
 
 def plan_of(spark, name: str, sf_dir: str) -> str:
