@@ -219,7 +219,8 @@ def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
                             text_col: str, key_col: str, *,
                             n_hashes: int = 6, bands: int = 3,
                             shingle_n: int = 3,
-                            threshold: float = 0.5) -> DataFrame:
+                            threshold: float = 0.5,
+                            max_band_bucket: int | None = None) -> DataFrame:
     """(batch_key, base_key, jaccard): near-dup pairs ACROSS corpora —
     every ``batch`` doc matched against ``base`` docs only (no
     batch×batch or base×base pairs).
@@ -259,6 +260,18 @@ def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
 
     ex_b, slim_b = prep(batch)
     ex_a, slim_a = prep(base)
+    if max_band_bucket is not None:
+        # Hot-band guard, BASE side (the unbounded one): a band bucket
+        # with B base members costs B candidates per batch doc hitting
+        # it — on template/boilerplate-heavy corpora B is corpus-sized
+        # and the candidate relation explodes (measured: the uncapped
+        # ×100 probe does not finish; see SCALE.md).  Bands past the
+        # cap are exact/near-identical clusters whose duplicate mass
+        # the md5 tier already catches (byte-identical batch docs
+        # match there regardless of this cap).
+        counts = slim_a.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
+        slim_a = (slim_a.join(counts, "band")
+                  .filter(F.col("_bn") <= max_band_bucket).drop("_bn"))
     cand = (maybe_broadcast(
                 slim_b.select(F.col("key").alias("batch_key"), "band"))
             .join(slim_a.select(F.col("key").alias("base_key"), "band"),

@@ -23,7 +23,7 @@ from .functions.text import tokens
 from .operators.components import connected_components
 from .operators.dedup import minhash_lsh_cross_pairs, minhash_lsh_pairs
 from .queries import load, q
-from .queries_ext import O_TOKENS, _MINHASH, _minhash_oracle
+from .queries_ext import O_TOKENS, _MINHASH, _MINHASH_CAP, _minhash_oracle
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
@@ -388,11 +388,11 @@ def fuzzy_dedup_report(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 _DELTA_MOD = 5
 
 
-def _incremental_oracle() -> str:
+def _incremental_oracle(cap: int | None = None) -> str:
     """Cross-corpus replay of the md5-slice MinHash recipe (same
     constants as _minhash_oracle, two relations) + the exact-hash tier
     + the verdict fold — the whole incremental-dedup decision in one
-    DuckDB statement."""
+    DuckDB statement.  ``cap`` mirrors the base-side hot-band guard."""
     k, bands, n = (_MINHASH["n_hashes"], _MINHASH["bands"],
                    _MINHASH["shingle_n"])
     rpb = k // bands
@@ -432,9 +432,14 @@ WITH batch AS (
   SELECT b.doc_id, MIN(a.doc_id) AS exact_id
   FROM batch b JOIN base a ON md5(b.text) = md5(a.text)
   GROUP BY b.doc_id
-), {side('batch', 'b')}, {side('base', 'a')}, cand AS (
+), {side('batch', 'b')}, {side('base', 'a')}, band_a_kept AS (
+  {f'''SELECT ba.* FROM band_a ba
+  JOIN (SELECT band, COUNT(*) AS bn FROM band_a GROUP BY band) bc
+    ON ba.band = bc.band WHERE bc.bn <= {cap}''' if cap is not None
+   else "SELECT * FROM band_a"}
+), cand AS (
   SELECT DISTINCT bb.doc_id AS batch_key, ab.doc_id AS base_key
-  FROM band_b bb JOIN band_a ab ON bb.band = ab.band
+  FROM band_b bb JOIN band_a_kept ab ON bb.band = ab.band
 ), scored AS (
   SELECT batch_key, base_key,
          len(list_intersect(sb.sh, sa.sh))
@@ -482,6 +487,11 @@ def incremental_dedup_batch(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     hash recipe, banding, cross-candidates, Jaccard, verdict
     precedence — in one DuckDB statement.
     """
+    return _incremental_verdicts(spark, sf_dir, cap=None)
+
+
+def _incremental_verdicts(spark: "SparkSession", sf_dir: str,
+                          cap: int | None) -> "DataFrame":
     d = load(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") % _DELTA_MOD == 0)
     base = d.filter(F.col("doc_id") % _DELTA_MOD != 0)
@@ -492,7 +502,8 @@ def incremental_dedup_batch(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     pairs = minhash_lsh_cross_pairs(
         batch, base, "text", "doc_id",
         n_hashes=_MINHASH["n_hashes"], bands=_MINHASH["bands"],
-        shingle_n=_MINHASH["shingle_n"], threshold=_MINHASH["threshold"])
+        shingle_n=_MINHASH["shingle_n"], threshold=_MINHASH["threshold"],
+        max_band_bucket=cap)
     near = (pairs.groupBy("batch_key")
             .agg(F.min("base_key").alias("near_id"),
                  F.max("jaccard").alias("best_jaccard"))
@@ -508,6 +519,25 @@ def incremental_dedup_batch(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                     "best_jaccard"))
 
 
+@q("incremental_dedup_batch_capped", ("W2", "J5", "J3"),
+   oracle=_incremental_oracle(cap=_MINHASH_CAP))
+def incremental_dedup_batch_capped(spark: "SparkSession",
+                                   sf_dir: str) -> "DataFrame":
+    """incremental_dedup_batch with the base-side hot-band guard
+    engaged (cap={cap}): band buckets holding more than {cap} base
+    docs are excluded before the candidate join, bounding candidates
+    to batch_bands × cap no matter how template-heavy the standing
+    corpus is.  This is the production path — the uncapped twin is the
+    recall gate.  Byte-identical ingests are still caught (the md5
+    exact tier ignores banding), so the cap's recall loss is confined
+    to NEAR-dups of heavily-duplicated templates — exactly the mass
+    the intra-corpus capped path routes to the exact tier too
+    (SCALE.md: the uncapped cross probe does not finish at ×100; the
+    capped one is measured there).
+    """
+    return _incremental_verdicts(spark, sf_dir, cap=_MINHASH_CAP)
+
+
 # Interpolate the remaining literal {placeholders} into real __doc__
 # values (these docstrings referenced module constants but were never
 # .format()ed — the registry docstring lint now guards this).
@@ -516,3 +546,5 @@ doc_chunking.__doc__ = doc_chunking.__doc__.format(_CHUNK=_CHUNK,
 vocab_topk.__doc__ = vocab_topk.__doc__.format(_VOCAB_N=_VOCAB_N)
 incremental_dedup_batch.__doc__ = incremental_dedup_batch.__doc__.format(
     mod=_DELTA_MOD, thr=_MINHASH["threshold"])
+incremental_dedup_batch_capped.__doc__ = \
+    incremental_dedup_batch_capped.__doc__.format(cap=_MINHASH_CAP)
