@@ -28,8 +28,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
 
+# full_mat is shared with tools/probe_scale.py so bench and probes time
+# the SAME action (the helper's module docstring has the join-pruning
+# rationale).
+from iot_simulator_datalake_spark.actions import full_mat  # noqa: E402
 from iot_simulator_datalake_spark.queries import REGISTRY  # noqa: E402
 from iot_simulator_datalake_spark.session import get_spark  # noqa: E402
 
@@ -44,15 +47,6 @@ def count_is_faithful(df) -> bool:
     (module docstring)."""
     return _join_nodes(df.groupBy().count()) >= _join_nodes(df)
 
-
-def full_mat(df) -> int:
-    """Execute the WHOLE plan (count of every output column) and
-    return the row count — the action for queries where count() would
-    time a join-pruned plan."""
-    row = df.agg(F.count(F.lit(1)).alias("_n"),
-                 *[F.count(c).alias(f"_c{i}")
-                   for i, c in enumerate(df.columns)]).collect()[0]
-    return row["_n"]
 
 #: the 14 queries BENCH_r01 (the baseline, 9.62 s at sf0.1) timed —
 #: the like-for-like cross-round comparison set (BASELINE.md).  The

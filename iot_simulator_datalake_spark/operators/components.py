@@ -90,7 +90,13 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     as a dedup cluster key.  Nodes with no edges are absent (callers
     left-join and coalesce to the node's own id).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         # A NULL endpoint is "no edge": drop it up front so BOTH paths
+         # (driver union-find and the distributed loop) see the same
+         # graph — without this the driver path would TypeError on
+         # `None < id` while the loop's groupBy would emit a spurious
+         # NULL-node row, a silent small-vs-large divergence.
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
     # symmetrize once; both directions are needed so labels flow both
     # ways along every edge
     sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))

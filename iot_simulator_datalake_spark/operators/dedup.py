@@ -220,7 +220,8 @@ def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
                             n_hashes: int = 6, bands: int = 3,
                             shingle_n: int = 3,
                             threshold: float = 0.5,
-                            max_band_bucket: int | None = None) -> DataFrame:
+                            max_band_bucket: int | None = None,
+                            broadcast_batch: bool | None = None) -> DataFrame:
     """(batch_key, base_key, jaccard): near-dup pairs ACROSS corpora —
     every ``batch`` doc matched against ``base`` docs only (no
     batch×batch or base×base pairs).
@@ -234,9 +235,17 @@ def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
       are persisted artifacts (partitioned by band / bucketed by key),
       and this function's base-side lineage is exactly the job that
       builds them.
-    - The delta side is small by definition, so its band relation is
-      size-gate broadcast (hints.maybe_broadcast) into the band join —
-      the 100-TB base index never shuffles.
+    - The delta's band relation broadcasts into the band join — so the
+      corpus-sized base index never pays a shuffle for the candidate
+      join — under ``broadcast_batch``: ``True`` forces the hint (the
+      production ingest case, where the CALLER knows the delta is
+      bounded — Catalyst's stats for an aggregate-derived relation are
+      the unknown sentinel or an inherited scan estimate, so a stats
+      gate alone cannot see that a multi-TB-base/small-delta join is
+      broadcastable), ``None`` (default) applies the hint only when
+      plan stats prove the relation small (hints.maybe_broadcast —
+      fires at test scale, defers to AQE otherwise), ``False`` never
+      hints.
     - Exact-Jaccard verification touches base shingles ONLY for
       candidate keys (leftsemi first), so the expensive side's read is
       candidate-proportional, not corpus-proportional.
@@ -253,7 +262,12 @@ def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
             F.col(key_col).alias("key"),
             F.explode(ngrams(tokens(F.col(text_col)), shingle_n)).alias("s")
         ).cache()
-        sigs = _sigs_from_exploded(ex, n_hashes)
+        # Cache the signature aggregate (mirrors minhash_lsh_pairs):
+        # with the hot-band guard on, slim feeds BOTH the band counts
+        # and the capped join — without the cache the MinHash aggregate
+        # + band-key md5 would re-run over every key in the second
+        # branch (exchange reuse shares only the pre-agg shuffle).
+        sigs = _sigs_from_exploded(ex, n_hashes).cache()
         slim = sigs.select(
             "key", F.explode(_band_key_col(n_hashes, bands)).alias("band"))
         return ex, slim
@@ -272,15 +286,21 @@ def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
         counts = slim_a.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
         slim_a = (slim_a.join(counts, "band")
                   .filter(F.col("_bn") <= max_band_bucket).drop("_bn"))
-    cand = (maybe_broadcast(
-                slim_b.select(F.col("key").alias("batch_key"), "band"))
+    bands_b = slim_b.select(F.col("key").alias("batch_key"), "band")
+    if broadcast_batch is True:
+        bands_b = F.broadcast(bands_b)
+    elif broadcast_batch is None:
+        bands_b = maybe_broadcast(bands_b)
+    cand = (bands_b
             .join(slim_a.select(F.col("key").alias("base_key"), "band"),
                   "band")
             .select("batch_key", "base_key")
             .dropDuplicates(["batch_key", "base_key"])
             .cache())  # feeds both key-filters AND the intersection join
+    # Both candidate-restricted shingle relations are consumed twice
+    # (size aggregate + intersection join) — cache both.
     exc_b = ex_b.join(cand.select(F.col("batch_key").alias("key")).distinct(),
-                      "key", "leftsemi")
+                      "key", "leftsemi").cache()
     exc_a = ex_a.join(cand.select(F.col("base_key").alias("key")).distinct(),
                       "key", "leftsemi").cache()
     sz_b = exc_b.groupBy("key").agg(F.count(F.lit(1)).alias("sz_b"))

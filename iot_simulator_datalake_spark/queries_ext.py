@@ -213,34 +213,59 @@ def dedup_exact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 _MINHASH = dict(n_hashes=6, bands=3, shingle_n=2, threshold=0.3)
 
 
-def _minhash_oracle(cap: int | None = None) -> str:
-    k, bands, n = (_MINHASH["n_hashes"], _MINHASH["bands"],
-                   _MINHASH["shingle_n"])
-    rpb = k // bands
-    sigs = ",\n         ".join(
+# -- shared DuckDB twins of the MinHash recipe (operators/dedup.py) ------
+# These three builders are the SINGLE source of the oracle-side hash
+# recipe; every MinHash oracle (intra-corpus here, cross-corpus in
+# queries_training._incremental_oracle) must compose them so a change
+# to the slice width / band-key separator / whole-doc-shingle fallback
+# cannot leave one oracle certifying a stale recipe.
+
+def _mh_sigs_sql(k: int) -> str:
+    """K slice-min signature columns over a shingle-list column ``sh``
+    — the one-md5-split-into-K-20-bit-slices trick
+    (minhash_signatures)."""
+    return ",\n         ".join(
         f"list_min(list_transform(sh, s -> substr(md5(s), {i * 5 + 1}, 5)))"
         f" AS sig_{i}"
         for i in range(k))
-    bandkeys = ", ".join(
+
+
+def _mh_bandkeys_sql(k: int, bands: int) -> str:
+    """DuckDB list literal body of the ``bands`` band keys over
+    sig_0..sig_{k-1} — twin of _band_key_col's md5('b|sig|sig…')."""
+    rpb = k // bands
+    return ", ".join(
         "md5('{b}|' || ".format(b=b)
         + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb)) + ")"
         for b in range(bands))
+
+
+def _mh_shingles_sql(n: int) -> str:
+    """Distinct word-``n``-gram shingle list over a token-list column
+    ``toks`` — twin of functions.text.ngrams (incl. the ≤n-token
+    whole-doc fallback)."""
+    return f"""list_distinct(CASE WHEN len(toks) <= {n}
+           THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+{n - 1}], ' ')
+                 for i in generate_series(1, len(toks) - {n - 1})]
+         END)"""
+
+
+def _minhash_oracle(cap: int | None = None) -> str:
+    k, bands, n = (_MINHASH["n_hashes"], _MINHASH["bands"],
+                   _MINHASH["shingle_n"])
     return f"""
 WITH tok AS (
   SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
 ), sh AS (
-  SELECT doc_id, list_distinct(CASE WHEN len(toks) <= {n}
-           THEN [array_to_string(toks, ' ')]
-           ELSE [array_to_string(toks[i:i+{n - 1}], ' ')
-                 for i in generate_series(1, len(toks) - {n - 1})]
-         END) AS sh
+  SELECT doc_id, {_mh_shingles_sql(n)} AS sh
   FROM tok
 ), sig AS (
   SELECT doc_id, sh,
-         {sigs}
+         {_mh_sigs_sql(k)}
   FROM sh
 ), banded0 AS (
-  SELECT doc_id, sh, unnest([{bandkeys}]) AS band FROM sig
+  SELECT doc_id, sh, unnest([{_mh_bandkeys_sql(k, bands)}]) AS band FROM sig
 ), banded AS (
   {"SELECT b.* FROM banded0 b JOIN (SELECT band, COUNT(*) AS bn "
    "FROM banded0 GROUP BY band) bc ON b.band = bc.band "

@@ -23,7 +23,8 @@ from .functions.text import tokens
 from .operators.components import connected_components
 from .operators.dedup import minhash_lsh_cross_pairs, minhash_lsh_pairs
 from .queries import load, q
-from .queries_ext import O_TOKENS, _MINHASH, _MINHASH_CAP, _minhash_oracle
+from .queries_ext import (O_TOKENS, _MINHASH, _MINHASH_CAP, _mh_bandkeys_sql,
+                          _mh_shingles_sql, _mh_sigs_sql, _minhash_oracle)
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
@@ -395,32 +396,21 @@ def _incremental_oracle(cap: int | None = None) -> str:
     DuckDB statement.  ``cap`` mirrors the base-side hot-band guard."""
     k, bands, n = (_MINHASH["n_hashes"], _MINHASH["bands"],
                    _MINHASH["shingle_n"])
-    rpb = k // bands
-    sigs = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> substr(md5(s), {i * 5 + 1}, 5)))"
-        f" AS sig_{i}"
-        for i in range(k))
-    bandkeys = ", ".join(
-        "md5('{b}|' || ".format(b=b)
-        + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb)) + ")"
-        for b in range(bands))
-    shingles = f"""list_distinct(CASE WHEN len(toks) <= {n}
-           THEN [array_to_string(toks, ' ')]
-           ELSE [array_to_string(toks[i:i+{n - 1}], ' ')
-                 for i in generate_series(1, len(toks) - {n - 1})]
-         END)"""
 
     def side(rel: str, tag: str) -> str:
+        # composed from queries_ext's shared recipe builders — the one
+        # source of the oracle-side hash scheme (see their comment)
         return f"""tok_{tag} AS (
   SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM {rel}
 ), sh_{tag} AS (
-  SELECT doc_id, {shingles} AS sh FROM tok_{tag}
+  SELECT doc_id, {_mh_shingles_sql(n)} AS sh FROM tok_{tag}
 ), sig_{tag} AS (
   SELECT doc_id, sh,
-         {sigs}
+         {_mh_sigs_sql(k)}
   FROM sh_{tag}
 ), band_{tag} AS (
-  SELECT doc_id, unnest([{bandkeys}]) AS band FROM sig_{tag}
+  SELECT doc_id, unnest([{_mh_bandkeys_sql(k, bands)}]) AS band
+  FROM sig_{tag}
 )"""
 
     return f"""

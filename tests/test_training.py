@@ -52,6 +52,24 @@ def test_connected_components_distributed_path_parity(spark, monkeypatch):
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a"}
 
 
+def test_connected_components_null_endpoints_dropped(spark, monkeypatch):
+    # A NULL endpoint is "no edge" on BOTH paths: the driver union-find
+    # must not TypeError on `None < id`, and the distributed loop must
+    # not emit a spurious NULL-node row — identical results either way.
+    edges = [(1, 2), (None, 3), (4, None), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    expect = {1: 1, 2: 1, 5: 5, 6: 5}
+
+    def run():
+        return {r["node"]: r["comp"]
+                for r in connected_components(df, "a", "b").collect()}
+
+    assert run() == expect                      # driver fast path
+    from iot_simulator_datalake_spark.operators import components as C
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", -1)
+    assert run() == expect                      # distributed loop
+
+
 def test_connected_components_merges_via_shared_node(spark):
     # two stars sharing node 5 collapse into one component
     comp = _comp_map(spark, [(5, 7), (5, 8), (9, 5), (20, 21)])

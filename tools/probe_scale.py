@@ -20,21 +20,12 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F  # noqa: E402
 
+# full_mat is shared with bench.py so bench and probes time the SAME
+# action (the helper's module docstring has the join-pruning rationale).
+from iot_simulator_datalake_spark.actions import full_mat  # noqa: E402
 from iot_simulator_datalake_spark.queries import REGISTRY  # noqa: E402
 from iot_simulator_datalake_spark.session import get_spark  # noqa: E402
-
-
-def full_mat(df) -> int:
-    """Materialize EVERY column and return the row count.  A bare
-    ``count()`` lets Catalyst eliminate unique-key joins whose columns
-    nobody consumes — the probe would then time a no-op plan (this
-    bit the first semdedup ×100 probe; see SCALE.md)."""
-    row = df.agg(F.count(F.lit(1)).alias("_n"),
-                 *[F.count(c).alias(f"_c{i}")
-                   for i, c in enumerate(df.columns)]).collect()[0]
-    return row["_n"]
 
 
 def main(argv: list[str]) -> int:
