@@ -11,8 +11,11 @@ Reference equivalences (files under /root/reference):
   overridden per-model.
 - ``Engine.run()``                  ⇔  ``dbt run`` (resources/jobs.yml:32).
 - ``Engine.test()``                 ⇔  ``dbt test`` (resources/jobs.yml:33).
+- ``GrantRegistry`` + run_as        ⇔  the Unity Catalog GRANT surface
+  (01-setup-sp-permissions.sql:1-36) enforced at the engine boundary.
 """
 
+from .grants import Grant, GrantRegistry, audit_df, grants_df
 from .model import Model, ModelContext, Registry, model
 from .runner import Engine, RunResult
 from .checks import (
@@ -32,6 +35,7 @@ from .checks import (
 __all__ = [
     "Model", "ModelContext", "Registry", "model",
     "Engine", "RunResult",
+    "Grant", "GrantRegistry", "grants_df", "audit_df",
     "Check", "CheckResult", "OnViolation",
     "not_null", "unique", "accepted_values", "relationship", "singular",
     "expect", "expect_observed",

@@ -133,12 +133,24 @@ class Engine:
     def __init__(self, spark: "SparkSession", registry: Registry,
                  config: dict[str, Any] | None = None,
                  warehouse: str | Path = "/tmp/iot_lake_warehouse",
-                 threads: int = 8):
+                 threads: int = 8,
+                 grants: Any | None = None,
+                 run_as: str | None = None):
         self.spark = spark
         self.registry = registry
         self.config = dict(config or {})
         self.warehouse = Path(warehouse)
         self.threads = threads  # ⇔ profiles.yml:14
+        #: UC-analog access control (engine/grants.py — the reference's
+        #: 01-setup-sp-permissions.sql surface): when BOTH a
+        #: GrantRegistry and a run-as principal are set, every model
+        #: materialization first proves SELECT on each upstream schema
+        #: and CREATE TABLE (+ MODIFY for table sinks) on the target
+        #: schema, with UC USE CATALOG / USE SCHEMA gating; a missing
+        #: grant aborts the run with PermissionError.  The catalog name
+        #: comes from config["catalog"] (⇔ databricks.yml's dev_catalog).
+        self.grants = grants
+        self.run_as = run_as
         self._relations: dict[str, "DataFrame"] = {}
         self.checks: list[Check] = []
 
@@ -162,8 +174,27 @@ class Engine:
 
     # -- materialization ---------------------------------------------------
 
+    def _authorize(self, m: Model) -> None:
+        """Grant checks for one model (no-op unless grants+run_as are
+        configured — see __init__).  Mirrors what Unity Catalog itself
+        would demand of the reference's job cluster: SELECT on every
+        upstream's schema, CREATE TABLE on the target schema (UC
+        requires it for views too), MODIFY for table/streaming writes;
+        each check implies the USE CATALOG / USE SCHEMA chain."""
+        if self.grants is None or self.run_as is None:
+            return
+        cat = self.config.get("catalog", "main")
+        for dep in m.depends_on:
+            self.grants.require(self.run_as, "SELECT", "SCHEMA",
+                                f"{cat}.{dep.split('.', 1)[0]}")
+        tgt = f"{cat}.{m.schema or m.layer}"
+        self.grants.require(self.run_as, "CREATE TABLE", "SCHEMA", tgt)
+        if m.materialization in ("table", "streaming_table"):
+            self.grants.require(self.run_as, "MODIFY", "SCHEMA", tgt)
+
     def _materialize(self, m: Model,
                      deferred: list | None = None) -> None:
+        self._authorize(m)
         ctx = ModelContext(self.spark, self, m)
         if m.materialization == "streaming_table":
             # Builders of streaming tables return a *streaming* DataFrame;

@@ -551,3 +551,149 @@ def sql_project_pipeline(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  warehouse=tempfile.mkdtemp(prefix="sqlproj_wh_"))
     eng.run()
     return eng.table("gold.gold_event_rollup")
+
+
+# =========================================================================
+# Grants / governance (01-setup-sp-permissions.sql parity)
+# =========================================================================
+
+#: Reference-shaped grant script (same statement dialect as
+#: 01-setup-sp-permissions.sql:1-36, generic principals): an ETL
+#: service principal with the reference's full grant set, a gold-only
+#: analyst, a catalog-level reader (inheritance path), and two
+#: mis-configured principals whose data grants are dead without the
+#: USE CATALOG / USE SCHEMA chain.
+_GRANTS_SETUP_SQL = """
+-- ETL service principal: the reference's grant set
+GRANT USE CATALOG ON CATALOG dev_catalog TO `etl_sp`;
+GRANT CREATE SCHEMA ON CATALOG dev_catalog TO `etl_sp`;
+GRANT USE SCHEMA, CREATE TABLE, MODIFY, SELECT ON SCHEMA dev_catalog.bronze TO `etl_sp`;
+GRANT USE SCHEMA, CREATE TABLE, MODIFY, SELECT ON SCHEMA dev_catalog.silver TO `etl_sp`;
+GRANT USE SCHEMA, CREATE TABLE, MODIFY, SELECT ON SCHEMA dev_catalog.gold TO `etl_sp`;
+GRANT READ VOLUME ON VOLUME dev_catalog.landing.vol01 TO `etl_sp`;
+
+-- analyst: gold read-only, schema-scoped
+GRANT USE CATALOG ON CATALOG dev_catalog TO `analyst`;
+GRANT USE SCHEMA ON SCHEMA dev_catalog.gold TO `analyst`;
+GRANT SELECT ON SCHEMA dev_catalog.gold TO `analyst`;
+
+-- ml_reader: SELECT granted at CATALOG level (inherits to all schemas)
+GRANT USE CATALOG ON CATALOG dev_catalog TO `ml_reader`;
+GRANT USE SCHEMA ON CATALOG dev_catalog TO `ml_reader`;
+GRANT SELECT ON CATALOG dev_catalog TO `ml_reader`;
+
+-- auditor: SELECT but NO USE CATALOG -> every access denied
+GRANT SELECT ON SCHEMA dev_catalog.bronze TO `auditor`;
+
+-- intern: schema grants but NO USE CATALOG -> every access denied
+GRANT USE SCHEMA, SELECT ON SCHEMA dev_catalog.silver TO `intern`;
+"""
+
+_GRANT_CAT = "dev_catalog"
+_GRANT_SCHEMAS = ("bronze", "silver", "gold")
+_GRANT_PRIVS = ("SELECT", "MODIFY", "CREATE TABLE")
+
+
+def _grant_oracle() -> str:
+    """Independent relational restatement of the UC decision rule over
+    the SAME grant rows (emitted as VALUES from the parsed registry, so
+    both engines see identical grants while the inheritance + USE-chain
+    semantics are computed twice, once per engine)."""
+    from .engine.grants import GrantRegistry
+
+    reg = GrantRegistry()
+    reg.parse_sql(_GRANTS_SETUP_SQL)
+    rows = ",\n    ".join(
+        f"('{g.principal}', '{g.privilege}', '{g.securable_type}', "
+        f"'{g.securable}')" for g in reg.grants)
+    schemas = ", ".join(f"('{s}')" for s in _GRANT_SCHEMAS)
+    privs = ", ".join(f"('{p}')" for p in _GRANT_PRIVS)
+    return f"""
+WITH grants(principal, privilege, stype, securable) AS (VALUES
+    {rows}
+), schemas(schema_name) AS (VALUES {schemas}),
+privs(privilege) AS (VALUES {privs}),
+principals AS (SELECT DISTINCT principal FROM grants),
+matrix AS (
+  SELECT pr.principal, s.schema_name, v.privilege
+  FROM principals pr, schemas s, privs v
+)
+SELECT m.principal, m.schema_name, m.privilege,
+       (EXISTS (SELECT 1 FROM grants g WHERE g.principal = m.principal
+                  AND g.privilege = m.privilege
+                  AND (g.securable = '{_GRANT_CAT}' OR
+                       g.securable = '{_GRANT_CAT}.' || m.schema_name))
+        AND EXISTS (SELECT 1 FROM grants g WHERE g.principal = m.principal
+                  AND g.privilege = 'USE CATALOG'
+                  AND g.securable = '{_GRANT_CAT}')
+        AND EXISTS (SELECT 1 FROM grants g WHERE g.principal = m.principal
+                  AND g.privilege = 'USE SCHEMA'
+                  AND (g.securable = '{_GRANT_CAT}' OR
+                       g.securable = '{_GRANT_CAT}.' || m.schema_name)))
+       AS allowed
+FROM matrix m
+"""
+
+
+@q("grant_effective_matrix", ("O2",), oracle=_grant_oracle())
+def grant_effective_matrix(spark: "SparkSession",
+                           sf_dir: str) -> "DataFrame":
+    """Effective data-privilege matrix under Unity-Catalog semantics
+    (engine/grants.py — the 01-setup-sp-permissions.sql surface): for
+    every (principal, schema, privilege) cell, whether the privilege is
+    effectively held — granted directly on the schema OR inherited
+    from a catalog-level grant, AND gated by the USE CATALOG + USE
+    SCHEMA chain (a SELECT without USE CATALOG is dead, the reason the
+    reference's setup script grants both).  The grant rows come from
+    parsing the reference-dialect GRANT script (the parser is in the
+    gated path); the Spark side computes the rule relationally over
+    control-plane-sized literal relations (principals × 3 schemas × 3
+    privileges — the crossJoins are bounded by the grant script, never
+    by data).
+    """
+    from .engine.grants import GrantRegistry
+
+    reg = GrantRegistry()
+    reg.parse_sql(_GRANTS_SETUP_SQL)
+    # The literal relations are built via SQL VALUES, NOT createDataFrame:
+    # VALUES becomes a Catalyst LocalRelation that the optimizer folds
+    # through joins driver-side (the whole matrix is constant-foldable),
+    # whereas createDataFrame yields an RDD-backed scan whose
+    # CartesianProduct pays ~10 s of task scheduling for 45 rows
+    # (measured) — control-plane queries should never launch wide jobs.
+    def values(cols: str, rows: "list[tuple]") -> "DataFrame":
+        body = ", ".join(
+            "(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows)
+        return spark.sql(f"SELECT * FROM VALUES {body} AS t({cols})")
+
+    g = values("principal, privilege, securable_type, securable",
+               [(x.principal, x.privilege, x.securable_type, x.securable)
+                for x in reg.grants])
+    sch = values("schema_name", [(s,) for s in _GRANT_SCHEMAS])
+    privs = values("privilege", [(p,) for p in _GRANT_PRIVS])
+    matrix = (g.select("principal").distinct()
+              .crossJoin(sch).crossJoin(privs))
+
+    # grants that apply per schema: direct schema grants + catalog-level
+    # grants expanded to every schema (UC inheritance)
+    cat_level = g.filter(F.col("securable") == _GRANT_CAT) \
+                 .select("principal", "privilege").crossJoin(sch)
+    direct = (g.filter(F.col("securable").startswith(_GRANT_CAT + "."))
+              .select("principal", "privilege",
+                      F.element_at(F.split("securable", "\\."), 2)
+                      .alias("schema_name")))
+    applies = cat_level.unionByName(direct).distinct()
+
+    has = applies.withColumn("_has", F.lit(1))
+    use_cat = (applies.filter(F.col("privilege") == "USE CATALOG")
+               .select("principal").distinct().withColumn("_uc", F.lit(1)))
+    use_sch = (applies.filter(F.col("privilege") == "USE SCHEMA")
+               .select("principal", "schema_name").distinct()
+               .withColumn("_us", F.lit(1)))
+    return (matrix
+            .join(has, ["principal", "schema_name", "privilege"], "left")
+            .join(use_cat, ["principal"], "left")
+            .join(use_sch, ["principal", "schema_name"], "left")
+            .select("principal", "schema_name", "privilege",
+                    (F.col("_has").isNotNull() & F.col("_uc").isNotNull()
+                     & F.col("_us").isNotNull()).alias("allowed")))

@@ -63,6 +63,10 @@ CROSS_ALLOW = {
     "ab_ttest_welch",               # 1-row segA stats × 1-row segB stats
     "segment_overlap_kmv",          # pair-gen over the distinct-segment
                                     # relation: segments²·K bound cited
+    "grant_effective_matrix",       # literal control-plane dims:
+                                    # principals × 3 schemas × 3 privs,
+                                    # bounded by the grant script —
+                                    # never data-proportional
                                     # in queries_stats.py docstring
 }
 
