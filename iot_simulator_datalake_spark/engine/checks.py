@@ -95,18 +95,22 @@ def accepted_values(relation: str, column: str,
 def relationship(relation: str, column: str, to_relation: str,
                  to_column: str) -> Check:
     """Referential integrity (J3, README_DBT.md:247): child keys with no
-    parent — a left-anti join, broadcast when the parent side is a dim."""
+    parent — a left-anti join, size-gate broadcast when the parent side
+    is provably a dim (hints.maybe_broadcast; a hard F.broadcast here
+    would force a scale-factor-proportional parent's distinct key set
+    through the driver — the exact failure the hints doctrine bans)."""
     def build(df: "DataFrame") -> "DataFrame":
         raise RuntimeError("relationship checks need engine context")
     chk = Check(name=f"relationship__{relation}__{column}__{to_relation}",
                 relation=relation, builder=build)
 
     def violations(engine: "Engine") -> "DataFrame":
+        from ..operators.hints import maybe_broadcast
         child = engine.table(relation)
         parent = engine.table(to_relation).select(
             F.col(to_column).alias(column)).distinct()
         return child.filter(F.col(column).isNotNull()).join(
-            F.broadcast(parent), on=column, how="left_anti")
+            maybe_broadcast(parent), on=column, how="left_anti")
 
     chk.violations = violations  # type: ignore[method-assign]
     return chk

@@ -78,10 +78,12 @@ def attach_event_log(engine: "Engine", path: str | Path) -> EventLog:
     log = EventLog(path)
     orig_run, orig_test = engine.run, engine.test
 
-    def run(select=None):
+    def run(select=None, **kwargs):
+        # pass EVERY other run() kwarg through (atomic_publish, future
+        # additions) — an observer wrapper must not narrow the API
         log.emit("run_started", models=select or "all")
         try:
-            result = orig_run(select)
+            result = orig_run(select, **kwargs)
         except Exception as e:
             log.emit("run_failed", error=repr(e))
             raise

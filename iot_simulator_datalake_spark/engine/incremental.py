@@ -82,10 +82,24 @@ class IncrementalAggTable:
             return None
         return self.spark.read.parquet(str(self.path))
 
-    def _write_state(self, df: "DataFrame") -> None:
+    def _last_epoch(self) -> int | None:
+        """Epoch id folded into the CURRENT state (travels inside the
+        state dir so the epoch swaps atomically with the data)."""
+        marker = self.path / "_epoch"
+        if not marker.exists():
+            return None
+        try:
+            return int(marker.read_text())
+        except ValueError:
+            return None
+
+    def _write_state(self, df: "DataFrame",
+                     epoch_id: int | None = None) -> None:
         tmp = self.path.with_suffix(".staging")
         shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").parquet(str(tmp))
+        if epoch_id is not None:
+            (tmp / "_epoch").write_text(str(epoch_id))
         old = self.path.with_suffix(".old")
         shutil.rmtree(old, ignore_errors=True)
         if self.path.exists():
@@ -98,7 +112,20 @@ class IncrementalAggTable:
     def refresh(self, batch: "DataFrame", epoch_id: int | None = None) -> None:
         """Fold one micro-batch of new fact rows into the state.  Pass
         as ``foreachBatch(table.refresh)`` on a silver stream, or call
-        directly with a batch DataFrame."""
+        directly with a batch DataFrame.
+
+        Replay guard (the exactly-once half foreachBatch leaves to the
+        sink): if the stream restarts after the state swap committed
+        but before the streaming checkpoint did, the SAME epoch is
+        re-delivered — folding it again would double-count every group
+        in the batch.  The last-applied epoch travels inside the state
+        dir, so an ``epoch_id`` ≤ it is dropped idempotently.  Direct
+        batch callers that pass no epoch_id opt out (their retries are
+        their own)."""
+        if epoch_id is not None:
+            last = self._last_epoch()
+            if last is not None and epoch_id <= last:
+                return
         partials = batch.groupBy(*self.keys).agg(
             *[m.partial().alias(m.name) for m in self.metrics])
         state = self._state()
@@ -110,7 +137,7 @@ class IncrementalAggTable:
         # about to replace (reading and overwriting the same path in one
         # plan is undefined), at the cost of materializing O(groups) rows.
         merged = merged.localCheckpoint(eager=True)
-        self._write_state(merged)
+        self._write_state(merged, epoch_id)
 
     def read(self) -> "DataFrame":
         """Read view: partials + derived metrics (avg = sum/n)."""

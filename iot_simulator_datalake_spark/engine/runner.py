@@ -327,18 +327,40 @@ class Engine:
                 f"backfill targets partitioned table models; "
                 f"{qualified_name} is {m.materialization!r} "
                 f"partitioned by {m.partition_by!r}")
+        if m.snapshot_keep is not None:
+            # a snapshot table's root is a commit log + version dirs,
+            # not a partition layout — dynamic overwrite into it would
+            # corrupt the history; the snapshot path re-materializes
+            # through run() and keeps the old version for time travel
+            raise ValueError(
+                f"backfill does not support snapshot_keep models "
+                f"({qualified_name}): rerun the model instead — the "
+                f"OCC snapshot log keeps prior versions")
         ctx = ModelContext(self.spark, self, m)
         df = m.builder(ctx).filter(where)
+        path = self.table_path(m)
+        # NEVER write through the live path: the current version dir is
+        # the immutable snapshot in-flight readers resolved
+        # (_install_version's whole guarantee).  Stage a hardlink copy
+        # of the current version (metadata-only on a local fs; a
+        # server-side copy on object stores), dynamic-overwrite only
+        # the matched partitions inside the copy, then atomically
+        # retarget the symlink like any other write.
+        vdir = path.with_name(f"{path.name}.v-{uuid.uuid4().hex[:8]}")
+        if path.exists():
+            shutil.copytree(path.resolve(), vdir,
+                            copy_function=os.link)
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = self.spark.conf.get(key, "static")
         self.spark.conf.set(key, "dynamic")
         try:
             (df.write.mode("overwrite")
              .partitionBy(*m.partition_by)
-             .parquet(str(self.table_path(m))))
+             .parquet(str(vdir)))
         finally:
             self.spark.conf.set(key, prev)
-        out = self.spark.read.parquet(str(self.table_path(m)))
+        _install_version(vdir, path)
+        out = self.spark.read.parquet(str(vdir))
         self.register(m.qualified_name, out)
         return out
 

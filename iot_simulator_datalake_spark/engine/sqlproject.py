@@ -186,15 +186,30 @@ def load_sql_project(models_dir: str | Path,
         files[p.stem] = (layer, p)
 
     reg = registry or Registry()
+    # Resolve every model's EFFECTIVE schema (config meta target_schema
+    # > layer +schema default > layer) up front: Engine.register names
+    # relations/temp views by Model.qualified_name = "<schema>.<stem>",
+    # so depends_on edges AND the rendered view names must use the
+    # routed schema, not the directory layer — building them from the
+    # layer broke every schema-routed project (unknown-dependency at
+    # toposort, or TABLE_OR_VIEW_NOT_FOUND at run).
+    parsed: dict[str, dict] = {}
+    eff_schema: dict[str, str] = {}
+    for stem, (layer, path) in files.items():
+        cfg = parse_config(path.read_text())
+        parsed[stem] = cfg
+        lay_def = layer_defaults.get(layer, {})
+        eff_schema[stem] = ((cfg.get("meta") or {}).get("target_schema")
+                            or lay_def.get("schema") or layer)
     # a model's temp view name is its qualified name with dots → __
-    # (Engine.register's rule), qualified = "<layer>.<stem>"
-    name_to_view = {stem: f"{layer}__{stem}"
-                    for stem, (layer, _) in files.items()}
+    # (Engine.register's rule), qualified = "<schema>.<stem>"
+    name_to_view = {stem: f"{eff_schema[stem]}__{stem}"
+                    for stem in files}
 
     for stem, (layer, path) in files.items():
         text = path.read_text()
-        cfg = parse_config(text)
-        this_view = f"{layer}__{stem}__this"
+        cfg = parsed[stem]
+        this_view = f"{eff_schema[stem]}__{stem}__this"
         sql, refs, landings = render_sql(text, name_to_view, config_vars)
         incr_sql, _r2, _l2 = render_sql(
             text, name_to_view, config_vars,
@@ -207,7 +222,7 @@ def load_sql_project(models_dir: str | Path,
             mat, note = "table", " [streaming_table rendered as batch]"
         schema = ((cfg.get("meta") or {}).get("target_schema")
                   or lay_def.get("schema"))
-        deps = tuple(sorted({f"{files[r][0]}.{r}" for r in set(refs)}))
+        deps = tuple(sorted({f"{eff_schema[r]}.{r}" for r in set(refs)}))
 
         def make_builder(rendered_sql: str, landing_views: list):
             def builder(ctx):
@@ -244,7 +259,7 @@ def load_sql_project(models_dir: str | Path,
                 return plain(ctx)
             return builder
 
-        qn = f"{layer}.{stem}"
+        qn = f"{eff_schema[stem]}.{stem}"
         if mat == "incremental":
             builder = make_incremental_builder(sql, incr_sql, landings,
                                                qn, this_view)
@@ -284,9 +299,19 @@ def load_sql_tests(project_root: str | Path, engine,
 
     root = Path(project_root)
     models_dir = root / "models"
+    # same effective-schema resolution as load_sql_project: a test must
+    # bind to the relation the Engine actually registered, which for
+    # schema-routed models (meta target_schema / +schema default) is
+    # NOT "<layer>.<stem>"
+    proj = load_project_yml(root)
     stem_to_qn: dict[str, str] = {}
     for p in sorted(models_dir.glob("**/*.sql")):
-        stem_to_qn[p.stem] = f"{p.relative_to(models_dir).parts[0]}.{p.stem}"
+        layer = p.relative_to(models_dir).parts[0]
+        cfg = parse_config(p.read_text())
+        lay_def = proj["layer_defaults"].get(layer, {})
+        schema = ((cfg.get("meta") or {}).get("target_schema")
+                  or lay_def.get("schema") or layer)
+        stem_to_qn[p.stem] = f"{schema}.{p.stem}"
     view_of = name_to_view or {
         s: qn.replace(".", "__") for s, qn in stem_to_qn.items()}
 

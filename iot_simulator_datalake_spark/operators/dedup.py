@@ -118,6 +118,19 @@ def _band_key_col(n_hashes: int, bands: int) -> Column:
     """Array of ``bands`` band keys from sig_0..sig_{K-1} columns: each
     band key is md5 over its band index + its rows_per_band signature
     slices, so two docs share a band key iff that whole band agrees."""
+    # bands > n_hashes would make rows_per_band 0 — every band key
+    # degenerates to md5(band_index), EVERY document shares EVERY
+    # bucket, and the band self-join goes O(n²) corpus-wide (a silent
+    # never-finishes at scale, not a wrong answer).  Non-divisible
+    # bands would silently drop trailing signatures (quietly lower
+    # recall than the caller asked for).  Both are config errors.
+    if not 1 <= bands <= n_hashes:
+        raise ValueError(f"bands must be in [1, n_hashes={n_hashes}], "
+                         f"got {bands}")
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} must divide evenly into "
+                         f"bands={bands} (got remainder {n_hashes % bands}"
+                         f" — trailing signatures would be ignored)")
     rows_per_band = n_hashes // bands
     return F.array(*[
         F.md5(F.concat_ws("|", F.lit(str(b)),

@@ -78,10 +78,20 @@ def merge_into(target: DataFrame, source: DataFrame, key: str, *,
     t_only = F.col(f"s.{key}").isNull() & F.col(f"t.{key}").isNotNull()
     s_only = F.col(f"t.{key}").isNull() & F.col(f"s.{key}").isNotNull()
 
+    # SQL MERGE treats a NULL-evaluating clause condition as NOT
+    # satisfied (WHEN MATCHED AND cond fires only when cond IS TRUE).
+    # Coalesce to FALSE so three-valued logic can't leak: un-coalesced,
+    # a NULL delete_cond makes `matched & ~del_c` NULL and filter()
+    # then DROPS the row — a silent delete of rows MERGE must keep.
     always = F.lit(True)
-    del_c = delete_cond if delete_cond is not None else F.lit(False)
-    upd_c = update_cond if update_cond is not None else always
-    ins_c = insert_cond if insert_cond is not None else always
+
+    def as_bool(c: Column | None, default: Column) -> Column:
+        return default if c is None else F.coalesce(c.cast("boolean"),
+                                                    F.lit(False))
+
+    del_c = as_bool(delete_cond, F.lit(False))
+    upd_c = as_bool(update_cond, always)
+    ins_c = as_bool(insert_cond, always)
 
     keep = t_only | (matched & ~del_c) | (s_only & ins_c &
                                           F.lit(insert_values is not None))

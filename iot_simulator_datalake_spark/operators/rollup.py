@@ -26,6 +26,16 @@ def time_rollup(df: DataFrame, ts_col: str, keys: Sequence[str],
     """
     if grain not in GRAINS:
         raise ValueError(f"grain must be one of {sorted(GRAINS)}")
+    if streaming_window and grain == "month":
+        # Spark tumbling windows take fixed CalendarIntervals only —
+        # '1 month' is variable-length and rejected at plan time
+        # ("Intervals greater than a month is not supported").  Fail
+        # here with the workaround instead of deep in the stream:
+        raise ValueError(
+            "streaming tumbling windows cannot bucket by month "
+            "(variable-length interval); stream at grain='day' and "
+            "re-aggregate day buckets to months in batch (date_trunc), "
+            "or use a foreachBatch sink with the batch form")
     if streaming_window:
         bucket = F.window(F.col(ts_col), f"1 {grain}")["start"].alias("bucket")
     else:

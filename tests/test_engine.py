@@ -149,6 +149,46 @@ def test_backfill_rewrites_only_selected_partitions(spark, tmp_path):
         eng.backfill("gold.v", "1=1")
 
 
+def test_backfill_preserves_reader_snapshot(spark, tmp_path):
+    """backfill must stage a NEW version dir and symlink-swap like any
+    other write — never mutate the live version dir an in-flight
+    reader resolved (the _install_version guarantee).  Also: snapshot
+    tables refuse (their root is a commit log, not a partition
+    layout)."""
+    src = {"rows": [("a", 1), ("b", 10)]}
+    r = Registry()
+
+    @model(r, name="agg", layer="gold", materialization="table",
+           partition_by=("p",))
+    def agg(ctx):
+        return ctx.spark.createDataFrame(src["rows"], "p string, v long")
+
+    eng = Engine(spark, r, warehouse=tmp_path / "wh")
+    eng.run()
+    table_dir = eng.table_path(r["gold.agg"])
+    # a reader pinned to the pre-backfill version dir (what a
+    # long-running query holds after resolving the symlink)
+    pinned = spark.read.parquet(str(table_dir.resolve()))
+    old_target = table_dir.resolve()
+
+    src["rows"] = [("a", 99), ("b", 10)]
+    eng.backfill("gold.agg", "p = 'a'")
+    # symlink retargeted to a NEW version dir; old snapshot intact
+    assert table_dir.resolve() != old_target
+    assert {(x.p, x.v) for x in pinned.collect()} == {("a", 1), ("b", 10)}
+    assert {(x.p, x.v)
+            for x in spark.read.parquet(str(table_dir)).collect()} \
+        == {("a", 99), ("b", 10)}
+
+    @model(r, name="snap", layer="gold", materialization="table",
+           partition_by=("p",), snapshot_keep=3)
+    def snap(ctx):
+        return ctx.spark.createDataFrame(src["rows"], "p string, v long")
+    eng.run(select=["gold.snap"])
+    with pytest.raises(ValueError, match="snapshot_keep"):
+        eng.backfill("gold.snap", "p = 'a'")
+
+
 def test_concurrent_engine_runs_serialize(spark, tmp_path):
     """Two simultaneous engine.run()s over the same warehouse: both
     finish, and every table equals ONE run's complete output (the

@@ -51,6 +51,17 @@ def test_run_and_test_events_recorded(spark, tmp_path):
     assert log is eng.event_log
 
 
+def test_instrumented_run_keeps_full_signature(spark, tmp_path):
+    """The observer wrapper must pass run() kwargs through — an
+    instrumented engine previously lost atomic_publish entirely
+    (TypeError), the exact call __main__'s CLI makes."""
+    eng = _tiny_engine(spark, tmp_path)
+    attach_event_log(eng, tmp_path / "events.jsonl")
+    res = eng.run(atomic_publish=True)
+    assert set(res.materialized) == {"bronze.nums", "silver.doubled"}
+    assert eng.table("silver.doubled").count() == 10
+
+
 def test_event_log_reads_as_relation(spark, tmp_path):
     eng = _tiny_engine(spark, tmp_path)
     attach_event_log(eng, tmp_path / "events.jsonl")

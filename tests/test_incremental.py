@@ -46,6 +46,24 @@ def test_incremental_equals_batch_recompute(spark, tmp_path):
     assert merged == expected
 
 
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers an epoch when the stream restarts
+    between the state swap and the checkpoint commit; folding it twice
+    would double-count.  Same-epoch refresh must be a no-op; the next
+    epoch must apply; epoch-less direct calls stay unguarded."""
+    t = make_table(spark, tmp_path)
+    t.refresh(batch(spark, [("a", 1.0), ("b", 2.0)]), epoch_id=0)
+    t.refresh(batch(spark, [("a", 1.0), ("b", 2.0)]), epoch_id=0)  # replay
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 1}
+    t.refresh(batch(spark, [("a", 4.0)]), epoch_id=1)
+    got = {r["k"]: (r["n"], float(r["sum"])) for r in t.read().collect()}
+    assert got == {"a": (2, 5.0), "b": (1, 2.0)}
+    # no epoch id → no guard (direct batch API)
+    t.refresh(batch(spark, [("a", 4.0)]))
+    assert {r["k"]: r["n"] for r in t.read().collect()}["a"] == 3
+
+
 def test_read_before_refresh_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         make_table(spark, tmp_path).read()

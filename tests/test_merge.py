@@ -44,6 +44,29 @@ def test_merge_all_branches(spark):
     }                    # 2 deleted, 8 insert-cond-filtered
 
 
+def test_merge_null_conditions_mean_not_satisfied(spark):
+    """SQL MERGE fires a clause only when its condition IS TRUE: a
+    NULL-evaluating delete/update/insert condition must behave as
+    FALSE (keep the row unchanged / no insert), not propagate NULL
+    into the keep-filter and silently delete the row."""
+    t = _target(spark)
+    s = spark.createDataFrame(
+        [(1, None),   # matched, conds evaluate NULL -> kept UNCHANGED
+         (9, None)],  # unmatched, insert-cond NULL  -> no insert
+        "k int, delta int")
+    out = merge_into(
+        t, s, "k",
+        update_set={"v": F.expr("t.v + s.delta")},
+        update_cond=F.col("s.delta") >= 10,
+        delete_cond=F.col("s.delta") < 0,
+        insert_values={"k": F.col("s.k"), "name": F.lit("ins"),
+                       "v": F.col("s.delta")},
+        insert_cond=F.col("s.delta") > 0)
+    rows = {r["k"]: (r["name"], r["v"]) for r in out.collect()}
+    assert rows == {1: ("a", 10), 2: ("b", 20), 3: ("c", 30),
+                    4: ("d", 40)}
+
+
 def test_merge_without_insert_values_drops_unmatched_source(spark):
     t = _target(spark)
     s = spark.createDataFrame([(9, 1)], "k int, delta int")

@@ -188,3 +188,61 @@ def test_topk_exact_vs_lsh_recall(spark):
     # non-trivial overlap against exact
     assert len(ap) > 0
     assert len(ex & ap) / len(ex) > 0.2
+
+
+def test_banding_config_validation(spark):
+    """bands > n_hashes degenerates every band key to md5(band_index)
+    (all docs share all buckets — O(n²) corpus-wide); non-divisible
+    bands silently drop trailing signatures.  Both must raise."""
+    import pytest
+    from iot_simulator_datalake_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, "text", "doc_id", n_hashes=6, bands=8) \
+            .collect()
+    with pytest.raises(ValueError, match="evenly"):
+        minhash_lsh_pairs(df, "text", "doc_id", n_hashes=6, bands=4) \
+            .collect()
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """The dim side is replicated salts×, so right/full joins would
+    emit one unmatched dim row PER SALT — refuse rather than corrupt."""
+    import pytest
+    from iot_simulator_datalake_spark.operators.skew import salted_join
+    f = spark.createDataFrame([(1, "x")], ["k", "a"])
+    d = spark.createDataFrame([(1, "y"), (2, "z")], ["k", "b"])
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(f, d, "k", how="full")
+    # fact-preserving forms still work and keep exact row semantics
+    assert salted_join(f, d, "k", how="inner").count() == 1
+    assert salted_join(f, d, "k", how="left").count() == 1
+
+
+def test_salt_is_deterministic_across_recompute(spark):
+    """The salt is a pure function of the row (md5), so recomputed
+    partitions reproduce identical salts — rand() here would misroute
+    rows between reducers after a fetch-failure recompute."""
+    from iot_simulator_datalake_spark.operators.skew import _salt
+    df = spark.createDataFrame([(i, f"p{i % 3}") for i in range(50)],
+                               ["k", "p"])
+    a = sorted((r["k"], r["s"]) for r in
+               df.withColumn("s", _salt(df, 8)).collect())
+    b = sorted((r["k"], r["s"]) for r in
+               df.repartition(7).withColumn("s", _salt(df, 8)).collect())
+    assert a == b
+    assert len({s for _, s in a}) > 1   # actually spreads
+
+
+def test_time_rollup_month_streaming_refused(spark):
+    import pytest
+    from iot_simulator_datalake_spark.operators.rollup import time_rollup
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 1.0)], "ts string, k string, v double"
+    ).selectExpr("cast(ts as timestamp) ts", "k", "v")
+    with pytest.raises(ValueError, match="month"):
+        time_rollup(df, "ts", ["k"], "v", grain="month",
+                    streaming_window=True)
+    # batch month form still fine
+    assert time_rollup(df, "ts", ["k"], "v", grain="month").count() == 1

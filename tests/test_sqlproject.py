@@ -72,6 +72,68 @@ def test_sql_project_end_to_end(spark, tmp_path):
     assert out == {"a": (1, 5.0), "b": (1, 9.0)}   # min_v=2 filter applied
 
 
+def test_schema_routed_project_runs(spark, tmp_path):
+    """A model whose meta target_schema DIFFERS from its layer
+    directory must still resolve: depends_on edges and rendered view
+    names follow the EFFECTIVE schema (Engine registers by
+    qualified_name = schema.stem), not the directory layer — building
+    them from the layer broke toposort / view resolution for every
+    schema-routed project."""
+    import textwrap as tw
+    root = tmp_path / "models"
+    (root / "silver").mkdir(parents=True)
+    (root / "gold").mkdir()
+    (root / "silver" / "routed.sql").write_text(tw.dedent("""
+        {{ config(materialized='table',
+                  meta = {'target_schema': 'analytics'}) }}
+        select * from {{ source('landing', 'events') }}
+    """))
+    (root / "gold" / "consumer.sql").write_text(tw.dedent("""
+        {{ config(materialized='table') }}
+        select device, sum(v) as total
+        from {{ ref('routed') }} group by device
+    """))
+    reg = load_sql_project(root)
+    m = {x.qualified_name: x for x in reg}
+    assert "analytics.routed" in m
+    assert m["gold.consumer"].depends_on == ("analytics.routed",)
+    spark.createDataFrame([("a", 1), ("a", 2)], ["device", "v"]) \
+        .createOrReplaceTempView("landing__events")
+    eng = Engine(spark, reg, warehouse=tmp_path / "wh")
+    eng.run()
+    assert eng.table("gold.consumer").collect()[0]["total"] == 3
+
+
+def test_schema_routed_tests_bind(spark, tmp_path):
+    """Generic yml tests must bind to the routed relation name too."""
+    import textwrap as tw
+    root = tmp_path / "proj"
+    (root / "models" / "silver").mkdir(parents=True)
+    (root / "models" / "silver" / "routed2.sql").write_text(tw.dedent("""
+        {{ config(materialized='table',
+                  meta = {'target_schema': 'analytics'}) }}
+        select * from {{ source('landing', 'events') }}
+    """))
+    (root / "models" / "silver" / "schema.yml").write_text(tw.dedent("""
+        models:
+          - name: routed2
+            columns:
+              - name: device
+                tests: [not_null]
+    """))
+    from iot_simulator_datalake_spark.engine.sqlproject import (
+        load_sql_tests)
+    reg = load_sql_project(root / "models")
+    spark.createDataFrame([("a", 1)], ["device", "v"]) \
+        .createOrReplaceTempView("landing__events")
+    eng = Engine(spark, reg, warehouse=tmp_path / "wh")
+    eng.run()
+    checks = load_sql_tests(root, eng)
+    assert checks and checks[0].relation == "analytics.routed2"
+    results = eng.test()
+    assert all(r.passed for r in results)
+
+
 def test_reference_models_run_unmodified(spark, tmp_path):
     """THE parity proof: the reference's own five dbt model files
     (bronze Auto Loader JSON ingest → silver contract → gold star
