@@ -53,7 +53,10 @@ def ngrams(toks: Column, n: int = 3, sep: str = " ") -> Column:
     # slice trims the padded tail.
     zipped = toks
     for j in range(1, n):
-        zipped = F.zip_with(zipped, F.slice(toks, j + 1, 1_000_000),
+        # slice length = size(toks): always covers the full tail — a
+        # fixed constant would silently truncate docs with more tokens
+        # than it, null-padding their tail shingles into (n-1)-grams
+        zipped = F.zip_with(zipped, F.slice(toks, j + 1, F.size(toks)),
                             lambda a, b: F.concat_ws(sep, a, b))
     sliced = F.slice(zipped, 1,
                      F.greatest(F.size(toks) - (n - 1), F.lit(1)))

@@ -30,17 +30,47 @@ MEDIA_SCHEMA = T.StructType([
 
 
 def repartition_by_bytes(df: "DataFrame", bytes_col: str = "media.n_bytes",
-                         target_partition_bytes: int = 256 * 1024 * 1024
-                         ) -> "DataFrame":
-    """Size-aware repartitioning for skewed media payloads: compute the
-    total payload volume (one cheap aggregate over the metadata column
-    — never the payloads) and hash-repartition to ⌈total/target⌉
-    partitions so a task holds ~target bytes of media, not ~equal row
-    counts.  Equal-rows partitioning puts the few giant videos in one
-    task and OOMs it; equal-bytes keeps Arrow batch memory bounded."""
-    total = df.agg(F.sum(F.expr(bytes_col))).collect()[0][0] or 0
-    n = max(1, -(-int(total) // target_partition_bytes))
-    return df.repartition(n)
+                         target_partition_bytes: int = 256 * 1024 * 1024,
+                         order_col: str | None = None) -> "DataFrame":
+    """Size-aware repartitioning for skewed media payloads, so a task
+    holds ≈``target_partition_bytes`` of media rather than an equal ROW
+    share.  Choosing only the partition count and round-robining rows
+    (the obvious ``repartition(⌈total/target⌉)``) does not bound
+    per-task bytes — a giant video plus its equal-row share still lands
+    in one task and OOMs it, the exact skew case this function exists
+    for.
+
+    Placement: rows at or above the target are OVERSIZE — each gets a
+    partition of its own (they cannot be split, so isolating them IS
+    the byte bound).  The small rest round-robins into
+    ⌈rest_bytes/target⌉ partitions; each small row is ≪ target, so
+    per-partition bytes concentrate near target (law of large numbers
+    over equal row counts).  ``union`` of the two frames concatenates
+    partitions without a further shuffle.  Only the metadata byte
+    column is ever aggregated (one job); payloads move once.
+
+    ``order_col`` is accepted for API stability (deterministic runs
+    order the oversize frame by it) but placement is physical layout,
+    not a value result.
+    """
+    tagged = df.withColumn(
+        "_nb", F.coalesce(F.expr(bytes_col).cast("long"), F.lit(0)))
+    target = int(target_partition_bytes)
+    stats = tagged.agg(
+        F.coalesce(F.sum(F.when(F.col("_nb") < target, F.col("_nb"))),
+                   F.lit(0)).alias("rest_bytes"),
+        F.count(F.when(F.col("_nb") >= target, 1)).alias("giants"),
+    ).collect()[0]
+    n_rest = max(1, -(-int(stats["rest_bytes"]) // target))
+    rest = tagged.filter(F.col("_nb") < target).drop("_nb") \
+                 .repartition(n_rest)
+    if not stats["giants"]:
+        return rest
+    giants = tagged.filter(F.col("_nb") >= target)
+    if order_col is not None:
+        giants = giants.sort(order_col)
+    giants = giants.drop("_nb").repartition(int(stats["giants"]))
+    return rest.union(giants)
 
 
 def attach_payload(df: "DataFrame", content_col: str,
@@ -66,7 +96,12 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int]:
         import io
         with Image.open(io.BytesIO(buf)) as im:
             return im.width, im.height
-    except ImportError:
+    except Exception:
+        # lib absent (ImportError) OR payload undecodable
+        # (UnidentifiedImageError/truncated file): fall back to the
+        # deterministic stub rather than killing the whole Arrow task —
+        # with PIL installed, synthetic/corrupt payloads would
+        # otherwise crash the job instead of degrading per-row
         digest = hashlib.md5(buf).digest()
         return (64 + digest[0] % 192, 64 + digest[1] % 192)
 
@@ -82,14 +117,23 @@ def extract_features(df: "DataFrame", id_col: str = "doc_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(b) for b in pdf[payload_col]]
-            dims = [_decode_image_bytes(b) for b in payloads]
+            # NULL payload (media-less row off a left join / nullable
+            # source) → null features, row preserved; bytes(None)
+            # would TypeError the whole task
+            payloads = [None if b is None else bytes(b)
+                        for b in pdf[payload_col]]
+            dims = [(None, None) if b is None else _decode_image_bytes(b)
+                    for b in payloads]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].values,
-                "n_bytes": [len(b) for b in payloads],
-                "digest": [hashlib.md5(b).hexdigest() for b in payloads],
-                "width": [w for w, _ in dims],
-                "height": [h for _, h in dims],
+                "n_bytes": pd.array(
+                    [None if b is None else len(b) for b in payloads],
+                    dtype="Int64"),
+                "digest": [None if b is None
+                           else hashlib.md5(b).hexdigest()
+                           for b in payloads],
+                "width": pd.array([w for w, _ in dims], dtype="Int32"),
+                "height": pd.array([h for _, h in dims], dtype="Int32"),
             })
 
     return (df.select(id_col, payload_col)
@@ -152,6 +196,8 @@ def frame_sample(df: "DataFrame", id_col: str = "doc_id",
         for pdf in batches:
             ids, idxs, offs, sizes, digests = [], [], [], [], []
             for key, raw in zip(pdf[id_col], pdf[payload_col]):
+                if raw is None:     # no media → no frames (1→0 rows)
+                    continue
                 buf = bytes(raw)
                 for i, (off, fr) in enumerate(dec(buf)):
                     ids.append(key)

@@ -81,7 +81,10 @@ def build_registry(streaming: bool = True) -> Registry:
             engine: "Engine" = ctx._engine
             bronze_model = engine.registry["bronze.iot_events"]
             bronze_path = engine.table_path(bronze_model)
-            schema = ctx.spark.read.parquet(str(bronze_path)).schema
+            # schema from the REGISTERED relation, not a fresh dir read:
+            # a zero-input bronze run leaves no parquet files, and
+            # schema inference on the empty dir would raise
+            schema = ctx.ref("bronze.iot_events").schema
             src = ctx.spark.readStream.schema(schema).parquet(str(bronze_path))
         else:
             src = ctx.ref("bronze.iot_events")

@@ -6,8 +6,10 @@ Debezium-style change events with a ``_is_deleted`` soft-delete flag
 shape here follows the public Debezium envelope: ``op`` ∈ {c,u,d,r},
 ``before``/``after`` payload structs, and a source timestamp.
 
-Flat fixture shape (FIXTURES.md §2) is also accepted: ``id``, ``op``,
-``op_ts``, ``_is_deleted`` + payload columns.
+The flat fixture shape (FIXTURES.md §2: ``id``, ``op``, ``op_ts``,
+``_is_deleted`` + payload columns) needs no parser — it IS this
+module's OUTPUT shape; flat feeds go straight to the downstream CDC
+operators (operators/scd.py, queries.cdc_latest_wins).
 """
 
 from __future__ import annotations
@@ -52,5 +54,5 @@ def parse_debezium(raw: "DataFrame", payload: T.StructType,
 def read_cdc_batch(spark: "SparkSession", path: str,
                    payload: T.StructType) -> "DataFrame":
     """Batch-read a landing dir of Debezium JSON lines for one entity."""
-    raw = spark.read.text(str(path)).withColumnRenamed("value", "value")
+    raw = spark.read.text(str(path))   # text source names its column "value"
     return parse_debezium(raw, payload)

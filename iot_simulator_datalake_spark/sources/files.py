@@ -18,7 +18,6 @@ carry their own schema, so no inference pass is needed at all.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import TYPE_CHECKING
 
@@ -33,20 +32,21 @@ _CSV_OPTS = {"header": "true"}
 def infer_csv_schema(spark: "SparkSession", path: str | Path,
                      schema_store: str | Path,
                      sample_files: int = 64,
-                     options: dict[str, str] | None = None) -> T.StructType:
+                     options: dict[str, str] | None = None,
+                     evolve: bool = False) -> T.StructType:
     """Infer a CSV schema from a bounded file sample and persist it;
-    re-runs return the stored contract verbatim (stable across the
-    life of the landing directory)."""
-    store = Path(schema_store)
-    if store.exists():
-        return T.StructType.fromJson(json.loads(store.read_text()))
-    files = sorted(str(p) for p in Path(path).glob("**/*.csv"))[:sample_files]
-    sample = files if files else str(path)
+    re-runs return the stored contract verbatim.  Delegates to the
+    JSON source's :func:`~.json_source.infer_persist_schema_core` so
+    the store-check / sample / ST6 ``evolve`` semantics are one
+    implementation, not two drifting copies (previously CSV silently
+    lacked schema evolution)."""
+    from .json_source import infer_persist_schema_core
+
     opts = {**_CSV_OPTS, "inferSchema": "true", **(options or {})}
-    schema = spark.read.options(**opts).csv(sample).schema
-    store.parent.mkdir(parents=True, exist_ok=True)
-    store.write_text(json.dumps(schema.jsonValue()))
-    return schema
+    return infer_persist_schema_core(
+        path, schema_store,
+        infer=lambda sample: spark.read.options(**opts).csv(sample).schema,
+        glob="**/*.csv", sample_files=sample_files, evolve=evolve)
 
 
 def read_csv_batch(spark: "SparkSession", path: str | Path,

@@ -27,15 +27,17 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 
-def infer_and_persist_schema(spark: "SparkSession", path: str | Path,
-                             schema_store: str | Path,
-                             sample_files: int = 64,
-                             evolve: bool = False) -> T.StructType:
-    """Infer the JSON schema from a bounded sample and persist it.
-
-    ``schema_store`` is a file path; if it exists the stored schema is
-    returned (unless ``evolve``, which merges stored + freshly-inferred
-    fields — new fields append, conflicting types widen to string).
+def infer_persist_schema_core(path: str | Path,
+                              schema_store: str | Path,
+                              infer, glob: str,
+                              sample_files: int = 64,
+                              evolve: bool = False) -> T.StructType:
+    """Format-agnostic infer-once-persist discipline (shared by the
+    JSON and CSV sources so the store-check / bounded-sample / evolve
+    contracts cannot drift apart): if the store exists return it
+    verbatim (unless ``evolve``, which merges stored + fresh fields —
+    new fields append, conflicting types widen to string);
+    ``infer(sample)`` maps a file list (or the dir path) to a schema.
     """
     store = Path(schema_store)
     stored: T.StructType | None = None
@@ -44,9 +46,9 @@ def infer_and_persist_schema(spark: "SparkSession", path: str | Path,
         if not evolve:
             return stored
 
-    files = sorted(str(p) for p in Path(path).glob("**/*.json"))[:sample_files]
+    files = sorted(str(p) for p in Path(path).glob(glob))[:sample_files]
     sample = files if files else str(path)
-    inferred = spark.read.json(sample).schema
+    inferred = infer(sample)
 
     if stored is not None:
         merged = list(stored.fields)
@@ -65,6 +67,18 @@ def infer_and_persist_schema(spark: "SparkSession", path: str | Path,
     store.parent.mkdir(parents=True, exist_ok=True)
     store.write_text(json.dumps(inferred.jsonValue()))
     return inferred
+
+
+def infer_and_persist_schema(spark: "SparkSession", path: str | Path,
+                             schema_store: str | Path,
+                             sample_files: int = 64,
+                             evolve: bool = False) -> T.StructType:
+    """Infer the JSON schema from a bounded sample and persist it (the
+    shared :func:`infer_persist_schema_core` discipline over JSON)."""
+    return infer_persist_schema_core(
+        path, schema_store,
+        infer=lambda sample: spark.read.json(sample).schema,
+        glob="**/*.json", sample_files=sample_files, evolve=evolve)
 
 
 def read_json_batch(spark: "SparkSession", path: str | Path) -> "DataFrame":

@@ -91,7 +91,12 @@ class IoTSimulatorReader(DataSourceReader):
         self.start = datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
 
     def partitions(self):
-        step = -(-self.n_events // self.n_partitions)
+        # max(1, …): n_events=0 (empty-dataset smoke runs) would make
+        # the range step 0 and raise; the streaming twin already
+        # guards this way — zero events → zero partitions
+        if self.n_events <= 0:
+            return [_RangePartition(0, 0)]   # one empty partition
+        step = max(1, -(-self.n_events // max(1, self.n_partitions)))
         return [_RangePartition(lo, min(lo + step, self.n_events))
                 for lo in range(0, self.n_events, step)]
 

@@ -67,11 +67,20 @@ class IdempotentBatchSink:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)   # partial prior attempt
         self.write_fn(df, batch_id, staging)
+        # row count from the STAGED parquet footers (a metadata-sized
+        # read), never df.count(): a foreachBatch frame re-reads its
+        # source per action, so counting the input would scan every
+        # batch twice — and could fail AFTER the data rename if the
+        # source files were compacted away, forcing a full replay
+        try:
+            rows = df.sparkSession.read.parquet(str(staging)).count()
+        except Exception:
+            rows = None                          # non-parquet write_fn
         staging.replace(out)                     # atomic dir rename
         marker = self._marker(batch_id)
         tmp = marker.with_suffix(".tmp")
         tmp.write_text(json.dumps({"batch_id": batch_id,
-                                   "rows": df.count(),
+                                   "rows": rows,
                                    "ts": time.time()}))
         tmp.replace(marker)                      # commit point
         self.written.append(batch_id)

@@ -62,4 +62,11 @@ def materialize_streaming_table(spark: "SparkSession", stream_df: "DataFrame",
         writer = writer.partitionBy(*partition_by)
     path.mkdir(parents=True, exist_ok=True)
     run_stream_available_now(writer, timeout_sec=timeout_sec)
+    # Zero-input first run: no micro-batch ever wrote a parquet file,
+    # so schema inference on the (pre-created, empty) dir would raise
+    # AnalysisException — return an empty batch frame with the STREAM's
+    # schema instead, so empty landing dirs / no-new-data re-runs are
+    # clean no-ops for downstream models.
+    if not any(p.suffix == ".parquet" for p in path.rglob("*")):
+        return spark.createDataFrame([], stream_df.schema)
     return spark.read.parquet(str(path))

@@ -20,11 +20,25 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
 
-RUNNING_SCHEMA = T.StructType([
-    T.StructField("key", T.LongType()),
-    T.StructField("n_events", T.LongType()),
-    T.StructField("total", T.DoubleType()),
-])
+def _key_type(grouped, key_col: str) -> "T.DataType":
+    """Grouping-key type taken from the grouped stream itself, so the
+    output/state schemas match whatever the caller grouped by — a
+    hardcoded LongType key made every string-keyed stream (the
+    simulator's own 'dev-0' ids!) die at Arrow conversion while the
+    signature promised generality."""
+    return grouped._df.schema[key_col].dataType
+
+
+def running_schema(key_type: "T.DataType") -> T.StructType:
+    return T.StructType([
+        T.StructField("key", key_type),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+
+#: long-keyed instance kept for callers that import the constant
+RUNNING_SCHEMA = running_schema(T.LongType())
 _STATE_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("total", T.DoubleType()),
@@ -39,6 +53,7 @@ def running_totals(grouped, key_col: str, value_col: str) -> "DataFrame":
         stream.groupBy("user_id") |> running_totals("user_id", "value")
 
     Emits one updated row per key per micro-batch (update semantics).
+    Key type follows the grouped column (string/long/... all work).
     """
 
     def update(key, pdfs: Iterator[pd.DataFrame],
@@ -52,7 +67,8 @@ def running_totals(grouped, key_col: str, value_col: str) -> "DataFrame":
                             "total": [total]})
 
     return grouped.applyInPandasWithState(
-        update, outputStructType=RUNNING_SCHEMA,
+        update, outputStructType=running_schema(_key_type(grouped,
+                                                          key_col)),
         stateStructType=_STATE_SCHEMA, outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
 
@@ -87,8 +103,13 @@ def running_totals_micro(grouped) -> "DataFrame":
         yield pd.DataFrame({"key": [key[0]], "n_events": [n],
                             "total_micro": [total]})
 
+    out = T.StructType([
+        T.StructField("key", _key_type(grouped, "key")),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_micro", T.LongType()),
+    ])
     return grouped.applyInPandasWithState(
-        update, outputStructType=MICRO_OUTPUT_SCHEMA,
+        update, outputStructType=out,
         stateStructType=_MICRO_STATE_SCHEMA, outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
 

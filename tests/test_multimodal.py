@@ -56,6 +56,46 @@ def test_repartition_by_bytes(spark):
     assert empty.rdd.getNumPartitions() == 1
 
 
+def test_repartition_by_bytes_bounds_partition_bytes(spark):
+    """The skew case the operator exists for: one giant payload among
+    small ones.  Byte-aware placement must isolate the giant (its
+    partition carries ~its own bytes, not giant + an equal-row share)
+    and bound every other partition near the target."""
+    from pyspark.sql import functions as F
+    from iot_simulator_datalake_spark.multimodal import (
+        attach_payload, repartition_by_bytes)
+    rows = [(0, "G" * 100_000)] + [(i, "x" * 100) for i in range(1, 401)]
+    df = attach_payload(spark.createDataFrame(rows, ["id", "content"]),
+                        "content")
+    out = repartition_by_bytes(df, target_partition_bytes=20_000,
+                               order_col="id")
+    sizes = (out.withColumn("_p", F.spark_partition_id())
+             .groupBy("_p").agg(F.sum("media.n_bytes").alias("b"))
+             .collect())
+    per_part = sorted(r["b"] for r in sizes)
+    # giant row alone in its partition; everything else ≈ target-bounded
+    # (round-robin is even ± a few rows per input split, so allow 50%
+    # slack — the point is the giant no longer drags an equal-row
+    # share, and no small partition is anywhere near giant-sized)
+    assert per_part[-1] == 100_000
+    assert all(b <= 30_000 for b in per_part[:-1])
+    assert out.count() == 401
+
+
+def test_extract_features_null_payload_row_preserved(spark):
+    from iot_simulator_datalake_spark.multimodal import (
+        extract_features, frame_sample)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert rows[1]["n_bytes"] == 3 and rows[1]["digest"] is not None
+    assert rows[2]["n_bytes"] is None and rows[2]["digest"] is None
+    # frame_sample: null payload → zero frames, no crash
+    frames = frame_sample(df, frame_bytes=2).collect()
+    assert {f["doc_id"] for f in frames} == {1}
+
+
 def test_stubbed_decode_raises(media):
     with pytest.raises(NotImplementedError):
         decode_image(media)

@@ -62,3 +62,12 @@ def test_stream_exactly_once_across_restarts(sim, tmp_path):
              .option("n_events", 2000).option("n_devices", 7).load())
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, batch.collect()))
+
+
+def test_zero_events_smoke(spark):
+    """n_events=0 must yield an empty frame, not a range()/zero-div
+    crash (the streaming twin already guarded; the batch reader now
+    matches)."""
+    df = (spark.read.format("iot_simulator")
+          .option("n_events", 0).load())
+    assert df.count() == 0

@@ -96,3 +96,36 @@ def test_text_source_line_and_whole_file(spark, tmp_path):
     by_file = read_text_batch(spark, d, whole_file=True)
     assert by_file.count() == 2
     assert by_file.where(F.col("value").contains("line two")).count() == 1
+
+
+def test_csv_schema_evolve_merges_new_fields(spark, tmp_path):
+    """ST6 for CSV via the shared infer-persist core: evolve=True
+    merges newly-appearing columns into the stored contract (the CSV
+    side previously lacked the evolution path entirely)."""
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text("id,v\n1,2\n")
+    store = tmp_path / "schema.json"
+    s1 = infer_csv_schema(spark, land, store)
+    assert [f.name for f in s1.fields] == ["id", "v"]
+    (land / "b.csv").write_text("id,v,extra\n3,4,x\n")
+    # without evolve: stored contract verbatim
+    assert [f.name for f in infer_csv_schema(spark, land, store).fields] \
+        == ["id", "v"]
+    s2 = infer_csv_schema(spark, land, store, evolve=True)
+    assert [f.name for f in s2.fields] == ["id", "v", "extra"]
+
+
+def test_streaming_table_empty_input_is_clean_noop(spark, tmp_path):
+    """Zero-input first run: no micro-batch writes parquet, so the
+    result must be an empty frame with the stream's schema — not an
+    AnalysisException from schema inference on the empty dir."""
+    land = tmp_path / "land"
+    land.mkdir()
+    schema = "id long, v double"
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    out = materialize_streaming_table(
+        spark=spark, stream_df=stream,
+        path=tmp_path / "tbl", checkpoint=tmp_path / "ckpt")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "v"]

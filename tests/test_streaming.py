@@ -204,6 +204,33 @@ def test_stateful_running_totals(spark, tmp_path):
     assert res == {1: (2, 15.0), 2: (1, 7.0)}
 
 
+def test_stateful_running_totals_string_keys(spark, tmp_path):
+    """Key schema follows the grouped column: string device ids (the
+    simulator's own key shape) must work — the old hardcoded LongType
+    key schema killed the query at Arrow conversion."""
+    from iot_simulator_datalake_spark.streaming.stateful import (
+        running_totals)
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [("dev-0", 10.0), ("dev-0", 5.0), ("dev-1", 7.0)],
+        ["device_id", "value"])
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = running_totals(stream.groupBy("device_id"),
+                         "device_id", "value")
+    import uuid
+    name = f"rts_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = {r["key"]: (r["n_events"], r["total"])
+           for r in spark.table(name).collect()}
+    assert res == {"dev-0": (2, 15.0), "dev-1": (1, 7.0)}
+
+
 def test_stateful_running_totals_micro_two_waves(spark, tmp_path):
     """Integer-state variant survives a second wave: state carries
     across restarts via the checkpoint and totals stay exact."""
