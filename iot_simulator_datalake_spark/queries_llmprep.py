@@ -37,10 +37,10 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 
-def _hash_bucket(col, seed: str, mod: int):
-    """Deterministic engine-portable bucket: md5(seed:key) % mod."""
-    h = F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % mod
+# single source of the engine-portable hash recipe (the repo-wide
+# rand() substitute) — a second copy here drifted-by-one-edit away
+# from the oracles built from _o_hash_bucket below
+from .operators.packing import hash_bucket as _hash_bucket  # noqa: E402
 
 
 def _o_hash_bucket(col: str, seed: str, mod: int) -> str:
@@ -211,8 +211,7 @@ def contamination_ngram(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     sh = (d.select("doc_id", bkt.alias("bkt"),
                    tokens(F.col("text")).alias("toks"))
           .select("doc_id", "bkt",
-                  F.explode(F.array_distinct(
-                      ngrams(F.col("toks"), n))).alias("g"))
+                  F.explode(ngrams(F.col("toks"), n)).alias("g"))
           .select("doc_id", "bkt", F.md5("g").alias("gh")))
     train = (sh.where(F.col("bkt") < _CONTAM["train_hi"])
              .select(F.col("doc_id").alias("train_doc_id"), "gh"))
@@ -358,7 +357,7 @@ def dataset_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),
         ]
-    one = load(spark, sf_dir, "documents").agg(*aggs)
+    one = d.agg(*aggs)
     stack = ", ".join(
         f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
         for c in _PROFILE_COLS)
@@ -420,7 +419,13 @@ def boilerplate_chunk_removal(spark: "SparkSession",
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
     n_chunks = F.ceil(F.size("t") / F.lit(float(k))).cast("int")
+    # n_chunks > 0 guard: Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0] — a zero-token doc would emit two phantom empty chunks
+    # (and poison the df table with '') where DuckDB's
+    # generate_series(1, 0) emits none; empty docs are simply absent,
+    # matching the oracle and every other chunker in the repo.
     chunks = (toks
+              .filter(n_chunks > 0)
               .select("doc_id",
                       F.posexplode(F.transform(
                           F.sequence(F.lit(1), n_chunks),
@@ -433,14 +438,21 @@ def boilerplate_chunk_removal(spark: "SparkSession",
     kept = (chunks.join(df_, "chunk")
             .select("doc_id", "pos", "chunk",
                     (F.col("df") <= _BP["max_df"]).alias("keep")))
-    return (kept.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_chunks"),
-                 F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
-                 F.md5(F.concat_ws(" ", F.array_compact(F.transform(
-                     F.array_sort(F.collect_list(F.struct("pos", "keep",
-                                                          "chunk"))),
-                     lambda s: F.when(s["keep"], s["chunk"])))))
-                 .alias("clean_md5")))
+    agged = (kept.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_chunks"),
+                  F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+                  F.md5(F.concat_ws(" ", F.array_compact(F.transform(
+                      F.array_sort(F.collect_list(F.struct("pos", "keep",
+                                                           "chunk"))),
+                      lambda s: F.when(s["keep"], s["chunk"])))))
+                  .alias("_md5")))
+    # all-chunks-removed docs get NULL, not md5('') — DuckDB's
+    # string_agg over an all-NULL input is NULL (md5(NULL) = NULL),
+    # and a fake empty-content hash would alias genuinely-empty docs
+    return agged.select(
+        "doc_id", "n_chunks", "n_removed",
+        F.when(F.col("n_removed") < F.col("n_chunks"), F.col("_md5"))
+         .alias("clean_md5"))
 
 
 # =========================================================================

@@ -393,6 +393,8 @@ def bpe_apply_merges(spark: "SparkSession", sf_dir: str) -> "DataFrame":
               .where(F.col("nxt").isNotNull())
               .groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("cnt")))
         top = pc.orderBy(F.col("cnt").desc(), "tok", "nxt").limit(1).collect()
+        if not top:       # no adjacent pairs left (or corpus of 1-token
+            break         # docs) — oracle's empty top CTE merges nothing
         a, b = top[0]["tok"], top[0]["nxt"]
 
         df = seq.withColumn("nxt", F.lead("tok").over(wdoc))
@@ -486,14 +488,18 @@ def pmi_cooccurrence(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                       F.col("b.tok").alias("tok_b"))
              .agg(F.count(F.lit(1)).alias("co"))
              .filter(F.col("co") >= _PMI_MIN_CO))
-    n_docs = d.count()
+    # corpus size as a broadcast 1-row aggregate, not a driver-side
+    # d.count() stitched into plan construction (tfidf_topk's shape) —
+    # no second eager scan of documents
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("_ndocs"))
     va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("dfa"))
     vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("dfb"))
     return (pairs.join(F.broadcast(va), "tok_a")
             .join(F.broadcast(vb), "tok_b")
+            .crossJoin(F.broadcast(nd))
             .select("tok_a", "tok_b", "co",
                     F.round(1000 * F.log2(
-                        F.lit(float(n_docs)) * F.col("co") /
+                        F.col("_ndocs") * F.col("co") /
                         (F.col("dfa").cast("double") * F.col("dfb"))))
                     .cast("bigint").alias("pmi_milli"))
             .orderBy(F.col("pmi_milli").desc(), "tok_a", "tok_b")

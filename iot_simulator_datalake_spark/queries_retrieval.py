@@ -357,9 +357,14 @@ def hybrid_search_rrf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     impossible by construction, so RRF is bit-stable).
     """
     depth, kk = _RRF["depth"], _RRF["k"]
-    bm = (bm25_topk.__wrapped__(spark, sf_dir)
-          if hasattr(bm25_topk, "__wrapped__") else
-          bm25_topk(spark, sf_dir))
+    # The BM25 branch re-ranks bm25_topk's output, which is already
+    # cut to _BM25['topk'] rows — the fusion depth must fit inside
+    # that cut or the Spark branch would silently rank fewer docs than
+    # the oracle's unlimited QUALIFY (assert here, next to the reuse,
+    # so editing _RRF['depth'] fails loudly instead of at the gate).
+    assert depth <= _BM25["topk"], \
+        f"_RRF depth {depth} exceeds _BM25 topk {_BM25['topk']}"
+    bm = bm25_topk(spark, sf_dir)   # @q returns the fn unwrapped
     bm = (bm.select("doc_id",
                     F.row_number().over(
                         W.orderBy(F.col("score_nano").desc(), "doc_id"))

@@ -157,3 +157,45 @@ def test_corpus_pipeline_dag_contract(spark, tmp_path):
     parts = [d for d in os.listdir(eng.table_path(
         eng.registry["gold.packed_sequences"])) if d.startswith("shard=")]
     assert len(parts) <= CORPUS["shards"] and parts
+
+
+def test_boilerplate_removal_empty_and_all_removed_docs(spark, tmp_path):
+    """Cross-engine edge parity: a zero-token doc emits NO chunk rows
+    (Spark's sequence(1,0) is the descending [1,0] — unguarded it
+    yields two phantom '' chunks where DuckDB's generate_series(1,0)
+    yields none), and a doc whose every chunk is boilerplate-removed
+    reports clean_md5 NULL (DuckDB's all-NULL string_agg), not
+    md5('')."""
+    import duckdb
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    base = src.limit(5).withColumn(
+        "text", F.concat(F.lit("unique prefix "),
+                         F.col("doc_id").cast("string"), F.lit(" "),
+                         F.col("text")))
+    # 1 empty doc + 3 byte-identical one-chunk docs (df=3 > max_df)
+    extra = spark.createDataFrame(
+        [(900001, "", "srcX"), (900002, "dup dup dup", "srcX"),
+         (900003, "dup dup dup", "srcX"), (900004, "dup dup dup", "srcX")],
+        "doc_id long, text string, source string")
+    cols = [c for c in base.columns]
+    planted = base.unionByName(
+        extra.select(*[c if c in ("doc_id", "text", "source")
+                       else F.lit(None).alias(c) for c in cols]),
+        allowMissingColumns=True)
+    sfdir = tmp_path / "sfbp"
+    sfdir.mkdir()
+    planted.write.parquet(str(sfdir / "documents.parquet"))
+    qd = REGISTRY["boilerplate_chunk_removal"]
+    rows = {r["doc_id"]: r for r in qd.fn(spark, str(sfdir)).collect()}
+    assert 900001 not in rows                       # empty doc absent
+    assert rows[900002]["clean_md5"] is None        # all chunks removed
+    assert rows[900002]["n_removed"] == rows[900002]["n_chunks"]
+    # and the full DuckDB oracle agrees row-for-row
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sfdir}/documents.parquet/*.parquet'")
+    oracle = {r[0]: r for r in con.execute(qd.oracle).fetchall()}
+    assert set(oracle) == set(rows)
+    for k, r in rows.items():
+        assert (r["n_chunks"], r["n_removed"], r["clean_md5"]) == \
+            (oracle[k][1], oracle[k][2], oracle[k][3]), k
