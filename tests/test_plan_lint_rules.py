@@ -132,6 +132,29 @@ def test_global_window_reaches_subquery_trees():
     assert "global-window" in lint("synthetic_subq", _SUBQ_PLAN)
 
 
+def test_bnl_quiet_on_scalar_broadcast(spark):
+    # theta join against a 1-row global aggregate: the canonical
+    # normalization-constant shape — build side is a keyless agg,
+    # so the BNL is justified and the rule stays quiet
+    one = _orders(spark).agg(F.avg("o_totalprice").alias("t"))
+    ok = _orders(spark).join(one, F.col("o_totalprice") > F.col("t"))
+    assert "bnl-join" not in lint("synthetic_scalar_bnl", _plan(ok))
+
+
+def test_bnl_fires_despite_unrelated_global_agg(spark):
+    # the masking case the old plan-wide '"Keys: []" in plan' check got
+    # wrong: a genuine NL join (orders theta nation — build side is a
+    # table scan) plus an UNRELATED 1-row aggregate broadcast in the
+    # same plan.  The subtree-scoped rule must still flag the first
+    # join; the old substring exemption passed the whole plan.
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    tot = _orders(spark).agg(F.avg("o_totalprice").alias("t"))
+    bad = (_orders(spark)
+           .join(nation, F.col("o_custkey") > F.col("n_nationkey"))
+           .crossJoin(F.broadcast(tot)))
+    assert "bnl-join" in lint("synthetic_masked_bnl", _plan(bad))
+
+
 def test_python_row_udf_rule_still_fires(spark):
     from pyspark.sql.types import LongType
     plus = F.udf(lambda x: x + 1, LongType())

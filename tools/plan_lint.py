@@ -51,6 +51,17 @@ CROSS_ALLOW = {
                                     # both probe crosses carry their
                                     # own cited Q bounds
     "mmr_diverse_rerank",           # k×k re-rank, k bounded
+    "hybrid_search_rrf",            # ANN branch composes
+                                    # similarity_topk_bruteforce with a
+                                    # 1-ROW probe (vec_id=0): the BNL
+                                    # build side is that single vector,
+                                    # so the join is a linear map-side
+                                    # corpus scan.  Surfaced only when
+                                    # the bnl rule became subtree-
+                                    # scoped — the old plan-wide
+                                    # "Keys: []" check was masked by
+                                    # the BM25 branch's unrelated
+                                    # global aggregate
     "weighted_sample_topk",         # 1-row total broadcast (was listed
                                     # under its pre-rename name
                                     # stats_weighted_sample — stale
@@ -161,6 +172,56 @@ def parse_details(plan: str) -> dict[int, str]:
     return det
 
 
+def _subtree(tree, i):
+    """Nodes of the subtree rooted at tree[i] (pre-order slice)."""
+    d = tree[i][0]
+    j = i + 1
+    while j < len(tree) and tree[j][0] > d:
+        j += 1
+    return tree[i:j]
+
+
+def _unjustified_bnl(plan: str) -> bool:
+    """True iff some BroadcastNestedLoopJoin's BUILD side is not a
+    provably-1-row relation (a keyless aggregate).
+
+    Tree-positional successor of the old plan-wide ``"Keys: []" in
+    plan`` exemption, which a real NL join could hide behind whenever
+    ANY unrelated global aggregate appeared in the same plan (scalar
+    subquery, normalization constant …) — the same masking class the
+    global-window rule's text-adjacency bug had.  Here the walk finds
+    each BNL node's broadcast child (resolving ReusedExchange to the
+    original operator) and demands the keyless aggregate INSIDE that
+    subtree; anything else must earn a CROSS_ALLOW entry with a cited
+    bound."""
+    tree = parse_tree(plan)
+    details = parse_details(plan)
+    id_idx = {nid: k for k, (_, _, nid) in enumerate(tree)}
+    for i, (d, nm, _nid) in enumerate(tree):
+        if not nm.startswith("BroadcastNestedLoopJoin"):
+            continue
+        justified = False
+        j = i + 1
+        while j < len(tree) and tree[j][0] > d:
+            if tree[j][0] == d + 1:
+                knm = tree[j][1].split(" ")[0]
+                if knm in ("BroadcastExchange", "ReusedExchange"):
+                    sub = _subtree(tree, j)
+                    if knm == "ReusedExchange":
+                        mref = re.search(r"Reuses operator id:\s*(\d+)",
+                                         details.get(tree[j][2], ""))
+                        if mref and int(mref.group(1)) in id_idx:
+                            sub = _subtree(tree, id_idx[int(mref.group(1))])
+                    justified = any(
+                        "Aggregate" in n and "Keys: []" in details.get(c, "")
+                        for _, n, c in sub)
+                    break
+            j += 1
+        if not justified:
+            return True
+    return False
+
+
 def _global_windows(plan: str) -> bool:
     """True iff some Window node's input partitioning is a
     single-partition Exchange over a NON-pre-reduced relation.
@@ -211,11 +272,13 @@ def lint(name: str, plan: str) -> list[str]:
     if "CartesianProduct" in plan and name not in CROSS_ALLOW:
         hits.append("cartesian")
     if ("BroadcastNestedLoopJoin" in plan and name not in CROSS_ALLOW
-            and "Keys: []" not in plan):
-        # a keyless HashAggregate ("Keys: []" in formatted detail)
-        # marks the build side as a 1-row scalar (global aggregate)
-        # broadcast — the intended shape for normalization constants;
-        # anything else is a real NL join
+            and _unjustified_bnl(plan)):
+        # a keyless aggregate on the BUILD SIDE marks a 1-row scalar
+        # (global-aggregate) broadcast — the intended shape for
+        # normalization constants; anything else is a real NL join.
+        # The check is subtree-scoped (see _unjustified_bnl) so an
+        # unrelated global aggregate elsewhere in the plan cannot mask
+        # a genuine NL join the way the old plan-wide substring did.
         hits.append("bnl-join")
     if "BatchEvalPython" in plan and name not in PYTHON_ALLOW:
         hits.append("python-row-udf")
