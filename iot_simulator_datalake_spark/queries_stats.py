@@ -847,3 +847,157 @@ def segment_overlap_kmv(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 countmin_freq_estimate.__doc__ = countmin_freq_estimate.__doc__.format(**_CMS)
 spatial_grid_join.__doc__ = spatial_grid_join.__doc__.format(**_GRID)
 weighted_sample_topk.__doc__ = weighted_sample_topk.__doc__.format(**_WSAMP)
+
+
+# =========================================================================
+# Mergeable quantile sketch ([EXT] A8/A6 — the quantile slot of the
+# sketch family: HLL=distinct, CMS=frequency, KMV=overlap, this=order
+# statistics; operators/qsketch.py holds the algebra + rationale)
+# =========================================================================
+
+_QSK = {"k": 64, "tol_ppm": 250_000}
+
+#: shared oracle recipe — the hour→day bottom-k merge replayed in SQL
+#: (same md5 domain, same row_number cuts), ending in CTE ``dsk``
+#: (day-level sketch rows) and ``est`` (per-day order-statistic
+#: estimates).  Both sketch queries compose it so the sample logic
+#: cannot drift between the rollup and its error gate.
+_QSK_CTE = f"""
+base AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+         DATE_TRUNC('hour', ts) AS hr, value, event_id,
+         md5('qsk:' || CAST(event_id AS VARCHAR)) AS h
+  FROM events WHERE value IS NOT NULL
+), hsk AS (
+  SELECT day, value, event_id, h FROM (
+    SELECT base.*,
+           ROW_NUMBER() OVER (PARTITION BY day, hr ORDER BY h) AS rn
+    FROM base) WHERE rn <= {_QSK['k']}
+), dsk AS (
+  SELECT day, value, event_id, h FROM (
+    SELECT hsk.*,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn2
+    FROM hsk) WHERE rn2 <= {_QSK['k']}
+), pos AS (
+  SELECT day, value,
+         ROW_NUMBER() OVER (PARTITION BY day
+                            ORDER BY value, event_id) AS vr,
+         COUNT(*) OVER (PARTITION BY day) AS m
+  FROM dsk
+), est AS (
+  SELECT day, MAX(m) AS m,
+         MAX(CASE WHEN vr = ((m-1)*50)//100 + 1 THEN value END)
+           AS p50_est,
+         MAX(CASE WHEN vr = ((m-1)*90)//100 + 1 THEN value END)
+           AS p90_est
+  FROM pos GROUP BY day
+)"""
+
+
+def _qsk_day_est(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Shared Spark recipe behind both sketch queries: hour sketches →
+    merged day sketch → per-day p50/p90 order-statistic estimates."""
+    from .operators.qsketch import bottom_k, sample_quantiles, sketch_hash
+    from .queries import load
+    e = load(spark, sf_dir, "events")
+    base = (e.filter(F.col("value").isNotNull())
+            .select(F.date_trunc("day", "ts").alias("day"),
+                    F.date_trunc("hour", "ts").alias("hr"),
+                    "value", "event_id",
+                    sketch_hash(F.col("event_id")).alias("h")))
+    hsk = bottom_k(base, ["day", "hr"], _QSK["k"])
+    dsk = bottom_k(hsk.drop("hr"), ["day"], _QSK["k"])
+    return sample_quantiles(dsk, ["day"], "value", "event_id", (50, 90))
+
+
+@q("quantile_sketch_rollup", ("A8", "A6"), oracle=f"""
+WITH {_QSK_CTE}
+SELECT day, m, p50_est, p90_est FROM est
+""")
+def quantile_sketch_rollup(spark: "SparkSession",
+                           sf_dir: str) -> "DataFrame":
+    """Hierarchical quantile rollup via the mergeable bottom-k sketch:
+    per-HOUR sketches (k={k}) merged upward into per-DAY sketches,
+    then p50/p90 read off the merged sample — the t-digest/KLL rollup
+    pattern (hour→day→week re-aggregation without re-reading raw
+    data), in the deterministic form a SQL oracle can replay exactly
+    (operators/qsketch.py documents why t-digest itself cannot be
+    oracle-gated: centroid merges are order-dependent).
+
+    Scale design: ONE shuffle over raw events (on the hour key) cuts
+    every hour to ≤k rows; the day merge unions hour sketches —
+    24k rows/day, KB-sized — and re-cuts, so adding week/month levels
+    costs only sketch-sized merges.  The semilattice law (merged ==
+    direct bottom-k, asserted on real data in tests/test_qsketch.py)
+    means the merge TREE is free to follow the partition layout at
+    100 TB.  Estimates are picked raw values at integer positions —
+    hash-exact vs DuckDB."""
+    return _qsk_day_est(spark, sf_dir)
+
+
+@q("quantile_sketch_error_eval", ("A8", "A6"), oracle=f"""
+WITH {_QSK_CTE},
+ev AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, value
+  FROM events WHERE value IS NOT NULL
+)
+SELECT ev.day, est.m, COUNT(*) AS n,
+       (COUNT(CASE WHEN ev.value <= est.p50_est THEN 1 END)
+        * 1000000) // COUNT(*) AS r50_ppm,
+       (COUNT(CASE WHEN ev.value <= est.p90_est THEN 1 END)
+        * 1000000) // COUNT(*) AS r90_ppm,
+       ABS((COUNT(CASE WHEN ev.value <= est.p50_est THEN 1 END)
+            * 1000000) // COUNT(*) - 500000) <= {_QSK['tol_ppm']}
+         AS ok50,
+       ABS((COUNT(CASE WHEN ev.value <= est.p90_est THEN 1 END)
+            * 1000000) // COUNT(*) - 900000) <= {_QSK['tol_ppm']}
+         AS ok90
+FROM ev JOIN est ON ev.day = est.day
+GROUP BY ev.day, est.m, est.p50_est, est.p90_est
+""")
+def quantile_sketch_error_eval(spark: "SparkSession",
+                               sf_dir: str) -> "DataFrame":
+    """Measured rank error of the sketch estimates — the honesty gate
+    for the approximation (the ann_recall_eval pattern): for each day,
+    the TRUE rank (in ppm of the full day's rows) of the sketched
+    p50/p90, and whether it sits within ±{tol_ppm} ppm of the target.
+    Hoeffding bounds the k={k} sample's rank error at ~sqrt(q(1-q)/k)
+    ≈ 6%% ranks (1σ) at the median, so the tolerance is ~4σ — a
+    failure means the sketch algebra broke, not bad luck.
+
+    Scale design: the eval joins day estimates (calendar-bounded, hard
+    broadcast is safe) back to raw events and reduces map-side to
+    per-day counts — one scan, one day-keyed shuffle of counters.  All
+    rank math in integer ppm (non-negative floor division), so the
+    verdict booleans are bit-stable across engines."""
+    est = quantile_sketch_rollup(spark, sf_dir)
+    from .queries import load
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.date_trunc("day", "ts").alias("day"), "value"))
+    j = ev.join(F.broadcast(est), "day")
+    agg = (j.groupBy("day")
+           .agg(F.max("m").alias("m"),
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("value") <= F.col("p50_est"), 1))
+                .alias("_c50"),
+                F.count(F.when(F.col("value") <= F.col("p90_est"), 1))
+                .alias("_c90")))
+    def _ppm(c):
+        t = F.col(c) * 1000000
+        return ((t - t % F.col("n")) / F.col("n")).cast("long")
+    return (agg.select("day", "m", "n",
+                       _ppm("_c50").alias("r50_ppm"),
+                       _ppm("_c90").alias("r90_ppm"))
+            .select("day", "m", "n", "r50_ppm", "r90_ppm",
+                    (F.abs(F.col("r50_ppm") - 500000)
+                     <= _QSK["tol_ppm"]).alias("ok50"),
+                    (F.abs(F.col("r90_ppm") - 900000)
+                     <= _QSK["tol_ppm"]).alias("ok90")))
+
+
+quantile_sketch_rollup.__doc__ = \
+    quantile_sketch_rollup.__doc__.format(k=_QSK["k"])
+quantile_sketch_error_eval.__doc__ = \
+    quantile_sketch_error_eval.__doc__.format(k=_QSK["k"],
+                                              tol_ppm=_QSK["tol_ppm"])
