@@ -779,3 +779,73 @@ def streaming_incremental_join_rollup(spark: "SparkSession",
     return (t.read_joined(dim, "o_custkey", ["nation"], ["nation"])
             .select("nation", "n",
                     F.col("sum").cast("double").alias("sum")))
+
+
+def _qsk_oracle() -> str:
+    from .queries_stats import _QSK_CTE
+    return f"WITH {_QSK_CTE}\nSELECT day, m, p50_est, p90_est FROM est"
+
+
+@q("streaming_quantile_sketch", ("ST1", "ST3", "A8", "A6"),
+   oracle=_qsk_oracle())
+def streaming_quantile_sketch(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Quantile sketch maintained FROM A STREAM: event slices drain
+    through ``foreachBatch``, each micro-batch's hashed rows merge
+    into a k-row-per-day parquet state table via ``bottom_k`` (union
+    with previous state, re-cut — writes go to a fresh versioned dir,
+    never over the dir being read), and p50/p90 are served from the
+    final state.  The bottom-k semilattice (operators/qsketch.py)
+    guarantees the ARRIVAL-ORDER merge tree lands on the exact same
+    sample as the batch hour→day rollup — so this streaming query
+    carries the FULL batch SQL oracle (the shared ``_QSK_CTE`` recipe,
+    hour-merged), not a weaker rows-only check: the gate certifies
+    that slicing by event_id, draining one file per trigger, and
+    merging batch-by-batch is bit-identical to the one-shot rollup.
+
+    Scale design: per-batch cost is O(batch + days×k) — the state
+    table never exceeds k rows per day regardless of stream length
+    (the streaming twin of the HLL sketch state in
+    streaming_hll_rollup, for order statistics).  A production table
+    would keep the engine's epoch-replay guard
+    (engine/incremental.py); the availableNow gate run is
+    single-epoch by construction."""
+    import tempfile
+
+    from .operators.qsketch import bottom_k, sample_quantiles, sketch_hash
+    from .queries_stats import _QSK
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    land = tempfile.mkdtemp(prefix="qsk_stream_")
+    for i in range(3):
+        (e.filter(F.col("event_id") % 3 == i).coalesce(1)
+         .write.mode("overwrite").parquet(f"{land}/slice_{i}.parquet"))
+
+    stream = (spark.readStream.schema(e.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(land))
+    root = tempfile.mkdtemp(prefix="qsk_state_")
+    state: dict = {"dir": None, "v": 0}
+
+    def _merge(batch, _epoch):
+        b = (batch.filter(F.col("value").isNotNull())
+             .select(F.date_trunc("day", "ts").alias("day"),
+                     "value", "event_id",
+                     sketch_hash(F.col("event_id")).alias("h")))
+        if state["dir"] is not None:
+            b = b.unionByName(spark.read.parquet(state["dir"]))
+        nxt = f"{root}/v{state['v']}"
+        bottom_k(b, ["day"], _QSK["k"]).write.mode("overwrite").parquet(nxt)
+        state["dir"], state["v"] = nxt, state["v"] + 1
+
+    writer = (stream.writeStream.foreachBatch(_merge)
+              .option("checkpointLocation", f"{land}/_checkpoint"))
+    run_stream_available_now(writer)
+
+    if state["dir"] is None:   # zero-input stream: empty typed result
+        empty = spark.createDataFrame(
+            [], "day timestamp, value double, event_id bigint, h string")
+        return sample_quantiles(empty, ["day"], "value", "event_id",
+                                (50, 90))
+    sk = spark.read.parquet(state["dir"])
+    return sample_quantiles(sk, ["day"], "value", "event_id", (50, 90))
