@@ -849,3 +849,160 @@ def streaming_quantile_sketch(spark: "SparkSession",
                                 (50, 90))
     sk = spark.read.parquet(state["dir"])
     return sample_quantiles(sk, ["day"], "value", "event_id", (50, 90))
+
+
+# =========================================================================
+# Late-data watermark semantics ([EXT] ST5 — the one streaming behavior
+# the rest of the family never exercises: every other streaming query's
+# result is order-insensitive (semilattice merges, latest-wins, complete
+# mode), so its watermark never DROPS anything.  This query stages an
+# out-of-order replay where specific rows genuinely arrive late, and the
+# oracle replays Spark's drop/eviction rules bit-exactly.)
+# =========================================================================
+
+#: watermark delay (must match the withWatermark literal below) and the
+#: staged batch count — module constants so the oracle CTE and the
+#: Spark stager can never drift apart.
+_LATE = {"delay_ms": 7_200_000, "delay": "2 hours", "n_batches": 4}
+
+#: Pinned microbatch watermark semantics (Spark 4.1, availableNow,
+#: append mode; measured empirically — tests/test_streaming_late.py
+#: re-asserts every clause on crafted timestamps so a Spark upgrade
+#: that changes any of them fails loudly instead of silently breaking
+#: the oracle):
+#:   1. files are processed in ascending MODIFICATION-TIME order (one
+#:      file per batch under maxFilesPerTrigger=1) — the stager pins
+#:      mtimes explicitly;
+#:   2. the watermark after batch k is the cumulative max over batches
+#:      <= k of floor_to_ms(max event time) - delay_ms (the engine
+#:      tracks event time in ms; note that against HOUR-ALIGNED window
+#:      ends an inclusive boundary makes sub-ms truncation
+#:      unobservable, so the oracle's floor-to-ms is exact either way);
+#:   3. batch n's late filter drops an input row iff its window END
+#:      <= the watermark through batch n-2 (the late filter runs one
+#:      batch BEHIND eviction — "previous watermark"), inclusive at
+#:      equality;
+#:   4. a window is emitted (append mode) in the first batch whose
+#:      eviction watermark — through batch n-1, plus the final no-data
+#:      flush batch through the last — satisfies window end <= wm,
+#:      inclusive at equality; later windows stay in state unemitted.
+_LATE_ORACLE = f"""
+WITH span AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+  FROM events WHERE ts IS NOT NULL
+), b AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour,
+         epoch_us(DATE_TRUNC('hour', ts)) // 1000 + 3600000 AS wend_ms,
+         epoch_us(ts) // 1000 AS ms, value,
+         LEAST(CAST((4 * (epoch_us(ts) - lo)) // (hi - lo + 1) AS INT)
+               + 2 * (CASE WHEN substr(md5('late:' ||
+                                CAST(event_id AS VARCHAR)), 1, 1)
+                           IN ('0','1') THEN 1 ELSE 0 END),
+               {_LATE['n_batches'] - 1}) AS batch
+  FROM events, span WHERE ts IS NOT NULL
+), spine AS (
+  SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(batch)
+), wmx AS (
+  SELECT s.batch, MAX(b.ms) - {_LATE['delay_ms']} AS wm_b
+  FROM spine s LEFT JOIN b ON b.batch = s.batch GROUP BY s.batch
+), thr AS (
+  SELECT batch,
+         COALESCE(MAX(wm_b) OVER (ORDER BY batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING), 0)
+           AS wm_late
+  FROM wmx
+), fin AS (SELECT MAX(wm_b) AS wm_fin FROM wmx)
+SELECT hour, COUNT(*) AS n_events, {osum('value')} AS total_value
+FROM b JOIN thr USING (batch), fin
+WHERE b.wend_ms > thr.wm_late AND b.wend_ms <= fin.wm_fin
+GROUP BY hour
+"""
+
+
+def stage_late_replay(spark: "SparkSession", df: "DataFrame",
+                      land: str) -> None:
+    """Stage ``df`` (ts/value/event_id) as {n_batches} mtime-ordered
+    slice files simulating a mostly-ordered stream with stragglers:
+    rows fall into time-quarters of the data span (batches 0-3 in
+    order), except a deterministic 1/8 subset (md5-bucketed on
+    event_id, its own 'late:' hash domain) is displaced TWO batches
+    later — far enough that a 2h watermark has passed when the
+    straggler's window arrives, so the late path genuinely fires
+    (a +1 displacement never drops anything: the late filter lags one
+    batch behind).  Slice mtimes are pinned with os.utime because the
+    file source orders by modification time, not name."""
+    import os
+
+    lo, hi = df.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    us = F.unix_micros(F.col("ts"))
+    num = (us - F.lit(lo)) * 4
+    den = F.lit(int(hi) - int(lo) + 1)
+    quart = ((num - num % den) / den).cast("int")   # non-negative ops
+    strag = (F.substring(F.md5(F.concat(F.lit("late:"),
+                                        F.col("event_id").cast("string"))),
+                         1, 1).isin("0", "1").cast("int"))
+    staged = df.withColumn(
+        "_b", F.least(quart + 2 * strag, F.lit(_LATE["n_batches"] - 1)))
+    for i in range(_LATE["n_batches"]):
+        d = f"{land}/slice_{i}.parquet"
+        (staged.filter(F.col("_b") == i).drop("_b")
+         .coalesce(1).write.mode("overwrite").parquet(d))
+        mt = 1_000_000 + i * 100
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+
+
+stage_late_replay.__doc__ = stage_late_replay.__doc__.format(
+    n_batches=_LATE["n_batches"])
+
+
+@q("streaming_late_data_drop", ("ST1", "ST3", "ST5", "A6"),
+   oracle=_LATE_ORACLE)
+def streaming_late_data_drop(spark: "SparkSession",
+                             sf_dir: str) -> "DataFrame":
+    """Watermark late-data semantics, end-to-end: an out-of-order event
+    replay (time-quartered slices with a deterministic straggler
+    population arriving two batches late — stage_late_replay) drains
+    through a watermarked tumbling-window aggregation in APPEND mode,
+    so the watermark actually DROPS the stale stragglers and HOLDS
+    BACK the still-open tail windows — the two behaviors that make
+    streaming state bounded at 100 TB, and that none of the
+    order-insensitive streaming siblings can exhibit.
+
+    The full-strength oracle replays the drop rule row-for-row (the
+    _LATE_ORACLE comment pins the measured microbatch semantics:
+    mtime batch order, ms-truncated cumulative watermark, late filter
+    one batch behind eviction and inclusive at equality, inclusive
+    emission) — so the gate certifies the exact drop/holdback set,
+    not just "some aggregation ran".
+
+    Scale design: state is one row per OPEN window (watermark evicts
+    everything older), the late filter discards stale rows before they
+    shuffle into state, and per-batch cost is O(batch + open windows).
+    tests/test_streaming_late.py guards the pinned semantics and that
+    the demo is non-degenerate (drops > 0, holdback > 0)."""
+    import tempfile
+
+    e = (load(spark, sf_dir, "events")
+         .filter(F.col("ts").isNotNull())
+         .select("ts", "value", "event_id"))
+    land = tempfile.mkdtemp(prefix="late_stream_")
+    stage_late_replay(spark, e, land)
+
+    stream = (spark.readStream.schema(e.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(land))
+    agg = (stream.withWatermark("ts", _LATE["delay"])
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,4)"))
+                .cast("double").alias("total_value")))
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    writer = (agg.writeStream.outputMode("append")
+              .format("memory").queryName(name)
+              .option("checkpointLocation", f"{land}/_checkpoint"))
+    run_stream_available_now(writer)
+    return (spark.table(name)
+            .select(F.col("w.start").alias("hour"),
+                    "n_events", "total_value"))

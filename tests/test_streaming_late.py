@@ -1,0 +1,97 @@
+"""Guards for the pinned microbatch watermark semantics behind
+streaming_late_data_drop's oracle (queries_streaming._LATE_ORACLE).
+
+The oracle replays Spark's late-drop/eviction rules in SQL, so it is
+only correct while those rules hold.  test_pinned_watermark_semantics
+re-derives every clause from one crafted-timestamp run — a Spark
+upgrade that changes batch ordering, the late-filter lag, or a
+boundary inclusivity fails HERE with a named clause instead of as an
+opaque oracle hash mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from iot_simulator_datalake_spark.queries import REGISTRY, load
+from iot_simulator_datalake_spark.streaming.runner import (
+    run_stream_available_now)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_windowed_append(spark, land, slices, delay="30 minutes"):
+    """Stage (name, mtime, [ts strings]) slices and drain them through a
+    watermarked 1h-window count in append mode; returns {window_start:
+    count}."""
+    for name, mt, rows in slices:
+        df = (spark.createDataFrame([(t,) for t in rows], "ts string")
+              .select(F.to_timestamp("ts").alias("ts")))
+        d = f"{land}/{name}.parquet"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+    stream = (spark.readStream.schema("ts timestamp")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(land))
+    agg = (stream.withWatermark("ts", delay)
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    qn = f"late_guard_{uuid.uuid4().hex[:8]}"
+    writer = (agg.writeStream.outputMode("append")
+              .format("memory").queryName(qn)
+              .option("checkpointLocation", f"{land}/_ckpt"))
+    run_stream_available_now(writer)
+    return {r.w.start.strftime("%H:%M"): r.n
+            for r in spark.table(qn).collect()}
+
+
+def test_pinned_watermark_semantics(spark, tmp_path):
+    """One run pins all four oracle clauses.  Slice names sort in
+    REVERSE of their mtimes, so name-ordered discovery would put the
+    'late' rows first (watermark 0 → nothing dropped) and emit the
+    12:00/13:00 windows — any outcome drift names its clause below."""
+    out = _run_windowed_append(spark, str(tmp_path / "land"), [
+        # batch0: wm after = 14:30 - 30min = 14:00
+        ("z_0", 1000, ["2024-01-01 10:15:00", "2024-01-01 14:30:00"]),
+        # batch1: wm after = 16:30 - 30min = 16:00
+        ("m_1", 2000, ["2024-01-01 15:05:00", "2024-01-01 16:30:00"]),
+        # batch2: late filter uses wm through batch0 (= 14:00), one
+        # batch BEHIND the eviction watermark (= 16:00)
+        ("a_2", 3000, ["2024-01-01 12:45:00",   # end 13:00 <  14:00
+                       "2024-01-01 13:20:00",   # end 14:00 == 14:00
+                       "2024-01-01 14:10:00"]), # end 15:00 >  14:00
+    ])
+    # clause 1 (mtime order): name order would keep 12:45/13:20
+    assert "12:00" not in out and "13:00" not in out, \
+        "late rows not dropped — batch order or late filter broke"
+    # clause 3 (late filter lags one batch + inclusive at equality):
+    # 14:10 survives a filter that would kill it under the CURRENT
+    # (16:00) watermark — so the filter used the lagged 14:00 — and
+    # 13:20 (window end == 14:00 exactly) was dropped anyway
+    assert out.get("14:00") == 2, \
+        f"expected 14:30+14:10 in [14,15): {out}"
+    # clause 4 (inclusive emission + holdback): [15,16) end == final
+    # watermark 16:00 → emitted; [16,17) end 17:00 > 16:00 → held
+    assert out.get("15:00") == 1, f"window at == watermark not emitted: {out}"
+    assert "16:00" not in out, f"open tail window leaked: {out}"
+    assert out.get("10:00") == 1
+    assert len(out) == 3, f"unexpected extra windows: {out}"
+
+
+def test_late_drop_query_non_degenerate(spark):
+    """The sf0.001 replay must actually exercise both behaviors the
+    query demonstrates: some rows dropped by the late filter, and the
+    open tail window(s) held back from append output."""
+    res = REGISTRY["streaming_late_data_drop"].fn(spark, SF_DIR).collect()
+    emitted = sum(r.n_events for r in res)
+    ev = load(spark, SF_DIR, "events").filter(F.col("ts").isNotNull())
+    total = ev.count()
+    assert emitted < total * 0.99, \
+        f"no meaningful drops: {emitted}/{total}"
+    last_hour, = ev.agg(F.max(F.date_trunc("hour", "ts"))).first()
+    assert max(r.hour for r in res) < last_hour, \
+        "tail window was emitted — holdback did not happen"
