@@ -300,3 +300,144 @@ def zorder_second_dim_scan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (df.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("value_cents").cast("long").alias("total_cents")))
+
+
+# =========================================================================
+# Runtime filtering ([EXT] S9/J1 — the two RUNTIME join-pruning paths a
+# 100 TB shuffle join lives or dies by, complementing this module's
+# STATIC skipping family: dynamic partition pruning turns a dim filter
+# into fact partition pruning at execution time; the injected bloom
+# filter turns it into a map-side row pre-filter ahead of the shuffle.)
+# =========================================================================
+
+
+def _plan_text(df: "DataFrame") -> str:
+    """Formatted physical plan of ``df`` (the same text explain() prints
+    — captured, so in-query structural guards can assert on it)."""
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@q("dpp_partition_pruned_join", ("S9", "J1", "A1"), oracle="""
+WITH dim AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND EXTRACT(year FROM o_orderdate) = 1996
+)
+SELECT f.ship_month, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+         AS revenue
+FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             l_extendedprice FROM lineitem) f
+JOIN dim USING (ship_month)
+GROUP BY 1
+""")
+def dpp_partition_pruned_join(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Dynamic partition pruning end-to-end: the fact is laid out
+    hive-partitioned by ship month (the one-time ingest layout cost),
+    the dim side is a RUNTIME-computed relation (urgent-1996 order
+    months — not a literal IN list, so static pruning cannot apply),
+    and Catalyst injects ``dynamicpruningexpression`` into the fact
+    scan's PartitionFilters: the dim is evaluated first and only the
+    matching fact partitions are ever listed or read.
+
+    RAISES unless the injected pruning expression is actually in the
+    plan — the gate certifies the mechanism, not just the row values
+    (same contract as data_skipping_scan).  The returned DataFrame
+    keeps the live pruned plan, so plan dumps show the real scan.
+
+    Scale: this is THE selective fact-dim join at 100 TB — with ~84
+    month partitions and a 12-month dim, the scan touches 1/7 of the
+    table with zero manifest machinery (pruning happens in the
+    engine's partition listing), and it composes with the broadcast
+    the planner already picks for the dim side."""
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.date_format("l_shipdate", "yyyy-MM")
+                  .alias("ship_month"), "l_extendedprice"))
+    work = Path(tempfile.mkdtemp(prefix="dpp_join_")) / "lineitem"
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(str(work))
+    fact = spark.read.parquet(str(work))
+
+    dim = (load(spark, sf_dir, "orders")
+           .filter((F.col("o_orderpriority") == "1-URGENT") &
+                   (F.year("o_orderdate") == 1996))
+           .select(F.date_format("o_orderdate", "yyyy-MM")
+                   .alias("ship_month"))
+           .distinct())
+    out = (fact.join(dim, "ship_month")
+           .groupBy("ship_month")
+           .agg(F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(25,4)"))
+                .cast("double").alias("revenue")))
+    if "dynamicpruningexpression" not in _plan_text(out):
+        raise AssertionError(
+            "dynamic partition pruning was not injected into the fact "
+            "scan — layout or planner regression")
+    return out
+
+
+@q("runtime_bloom_filter_join", ("J1", "A1"), oracle="""
+SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""")
+def runtime_bloom_filter_join(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Runtime bloom-filter join: when the dim side is too big to
+    broadcast but carries a selective predicate, Catalyst's
+    InjectRuntimeFilter builds a bloom filter over the dim's join keys
+    and applies ``might_contain`` to the fact scan BEFORE the shuffle
+    — at 100 TB that map-side pre-filter is the difference between
+    shuffling the whole fact and shuffling the ~quarter that can
+    possibly match.
+
+    The local replica scales the trigger thresholds instead of the
+    data: applicationSideScanSizeThreshold=0 stands in for "the fact
+    is huge" and autoBroadcastJoinThreshold=-1 for "the dim exceeds
+    broadcast size" — both are exactly the regime the feature targets
+    in production, where the DEFAULT thresholds engage it.  RAISES
+    unless ``might_contain`` was actually injected; the result is
+    materialized while the filter is active and the session confs are
+    restored in a finally (the mutation never outlives the call)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    out = Path(tempfile.mkdtemp(prefix="bloom_rt_join_")) / "out"
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice")
+        od = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", "o_orderdate"))
+        j = (li.join(od, li.l_orderkey == od.o_orderkey)
+             .groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                      .alias("order_month"))
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.sum(F.col("l_extendedprice").cast("decimal(25,4)"))
+                  .cast("double").alias("revenue")))
+        if "might_contain" not in _plan_text(j):
+            raise AssertionError(
+                "runtime bloom filter was not injected — planner or "
+                "threshold regression")
+        # materialize while the runtime filter is active: the returned
+        # (lazily-evaluated) plan must not depend on the mutated confs
+        j.write.mode("overwrite").parquet(str(out))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.read.parquet(str(out))
