@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .queries import load, oavg, osum, q
+from .queries_llmprep import _o_hash_bucket
 from .streaming.runner import run_stream_available_now
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -860,10 +861,20 @@ def streaming_quantile_sketch(spark: "SparkSession",
 # oracle replays Spark's drop/eviction rules bit-exactly.)
 # =========================================================================
 
-#: watermark delay (must match the withWatermark literal below) and the
-#: staged batch count — module constants so the oracle CTE and the
-#: Spark stager can never drift apart.
-_LATE = {"delay_ms": 7_200_000, "delay": "2 hours", "n_batches": 4}
+#: watermark delay (must match the withWatermark literal below), the
+#: staged batch count, and the straggler hash spec (the repo's shared
+#: engine-portable md5 bucket; 1 of 8 ⇒ 12.5% stragglers) — module
+#: constants so the oracle CTE and the Spark stager can never drift
+#: apart.
+_LATE = {"delay_ms": 7_200_000, "delay": "2 hours", "n_batches": 4,
+         "seed": "late", "mod": 8}
+
+#: NULL-total straggler key: a NULL event_id must take the SAME branch
+#: in both engines (Spark's F.least would silently skip a null term
+#: while SQL CASE would not — the sentinel removes the asymmetry
+#: before any hash is computed).  A real bigint can never render as
+#: the sentinel string.
+_LATE_KEY_SQL = "COALESCE(CAST(event_id AS VARCHAR), 'null')"
 
 #: Pinned microbatch watermark semantics (Spark 4.1, availableNow,
 #: append mode; measured empirically — tests/test_streaming_late.py
@@ -895,13 +906,15 @@ WITH span AS (
          epoch_us(DATE_TRUNC('hour', ts)) // 1000 + 3600000 AS wend_ms,
          epoch_us(ts) // 1000 AS ms, value,
          LEAST(CAST((4 * (epoch_us(ts) - lo)) // (hi - lo + 1) AS INT)
-               + 2 * (CASE WHEN substr(md5('late:' ||
-                                CAST(event_id AS VARCHAR)), 1, 1)
-                           IN ('0','1') THEN 1 ELSE 0 END),
+               + 2 * (CASE WHEN
+                        {_o_hash_bucket(_LATE_KEY_SQL, _LATE['seed'],
+                                        _LATE['mod'])} = 0
+                      THEN 1 ELSE 0 END),
                {_LATE['n_batches'] - 1}) AS batch
   FROM events, span WHERE ts IS NOT NULL
 ), spine AS (
-  SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(batch)
+  SELECT * FROM (VALUES {', '.join(f'({i})'
+                         for i in range(_LATE['n_batches']))}) AS t(batch)
 ), wmx AS (
   SELECT s.batch, MAX(b.ms) - {_LATE['delay_ms']} AS wm_b
   FROM spine s LEFT JOIN b ON b.batch = s.batch GROUP BY s.batch
@@ -924,14 +937,16 @@ def stage_late_replay(spark: "SparkSession", df: "DataFrame",
     """Stage ``df`` (ts/value/event_id) as {n_batches} mtime-ordered
     slice files simulating a mostly-ordered stream with stragglers:
     rows fall into time-quarters of the data span (batches 0-3 in
-    order), except a deterministic 1/8 subset (md5-bucketed on
-    event_id, its own 'late:' hash domain) is displaced TWO batches
-    later — far enough that a 2h watermark has passed when the
+    order), except a deterministic 1/8 subset (the shared hash_bucket
+    recipe on event_id, its own 'late' seed domain) is displaced TWO
+    batches later — far enough that a 2h watermark has passed when the
     straggler's window arrives, so the late path genuinely fires
     (a +1 displacement never drops anything: the late filter lags one
     batch behind).  Slice mtimes are pinned with os.utime because the
     file source orders by modification time, not name."""
     import os
+
+    from .operators.packing import hash_bucket
 
     lo, hi = df.agg(F.min(F.unix_micros("ts")),
                     F.max(F.unix_micros("ts"))).first()
@@ -939,18 +954,23 @@ def stage_late_replay(spark: "SparkSession", df: "DataFrame",
     num = (us - F.lit(lo)) * 4
     den = F.lit(int(hi) - int(lo) + 1)
     quart = ((num - num % den) / den).cast("int")   # non-negative ops
-    strag = (F.substring(F.md5(F.concat(F.lit("late:"),
-                                        F.col("event_id").cast("string"))),
-                         1, 1).isin("0", "1").cast("int"))
+    key = F.coalesce(F.col("event_id").cast("string"), F.lit("null"))
+    strag = (hash_bucket(key, _LATE["seed"], _LATE["mod"]) == 0).cast("int")
     staged = df.withColumn(
         "_b", F.least(quart + 2 * strag, F.lit(_LATE["n_batches"] - 1)))
-    for i in range(_LATE["n_batches"]):
-        d = f"{land}/slice_{i}.parquet"
-        (staged.filter(F.col("_b") == i).drop("_b")
-         .coalesce(1).write.mode("overwrite").parquet(d))
-        mt = 1_000_000 + i * 100
-        for fn in os.listdir(d):
-            os.utime(os.path.join(d, fn), (mt, mt))
+    # one materialization of the scan + hash math; the per-slice
+    # filter-writes below then read the cache, not the raw parquet
+    staged = staged.persist()
+    try:
+        for i in range(_LATE["n_batches"]):
+            d = f"{land}/slice_{i}.parquet"
+            (staged.filter(F.col("_b") == i).drop("_b")
+             .coalesce(1).write.mode("overwrite").parquet(d))
+            mt = 1_000_000 + i * 100
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (mt, mt))
+    finally:
+        staged.unpersist()
 
 
 stage_late_replay.__doc__ = stage_late_replay.__doc__.format(

@@ -6,19 +6,10 @@ fire under the exact conditions the docstrings claim."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 from iot_simulator_datalake_spark.queries import REGISTRY
+from iot_simulator_datalake_spark.queries_lake import _plan_text as _plan
 
 SF = "/root/testdata/sf0.001"
-
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def test_dpp_reaches_partition_filters(spark):

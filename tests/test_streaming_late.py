@@ -87,6 +87,7 @@ def test_late_drop_query_non_degenerate(spark):
     query demonstrates: some rows dropped by the late filter, and the
     open tail window(s) held back from append output."""
     res = REGISTRY["streaming_late_data_drop"].fn(spark, SF_DIR).collect()
+    assert res, "replay emitted nothing — stream or staging regressed"
     emitted = sum(r.n_events for r in res)
     ev = load(spark, SF_DIR, "events").filter(F.col("ts").isNotNull())
     total = ev.count()
