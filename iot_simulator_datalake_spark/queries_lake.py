@@ -441,3 +441,73 @@ def runtime_bloom_filter_join(spark: "SparkSession",
         for k, v in saved.items():
             spark.conf.set(k, v)
     return spark.read.parquet(str(out))
+
+
+@q("aqe_skew_join_split", ("J1", "A1"), oracle=f"""
+SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM (SELECT CASE WHEN user_id % 4 <> 0 THEN 1 ELSE user_id END AS uid,
+             value FROM events) e
+JOIN customer ON e.uid = c_custkey
+GROUP BY 1
+""")
+def aqe_skew_join_split(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """AQE runtime skew-join split — the third leg of the skew story
+    (skew_profile measures it, skew_salted_join splits it by hand,
+    this query proves the ENGINE splits it at runtime): ~75% of fact
+    rows are remapped onto one hot join key, the shuffle's map output
+    statistics reveal the hot reduce partition, and AQE's
+    OptimizeSkewedJoin regroups its map-side chunks across several
+    tasks — ``SortMergeJoin(skew=true)`` in the executed plan, which
+    this query RAISES without.
+
+    Local-replica stand-ins, same contract as runtime_bloom_filter_join
+    (each is the regime where production DEFAULTS engage the feature;
+    all confs restored in a finally): thresholds are scaled down
+    because the replica's hot partition is KB not GB;
+    ``forceOptimizeSkewedJoin`` because the downstream rollup adds the
+    extra shuffle the cost model would otherwise veto; and the fact is
+    round-robin pre-repartitioned because the replica scan is ONE map
+    task — skew splitting regroups MAP-SIDE chunks, so a single-mapper
+    partition is unsplittable (at 100 TB the fact always has thousands
+    of mappers; a genuinely single-chunk hot key is the one case AQE
+    cannot handle and salting still owns — skew_salted_join's
+    docstring makes the same point from the other side).
+
+    The tiny aggregate is returned through a driver-side materialization
+    taken while the confs were active (the oracle compares values; the
+    plan assertion is the in-query raise + tests/test_runtime_filters)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = (load(spark, sf_dir, "events")
+                .select(F.when(F.col("user_id") % 4 != 0, F.lit(1))
+                        .otherwise(F.col("user_id")).alias("uid"), "value")
+                .repartition(16))
+        dim = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("uid"), "c_mktsegment")
+        agg = (fact.join(dim, "uid")
+               .groupBy(F.col("c_mktsegment").alias("segment"))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(25,4)"))
+                    .cast("double").alias("total_value")))
+        rows = agg.collect()
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        if "skew=true" not in final:
+            raise AssertionError(
+                "AQE did not mark the hot join skewed — skew-split "
+                "regression (or the replica lost its multi-mapper "
+                "stand-in)")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.createDataFrame(rows, agg.schema)
