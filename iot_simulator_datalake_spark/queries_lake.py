@@ -511,3 +511,77 @@ def aqe_skew_join_split(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         for k, v in saved.items():
             spark.conf.set(k, v)
     return spark.createDataFrame(rows, agg.schema)
+
+
+@q("aqe_runtime_broadcast_switch", ("J1", "A1"), oracle="""
+SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+         AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '2-HIGH'
+GROUP BY 1
+""")
+def aqe_runtime_broadcast_switch(spark: "SparkSession",
+                                 sf_dir: str) -> "DataFrame":
+    """AQE join-strategy switch: the static planner, told it may not
+    broadcast (stand-in for "the optimizer's STATIC estimate of the
+    filtered dim is way over the broadcast bar" — at 100 TB a
+    post-filter cardinality estimate without column stats routinely
+    is), plans a sort-merge join; at runtime the finished dim stage's
+    TRUE size is under the adaptive broadcast threshold, and AQE
+    re-plans the probe side as a broadcast-hash join — skipping the
+    fact shuffle that was the whole cost of the static plan.
+
+    The executed AdaptiveSparkPlan prints both versions of itself, and
+    the query RAISES unless the Final Plan section is the broadcast
+    join while the Initial Plan section still holds the sort-merge
+    join — certifying the switch actually happened rather than either
+    strategy having been planned statically.  Conf mutation follows
+    the module's containment contract (restored in a finally; a guard
+    test pins it).
+
+    Scale: this is the adaptivity that makes selective fact-dim joins
+    safe to write declaratively — the user states the join, the
+    runtime picks shuffle-vs-broadcast per ACTUAL stage output, so a
+    misestimate costs one dim-stage materialization instead of a
+    100 TB fact shuffle."""
+    confs = {
+        # static planner: broadcast forbidden (the misestimate stand-in)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # runtime re-planner: true sizes under 8 MB may broadcast
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "8MB",
+    }
+    # the adaptive threshold is an OPTIONAL conf (unset ⇒ falls back to
+    # the static one): save None and restore via unset, not set(None)
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity")
+        od = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "2-HIGH")
+              .select("o_orderkey", "o_orderdate"))
+        agg = (li.join(od, li.l_orderkey == od.o_orderkey)
+               .groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                        .alias("order_month"))
+               .agg(F.count(F.lit(1)).alias("n_items"),
+                    F.sum(F.col("l_quantity").cast("decimal(25,4)"))
+                    .cast("double").alias("sum_qty")))
+        rows = agg.collect()
+        txt = agg._jdf.queryExecution().executedPlan().toString()
+        parts = txt.split("== Initial Plan ==")
+        if not ("BroadcastHashJoin" in parts[0]
+                and "SortMergeJoin" not in parts[0]
+                and len(parts) == 2 and "SortMergeJoin" in parts[1]):
+            raise AssertionError(
+                "AQE did not switch the statically-planned sort-merge "
+                "join to a runtime broadcast join")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, agg.schema)

@@ -79,3 +79,18 @@ def test_aqe_skew_not_flagged_at_default_thresholds(spark):
     j.collect()
     final = j._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" not in final
+
+
+def test_aqe_broadcast_switch_restores_and_unsets_optional_conf(spark):
+    """The adaptive broadcast threshold is an OPTIONAL conf — after the
+    query it must be UNSET again (not restored as a stringified None),
+    or every later join in the session would silently pick up an 8MB
+    adaptive threshold."""
+    opt = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    assert spark.conf.get(opt, None) is None, "precondition: conf unset"
+    before_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    res = REGISTRY["aqe_runtime_broadcast_switch"].fn(spark, SF)
+    assert res.count() > 0
+    assert spark.conf.get(opt, None) is None
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") \
+        == before_static
