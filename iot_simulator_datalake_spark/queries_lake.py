@@ -585,3 +585,84 @@ def aqe_runtime_broadcast_switch(spark: "SparkSession",
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, agg.schema)
+
+
+@q("cbo_join_reorder", ("J1", "A1", "O2"), oracle="""
+SELECT p.p_brand AS brand, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+         AS sum_qty
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice < 10000
+GROUP BY 1
+""")
+def cbo_join_reorder(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Stats-driven join reordering — the STATIC optimizer leg of the
+    plan-quality story (the aqe_* family covers runtime adaptivity;
+    this covers what ANALYZE TABLE column statistics buy before a
+    single task runs): the SQL is written in a deliberately bad
+    syntactic order (fact ⋈ unfiltered part dim FIRST, selective ~2%
+    orders filter LAST), and Catalyst's CBO join reorder — which only
+    engages when the catalog carries rowCount + column NDV stats —
+    rewrites it to join the filtered orders side first, shrinking the
+    intermediate from |lineitem| rows to ~2% of them before the wide
+    dim ever joins.
+
+    RAISES unless the optimized plan actually scans orders BEFORE part
+    (the reorder happened); a guard test pins the negative — without
+    CBO the syntactic order stands — so the demo can't silently decay
+    into asserting the default.  Catalog staging uses per-call unique
+    table names, ANALYZE computes stats only for the join/filter/agg
+    columns, and tables are dropped (managed ⇒ data too) in a finally
+    alongside the conf restore.
+
+    Scale: at 100 TB the difference between these two orders is a
+    full-fact-sized shuffle+build vs a 2%-sized one; stats collection
+    is the cheap, embarrassingly-parallel pass that makes the planner
+    see it.  (Spark's CBO is static and per-table here — no runtime
+    feedback — which is exactly why the aqe_* family exists beside
+    it.)"""
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:8]
+    names = {t: f"cbodemo.{t}_{sfx}" for t in ("lineitem", "part",
+                                               "orders")}
+    cols = {"lineitem": "l_partkey, l_orderkey, l_quantity",
+            "part": "p_partkey, p_brand",
+            "orders": "o_orderkey, o_totalprice"}
+    confs = {"spark.sql.cbo.enabled": "true",
+             "spark.sql.cbo.joinReorder.enabled": "true"}
+    saved = {k: spark.conf.get(k) for k in confs}
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbodemo")
+    try:
+        for t, full in names.items():
+            load(spark, sf_dir, t).write.saveAsTable(full)
+            spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS "
+                      f"FOR COLUMNS {cols[t]}")
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = spark.sql(f"""
+            SELECT p.p_brand AS brand, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,4)))
+                        AS DOUBLE) AS sum_qty
+            FROM {names['lineitem']} l
+            JOIN {names['part']} p ON p.p_partkey = l.l_partkey
+            JOIN {names['orders']} o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_totalprice < 10000
+            GROUP BY 1""")
+        import re
+        opt = agg._jdf.queryExecution().optimizedPlan().toString()
+        seq = re.findall(rf"Relation spark_catalog\.cbodemo\.(\w+)_{sfx}",
+                         opt)
+        if not (seq.index("orders") < seq.index("part")):
+            raise AssertionError(
+                f"CBO did not reorder the joins (relation order {seq}) "
+                "— stats missing or joinReorder regression")
+        rows = agg.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for full in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {full}")
+    return spark.createDataFrame(rows, agg.schema)

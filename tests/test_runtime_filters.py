@@ -94,3 +94,34 @@ def test_aqe_broadcast_switch_restores_and_unsets_optional_conf(spark):
     assert spark.conf.get(opt, None) is None
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") \
         == before_static
+
+
+def test_cbo_negative_without_stats_or_cbo_syntactic_order_stands(spark):
+    """The reorder claim needs its baseline: same shape over the plain
+    parquet reads (no catalog stats, CBO off = session default) must
+    keep the written order — part joins before orders."""
+    import re
+    from pyspark.sql import functions as F
+    from iot_simulator_datalake_spark.queries import load
+    li = load(spark, SF, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_quantity")
+    pt = load(spark, SF, "part").select("p_partkey", "p_brand")
+    od = (load(spark, SF, "orders")
+          .filter(F.col("o_totalprice") < 10000)
+          .select("o_orderkey"))
+    j = (li.join(pt, li.l_partkey == pt.p_partkey)
+         .join(od, li.l_orderkey == od.o_orderkey)
+         .groupBy("p_brand").count())
+    phys = _plan(j)   # physical plan: scan Locations carry the paths
+    seq = re.findall(r"(lineitem|part|orders)\.parquet", phys)
+    assert seq and seq.index("part") < seq.index("orders"), seq
+
+
+def test_cbo_query_restores_confs_and_drops_tables(spark):
+    keys = ["spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled"]
+    before = {k: spark.conf.get(k) for k in keys}
+    res = REGISTRY["cbo_join_reorder"].fn(spark, SF)
+    assert res.count() > 0
+    assert {k: spark.conf.get(k) for k in keys} == before
+    leftover = [t.name for t in spark.catalog.listTables("cbodemo")]
+    assert leftover == [], f"staged catalog tables leaked: {leftover}"
