@@ -19,7 +19,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
 
-from .queries import load, q
+from .queries import dsum, load, osum, q
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
@@ -322,7 +322,7 @@ def _plan_text(df: "DataFrame") -> str:
     return buf.getvalue()
 
 
-@q("dpp_partition_pruned_join", ("S9", "J1", "A1"), oracle="""
+@q("dpp_partition_pruned_join", ("S9", "J1", "A1"), oracle=f"""
 WITH dim AS (
   SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
   FROM orders
@@ -330,8 +330,7 @@ WITH dim AS (
     AND EXTRACT(year FROM o_orderdate) = 1996
 )
 SELECT f.ship_month, COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
-         AS revenue
+       {osum('l_extendedprice')} AS revenue
 FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
              l_extendedprice FROM lineitem) f
 JOIN dim USING (ship_month)
@@ -373,8 +372,7 @@ def dpp_partition_pruned_join(spark: "SparkSession",
     out = (fact.join(dim, "ship_month")
            .groupBy("ship_month")
            .agg(F.count(F.lit(1)).alias("n_items"),
-                F.sum(F.col("l_extendedprice").cast("decimal(25,4)"))
-                .cast("double").alias("revenue")))
+                dsum("l_extendedprice").alias("revenue")))
     if "dynamicpruningexpression" not in _plan_text(out):
         raise AssertionError(
             "dynamic partition pruning was not injected into the fact "
@@ -382,11 +380,10 @@ def dpp_partition_pruned_join(spark: "SparkSession",
     return out
 
 
-@q("runtime_bloom_filter_join", ("J1", "A1"), oracle="""
+@q("runtime_bloom_filter_join", ("J1", "A1"), oracle=f"""
 SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
-         AS revenue
+       {osum('l.l_extendedprice')} AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY 1
@@ -428,8 +425,7 @@ def runtime_bloom_filter_join(spark: "SparkSession",
              .groupBy(F.date_format("o_orderdate", "yyyy-MM")
                       .alias("order_month"))
              .agg(F.count(F.lit(1)).alias("n_items"),
-                  F.sum(F.col("l_extendedprice").cast("decimal(25,4)"))
-                  .cast("double").alias("revenue")))
+                  dsum("l_extendedprice").alias("revenue")))
         if "might_contain" not in _plan_text(j):
             raise AssertionError(
                 "runtime bloom filter was not injected — planner or "
@@ -445,7 +441,7 @@ def runtime_bloom_filter_join(spark: "SparkSession",
 
 @q("aqe_skew_join_split", ("J1", "A1"), oracle=f"""
 SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+       {osum('value')} AS total_value
 FROM (SELECT CASE WHEN user_id % 4 <> 0 THEN 1 ELSE user_id END AS uid,
              value FROM events) e
 JOIN customer ON e.uid = c_custkey
@@ -498,8 +494,7 @@ def aqe_skew_join_split(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         agg = (fact.join(dim, "uid")
                .groupBy(F.col("c_mktsegment").alias("segment"))
                .agg(F.count(F.lit(1)).alias("n_events"),
-                    F.sum(F.col("value").cast("decimal(25,4)"))
-                    .cast("double").alias("total_value")))
+                    dsum("value").alias("total_value")))
         rows = agg.collect()
         final = agg._jdf.queryExecution().executedPlan().toString()
         if "skew=true" not in final:
@@ -513,11 +508,10 @@ def aqe_skew_join_split(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return spark.createDataFrame(rows, agg.schema)
 
 
-@q("aqe_runtime_broadcast_switch", ("J1", "A1"), oracle="""
+@q("aqe_runtime_broadcast_switch", ("J1", "A1"), oracle=f"""
 SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,4))) AS DOUBLE)
-         AS sum_qty
+       {osum('l.l_quantity')} AS sum_qty
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '2-HIGH'
 GROUP BY 1
@@ -567,8 +561,7 @@ def aqe_runtime_broadcast_switch(spark: "SparkSession",
                .groupBy(F.date_format("o_orderdate", "yyyy-MM")
                         .alias("order_month"))
                .agg(F.count(F.lit(1)).alias("n_items"),
-                    F.sum(F.col("l_quantity").cast("decimal(25,4)"))
-                    .cast("double").alias("sum_qty")))
+                    dsum("l_quantity").alias("sum_qty")))
         rows = agg.collect()
         txt = agg._jdf.queryExecution().executedPlan().toString()
         parts = txt.split("== Initial Plan ==")
@@ -587,10 +580,9 @@ def aqe_runtime_broadcast_switch(spark: "SparkSession",
     return spark.createDataFrame(rows, agg.schema)
 
 
-@q("cbo_join_reorder", ("J1", "A1", "O2"), oracle="""
+@q("cbo_join_reorder", ("J1", "A1", "O2"), oracle=f"""
 SELECT p.p_brand AS brand, COUNT(*) AS n_items,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,4))) AS DOUBLE)
-         AS sum_qty
+       {osum('l.l_quantity')} AS sum_qty
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -637,15 +629,19 @@ def cbo_join_reorder(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     spark.sql("CREATE DATABASE IF NOT EXISTS cbodemo")
     try:
         for t, full in names.items():
-            load(spark, sf_dir, t).write.saveAsTable(full)
+            # stage only the join/filter/agg columns — the demo, the
+            # stats and the oracle touch nothing else, and the staging
+            # write is the dominant per-call cost
+            (load(spark, sf_dir, t)
+             .select(*[c.strip() for c in cols[t].split(",")])
+             .write.saveAsTable(full))
             spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS "
                       f"FOR COLUMNS {cols[t]}")
         for k, v in confs.items():
             spark.conf.set(k, v)
         agg = spark.sql(f"""
             SELECT p.p_brand AS brand, COUNT(*) AS n_items,
-                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,4)))
-                        AS DOUBLE) AS sum_qty
+                   {osum('l.l_quantity')} AS sum_qty
             FROM {names['lineitem']} l
             JOIN {names['part']} p ON p.p_partkey = l.l_partkey
             JOIN {names['orders']} o ON o.o_orderkey = l.l_orderkey
@@ -655,7 +651,8 @@ def cbo_join_reorder(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         opt = agg._jdf.queryExecution().optimizedPlan().toString()
         seq = re.findall(rf"Relation spark_catalog\.cbodemo\.(\w+)_{sfx}",
                          opt)
-        if not (seq.index("orders") < seq.index("part")):
+        if ("orders" not in seq or "part" not in seq
+                or seq.index("orders") > seq.index("part")):
             raise AssertionError(
                 f"CBO did not reorder the joins (relation order {seq}) "
                 "— stats missing or joinReorder regression")
