@@ -123,5 +123,9 @@ def test_cbo_query_restores_confs_and_drops_tables(spark):
     res = REGISTRY["cbo_join_reorder"].fn(spark, SF)
     assert res.count() > 0
     assert {k: spark.conf.get(k) for k in keys} == before
-    leftover = [t.name for t in spark.catalog.listTables("cbodemo")]
+    # listTables(db) also returns session-global TEMP views (other
+    # tests register plenty) — only actual cbodemo-namespace tables
+    # would be leaks
+    leftover = [t.name for t in spark.catalog.listTables("cbodemo")
+                if t.tableType != "TEMPORARY"]
     assert leftover == [], f"staged catalog tables leaked: {leftover}"
