@@ -950,6 +950,8 @@ def stage_late_replay(spark: "SparkSession", df: "DataFrame",
 
     lo, hi = df.agg(F.min(F.unix_micros("ts")),
                     F.max(F.unix_micros("ts"))).first()
+    if lo is None:           # zero-input stream: stage empty slices so
+        lo = hi = 0          # the drained result is an empty typed frame
     us = F.unix_micros(F.col("ts"))
     num = (us - F.lit(lo)) * 4
     den = F.lit(int(hi) - int(lo) + 1)

@@ -441,3 +441,50 @@ def test_ranged_prefix_matches_python_reference(spark, vals, buckets, k):
             df.select("id", F.ntile(k).over(W.orderBy(*order))
                       .cast("long").alias("tile")).collect()}
     assert gott == expt
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 10_000),       # id
+                            st.integers(-1000, 1000),     # value
+                            st.sampled_from("pq")),       # group
+                  min_size=1, max_size=60, unique_by=lambda t: t[0]),
+    part=st.lists(st.booleans(), min_size=60, max_size=60),
+    k=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_qsketch_semilattice_arbitrary_partition(spark, rows, part, k):
+    """bottom_k(bottom_k(A) ∪ bottom_k(B), g) == bottom_k(A ∪ B, g) for
+    an ARBITRARY split of the rows into A/B — stronger than the
+    real-data hour-split test: the merge tree may follow ANY partition
+    layout (the 100 TB claim), and a Python reference recomputes the
+    expected member set from the md5 hashes directly."""
+    import hashlib
+
+    from iot_simulator_datalake_spark.operators.qsketch import (
+        bottom_k, sketch_hash)
+
+    full = [(i, float(v), g,
+             hashlib.md5(f"qsk:{i}".encode()).hexdigest())
+            for (i, v, g) in rows]
+    df = spark.createDataFrame(full, ["id", "value", "g", "h"])
+    # arbitrary split: hypothesis booleans index-aligned with rows
+    a = [r for r, b in zip(full, part) if b]
+    b = [r for r, bo in zip(full, part) if not bo]
+    schema = "id bigint, value double, g string, h string"
+    da, db = (spark.createDataFrame(x, schema) for x in (a, b))
+    merged = bottom_k(bottom_k(da, ["g"], k).unionByName(
+        bottom_k(db, ["g"], k)), ["g"], k)
+    direct = bottom_k(df, ["g"], k)
+    got_m = {(r["g"], r["id"]) for r in merged.collect()}
+    got_d = {(r["g"], r["id"]) for r in direct.collect()}
+    # python reference: k smallest hashes per group (ids unique ⇒
+    # hashes unique ⇒ no tie ambiguity)
+    expected = set()
+    for g in "pq":
+        grp = sorted((h, i) for (i, v, gg, h) in full if gg == g)
+        expected |= {(g, i) for (h, i) in grp[:k]}
+    assert got_m == got_d == expected
+    # spark's hash column agrees with the reference recipe
+    chk = df.select((sketch_hash(F.col("id")) == F.col("h"))
+                    .alias("ok")).collect()
+    assert all(r["ok"] for r in chk)

@@ -96,3 +96,28 @@ def test_late_drop_query_non_degenerate(spark):
     last_hour, = ev.agg(F.max(F.date_trunc("hour", "ts"))).first()
     assert max(r.hour for r in res) < last_hour, \
         "tail window was emitted — holdback did not happen"
+
+
+def test_zero_input_yields_empty_typed_frame(spark, tmp_path):
+    """A zero-row source must drain to an empty result with the full
+    schema (the repo-wide zero-input streaming contract), not crash in
+    the stager's span math."""
+    import iot_simulator_datalake_spark.queries_streaming as qs
+    land = str(tmp_path / "empty_land")
+    empty = spark.createDataFrame(
+        [], "ts timestamp, value double, event_id bigint")
+    qs.stage_late_replay(spark, empty, land)
+    stream = (spark.readStream.schema(empty.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(land))
+    agg = (stream.withWatermark("ts", qs._LATE["delay"])
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    name = f"late_empty_{uuid.uuid4().hex[:8]}"
+    run_stream_available_now(
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{land}/_ckpt"))
+    out = spark.table(name)
+    assert out.count() == 0
+    assert [f.name for f in out.schema["w"].dataType] == ["start", "end"]
