@@ -410,6 +410,14 @@ def runtime_bloom_filter_join(spark: "SparkSession",
         "spark.sql.optimizer.runtime.bloomFilter."
         "applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # creation-side cap: the injector refuses to BUILD a bloom over
+        # a dim bigger than this (build cost guard).  The default 10 MB
+        # already disengages at the ×100 replica (measured — the urgent
+        # dim outgrows it), so the demo pins the production reality:
+        # past the default cap this knob is the trade-off between one
+        # aggregate pass over the dim keys and shuffling the whole fact
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "1GB",
     }
     saved = {k: spark.conf.get(k) for k in confs}
     out = Path(tempfile.mkdtemp(prefix="bloom_rt_join_")) / "out"
