@@ -121,3 +121,59 @@ def test_zero_input_yields_empty_typed_frame(spark, tmp_path):
     out = spark.table(name)
     assert out.count() == 0
     assert [f.name for f in out.schema["w"].dataType] == ["start", "end"]
+
+
+def test_watermark_and_state_survive_checkpoint_restart(spark, tmp_path):
+    """Two drains over ONE checkpoint: run 2 must (a) late-filter
+    against the RESTORED watermark (16:00 from run 1 — the new old row
+    is dropped even though run 2's own batches never advanced past
+    it), and (b) merge into RESTORED window state (run 1's held 16:30
+    row is still counted when its window finally closes in run 2)."""
+    land = str(tmp_path / "land")
+    ckpt = f"{land}/_ckpt"
+
+    def _stage(name, mt, rows):
+        df = (spark.createDataFrame([(t,) for t in rows], "ts string")
+              .select(F.to_timestamp("ts").alias("ts")))
+        d = f"{land}/{name}.parquet"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+
+    def _drain(wave):
+        # memory sink refuses checkpoint recovery — foreachBatch into a
+        # fresh per-wave parquet dir is the recoverable twin, and the
+        # per-wave dir isolates exactly this run's emissions.  OUTSIDE
+        # the landing dir: a sink inside it would be discovered as
+        # input by the next wave's file listing
+        out = str(tmp_path / f"out_{wave}")
+        stream = (spark.readStream.schema("ts timestamp")
+                  .option("recursiveFileLookup", "true")
+                  .option("maxFilesPerTrigger", 1).parquet(land))
+        agg = (stream.withWatermark("ts", "30 minutes")
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        run_stream_available_now(
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e:
+                          df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt))
+        return {r.w.start.strftime("%H:%M"): r.n
+                for r in spark.read.parquet(out).collect()}
+
+    _stage("z_0", 1000, ["2024-01-01 10:15:00", "2024-01-01 14:30:00"])
+    _stage("m_1", 2000, ["2024-01-01 15:05:00", "2024-01-01 16:30:00"])
+    w1 = _drain(1)  # final wm 16:00: emits [10,11), [14,15), [15,16);
+    assert w1 == {"10:00": 1, "14:00": 1, "15:00": 1}, w1
+    # [16,17) (the 16:30 row) stays in STATE, wm=16:00 in the ckpt
+
+    _stage("a_2", 3000, [
+        "2024-01-01 13:30:00",  # end 14:00 <= restored wm 16:00 → drop
+        "2024-01-01 16:45:00",  # joins the restored [16,17) state
+        "2024-01-01 17:30:00",  # advances wm to 17:00 → closes [16,17)
+    ])
+    w2 = _drain(2)  # per-wave dir = run-2 emissions only
+    assert w2 == {"16:00": 2}, (
+        f"{w2} — expected the restored 16:30 + new 16:45 to close "
+        "together and the 13:30 straggler to be dropped by the "
+        "RESTORED watermark")
