@@ -8,8 +8,6 @@ partitioned windows, the two-level prefix operator)."""
 
 from __future__ import annotations
 
-import contextlib
-import io
 import sys
 
 from pyspark.sql import Window as W
@@ -17,16 +15,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo/tools")
 
-from plan_lint import lint, parse_tree  # noqa: E402
+from plan_lint import lint, parse_tree, plan_text as _plan  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
-
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def _orders(spark):
@@ -213,3 +204,27 @@ def test_lint_allowlists_reference_real_queries(spark):
     for allow in (CROSS_ALLOW, GLOBAL_WINDOW_ALLOW, PYTHON_ALLOW):
         stale = sorted(allow - set(REGISTRY))
         assert stale == [], f"allowlist entries with no query: {stale}"
+
+
+def test_bnl_fires_on_agg_nested_inside_bigger_build(spark):
+    """The one-level-deeper masking case: the BNL's own build side is a
+    data-proportional relation (nation ⨯ scalar) that merely CONTAINS
+    a keyless aggregate.  The root-of-subtree rule must still flag it;
+    the old any()-over-subtree scan passed it."""
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    tot = _orders(spark).agg(F.avg("o_totalprice").alias("t"))
+    build = nation.crossJoin(F.broadcast(tot))     # contains Keys: []
+    bad = _orders(spark).join(
+        build, F.col("o_totalprice") > F.col("t"))  # theta vs BUILD
+    assert "bnl-join" in lint("synthetic_nested_agg_bnl", _plan(bad))
+
+
+def test_bnl_quiet_on_scalar_cross_scalar_build(spark):
+    """A build side that is a CROSS of two keyless aggregates is still
+    provably one row (join_size_estimate's shape) — the recursive rule
+    must accept it."""
+    a = _orders(spark).agg(F.avg("o_totalprice").alias("t"))
+    b = _orders(spark).agg(F.count("*").alias("n"))
+    one2 = F.broadcast(a.crossJoin(b))
+    ok = _orders(spark).join(one2, F.col("o_totalprice") > F.col("t"))
+    assert "bnl-join" not in lint("synthetic_scalar2_bnl", _plan(ok))

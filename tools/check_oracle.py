@@ -35,6 +35,11 @@ def norm_cell(v):
         return repr(v)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):        # MapType / STRUCT rows must be
+        return tuple(sorted(       # hashable for the multiset compare
+            (k, norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, bytearray):   # Spark BinaryType
+        return bytes(v)
     return v
 
 
@@ -55,54 +60,76 @@ def main() -> int:
 
     failures = []
     for name in names:
-        qd = REGISTRY[name]
         t0 = time.monotonic()
-        sdf = qd.fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
-        spark_sec = time.monotonic() - t0
-        if qd.oracle is None:
-            print(f"  {name:35s} rows-only: {len(srows):7d} rows "
-                  f"[{spark_sec:5.1f}s]")
-            continue
-        res = con.execute(qd.oracle)
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
-
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        # column TYPES must align too (a strict driver-side schema
-        # compare would flag int32-vs-int64 drift)
-        type_map = {"INTEGER": "int", "BIGINT": "bigint",
-                    "HUGEINT": "hugeint", "DOUBLE": "double",
-                    "FLOAT": "float", "VARCHAR": "string", "DATE": "date",
-                    "TIMESTAMP": "timestamp", "BOOLEAN": "boolean"}
-        drel = con.sql(qd.oracle)
-        dtypes = dict(zip(drel.columns, [str(t) for t in drel.types]))
-        for col, styp in sdf.dtypes:
-            dt = dtypes.get(col, "MISSING")
-            if type_map.get(dt.split("(")[0], dt.lower()) != styp:
-                problems.append(f"dtype {col}: spark={styp} duck={dt}")
-        if not problems:
-            sm, dm = row_multiset(scols, srows), row_multiset(dcols, drows)
-            if sm != dm:
-                only_s = list((sm - dm).items())[:3]
-                only_d = list((dm - sm).items())[:3]
-                problems.append(f"values differ; spark-only={only_s} "
-                                f"duck-only={only_d}")
-        status = "OK " if not problems else "FAIL"
-        print(f"  {name:35s} {status} {len(srows):7d} rows [{spark_sec:5.1f}s]")
-        for p in problems:
-            print(f"      {p}")
-        if problems:
+        # per-query containment: one broken (or unknown) query must not
+        # abort the sweep and hide the verdicts of everything after it
+        try:
+            _check_one(spark, con, sf_dir, name, REGISTRY[name], t0,
+                       failures)
+        except Exception as e:  # noqa: BLE001 — report-and-continue tool
+            print(f"  {name:35s} ERR {type(e).__name__}: {str(e)[:140]}")
             failures.append(name)
 
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match"
           + (f"; FAILURES: {failures}" if failures else ""))
     return 1 if failures else 0
+
+
+def _duck_to_spark(dt: str) -> str:
+    """DuckDB type string → Spark dtype string (arrays recurse:
+    'FLOAT[]' → 'array<float>'; decimals keep their precision)."""
+    type_map = {"INTEGER": "int", "BIGINT": "bigint",
+                "HUGEINT": "hugeint", "DOUBLE": "double",
+                "FLOAT": "float", "VARCHAR": "string", "DATE": "date",
+                "TIMESTAMP": "timestamp", "BOOLEAN": "boolean"}
+    dt = dt.strip()
+    if dt.endswith("[]"):
+        return f"array<{_duck_to_spark(dt[:-2])}>"
+    base = dt.split("(")[0]
+    if base in ("DECIMAL", "NUMERIC"):
+        return "decimal" + dt[len(base):].replace(" ", "")
+    return type_map.get(base, dt.lower())
+
+
+def _check_one(spark, con, sf_dir, name, qd, t0, failures):
+    sdf = qd.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    spark_sec = time.monotonic() - t0
+    if qd.oracle is None:
+        print(f"  {name:35s} rows-only: {len(srows):7d} rows "
+              f"[{spark_sec:5.1f}s]")
+        return
+    res = con.execute(qd.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    problems = []
+    if len(srows) != len(drows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+    # column TYPES must align too (a strict driver-side schema
+    # compare would flag int32-vs-int64 drift)
+    drel = con.sql(qd.oracle)
+    dtypes = dict(zip(drel.columns, [str(t) for t in drel.types]))
+    for col, styp in sdf.dtypes:
+        dt = dtypes.get(col, "MISSING")
+        if _duck_to_spark(dt) != styp:
+            problems.append(f"dtype {col}: spark={styp} duck={dt}")
+    if not problems:
+        sm, dm = row_multiset(scols, srows), row_multiset(dcols, drows)
+        if sm != dm:
+            only_s = list((sm - dm).items())[:3]
+            only_d = list((dm - sm).items())[:3]
+            problems.append(f"values differ; spark-only={only_s} "
+                            f"duck-only={only_d}")
+    status = "OK " if not problems else "FAIL"
+    print(f"  {name:35s} {status} {len(srows):7d} rows [{spark_sec:5.1f}s]")
+    for p in problems:
+        print(f"      {p}")
+    if problems:
+        failures.append(name)
 
 
 if __name__ == "__main__":

@@ -115,12 +115,17 @@ SKIP_PREFIX = ("streaming_", "engine_", "simulator_streaming",
                "apply_changes", "snapshot_changes")
 
 
-def plan_of(spark, name: str, sf_dir: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
+def plan_text(df) -> str:
+    """Formatted physical plan of a DataFrame — the ONE capture idiom
+    shared by the lint, dump_plans, and the lint self-tests."""
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    return plan_text(REGISTRY[name].fn(spark, sf_dir))
 
 
 import re
@@ -181,6 +186,42 @@ def _subtree(tree, i):
     return tree[i:j]
 
 
+#: structurally-unary plan nodes a scalar-aggregate broadcast may pass
+#: through on its way to the exchange — anything else between the
+#: exchange and the aggregate (a join, generate, union, scan …) means
+#: the build side is NOT provably one row
+_BNL_PASSTHROUGH = ("BroadcastExchange", "ReusedExchange", "Exchange",
+                    "AQEShuffleRead", "Project", "Filter", "Sort",
+                    "Coalesce", "WholeStageCodegen", "InputAdapter",
+                    "ColumnarToRow")
+
+
+def _scalar_agg_build(sub, details) -> bool:
+    """True iff the broadcast subtree ``sub`` is a PROVABLY-1-row
+    relation, by structural induction: a keyless aggregate
+    (``Keys: []``) is 1 row whatever sits below it; a unary
+    pass-through node is 1 row iff its child is; a join is ≤1 row iff
+    EVERY child side is (the scalar ⨯ scalar shape, e.g.
+    join_size_estimate's nd_a × nd_b).  Anything else — a scan, a
+    generate, a join with any non-scalar side — is not provable, so an
+    aggregate merely SOMEWHERE inside a bigger build relation (dim ⨯
+    scalar) does not qualify: that was the masking hole the
+    any()-over-subtree version left open."""
+    if not sub:
+        return False
+    head = sub[0][1].split(" ")[0]
+    if "Aggregate" in head:
+        return "Keys: []" in details.get(sub[0][2], "")
+    kids = [k for k in range(1, len(sub)) if sub[k][0] == sub[0][0] + 1]
+    if head.startswith(_BNL_PASSTHROUGH):
+        return len(kids) == 1 and _scalar_agg_build(
+            _subtree(sub, kids[0]), details)
+    if "Join" in head or head.startswith("CartesianProduct"):
+        return bool(kids) and all(
+            _scalar_agg_build(_subtree(sub, k), details) for k in kids)
+    return False
+
+
 def _unjustified_bnl(plan: str) -> bool:
     """True iff some BroadcastNestedLoopJoin's BUILD side is not a
     provably-1-row relation (a keyless aggregate).
@@ -191,9 +232,11 @@ def _unjustified_bnl(plan: str) -> bool:
     subquery, normalization constant …) — the same masking class the
     global-window rule's text-adjacency bug had.  Here the walk finds
     each BNL node's broadcast child (resolving ReusedExchange to the
-    original operator) and demands the keyless aggregate INSIDE that
-    subtree; anything else must earn a CROSS_ALLOW entry with a cited
-    bound."""
+    original operator) and demands the keyless aggregate at that
+    subtree's ROOT — through unary pass-through nodes only (see
+    _scalar_agg_build; an aggregate merely somewhere inside a bigger
+    build relation does not count); anything else must earn a
+    CROSS_ALLOW entry with a cited bound."""
     tree = parse_tree(plan)
     details = parse_details(plan)
     id_idx = {nid: k for k, (_, _, nid) in enumerate(tree)}
@@ -212,9 +255,7 @@ def _unjustified_bnl(plan: str) -> bool:
                                          details.get(tree[j][2], ""))
                         if mref and int(mref.group(1)) in id_idx:
                             sub = _subtree(tree, id_idx[int(mref.group(1))])
-                    justified = any(
-                        "Aggregate" in n and "Keys: []" in details.get(c, "")
-                        for _, n, c in sub)
+                    justified = _scalar_agg_build(sub, details)
                     break
             j += 1
         if not justified:
