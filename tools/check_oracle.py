@@ -10,6 +10,7 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from collections import Counter
@@ -55,8 +56,10 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"'{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):       # replica/lake layout: dir of parts
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = []
     for name in names:
