@@ -228,3 +228,30 @@ def test_bnl_quiet_on_scalar_cross_scalar_build(spark):
     one2 = F.broadcast(a.crossJoin(b))
     ok = _orders(spark).join(one2, F.col("o_totalprice") > F.col("t"))
     assert "bnl-join" not in lint("synthetic_scalar2_bnl", _plan(ok))
+
+
+def test_bnl_quiet_on_sortmerge_of_scalars_build(spark):
+    """SortMergeJoin must hit the JOIN branch of the 1-row proof, not
+    be swallowed by a 'Sort' prefix match into the unary pass-through
+    branch: two keyless aggregates equi-joined under
+    autoBroadcastJoinThreshold=-1 plan as an SMJ, and that 1-row build
+    must stay accepted."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # join keys must be computed (a literal key constant-folds the
+        # join into a CartesianProduct)
+        a = _orders(spark).agg(F.avg("o_totalprice").alias("t"),
+                               F.min("o_orderkey").alias("k"))
+        b = _orders(spark).agg(F.count("*").alias("n"),
+                               F.min("o_orderkey").alias("k"))
+        one = a.join(b, "k")
+        plan_one = _plan(one)
+        assert "SortMergeJoin" in plan_one, plan_one.splitlines()[:8]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    # broadcast the SMJ-of-scalars as a BNL build side (back at the
+    # default threshold the scalar side still BNLs the theta join)
+    ok = _orders(spark).join(F.broadcast(one),
+                             F.col("o_totalprice") > F.col("t"))
+    assert "bnl-join" not in lint("synthetic_smj_scalar_bnl", _plan(ok))

@@ -26,6 +26,8 @@ def test_dpp_reaches_partition_filters(spark):
 def test_bloom_query_restores_session_confs(spark):
     keys = ["spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold",
             "spark.sql.autoBroadcastJoinThreshold"]
     before = {k: spark.conf.get(k) for k in keys}
     res = REGISTRY["runtime_bloom_filter_join"].fn(spark, SF)

@@ -34,6 +34,9 @@ def norm_cell(v):
         return v.isoformat()
     if isinstance(v, float):
         return repr(v)
+    if hasattr(v, "asDict"):       # Spark Row (struct cell) — must
+        return tuple(sorted(       # normalize like DuckDB's dict form
+            (k, norm_cell(x)) for k, x in v.asDict().items()))
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, dict):        # MapType / STRUCT rows must be
@@ -57,8 +60,8 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(src):       # replica/lake layout: dir of parts
-            src = f"{src}/*.parquet"
+        if os.path.isdir(src):       # replica/lake layouts: flat dirs
+            src = f"{src}/**/*.parquet"   # AND key=val partition subdirs
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = []
@@ -103,9 +106,10 @@ def _check_one(spark, con, sf_dir, name, qd, t0, failures):
         print(f"  {name:35s} rows-only: {len(srows):7d} rows "
               f"[{spark_sec:5.1f}s]")
         return
-    res = con.execute(qd.oracle)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    drel = con.sql(qd.oracle)     # ONE execution serves columns,
+    dcols = list(drel.columns)    # types, and rows (the x10 sweep
+    dtypes = dict(zip(dcols, [str(t) for t in drel.types]))
+    drows = drel.fetchall()       # runs full-scan oracles — don't 2x)
 
     problems = []
     if len(srows) != len(drows):
@@ -114,8 +118,6 @@ def _check_one(spark, con, sf_dir, name, qd, t0, failures):
         problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
     # column TYPES must align too (a strict driver-side schema
     # compare would flag int32-vs-int64 drift)
-    drel = con.sql(qd.oracle)
-    dtypes = dict(zip(drel.columns, [str(t) for t in drel.types]))
     for col, styp in sdf.dtypes:
         dt = dtypes.get(col, "MISSING")
         if _duck_to_spark(dt) != styp:

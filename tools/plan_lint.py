@@ -189,20 +189,21 @@ def _subtree(tree, i):
 #: structurally-unary plan nodes a scalar-aggregate broadcast may pass
 #: through on its way to the exchange — anything else between the
 #: exchange and the aggregate (a join, generate, union, scan …) means
-#: the build side is NOT provably one row
-_BNL_PASSTHROUGH = ("BroadcastExchange", "ReusedExchange", "Exchange",
-                    "AQEShuffleRead", "Project", "Filter", "Sort",
-                    "Coalesce", "WholeStageCodegen", "InputAdapter",
-                    "ColumnarToRow")
+#: the build side is NOT provably one row.  EXACT names (a prefix
+#: match would swallow SortMergeJoin under "Sort").
+_BNL_PASSTHROUGH = {"BroadcastExchange", "Exchange", "AQEShuffleRead",
+                    "Project", "Filter", "Sort", "Coalesce",
+                    "WholeStageCodegen", "InputAdapter", "ColumnarToRow"}
 
 
-def _scalar_agg_build(sub, details) -> bool:
+def _scalar_agg_build(tree, details, id_idx, sub) -> bool:
     """True iff the broadcast subtree ``sub`` is a PROVABLY-1-row
     relation, by structural induction: a keyless aggregate
     (``Keys: []``) is 1 row whatever sits below it; a unary
     pass-through node is 1 row iff its child is; a join is ≤1 row iff
     EVERY child side is (the scalar ⨯ scalar shape, e.g.
-    join_size_estimate's nd_a × nd_b).  Anything else — a scan, a
+    join_size_estimate's nd_a × nd_b); a ReusedExchange is 1 row iff
+    the ORIGINAL operator it references is.  Anything else — a scan, a
     generate, a join with any non-scalar side — is not provable, so an
     aggregate merely SOMEWHERE inside a bigger build relation (dim ⨯
     scalar) does not qualify: that was the masking hole the
@@ -212,13 +213,20 @@ def _scalar_agg_build(sub, details) -> bool:
     head = sub[0][1].split(" ")[0]
     if "Aggregate" in head:
         return "Keys: []" in details.get(sub[0][2], "")
+    if head == "ReusedExchange":     # leaf in THIS subtree: resolve it
+        mref = re.search(r"Reuses operator id:\s*(\d+)",
+                         details.get(sub[0][2], ""))
+        return bool(mref) and int(mref.group(1)) in id_idx and \
+            _scalar_agg_build(tree, details, id_idx,
+                              _subtree(tree, id_idx[int(mref.group(1))]))
     kids = [k for k in range(1, len(sub)) if sub[k][0] == sub[0][0] + 1]
-    if head.startswith(_BNL_PASSTHROUGH):
-        return len(kids) == 1 and _scalar_agg_build(
-            _subtree(sub, kids[0]), details)
-    if "Join" in head or head.startswith("CartesianProduct"):
+    if "Join" in head or head == "CartesianProduct":
         return bool(kids) and all(
-            _scalar_agg_build(_subtree(sub, k), details) for k in kids)
+            _scalar_agg_build(tree, details, id_idx, _subtree(sub, k))
+            for k in kids)
+    if head in _BNL_PASSTHROUGH:
+        return len(kids) == 1 and _scalar_agg_build(
+            tree, details, id_idx, _subtree(sub, kids[0]))
     return False
 
 
@@ -255,7 +263,8 @@ def _unjustified_bnl(plan: str) -> bool:
                                          details.get(tree[j][2], ""))
                         if mref and int(mref.group(1)) in id_idx:
                             sub = _subtree(tree, id_idx[int(mref.group(1))])
-                    justified = _scalar_agg_build(sub, details)
+                    justified = _scalar_agg_build(tree, details,
+                                                  id_idx, sub)
                     break
             j += 1
         if not justified:
