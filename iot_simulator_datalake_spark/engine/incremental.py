@@ -126,6 +126,12 @@ class IncrementalAggTable:
             last = self._last_epoch()
             if last is not None and epoch_id <= last:
                 return
+        else:
+            # A direct batch refresh must not ERASE the replay guard: if
+            # the new state dir dropped the _epoch marker, a stream
+            # restart re-delivering the last epoch would fold it again
+            # and double-count.  Carry the prior marker forward.
+            epoch_id = self._last_epoch()
         partials = batch.groupBy(*self.keys).agg(
             *[m.partial().alias(m.name) for m in self.metrics])
         state = self._state()

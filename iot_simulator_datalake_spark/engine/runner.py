@@ -322,6 +322,11 @@ class Engine:
         not the history.
         """
         m = self.registry[qualified_name]
+        # backfill crosses the same security boundary as run(): it reads
+        # every upstream through m.builder and rewrites target
+        # partitions, so the run_as principal needs the identical
+        # SELECT-upstreams + CREATE/MODIFY-target grants.
+        self._authorize(m)
         if m.materialization != "table" or not m.partition_by:
             raise ValueError(
                 f"backfill targets partitioned table models; "

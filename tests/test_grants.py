@@ -201,3 +201,34 @@ def test_grants_df_roundtrip(spark):
     assert df.count() == len(reg.grants)
     assert set(df.columns) == {"principal", "privilege",
                                "securable_type", "securable"}
+
+
+def test_backfill_authorized_like_run(spark, tmp_path):
+    """backfill crosses the same boundary as run() — it reads every
+    upstream and rewrites target partitions — so a principal whose
+    MODIFY was revoked must be denied there too (ADVICE r4: backfill
+    previously bypassed _authorize entirely)."""
+    r = Registry()
+
+    @model(r, name="agg", layer="silver", materialization="table",
+           partition_by=("p",))
+    def agg(ctx):
+        return ctx.spark.createDataFrame(
+            [("a", 1), ("b", 2)], "p string, v long")
+
+    wh = tmp_path / "wh"
+    Engine(spark, r, config={"catalog": "dev_catalog"},
+           warehouse=wh, grants=full_reg("etl"), run_as="etl").run()
+
+    reg2 = GrantRegistry()
+    for g in full_reg("etl").grants:
+        if not (g.privilege == "MODIFY"
+                and g.securable == "dev_catalog.silver"):
+            reg2.grant(g.principal, g.privilege, g.securable_type,
+                       g.securable)
+    eng = Engine(spark, r, config={"catalog": "dev_catalog"},
+                 warehouse=wh, grants=reg2, run_as="etl")
+    with pytest.raises(PermissionError, match="MODIFY"):
+        eng.backfill("silver.agg", "p = 'a'")
+    assert any(not a["allowed"] for a in
+               audit_df(spark, reg2).collect())

@@ -127,3 +127,19 @@ def test_join_mv_dim_change_needs_no_refresh(spark, tmp_path):
             for r in t.read_joined(dim_v2, "cust", ["region"],
                                    ["region"]).collect()}
     assert out2 == {"east": (2, 30.0), "west": (1, 5.0)}
+
+
+def test_epochless_refresh_preserves_replay_guard(spark, tmp_path):
+    """A direct refresh(batch) with no epoch_id must carry the last
+    _epoch marker forward (ADVICE r4: dropping it let a stream restart
+    re-deliver the last epoch and double-count every group)."""
+    t = make_table(spark, tmp_path)
+    t.refresh(batch(spark, [("a", 1.0)]), epoch_id=7)
+    t.refresh(batch(spark, [("a", 10.0)]))          # epoch-less fold
+    # marker survived → replaying epoch 7 is still a no-op
+    t.refresh(batch(spark, [("a", 1.0)]), epoch_id=7)
+    got = {r["k"]: (r["n"], float(r["sum"])) for r in t.read().collect()}
+    assert got == {"a": (2, 11.0)}
+    # and the next real epoch still applies
+    t.refresh(batch(spark, [("a", 100.0)]), epoch_id=8)
+    assert {r["k"]: r["n"] for r in t.read().collect()}["a"] == 3

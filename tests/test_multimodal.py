@@ -132,3 +132,27 @@ def test_frame_sample_caps_and_custom_decoder(spark):
     assert len(rows) == 50
     assert all(r.frame_bytes == 100 for r in rows)
     assert rows[0].offset_bytes % 200 == 0
+
+
+def test_repartition_by_bytes_isolates_every_giant(spark):
+    """ADVICE r4: round-robin repartition(n) starts each input
+    partition at its own offset, so two giants could pile into one
+    task.  Range placement on a unique key must put each giant in a
+    partition of its own — checked directly via spark_partition_id."""
+    from pyspark.sql import functions as F
+    from iot_simulator_datalake_spark.multimodal import (
+        attach_payload, repartition_by_bytes)
+    # 8 giants spread across many input partitions + small filler
+    rows = ([(i, "G" * 50_000) for i in range(8)]
+            + [(i, "x" * 100) for i in range(8, 408)])
+    df = attach_payload(
+        spark.createDataFrame(rows, ["id", "content"]).repartition(16),
+        "content")
+    out = repartition_by_bytes(df, target_partition_bytes=20_000,
+                               order_col="id")
+    giant_parts = (out.filter(F.col("media.n_bytes") >= 20_000)
+                   .withColumn("_p", F.spark_partition_id())
+                   .groupBy("_p").count().collect())
+    assert len(giant_parts) == 8, giant_parts
+    assert all(r["count"] == 1 for r in giant_parts), giant_parts
+    assert out.count() == 408
