@@ -38,7 +38,10 @@ _BM25 = dict(k1=1.2, b=0.75, terms=("spark", "window", "dup"), topk=20,
 # BM25 top-k retrieval ([EXT] — F9/W3 composite)
 # =========================================================================
 
-@q("bm25_topk", ("F9", "W3", "A1"), bench=True, oracle=f"""
+#: shared by bm25_topk and bm25_from_postings: the serving path must
+#: produce the exact scores of the scan path, so both gate against the
+#: same relational statement.
+_BM25_SQL = f"""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), dl AS (
@@ -62,7 +65,10 @@ scored AS (
 SELECT doc_id, CAST(SUM(term_nano) AS BIGINT) AS score_nano
 FROM scored GROUP BY doc_id
 ORDER BY score_nano DESC, doc_id LIMIT {_BM25['topk']}
-""")
+"""
+
+
+@q("bm25_topk", ("F9", "W3", "A1"), bench=True, oracle=_BM25_SQL)
 def bm25_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """BM25-ranked top-{topk} documents for a fixed query term set —
     the lexical retrieval baseline (Lucene's scorer, k1={k1} b={b}).
@@ -151,6 +157,83 @@ def inverted_index_postings(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .agg(F.count("*").alias("seg_df"),
                  F.array_join(F.array_sort(F.collect_list(
                      F.col("doc_id"))), ",").alias("postings")))
+
+
+def _bm25_index(spark: "SparkSession", sf_dir: str):
+    """Stage the tf-bearing serving index ONCE per corpus fingerprint:
+    ``postings`` (term, segment, doc_id, tf, dl) term-range-partitioned
+    and term-sorted within files (so a query-term predicate prunes at
+    the parquet row-group level — the on-disk analog of a posting
+    list), plus a one-row ``stats`` table (N, Σdl).  This is the
+    ingest-time index build ``inverted_index_postings`` models; df is
+    NOT stored because it is one tiny aggregate over the already-pruned
+    query-term rows at serve time (and storing it would denormalize a
+    value deletes/appends invalidate)."""
+    from .stagecache import stage_once
+
+    def _build(tmp) -> None:
+        d = (load(spark, sf_dir, "documents")
+             .select("doc_id", F.split("text", " ").alias("toks")))
+        tf = (d.select("doc_id",
+                       F.size("toks").cast("long").alias("dl"),
+                       F.explode("toks").alias("term"))
+              .groupBy("doc_id", "dl", "term")
+              .agg(F.count("*").cast("long").alias("tf"))
+              .select("term",
+                      F.expr(f"doc_id div {_IDX['segment']}")
+                      .alias("segment"),
+                      "doc_id", "tf", "dl"))
+        (tf.repartitionByRange(8, "term")
+         .sortWithinPartitions("term", "doc_id")
+         .write.mode("overwrite").parquet(str(tmp / "postings")))
+        (d.select(F.size("toks").cast("long").alias("dl"))
+         .groupBy().agg(F.count("*").alias("n"), F.sum("dl").alias("sumdl"))
+         .write.mode("overwrite").parquet(str(tmp / "stats")))
+
+    root = stage_once(sf_dir, "documents", "bm25_index", _build)
+    return (spark.read.parquet(str(root / "postings")),
+            spark.read.parquet(str(root / "stats")))
+
+
+@q("bm25_from_postings", ("F9", "W3", "A1"), oracle=_BM25_SQL)
+def bm25_from_postings(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """BM25 served FROM the pre-built posting index — the production
+    twin of ``bm25_topk``, which re-tokenizes the corpus per query
+    (priced at ~30 s on the ×100 replica, SCALE.md): here the
+    tokenize/tf work happened once at ingest (``_bm25_index``), and
+    query time reads only the query terms' posting rows.
+
+    Same oracle as ``bm25_topk`` — the index path must reproduce the
+    scan path's scores exactly, which also certifies the index build.
+
+    Scale design: the term predicate is pushed into the parquet scan
+    of a term-sorted, term-range-partitioned layout, so I/O ∝ posting
+    lists touched, not corpus size (row-group stats skip everything
+    else); df comes from one aggregate over those same pruned rows;
+    (N, Σdl) is a broadcast 1-row table; scoring is map-only to int64
+    nanos and the top-k is TakeOrderedAndProject.  At 100 TB only the
+    index build ever sees the text."""
+    p, g = _bm25_index(spark, sf_dir)
+    # (N, Σdl) is a 1-row table — inline as literals (bounded driver
+    # scalar) rather than joining it: index-time constants, and the
+    # scalar join would be the plan's only nested-loop node
+    st = g.collect()[0]
+    n_docs, sumdl = st["n"], st["sumdl"]
+    p = p.filter(F.col("term").isin(*_BM25["terms"]))
+    df_ = p.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = _BM25["k1"], _BM25["b"]
+    idf = F.log(1 + ((F.lit(n_docs) - F.col("df")).cast("double") + 0.5) /
+                (F.col("df") + 0.5))
+    norm = (F.col("tf") + k1 * (1 - b + b * (F.col("dl").cast("double") *
+                                             F.lit(n_docs)) / F.lit(sumdl)))
+    term_nano = F.round(idf * (F.col("tf") * (k1 + 1)) / norm * 1e9) \
+                 .cast("long")
+    scored = (p.join(F.broadcast(df_), "term")
+              .select("doc_id", term_nano.alias("term_nano")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("term_nano").cast("long").alias("score_nano"))
+            .orderBy(F.col("score_nano").desc(), "doc_id")
+            .limit(_BM25["topk"]))
 
 
 # =========================================================================
