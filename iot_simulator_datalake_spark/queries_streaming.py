@@ -295,6 +295,76 @@ def streaming_dedup_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  .cast("double").alias("total_value")))
 
 
+@q("streaming_dedup_rollup_rocksdb", ("ST1", "ST3", "ST4", "A6", "W2"),
+   oracle=f"""
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, {osum('value')} AS total_value
+FROM events GROUP BY 1, 2
+""")
+def streaming_dedup_rollup_rocksdb(spark: "SparkSession",
+                                   sf_dir: str) -> "DataFrame":
+    """``streaming_dedup_rollup`` on the RocksDB state store — the
+    production bound for its one measured pathology (SCALE.md ×100:
+    111–194 s run spread, all state-store churn in the default
+    HDFS-backed in-memory provider).  RocksDB keeps dedup state
+    off-heap with changelog checkpointing, which is what a 100 TB
+    at-least-once ingest actually deploys; same duplicate-delivery
+    input, same exact-semantics oracle.
+
+    RAISES unless (a) the RocksDB provider visibly ran (its
+    customMetrics in the progress) and (b) the final micro-batch's
+    state rows are BOUNDED — strictly fewer than the deduped output,
+    i.e. the watermark evicted history and state tracks the window,
+    not the stream (the structural difference from plain
+    ``dropDuplicates``, whose state is all keys ever seen).  The
+    provider conf is session-mutating, so it save/restores in a
+    finally like the plan-quality family."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        s = _stream_source(spark, raw_schema, sf_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        deduped = (stream().union(stream())
+                   .withWatermark("ts", "1 hour")
+                   .dropDuplicatesWithinWatermark(["event_id"]))
+        name = f"stream_dedup_rdb_{uuid.uuid4().hex[:8]}"
+        writer = (deduped.writeStream.outputMode("append")
+                  .format("memory").queryName(name))
+        q_handle = run_stream_available_now(writer)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    progress = [p for p in q_handle.recentProgress if p["stateOperators"]]
+    if not progress:
+        raise AssertionError("no stateful progress recorded")
+    last = progress[-1]["stateOperators"][0]
+    if not any("rocksdb" in k.lower()
+               for k in last.get("customMetrics", {})):
+        raise AssertionError(
+            "RocksDB state store did not engage — provider conf ignored")
+    n_out = spark.table(name).count()
+    if not last["numRowsTotal"] < n_out:
+        raise AssertionError(
+            f"state not watermark-bounded: {last['numRowsTotal']} state "
+            f"rows vs {n_out} outputs")
+    return (spark.table(name)
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(25,4)"))
+                 .cast("double").alias("total_value")))
+
+
 @q("streaming_interval_join_left", ("ST2", "ST5", "J4"), oracle="""
 SELECT a.event_id AS click_id, b.event_id AS purchase_id,
        a.user_id AS user_id, a.ts AS click_ts, b.ts AS purchase_ts

@@ -26,9 +26,11 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def run_stream_available_now(writer: "DataStreamWriter",
-                             timeout_sec: float = 600.0) -> None:
+                             timeout_sec: float = 600.0):
     """Start a triggered (availableNow) streaming query and block until
-    it has drained all currently-available input."""
+    it has drained all currently-available input.  Returns the
+    (terminated) query handle so callers can assert on its progress
+    metrics (state rows, state-store custom metrics)."""
     q = writer.trigger(availableNow=True).start()
     try:
         if not q.awaitTermination(timeout_sec):
@@ -40,6 +42,7 @@ def run_stream_available_now(writer: "DataStreamWriter",
     finally:
         if q.isActive:
             q.stop()
+    return q
 
 
 def materialize_streaming_table(spark: "SparkSession", stream_df: "DataFrame",

@@ -369,3 +369,18 @@ def test_idempotent_sink_drives_foreachbatch(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out" / "batch_id=*"))
     assert got.count() == 80
     assert got.select("k").distinct().count() == 80
+
+
+def test_rocksdb_dedup_twin_restores_provider_conf(spark):
+    """streaming_dedup_rollup_rocksdb mutates the state-store provider
+    conf for its run; the mutation must not outlive the call (same
+    leak-guard contract as the plan-quality conf demos), and the query
+    itself raises unless RocksDB visibly engaged and state stayed
+    watermark-bounded — so a green run certifies all three."""
+    from iot_simulator_datalake_spark.queries_streaming import (
+        streaming_dedup_rollup_rocksdb)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    out = streaming_dedup_rollup_rocksdb(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    assert spark.conf.get(key, None) == before
