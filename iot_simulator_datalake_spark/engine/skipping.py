@@ -146,8 +146,18 @@ def scan_with_skipping(spark: "SparkSession", path: str | Path, col: str,
 # opens entirely.  False positives cost a wasted file read; false
 # negatives are impossible (the correctness contract).
 
-BLOOM_BITS = 8192
+BLOOM_BITS = 8192       # floor (and the pinned size of legacy manifests)
 BLOOM_HASHES = 4
+#: auto-size target: m = 8 bits/key with k=4 ⇒ fpp = (1−e^−km/m)^k ≈ 2.4%.
+#: A FIXED size is the classic bloom failure mode — the ×10-replica
+#: sweep caught 8192 bits fully saturated by 1.25 M keys/file (every
+#: probe positive, 8/8 files read, zero skipping); per-file sizing by
+#: distinct count keeps fpp flat however the file row count scales.
+BLOOM_BITS_PER_KEY = 8
+
+
+def _pow2ceil(n: int) -> int:
+    return 1 << max(0, n - 1).bit_length()
 
 
 def _bloom_positions(value, bits: int, k: int) -> list[int]:
@@ -160,22 +170,32 @@ def _bloom_positions(value, bits: int, k: int) -> list[int]:
 
 
 def build_bloom_manifest(path: str | Path, cols: list[str], *,
-                         bits: int = BLOOM_BITS,
-                         hashes: int = BLOOM_HASHES) -> int:
+                         bits: int | None = None,
+                         hashes: int = BLOOM_HASHES,
+                         bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
     """Add per-file Bloom bitmaps for ``cols`` to the stats manifest
     (which must already exist; blooms extend, not replace, min/max).
 
+    Sizing: by default each (file, col) bloom is auto-sized to the
+    next power of two ≥ ``bits_per_key`` × its distinct count (floored
+    at ``BLOOM_BITS``) and the size rides the manifest entry — a fixed
+    global size saturates as file row counts grow (measured: 8192 bits
+    vs 1.25 M keys/file at the ×10 replica = zero skipping), while
+    per-file sizing keeps the false-positive rate flat at any scale.
+    Pass ``bits`` to pin a single global size (the legacy format,
+    which ``prune_files_eq`` still reads).
+
     Driver-side with pyarrow here (reads only the indexed columns);
     at 10⁶ files this is the same mapPartitions-over-file-list Spark
-    job as the stats build, emitting (file, col, bitmap) rows.
-    Bitmaps are hex-encoded; ``bits``/``hashes`` are recorded so
-    probes stay consistent if defaults ever change.
+    job as the stats build, emitting (file, col, bits, bitmap) rows.
     """
     import pyarrow.parquet as pq
 
     root = Path(path)
     manifest = read_stats_manifest(root)
-    manifest["bloom"] = {"bits": bits, "hashes": hashes, "files": {}}
+    manifest["bloom"] = {"hashes": hashes, "files": {}}
+    if bits is not None:
+        manifest["bloom"]["bits"] = bits
     for rel in manifest["files"]:
         f = root / rel
         # intersect with the file's own schema first: pyarrow raises on
@@ -186,13 +206,15 @@ def build_bloom_manifest(path: str | Path, cols: list[str], *,
         table = pq.read_table(str(f), columns=present)
         per_col = {}
         for c in present:
+            vals = {v for v in set(table.column(c).to_pylist())
+                    if v is not None}
+            m = bits if bits is not None else \
+                _pow2ceil(max(BLOOM_BITS, len(vals) * bits_per_key))
             bitmap = 0
-            for v in set(table.column(c).to_pylist()):
-                if v is None:
-                    continue
-                for pos in _bloom_positions(_norm(v), bits, hashes):
+            for v in vals:
+                for pos in _bloom_positions(_norm(v), m, hashes):
                     bitmap |= 1 << pos
-            per_col[c] = hex(bitmap)
+            per_col[c] = {"bits": m, "bitmap": hex(bitmap)}
         manifest["bloom"]["files"][rel] = per_col
     tmp = root / (STATS_MANIFEST + ".tmp")
     tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
@@ -207,9 +229,9 @@ def prune_files_eq(path: str | Path, col: str, value) -> list[str]:
     root = Path(path)
     manifest = read_stats_manifest(root)
     bloom = manifest.get("bloom") or {}
-    bits = bloom.get("bits", BLOOM_BITS)
+    global_bits = bloom.get("bits", BLOOM_BITS)
     hashes = bloom.get("hashes", BLOOM_HASHES)
-    positions = _bloom_positions(_norm(value), bits, hashes)
+    pos_cache: dict[int, list[int]] = {}
     kept = []
     for rel, stats in manifest["files"].items():
         rng = stats.get(col)
@@ -217,10 +239,16 @@ def prune_files_eq(path: str | Path, col: str, value) -> list[str]:
             fmin, fmax = rng
             if not (fmin <= _norm(value) <= fmax):
                 continue
-        bm_hex = (bloom.get("files", {}).get(rel) or {}).get(col)
-        if bm_hex is not None:
+        ent = (bloom.get("files", {}).get(rel) or {}).get(col)
+        if ent is not None:
+            if isinstance(ent, dict):      # per-file auto-sized bloom
+                m, bm_hex = ent["bits"], ent["bitmap"]
+            else:                          # legacy single-global-size
+                m, bm_hex = global_bits, ent
+            if m not in pos_cache:
+                pos_cache[m] = _bloom_positions(_norm(value), m, hashes)
             bitmap = int(bm_hex, 16)
-            if not all(bitmap >> p & 1 for p in positions):
+            if not all(bitmap >> p & 1 for p in pos_cache[m]):
                 continue
         kept.append(str(root / rel))
     return kept

@@ -567,6 +567,14 @@ def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str
     the paper uses.  Nothing in the composition shuffles vectors more
     than once per stage, and the keep-lowest-id rule keeps the output
     independent of execution order.
+
+    This gated instance pins K=8 for deterministic seeds, so at fixed
+    K it is the UNCAPPED verification baseline (its ×100 probe is
+    killed >10 min — SCALE.md): production runs
+    ``semdedup_kmeans_prune_capped``, which composes the md5 sub-cell
+    cap inside the trained cells and stays bounded whatever the corpus
+    does to the cell distribution, with the recall cost gated by
+    ``semdedup_kmeans_cap_recall_eval``.
     """
     from .functions.vector import l2_norm
     from .queries_ml import lloyd_final

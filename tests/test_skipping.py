@@ -142,3 +142,35 @@ def test_bloom_manifest_tolerates_schema_evolution(spark, tmp_path):
     # probing the evolved column only ever keeps files that carry it
     keep = prune_files_eq(root, "extra", "x")
     assert len(keep) >= 1
+
+
+def test_bloom_autosizes_per_file(spark, tmp_path):
+    """Fixed-size blooms saturate as files grow (the ×10-replica sweep
+    measured 8192 bits vs 1.25M keys/file = every probe positive, zero
+    skipping).  The builder must size each file's bloom by its
+    distinct count so a sparse probe still prunes on big files — and
+    legacy pinned-size manifests must still be readable."""
+    from iot_simulator_datalake_spark.engine.skipping import (
+        BLOOM_BITS, build_bloom_manifest, build_stats_manifest,
+        prune_files_eq, read_stats_manifest)
+    path = tmp_path / "t"
+    # 4 files × 50k distinct keys, interleaved (unclustered: min/max
+    # can never prune an in-range probe)
+    (spark.range(200_000).selectExpr("id % 4 AS f", "id AS k")
+     .repartition(4, "f").drop("f")
+     .write.mode("overwrite").parquet(str(path)))
+    build_stats_manifest(path, ["k"])
+    build_bloom_manifest(path, ["k"])
+    man = read_stats_manifest(path)
+    sizes = {e["k"]["bits"] for e in man["bloom"]["files"].values()}
+    assert all(m > BLOOM_BITS for m in sizes), sizes  # auto-sized up
+    # a present key is never dropped; an absent key prunes everything
+    assert len(prune_files_eq(path, "k", 123_456)) >= 1
+    assert prune_files_eq(path, "k", 10**12) == []
+    # saturation check: probe 64 absent keys, expect ~fpp*4 reads total
+    reads = sum(len(prune_files_eq(path, "k", 10**9 + i))
+                for i in range(64))
+    assert reads <= 32, f"bloom ineffective on large files: {reads}"
+    # pinned-size mode still writes/reads (legacy global-bits path)
+    build_bloom_manifest(path, ["k"], bits=1 << 22)
+    assert len(prune_files_eq(path, "k", 123_456)) >= 1
