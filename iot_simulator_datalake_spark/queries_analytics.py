@@ -89,7 +89,7 @@ WITH daily AS (
     FROM orders GROUP BY 1, 2
 )
 SELECT order_date, CAST(day_total_dec AS DOUBLE) AS day_total,
-       CAST((CAST(SUM(day_total_dec) OVER w * 10000 AS BIGINT) * 100)
+       CAST((CAST(SUM(day_total_dec) OVER w * 10000 AS HUGEINT) * 100)
             // (SUM(day_orders) OVER w) AS DOUBLE) / 1000000.0
          AS avg_order_7d
 FROM daily
@@ -116,10 +116,14 @@ def moving_avg_7d(spark: "SparkSession", sf_dir: str) -> "DataFrame":
              .withColumn("day_n", F.datediff("order_date",
                                              F.lit("1970-01-01"))))
     w = (W.orderBy("day_n").rangeBetween(-6, 0))
+    # the micro-unit cross-multiply runs in 128-bit (DECIMAL(38,0) ≡
+    # HUGEINT): a 7-day revenue window in 1e-4 units × 100 exits int64
+    # around 1e12 $/week — real at warehouse scale; the per-order
+    # average QUOTIENT is always long-safe
     return (daily
             .withColumn("_sum_units",
                         (F.sum("day_total_dec").over(w) * 10000)
-                        .cast("long"))
+                        .cast("decimal(38,0)"))
             .withColumn("_cnt", F.sum("day_orders").over(w))
             .select(
                 "order_date",
@@ -1024,7 +1028,8 @@ WITH d AS (
 ), g AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot,
                 CAST(SUM(n_days) AS BIGINT) AS nd FROM w)
 SELECT CAST(dow AS BIGINT) AS dow, rev, n_days,
-       CAST(((rev * g.nd) * 1000) // (CAST(g.tot AS BIGINT) * n_days)
+       CAST((CAST(rev AS HUGEINT) * g.nd * 1000)
+            // (CAST(g.tot AS HUGEINT) * n_days)
             AS BIGINT) AS seasonal_milli
 FROM w CROSS JOIN g
 """)
@@ -1051,10 +1056,16 @@ def weekday_seasonality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                F.count("*").cast("long").alias("n_days")))
     g = wk.groupBy().agg(F.sum("rev").cast("long").alias("tot"),
                          F.sum("n_days").cast("long").alias("nd"))
+    # the cross-multiplication runs in 128-bit (Spark DECIMAL(38,0)
+    # IntegralDivide ≡ DuckDB HUGEINT //, both exact and positive so
+    # truncation == floor): rev·nd·1000 in CENTS overflows int64 once
+    # the corpus grows ~10× past sf0.1 — caught by the ×10-replica
+    # oracle sweep as a live ARITHMETIC_OVERFLOW
     return (wk.join(F.broadcast(g))
             .selectExpr("dow", "rev", "n_days",
-                        "((rev * nd) * 1000) div (tot * n_days)"
-                        " AS seasonal_milli"))
+                        "CAST((CAST(rev AS DECIMAL(38,0)) * nd * 1000)"
+                        " div (CAST(tot AS DECIMAL(38,0)) * n_days)"
+                        " AS BIGINT) AS seasonal_milli"))
 
 
 @q("gini_concentration", ("A1", "W1", "F7"), oracle="""

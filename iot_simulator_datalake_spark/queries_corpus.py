@@ -473,7 +473,7 @@ SELECT rk.doc_id, rk.source, rk.n_chars,
        p.pooled_value AS normalized_chars
 FROM ranked rk
 JOIN pooled p
-  ON p.prank = (rk.r * rk.n + rk.ns - 1) // rk.ns
+  ON p.prank = (CAST(rk.r AS HUGEINT) * rk.n + rk.ns - 1) // rk.ns
 """)
 def quantile_normalize_scores(spark: "SparkSession",
                               sf_dir: str) -> "DataFrame":
@@ -507,7 +507,12 @@ def quantile_normalize_scores(spark: "SparkSession",
         F.count("*").over(W.partitionBy("source")).alias("ns"),
         F.lit(totals["n"]).cast("long").alias("n"))
     return (ranked
-            .withColumn("target", F.expr("(r * n + ns - 1) div ns"))
+            .withColumn("target",
+                        # 128-bit cross-multiply: r·N is corpus² and
+                        # exits int64 past ~3e9 docs; the target RANK
+                        # quotient (≤ N) stays long-safe
+                        F.expr("(CAST(r AS DECIMAL(38,0)) * n + ns - 1)"
+                               " div ns"))
             .join(pooled.select("pooled_value", "prank"),
                   F.col("target") == F.col("prank"))
             .select("doc_id", "source", "n_chars",

@@ -55,9 +55,11 @@ WITH t AS (
   FROM g
 )
 SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
-       CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
-       CAST((MAX(ABS(cuma * nb - cumb * na)) * 1000000)
-           // (MAX(na) * MAX(nb)) AS BIGINT) AS d_ppm
+       CAST(MAX(ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+            AS BIGINT) AS d_num,
+       CAST((MAX(ABS(CAST(cuma AS HUGEINT) * nb
+                     - CAST(cumb AS HUGEINT) * na)) * 1000000)
+           // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT) AS d_ppm
 FROM c
 """)
 def ks_drift_detect(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -93,13 +95,23 @@ def ks_drift_detect(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.sum("cb").over(wcum).alias("cumb"),
         F.sum("ca").over(W.partitionBy()).alias("na"),
         F.sum("cb").over(W.partitionBy()).alias("nb"))
-    return (c.select((F.abs(F.col("cuma") * F.col("nb") -
-                            F.col("cumb") * F.col("na"))).alias("dn"),
+    # the cross-multiplications run in 128-bit (DECIMAL(38,0) ≡ DuckDB
+    # HUGEINT): cuma·nb is segment², which exits int64 past ~3e9 rows
+    # per segment — the ×10 sweep measured na·nb·10⁶ already at 6e18,
+    # one decade from silent wraparound.  The d_ppm QUOTIENT (≤ 10⁶)
+    # and d_num (≤ na·nb) stay BIGINT-reportable far longer; d_num's
+    # own envelope is na·nb ≤ 9.2e18.
+    dec = "decimal(38,0)"
+    return (c.select((F.abs(F.col("cuma").cast(dec) * F.col("nb") -
+                            F.col("cumb").cast(dec) * F.col("na")))
+                     .alias("dn"),
                      "na", "nb")
             .groupBy().agg(F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
-                           F.max("dn").alias("d_num"))
-            .selectExpr("n_a", "n_b", "d_num",
-                        "(d_num * 1000000) div (n_a * n_b) AS d_ppm"))
+                           F.max("dn").alias("dnm"))
+            .selectExpr("n_a", "n_b", "CAST(dnm AS BIGINT) AS d_num",
+                        "CAST((dnm * 1000000) div "
+                        "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+                        " AS d_ppm"))
 
 
 # =========================================================================

@@ -524,7 +524,7 @@ z AS (SELECT CAST(SUM(wq) AS BIGINT) AS z,
       CROSS JOIN (SELECT 1) one),
 s2 AS (SELECT t.source, t.n_docs, t.wq, z.z, z.tot FROM t CROSS JOIN z)
 SELECT source, n_docs,
-       CAST((wq * 1000000) // z AS BIGINT) AS mix_ppm,
+       CAST((CAST(wq AS HUGEINT) * 1000000) // z AS BIGINT) AS mix_ppm,
        CAST(FLOOR((CAST(wq AS DOUBLE) / z) /
              (CAST(n_docs AS DOUBLE) / tot) * 1000) AS BIGINT)
            AS upweight_milli
@@ -558,7 +558,11 @@ def temperature_mix_rates(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                         F.sum("n_docs").cast("long").alias("tot"))
     return (t.join(F.broadcast(z))
             .selectExpr("source", "n_docs",
-                        "(wq * 1000000) div z AS mix_ppm",
+                        # 128-bit: wq·10⁶ exits int64 once a source
+                        # holds ~1e10 docs (wq = ⌊n^0.7·10⁶⌋); the
+                        # mix_ppm quotient is ≤ 10⁶ at any scale
+                        "CAST((CAST(wq AS DECIMAL(38,0)) * 1000000)"
+                        " div z AS BIGINT) AS mix_ppm",
                         "CAST(FLOOR((CAST(wq AS DOUBLE) / z) /"
                         " (CAST(n_docs AS DOUBLE) / tot) * 1000)"
                         " AS BIGINT) AS upweight_milli"))

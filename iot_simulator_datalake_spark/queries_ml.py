@@ -189,8 +189,10 @@ def kmeans_lloyd(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 WITH pts AS ({_PTS_SQL})
 SELECT d, COUNT(*) AS n,
        CAST(SUM(qv) // COUNT(*) - {_SHIFT} AS BIGINT) AS mean_milli,
-       CAST((COUNT(*) * SUM(qv * qv) - SUM(qv) * SUM(qv))
-            // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_milli2
+       CAST((CAST(COUNT(*) AS HUGEINT) * SUM(qv * qv)
+             - CAST(SUM(qv) AS HUGEINT) * SUM(qv))
+            // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT)
+         AS var_milli2
 FROM pts GROUP BY d
 """)
 def embedding_dim_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -209,12 +211,17 @@ def embedding_dim_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .select((F.col("pos") + 1).cast("bigint").alias("d"),
                 (F.round(F.col("x") * 1000, 0).cast("bigint")
                  + F.lit(_SHIFT)).alias("qv")))
+    # variance cross-terms in 128-bit (DECIMAL(38,0) ≡ HUGEINT): with
+    # qv ≤ ~3e4, n·Σqv² crosses int64 at only ~2e5 vectors per dim —
+    # the ×100 replica ALREADY sits past that line; the var_milli2
+    # QUOTIENT (≤ qv² ≈ 9e8) is long-safe at any n
     return (pts.groupBy("d")
             .agg(F.count(F.lit(1)).alias("n"),
                  (F.expr("sum(qv) div count(1)") - F.lit(_SHIFT))
                  .cast("bigint").alias("mean_milli"),
-                 F.expr("(count(1) * sum(qv * qv) - sum(qv) * sum(qv)) "
-                        "div (count(1) * count(1))")
+                 F.expr("(CAST(count(1) AS DECIMAL(38,0)) * sum(qv * qv)"
+                        " - CAST(sum(qv) AS DECIMAL(38,0)) * sum(qv)) "
+                        "div (CAST(count(1) AS DECIMAL(38,0)) * count(1))")
                  .cast("bigint").alias("var_milli2")))
 
 
