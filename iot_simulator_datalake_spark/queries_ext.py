@@ -807,6 +807,230 @@ def entity_resolution_best_match(spark: "SparkSession",
                     .alias("match_score")))
 
 
+_SNM_W = 16  # sorted-neighborhood rank window (± records compared)
+
+#: the ER score in micro-units over (cname, sname, cc, sc) — identical
+#: formula to entity_resolution_best_match's, restated over pre-rounded
+#: cents so both the full and the sorted-neighborhood oracle share it
+_O_ER_SCORE = """(700000 * (GREATEST(length(cname), length(sname))
+                    - levenshtein(cname, sname)))
+           // GREATEST(length(cname), length(sname))
+       + (300000 * (ABS(cc) + ABS(sc) + 100 - ABS(cc - sc)))
+           // (ABS(cc) + ABS(sc) + 100)"""
+
+
+_O_SNM_REC = """
+  SELECT 'c' AS side, c_custkey AS rid, c_name AS name,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+         c_nationkey AS nation
+  FROM customer
+  UNION ALL
+  SELECT 's', s_suppkey, s_name,
+         CAST(ROUND(s_acctbal * 100) AS BIGINT), s_nationkey
+  FROM supplier
+"""
+
+#: two-pass SNM candidate set: pass 1 sorts (nation, cents), pass 2
+#: (nation, name digit suffix); UNION dedupes pairs found by both
+_O_SNM_PAIRS = f"""
+rec AS ({_O_SNM_REC}),
+rk1 AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY nation, cents, side, rid) AS rk
+  FROM rec
+), rk2 AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY nation, right(name, 9), side, rid)
+             AS rk
+  FROM rec
+), p AS (
+  SELECT c.rid AS c_id, s.rid AS s_id,
+         c.name AS cname, s.name AS sname, c.cents AS cc, s.cents AS sc
+  FROM rk1 c JOIN rk1 s
+    ON c.side = 'c' AND s.side = 's'
+   AND ABS(c.rk - s.rk) <= {{w}} AND c.nation = s.nation
+  UNION
+  SELECT c.rid, s.rid, c.name, s.name, c.cents, s.cents
+  FROM rk2 c JOIN rk2 s
+    ON c.side = 'c' AND s.side = 's'
+   AND ABS(c.rk - s.rk) <= {{w}} AND c.nation = s.nation
+)""".format(w=_SNM_W)
+
+
+def _snm_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Two-pass SNM candidate pairs (c_id, s_id, cname, sname, cc, sc):
+    shared by the gated query and its recall eval; see the query
+    docstring for the method and scale shape."""
+    from .operators.prefix import ranged_prefix
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("c").alias("side"), F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_nationkey").alias("nation"))
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("s").alias("side"), F.col("s_suppkey").alias("rid"),
+        F.col("s_name").alias("name"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+        F.col("s_nationkey").alias("nation"))
+    rec = c.unionByName(s)
+    w = _SNM_W
+
+    def one_pass(order) -> "DataFrame":
+        ranked, _ = ranged_prefix(rec, order, rank_col="rk")
+        cust = (ranked.filter(F.col("side") == "c")
+                .select(F.col("rid").alias("c_id"),
+                        F.col("name").alias("cname"),
+                        F.col("cents").alias("cc"),
+                        F.col("nation").alias("cn"),
+                        F.col("rk").alias("crk"),
+                        F.expr(f"rk div {w}").alias("blk")))
+        supp = (ranked.filter(F.col("side") == "s")
+                .select(F.col("rid").alias("s_id"),
+                        F.col("name").alias("sname"),
+                        F.col("cents").alias("sc"),
+                        F.col("nation").alias("sn"),
+                        F.col("rk").alias("srk"))
+                .withColumn("blk", F.explode(F.expr(
+                    f"array(srk div {w} - 1, srk div {w},"
+                    f" srk div {w} + 1)"))))
+        return (cust.join(supp, ["blk"])
+                .filter((F.abs(F.col("crk") - F.col("srk")) <= w) &
+                        (F.col("cn") == F.col("sn")))
+                .select("c_id", "s_id", "cname", "sname", "cc", "sc"))
+
+    p1 = one_pass([F.col("nation"), F.col("cents"),
+                   F.col("side"), F.col("rid")])
+    p2 = one_pass([F.col("nation"), F.substring(F.col("name"), -9, 9),
+                   F.col("side"), F.col("rid")])
+    # UNION set semantics: a pair found by both passes scores once
+    return p1.union(p2).distinct()
+
+
+@q("entity_resolution_sorted_neighborhood", ("J5", "F11", "W3", "W1"),
+   oracle=f"""
+WITH {_O_SNM_PAIRS}, scored AS (
+  SELECT c_id, s_id, {_O_ER_SCORE} AS score_u FROM p
+), r AS (
+  SELECT c_id, s_id, score_u,
+         ROW_NUMBER() OVER (PARTITION BY c_id
+                            ORDER BY score_u DESC, s_id) AS rn
+  FROM scored
+)
+SELECT c_id AS customer, s_id AS supplier,
+       CAST(score_u AS DOUBLE) / 1000000.0 AS match_score
+FROM r WHERE rn = 1
+""")
+def entity_resolution_sorted_neighborhood(spark: "SparkSession",
+                                          sf_dir: str) -> "DataFrame":
+    """Record linkage by MULTI-PASS SORTED NEIGHBORHOOD (Hernández &
+    Stolfo): the linear-pair-space production path for the quadratic
+    trend the ×100 probe measured on ``entity_resolution_best_match``
+    (its Σ block_c·block_s grows ∝ N² when both sides grow, because
+    the 25-nation blocking key has FIXED cardinality).  Records from
+    both sides sort together twice — pass 1 by (nation, balance
+    cents), pass 2 by (nation, name digit suffix), each signal one of
+    the match score's two components — and only pairs within ±16
+    rank positions in EITHER pass are scored: candidate count is
+    2·N·w, LINEAR in the corpus no matter how the per-key blocks
+    skew.  Multi-pass is the method's own answer to a single weak
+    sort key (one pass over balance alone matched only ~7% of
+    customers here — measured, which is why the pass-2 key exists).
+
+    Scale design: each global rank comes from
+    ``operators.prefix.ranged_prefix`` (two-level bucketed row_number
+    — no single-partition window over the corpus); the rank-window
+    join is the adjacent-block trick — customers keyed at blk =
+    rk div w, suppliers replicated to (blk−1, blk, blk+1), equi-join
+    on blk then the exact |Δrk| ≤ w filter — a plain hash join on a
+    balanced synthetic key, never a range/theta join; the two passes
+    dedupe by pair key.  The recall cost of the windows (vs the full
+    blocked argmax) is measured, not assumed:
+    ``entity_resolution_snm_recall_eval``.
+    """
+    pairs = _snm_pairs(spark, sf_dir)
+    maxlen = F.greatest(F.length("cname"), F.length("sname")) \
+        .cast("long")
+    name_num = (maxlen - F.levenshtein("cname", "sname")) * 700000
+    name_u = ((name_num - name_num % maxlen) / maxlen).cast("long")
+    den = F.abs(F.col("cc")) + F.abs(F.col("sc")) + 100
+    acct_num = (den - F.abs(F.col("cc") - F.col("sc"))) * 300000
+    acct_u = ((acct_num - acct_num % den) / den).cast("long")
+    scored = pairs.select(
+        F.col("c_id").alias("customer"), F.col("s_id").alias("supplier"),
+        (name_u + acct_u).alias("score_u"))
+    wn = W.partitionBy("customer").orderBy(F.col("score_u").desc(),
+                                           F.col("supplier"))
+    return (scored.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("customer", "supplier",
+                    (F.col("score_u").cast("double") / 1000000.0)
+                    .alias("match_score")))
+
+
+@q("entity_resolution_snm_recall_eval", ("J5", "A1"), oracle=f"""
+WITH full_p AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (700000 * (GREATEST(length(c.c_name), length(s.s_name))
+                    - levenshtein(c.c_name, s.s_name)))
+           // GREATEST(length(c.c_name), length(s.s_name))
+       + (300000 * (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                    + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100
+                    - ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                          - CAST(ROUND(s.s_acctbal * 100) AS BIGINT))))
+           // (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+               + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100)
+           AS score_u
+  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+), full_r AS (
+  SELECT c_custkey AS customer, score_u,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY score_u DESC, s_suppkey) AS rn
+  FROM full_p
+), fb AS (SELECT customer, score_u AS full_u FROM full_r WHERE rn = 1),
+{_O_SNM_PAIRS}, snm_r AS (
+  SELECT c_id AS customer, score_u,
+         ROW_NUMBER() OVER (PARTITION BY c_id
+                            ORDER BY score_u DESC, s_id) AS rn
+  FROM (SELECT c_id, s_id, {_O_ER_SCORE} AS score_u FROM p)
+), sb AS (SELECT customer, score_u AS snm_u FROM snm_r WHERE rn = 1)
+SELECT COUNT(*)::INT AS n_customers,
+       COUNT(sb.snm_u)::INT AS n_snm_matched,
+       COUNT(*) FILTER (WHERE sb.snm_u = fb.full_u)::INT
+         AS n_score_equal,
+       CAST(COUNT(*) FILTER (WHERE sb.snm_u = fb.full_u) AS DOUBLE)
+         / COUNT(*) AS snm_recall,
+       CAST(SUM(fb.full_u - COALESCE(sb.snm_u, 0)) AS BIGINT)
+         AS score_shortfall_u
+FROM fb LEFT JOIN sb USING (customer)
+""")
+def entity_resolution_snm_recall_eval(spark: "SparkSession",
+                                      sf_dir: str) -> "DataFrame":
+    """Trust gate for the sorted-neighborhood window (the ER analog of
+    ``ann_recall_eval`` / ``semdedup_cap_recall_eval``): what fraction
+    of customers get a best match AS GOOD AS the full nation-blocked
+    argmax?  Equality is on the integer score (ties in name-space are
+    interchangeable matches); ``score_shortfall_u`` totals the micro-
+    units lost where the window missed the optimum — the number that
+    says whether to widen w or add a second sort pass (classic
+    multi-pass SNM).  Runs BOTH variants, so it is offline QA over a
+    sample at scale, like every other recall gate in the repo."""
+    full = (entity_resolution_best_match(spark, sf_dir)
+            .select("customer",
+                    F.round(F.col("match_score") * 1000000)
+                    .cast("long").alias("full_u")))
+    snm = (entity_resolution_sorted_neighborhood(spark, sf_dir)
+           .select("customer",
+                   F.round(F.col("match_score") * 1000000)
+                   .cast("long").alias("snm_u")))
+    both = full.join(snm, "customer", "left")
+    eq = F.count_if(F.col("snm_u") == F.col("full_u"))
+    return both.agg(
+        F.count(F.lit(1)).cast("int").alias("n_customers"),
+        F.count("snm_u").cast("int").alias("n_snm_matched"),
+        eq.cast("int").alias("n_score_equal"),
+        (eq.cast("double") / F.count(F.lit(1))).alias("snm_recall"),
+        F.sum(F.col("full_u") - F.coalesce(F.col("snm_u"), F.lit(0)))
+        .cast("long").alias("score_shortfall_u"))
+
+
 @q("multimodal_frame_sample", ("F10",), oracle="""
 WITH f AS (
   SELECT doc_id, text,

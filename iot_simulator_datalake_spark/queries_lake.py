@@ -569,8 +569,15 @@ def aqe_runtime_broadcast_switch(spark: "SparkSession",
     confs = {
         # static planner: broadcast forbidden (the misestimate stand-in)
         "spark.sql.autoBroadcastJoinThreshold": "-1",
-        # runtime re-planner: true sizes under 8 MB may broadcast
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "8MB",
+        # runtime re-planner: true sizes under this may broadcast.  1GB
+        # rather than the 8MB first pinned: the ×100-replica sweep
+        # caught the filtered dim outgrowing 8MB, at which point AQE
+        # CORRECTLY kept the sort-merge join and the switch gate raised
+        # — same scaling rule as runtime_bloom_filter_join's
+        # creationSideThreshold (the demo premise is "the true runtime
+        # size is broadcastable on the target cluster", so the knob
+        # must track the replica scale, not the smallest gate SF)
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "1GB",
     }
     # the adaptive threshold is an OPTIONAL conf (unset ⇒ falls back to
     # the static one): save None and restore via unset, not set(None)
