@@ -635,7 +635,19 @@ def streaming_topk_users_hourly(spark: "SparkSession",
     complete-mode recomputes of every window.  Per-hour ties break on
     user_id; totals are exact decimal sums so ranks are
     engine-stable.  At scale the serving-side rank is WindowGroupLimit
-    over |windows × keys| aggregated rows, not raw events."""
+    over |windows × keys| aggregated rows, not raw events.
+
+    The drain is ``foreachBatch`` → parquet overwrite, NOT a memory
+    sink: complete mode re-emits the FULL |windows × keys| state each
+    batch, and a memory sink materializes that on the driver — the
+    ×100 replica blew ``spark.driver.maxResultSize`` (1026 MiB of
+    task results) exactly there.  Writing each complete emission over
+    a scratch table keeps the state distributed end-to-end; the rank
+    then reads it back like any other table."""
+    import tempfile
+    from pathlib import Path
+
+    from .stagecache import source_digest
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -645,11 +657,19 @@ def streaming_topk_users_hourly(spark: "SparkSession",
            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
            .agg(F.sum(F.col("value").cast("decimal(25,4)"))
                 .cast("double").alias("total_value")))
-    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    # deterministic scratch, overwritten per run (no per-call mkdtemp
+    # leak); each complete-mode emission rewrites the whole state
+    out = (Path(tempfile.gettempdir()) / "lake_stage"
+           / f"stream_topk-{source_digest(sf_dir, 'events')}" / "state")
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    def _sink(batch_df: "DataFrame", _epoch: int) -> None:
+        batch_df.write.mode("overwrite").parquet(str(out))
+
     writer = (agg.writeStream.outputMode("complete")
-              .format("memory").queryName(name))
+              .foreachBatch(_sink))
     run_stream_available_now(writer)
-    served = (spark.table(name)
+    served = (spark.read.parquet(str(out))
               .select(F.col("w.start").alias("hour"), "user_id",
                       "total_value"))
     rank = W.partitionBy("hour").orderBy(F.col("total_value").desc(),
