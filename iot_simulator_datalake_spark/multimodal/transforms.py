@@ -75,18 +75,23 @@ def repartition_by_bytes(df: "DataFrame", bytes_col: str = "media.n_bytes",
     if not stats["giants"]:
         return rest
     giants = tagged.filter(F.col("_nb") >= target)
-    # Unique per-row range key: order_col when the caller supplies a
-    # deterministic order, else a cheap JVM-side unique id (the key is
-    # physical placement only, never a value result).  Range
-    # partitioning on a UNIQUE key into n_giants partitions isolates
-    # each giant (see docstring for the sampling-accuracy bound);
-    # round-robin repartition(n) starts each input partition at its
-    # own offset and can pile two giants into one task.
-    rkey = (F.col(order_col) if order_col is not None
-            else F.monotonically_increasing_id())
-    giants = (giants.withColumn("_rk", rkey)
-              .repartitionByRange(int(stats["giants"]), "_rk")
-              .drop("_nb", "_rk"))
+    # Unique per-row range key (physical placement only, never a value
+    # result): the caller's order_col leads when supplied, but a
+    # unique JVM-side id ALWAYS tie-breaks — a non-unique order_col
+    # (fifty giants sharing an ingest_date) would otherwise range-hash
+    # every tied giant into the SAME partition, the exact pileup this
+    # function exists to prevent.  Range partitioning on the unique
+    # composite into n_giants partitions isolates each giant (see
+    # docstring for the sampling-accuracy bound); round-robin
+    # repartition(n) starts each input partition at its own offset and
+    # can pile two giants into one task.
+    giants = giants.withColumn("_rk2", F.monotonically_increasing_id())
+    keys = (["_rk", "_rk2"] if order_col is not None else ["_rk2"])
+    if order_col is not None:
+        giants = giants.withColumn("_rk", F.col(order_col))
+    giants = (giants.repartitionByRange(int(stats["giants"]), *keys)
+              .drop("_nb", "_rk2",
+                    *(["_rk"] if order_col is not None else [])))
     return rest.union(giants)
 
 

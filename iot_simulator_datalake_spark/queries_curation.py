@@ -546,9 +546,28 @@ FROM av v LEFT JOIN mx m ON v.id = m.id
 """
 
 
+def _kmeans_assigned_vectors(spark: "SparkSession", sf_dir: str,
+                             afin: "DataFrame | None" = None
+                             ) -> "DataFrame":
+    """(id, vec, cid, norm): embeddings joined to their trained Lloyd
+    cell.  ``afin`` lets a caller that needs BOTH kmeans prune
+    variants (the recall eval) train once and share the deterministic
+    assignment — Lloyd dominates those queries' runtime."""
+    from .functions.vector import l2_norm
+    from .queries_ml import lloyd_final
+    if afin is None:
+        _, afin, _ = lloyd_final(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    return (e.select(F.col("vec_id").alias("id"),
+                     F.col("embedding").cast("array<double>").alias("vec"))
+            .join(afin.select(F.col("vec_id").alias("id"), "cid"), "id")
+            .withColumn("norm", l2_norm(F.col("vec"))))
+
+
 @q("semdedup_kmeans_prune", ("F10", "J5", "W2", "A1"),
    oracle=_semdedup_kmeans_oracle())
-def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str
+def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str,
+                          afin: "DataFrame | None" = None
                           ) -> "DataFrame":
     """SemDeDup over TRAINED clusters — the production path: Lloyd
     k-means (the exact deterministic rounds certified by
@@ -576,14 +595,7 @@ def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str
     does to the cell distribution, with the recall cost gated by
     ``semdedup_kmeans_cap_recall_eval``.
     """
-    from .functions.vector import l2_norm
-    from .queries_ml import lloyd_final
-    _, afin, _ = lloyd_final(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings")
-    v = (e.select(F.col("vec_id").alias("id"),
-                  F.col("embedding").cast("array<double>").alias("vec"))
-         .join(afin.select(F.col("vec_id").alias("id"), "cid"), "id")
-         .withColumn("norm", l2_norm(F.col("vec"))))
+    v = _kmeans_assigned_vectors(spark, sf_dir, afin)
     mx = _max_lower_cos_micro(v, ["cid"])
     return (v.join(mx, "id", "left")
             .select(F.col("id").alias("vec_id"),
@@ -720,7 +732,8 @@ FROM sub s LEFT JOIN mx m ON s.id = m.id
 
 @q("semdedup_kmeans_prune_capped", ("F10", "J5", "W2", "A1"),
    oracle=_semdedup_kmeans_capped_oracle())
-def semdedup_kmeans_prune_capped(spark: "SparkSession", sf_dir: str
+def semdedup_kmeans_prune_capped(spark: "SparkSession", sf_dir: str,
+                                 afin: "DataFrame | None" = None
                                  ) -> "DataFrame":
     """``semdedup_kmeans_prune`` with the md5 sub-cell cap composed
     inside the TRAINED cells — the production form of the trained-
@@ -742,15 +755,7 @@ def semdedup_kmeans_prune_capped(spark: "SparkSession", sf_dir: str
     the pairwise max-cosine join keyed on (cid, sub) — vectors shuffle
     once, and no single task ever sees more than cap members of any
     cell."""
-    from .functions.vector import l2_norm
-    from .queries_ml import lloyd_final
-    _, afin, _ = lloyd_final(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings")
-    v = (e.select(F.col("vec_id").alias("id"),
-                  F.col("embedding").cast("array<double>").alias("vec"))
-         .join(afin.select(F.col("vec_id").alias("id"), "cid"), "id")
-         .withColumn("norm", l2_norm(F.col("vec"))))
-    v = _subcell(v, "cid")
+    v = _subcell(_kmeans_assigned_vectors(spark, sf_dir, afin), "cid")
     mx = _max_lower_cos_micro(v, ["cid", "sub"])
     return (v.join(mx, "id", "left")
             .select(F.col("id").alias("vec_id"),
@@ -810,10 +815,14 @@ def semdedup_kmeans_cap_recall_eval(spark: "SparkSession", sf_dir: str
     Runs BOTH variants (the uncapped one is the verification baseline,
     usable only at QA scale) — offline QA over a hash-sample in
     production, exactly like ``ann_recall_eval``."""
-    u = (semdedup_kmeans_prune(spark, sf_dir)
+    from .queries_ml import lloyd_final
+    # train ONCE: Lloyd dominates both variants' runtime and the
+    # assignment is deterministic, so the eval shares it
+    _, afin, _ = lloyd_final(spark, sf_dir)
+    u = (semdedup_kmeans_prune(spark, sf_dir, afin=afin)
          .select(F.col("vec_id").alias("id"),
                  F.col("pruned").alias("u_pruned")))
-    c = (semdedup_kmeans_prune_capped(spark, sf_dir)
+    c = (semdedup_kmeans_prune_capped(spark, sf_dir, afin=afin)
          .select(F.col("vec_id").alias("id"),
                  F.col("pruned").alias("c_pruned")))
     both = u.join(c, "id")

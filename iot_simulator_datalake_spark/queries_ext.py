@@ -898,7 +898,12 @@ def _snm_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
     p1 = one_pass([F.col("nation"), F.col("cents"),
                    F.col("side"), F.col("rid")])
-    p2 = one_pass([F.col("nation"), F.substring(F.col("name"), -9, 9),
+    # right(), not substring(name, -9, 9): for a name SHORTER than 9
+    # chars Spark's negative-pos substring returns '' while DuckDB's
+    # right() returns the whole string — right() agrees in both
+    # engines at every length, so the pass-2 sort key has no
+    # short-name divergence envelope
+    p2 = one_pass([F.col("nation"), F.expr("right(name, 9)"),
                    F.col("side"), F.col("rid")])
     # UNION set semantics: a pair found by both passes scores once
     return p1.union(p2).distinct()

@@ -434,11 +434,12 @@ def runtime_bloom_filter_join(spark: "SparkSession",
             "1GB",
     }
     saved = {k: spark.conf.get(k) for k in confs}
-    # deterministic sink, mode=overwrite: re-invocations reuse one dir
-    # instead of leaking a fresh mkdtemp per bench/oracle pass
-    out = (Path(tempfile.gettempdir()) / "lake_stage"
-           / f"bloom_rt_join-{_source_digest(sf_dir, 'lineitem')}" / "out")
-    out.parent.mkdir(parents=True, exist_ok=True)
+    # per-(source, process) sink, mode=overwrite: re-invocations in one
+    # process reuse a dir instead of leaking a mkdtemp per pass, and
+    # the pid suffix keeps a concurrent session's overwrite from racing
+    # this one's read (stagecache owns the naming)
+    from .stagecache import scratch_dir
+    out = scratch_dir(sf_dir, "lineitem", "bloom_rt_join") / "out"
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)

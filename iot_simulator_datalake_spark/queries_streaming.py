@@ -327,6 +327,20 @@ def streaming_dedup_rollup_rocksdb(spark: "SparkSession",
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return s
 
+    from .stagecache import scratch_dir
+    # foreachBatch → parquet append, not a memory sink: append-mode
+    # dedup emits every surviving EVENT, and a memory sink would
+    # materialize that whole corpus on the driver — the same
+    # driver-bound failure streaming_topk_users_hourly hit at ×100.
+    # The deduped stream stays distributed; only the hourly rollup
+    # (|hours × types| rows) ever reaches the driver via the gate.
+    out = scratch_dir(sf_dir, "events", "stream_dedup_rdb") / "deduped"
+    import shutil as _sh
+    _sh.rmtree(out, ignore_errors=True)  # append sink: clear prior run
+
+    def _sink(batch_df: "DataFrame", _epoch: int) -> None:
+        batch_df.write.mode("append").parquet(str(out))
+
     key = "spark.sql.streaming.stateStore.providerClass"
     saved = spark.conf.get(key, None)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
@@ -335,9 +349,8 @@ def streaming_dedup_rollup_rocksdb(spark: "SparkSession",
         deduped = (stream().union(stream())
                    .withWatermark("ts", "1 hour")
                    .dropDuplicatesWithinWatermark(["event_id"]))
-        name = f"stream_dedup_rdb_{uuid.uuid4().hex[:8]}"
         writer = (deduped.writeStream.outputMode("append")
-                  .format("memory").queryName(name))
+                  .foreachBatch(_sink))
         q_handle = run_stream_available_now(writer)
     finally:
         if saved is None:
@@ -352,12 +365,13 @@ def streaming_dedup_rollup_rocksdb(spark: "SparkSession",
                for k in last.get("customMetrics", {})):
         raise AssertionError(
             "RocksDB state store did not engage — provider conf ignored")
-    n_out = spark.table(name).count()
+    served = spark.read.parquet(str(out))
+    n_out = served.count()
     if not last["numRowsTotal"] < n_out:
         raise AssertionError(
             f"state not watermark-bounded: {last['numRowsTotal']} state "
             f"rows vs {n_out} outputs")
-    return (spark.table(name)
+    return (served
             .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                      "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -644,10 +658,7 @@ def streaming_topk_users_hourly(spark: "SparkSession",
     task results) exactly there.  Writing each complete emission over
     a scratch table keeps the state distributed end-to-end; the rank
     then reads it back like any other table."""
-    import tempfile
-    from pathlib import Path
-
-    from .stagecache import source_digest
+    from .stagecache import scratch_dir
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -657,11 +668,10 @@ def streaming_topk_users_hourly(spark: "SparkSession",
            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
            .agg(F.sum(F.col("value").cast("decimal(25,4)"))
                 .cast("double").alias("total_value")))
-    # deterministic scratch, overwritten per run (no per-call mkdtemp
-    # leak); each complete-mode emission rewrites the whole state
-    out = (Path(tempfile.gettempdir()) / "lake_stage"
-           / f"stream_topk-{source_digest(sf_dir, 'events')}" / "state")
-    out.parent.mkdir(parents=True, exist_ok=True)
+    # per-(source, process) scratch, overwritten per run (no per-call
+    # mkdtemp leak, no cross-session overwrite race); each
+    # complete-mode emission rewrites the whole state
+    out = scratch_dir(sf_dir, "events", "stream_topk") / "state"
 
     def _sink(batch_df: "DataFrame", _epoch: int) -> None:
         batch_df.write.mode("overwrite").parquet(str(out))

@@ -13,11 +13,14 @@ it.
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
 import tempfile
 import uuid
 from pathlib import Path
 from typing import Callable
+
+_ROOT = "lake_stage"
 
 
 def source_digest(sf_dir: str, table: str) -> str:
@@ -34,26 +37,63 @@ def source_digest(sf_dir: str, table: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _recipe_digest(build: Callable) -> str:
+    """Fingerprint of the BUILDER itself (bytecode + constants), so
+    editing a layout recipe — clustering granularity, bloom sizing, a
+    new manifest step — auto-invalidates the cache instead of relying
+    on a hand-bumped tag (the round-5 bloom fix needed exactly that
+    manual bump; this makes the next one automatic)."""
+    code = build.__code__
+    h = hashlib.md5(code.co_code)
+    h.update(repr(code.co_consts).encode())
+    h.update(repr(code.co_names).encode())
+    return h.hexdigest()[:8]
+
+
+def scratch_dir(sf_dir: str, table: str, tag: str) -> Path:
+    """Deterministic-per-(source, process) scratch directory for sinks
+    that OVERWRITE on every invocation (runtime-filter demos, stream
+    drains).  Reuse within a process stops the old per-call ``mkdtemp``
+    leak (bench warm + 3 timed passes = one process); the pid suffix
+    keeps concurrent sessions from overwriting each other's dir while
+    one of them is mid-read."""
+    d = (Path(tempfile.gettempdir()) / _ROOT
+         / f"{tag}-{source_digest(sf_dir, table)}-pid{os.getpid()}")
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
 def stage_once(sf_dir: str, table: str, tag: str,
                build: Callable[[Path], None]) -> Path:
-    """Build a derived layout ONCE per (source, tag) and reuse it.
+    """Build a derived layout ONCE per (source, recipe, tag) and reuse
+    it.
 
     ``build`` receives a fresh directory and must write the complete
     layout (parquet + manifests) into it.  Publication is atomic
     (build into a tmp sibling, rename into place); a lost rename race
     defers to the winner's identical layout.  The ``_STAGED`` marker
     gates readers — an underscore name, so Spark's parquet listing
-    ignores it like ``_SUCCESS``."""
-    dest = (Path(tempfile.gettempdir()) / "lake_stage"
-            / f"{tag}-{source_digest(sf_dir, table)}")
+    ignores it like ``_SUCCESS``.  A build that raises cleans up its
+    tmp sibling (a killed PROCESS can still orphan one; orphans are
+    never read — no marker — and carry .tmp- names for manual sweeps).
+    """
+    dest = (Path(tempfile.gettempdir()) / _ROOT
+            / (f"{tag}-{source_digest(sf_dir, table)}"
+               f"-r{_recipe_digest(build)}"))
     if (dest / "_STAGED").exists():
         return dest
     dest.parent.mkdir(parents=True, exist_ok=True)
     tmp = dest.with_name(f"{dest.name}.tmp-{uuid.uuid4().hex[:8]}")
-    build(tmp)
-    (tmp / "_STAGED").write_text("ok\n")
+    try:
+        build(tmp)
+        (tmp / "_STAGED").write_text("ok\n")
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         tmp.rename(dest)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+        if not (dest / "_STAGED").exists():
+            raise  # not a lost race — surface the real failure
     return dest
