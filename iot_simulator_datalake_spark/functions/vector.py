@@ -31,8 +31,24 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine_similarity(a: Column, b: Column, scale: int | None = 6) -> Column:
-    """Cosine similarity; ``scale`` rounds for cross-engine stability
-    (None → raw)."""
+def cosine_similarity(a: Column, b: Column,
+                      scale: int | None = None) -> Column:
+    """Cosine similarity (raw double by default).
+
+    For any HASH-COMPARED output use :func:`cosine_micro` instead —
+    ``F.round(sim, n)`` with fractional ``n`` re-enters the
+    HALF_UP-vs-scaled-double cross-engine boundary class the repo's
+    determinism sweep eliminated (see ``_O_SEM_COS``,
+    queries_curation.py)."""
     sim = dot(a, b) / (l2_norm(a) * l2_norm(b))
     return F.round(sim, scale) if scale is not None else sim
+
+
+def cosine_micro(a: Column, b: Column) -> Column:
+    """Cosine similarity quantized to integer MICRO-UNITS:
+    ``floor(cos · 1e6)`` as BIGINT — one IEEE multiply + floor on top
+    of the bit-identical left-fold dot product, so Spark and DuckDB
+    agree exactly (the repo-wide determinism recipe; floor is
+    tie-rule-free, unlike fractional ROUND)."""
+    sim = dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return F.floor(sim * F.lit(1e6)).cast("long")

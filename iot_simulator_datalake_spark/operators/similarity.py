@@ -26,12 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_micro
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("probe_id").orderBy(
-        F.col("score").desc(), F.col("vec_id"))
+        F.col("score_u").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
@@ -56,7 +56,10 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     # Norms are precomputed per side (N + P folds) so the pair loop
     # runs ONE interpreted array fold (the dot product) instead of
     # three — the dot fold itself stays a sequential sum, bit-identical
-    # to the naive form, so the rounded score matches the oracle.
+    # to the naive form, so the floor-micro score matches the oracle
+    # (scores are integer micro-units, floor(cos*1e6) — see
+    # functions.vector.cosine_micro; fractional ROUND was the
+    # HALF_UP cross-engine hazard class).
     from ..functions.vector import dot, l2_norm
     p = probes.select(
         F.col(probe_id_col or id_col).alias("probe_id"),
@@ -71,9 +74,10 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", *probe_payload, "vec_id",
                       *corpus_payload,
-                      F.round(dot(F.col("probe_vec"), F.col("vec")) /
-                              (F.col("probe_norm") * F.col("norm")), 6)
-                      .alias("score")))
+                      F.floor(dot(F.col("probe_vec"), F.col("vec")) /
+                              (F.col("probe_norm") * F.col("norm"))
+                              * F.lit(1e6)).cast("long")
+                      .alias("score_u")))
     if pair_filter is not None:
         scored = scored.filter(pair_filter)
     return _rank_topk(scored, k)
@@ -99,11 +103,11 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, *,
     map-side-combining aggregate (used here)."""
     scored = (df.crossJoin(F.broadcast(centroids))
               .withColumn("_dist",
-                          -cosine_similarity(F.col(vec_col),
-                                             F.col(cent_vec_col))))
+                          -cosine_micro(F.col(vec_col),
+                                        F.col(cent_vec_col))))
     keep = [c for c in df.columns]
     # struct ordering = (distance, centroid id): deterministic argmin
-    # even when two centroids tie after score rounding
+    # even when two centroids tie in micro-unit distance
     return (scored.groupBy(*keep)
             .agg(F.min_by(F.col(cent_id_col),
                           F.struct(F.col("_dist"), F.col(cent_id_col)))
@@ -143,8 +147,8 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
                       l2_norm(F.col(vec_col)).alias("probe_norm"))
     p_scored = (p.crossJoin(F.broadcast(cents))
                 .withColumn("_dist",
-                            -cosine_similarity(F.col("probe_vec"),
-                                               F.col("cent_vec"))))
+                            -cosine_micro(F.col("probe_vec"),
+                                          F.col("cent_vec"))))
     w = W.partitionBy("probe_id").orderBy("_dist", "cent_id")
     p_cells = (p_scored
                .withColumn("_r", F.row_number().over(w))
@@ -157,20 +161,23 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     scored = (c.join(F.broadcast(p_cells), "cluster")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",
-                      F.round(dot(F.col("probe_vec"), F.col("vec")) /
-                              (F.col("probe_norm") * F.col("norm")), 6)
-                      .alias("score")))
+                      F.floor(dot(F.col("probe_vec"), F.col("vec")) /
+                              (F.col("probe_norm") * F.col("norm"))
+                              * F.lit(1e6)).cast("long")
+                      .alias("score_u")))
     return _rank_topk(scored, k)
 
 
 def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            threshold: float = 0.9,
+                            threshold_micro: int = 900_000,
                             n_planes: int = 4,
                             max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector member of the
     dedup family): self-join within sign-LSH buckets, keep pairs with
-    cosine ≥ threshold (id_a < id_b).
+    cosine ≥ threshold (id_a < id_b).  Cosines are integer micro-units
+    (floor(cos·1e6), BIGINT) and the threshold is given in the same
+    units — the repo-wide cross-engine determinism recipe.
 
     Bucketing keeps the pair space at Σ bucket² ≈ corpus²/2^n_planes —
     and for near-dup mining specifically, truly near-identical vectors
@@ -201,10 +208,11 @@ def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                    (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    F.round(dot(F.col("a.vec"), F.col("b.vec")) /
-                            (F.col("a.norm") * F.col("b.norm")), 6)
-                    .alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+                    F.floor(dot(F.col("a.vec"), F.col("b.vec")) /
+                            (F.col("a.norm") * F.col("b.norm"))
+                            * F.lit(1e6)).cast("long")
+                    .alias("cosine_u"))
+            .filter(F.col("cosine_u") >= threshold_micro))
 
 
 def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
@@ -227,7 +235,8 @@ def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     scored = (c.join(F.broadcast(p), "bucket")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",
-                      F.round(dot(F.col("probe_vec"), F.col("vec")) /
-                              (F.col("probe_norm") * F.col("norm")), 6)
-                      .alias("score")))
+                      F.floor(dot(F.col("probe_vec"), F.col("vec")) /
+                              (F.col("probe_norm") * F.col("norm"))
+                              * F.lit(1e6)).cast("long")
+                      .alias("score_u")))
     return _rank_topk(scored, k)

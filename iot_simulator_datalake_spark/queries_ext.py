@@ -433,9 +433,13 @@ def text_repetition_ngram(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # Similarity search over embeddings ([EXT] F10, J5/W3)
 # =========================================================================
 
-_O_COS = ("ROUND(list_dot_product(a.vec, b.vec) / "
+# Cosine in integer MICRO-UNITS (floor(cos*1e6), BIGINT) — the
+# repo-wide determinism recipe (_O_SEM_COS, queries_curation.py):
+# fractional ROUND(...,6) of a raw double quotient was the
+# HALF_UP-vs-scaled-double cross-engine boundary class.
+_O_COS = ("CAST(floor(list_dot_product(a.vec, b.vec) / "
           "(sqrt(list_dot_product(a.vec, a.vec)) * "
-          "sqrt(list_dot_product(b.vec, b.vec))), 6)")
+          "sqrt(list_dot_product(b.vec, b.vec))) * 1e6) AS BIGINT)")
 
 _O_EMB = ("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec "
           "FROM embeddings")
@@ -445,13 +449,13 @@ _O_EMB = ("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec "
 WITH emb AS ({_O_EMB}),
 probes AS (SELECT * FROM emb WHERE vec_id < 10),
 scored AS (
-  SELECT b.vec_id AS probe_id, a.vec_id AS vec_id, {_O_COS} AS score
+  SELECT b.vec_id AS probe_id, a.vec_id AS vec_id, {_O_COS} AS score_u
   FROM emb a, probes b
   WHERE a.vec_id <> b.vec_id
 )
-SELECT probe_id, vec_id, score, rank::INT AS rank FROM (
+SELECT probe_id, vec_id, score_u, rank::INT AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+      PARTITION BY probe_id ORDER BY score_u DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= 5
 """)
@@ -474,13 +478,13 @@ bucketed AS (
 ),
 probes AS (SELECT * FROM bucketed WHERE vec_id < 10),
 scored AS (
-  SELECT b.vec_id AS probe_id, a.vec_id AS vec_id, {_O_COS} AS score
+  SELECT b.vec_id AS probe_id, a.vec_id AS vec_id, {_O_COS} AS score_u
   FROM bucketed a JOIN probes b ON a.bucket = b.bucket
   WHERE a.vec_id <> b.vec_id
 )
-SELECT probe_id, vec_id, score, rank::INT AS rank FROM (
+SELECT probe_id, vec_id, score_u, rank::INT AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+      PARTITION BY probe_id ORDER BY score_u DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= 5
 """)
@@ -496,9 +500,10 @@ def similarity_topk_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # SCD1 / as-of / JSON access / sort-limit ([DOC] surface)
 # =========================================================================
 
-_O_COS_EC = ("ROUND(list_dot_product(e.vec, c.cent_vec) / "
+_O_COS_EC = ("CAST(floor(list_dot_product(e.vec, c.cent_vec) / "
              "(sqrt(list_dot_product(e.vec, e.vec)) * "
-             "sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 6)")
+             "sqrt(list_dot_product(c.cent_vec, c.cent_vec))) "
+             "* 1e6) AS BIGINT)")
 
 
 @q("similarity_topk_ivf", ("F10", "W3", "J5"), oracle=f"""
@@ -520,13 +525,13 @@ probes AS (
   FROM assign WHERE vec_id < 10
 ),
 scored AS (
-  SELECT b.probe_id, a.vec_id, {_O_COS} AS score
+  SELECT b.probe_id, a.vec_id, {_O_COS} AS score_u
   FROM assign a JOIN probes b ON a.cluster = b.cluster
   WHERE a.vec_id <> b.probe_id
 )
-SELECT probe_id, vec_id, score, rank::INT AS rank FROM (
+SELECT probe_id, vec_id, score_u, rank::INT AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+      PARTITION BY probe_id ORDER BY score_u DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= 5
 """)
@@ -550,10 +555,10 @@ bucketed AS (
        + (CASE WHEN vec[4] >= 0 THEN 8 ELSE 0 END) AS bucket
   FROM emb
 )
-SELECT a.id AS id_a, b.id AS id_b, {_O_COS} AS cosine
+SELECT a.id AS id_a, b.id AS id_b, {_O_COS} AS cosine_u
 FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.id < b.id
-WHERE {_O_COS} >= 0.35
+WHERE {_O_COS} >= 350000
 """)
 def embedding_neardup_q(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Embedding-cosine near-duplicate pairs within sign-LSH buckets —
@@ -562,7 +567,7 @@ def embedding_neardup_q(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     twin; the production path is ``embedding_neardup_capped`` (the
     ×100 pathology of this one is measured in SCALE.md)."""
     e = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, threshold=0.35, n_planes=4)
+    return embedding_neardup_pairs(e, threshold_micro=350_000, n_planes=4)
 
 
 _ENDUP_CAP = 32
@@ -583,10 +588,10 @@ bucketed0 AS (
   SELECT b0.* FROM bucketed0 b0 JOIN bc USING (bucket)
   WHERE bc.bn <= {_ENDUP_CAP}
 )
-SELECT a.id AS id_a, b.id AS id_b, {_O_COS} AS cosine
+SELECT a.id AS id_a, b.id AS id_b, {_O_COS} AS cosine_u
 FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.id < b.id
-WHERE {_O_COS} >= 0.35
+WHERE {_O_COS} >= 350000
 """)
 def embedding_neardup_capped(spark: "SparkSession",
                              sf_dir: str) -> "DataFrame":
@@ -601,7 +606,7 @@ def embedding_neardup_capped(spark: "SparkSession",
     duplicate mass through md5-exact dedup in production.
     """
     e = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, threshold=0.35, n_planes=4,
+    return embedding_neardup_pairs(e, threshold_micro=350_000, n_planes=4,
                                    max_bucket=_ENDUP_CAP)
 
 

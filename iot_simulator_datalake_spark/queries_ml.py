@@ -358,15 +358,15 @@ WITH emb AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec,
 probes AS (SELECT * FROM emb WHERE vec_id < 10),
 scored AS (
   SELECT b.vec_id AS probe_id, b.label AS probe_label,
-         a.vec_id AS vec_id, a.label AS neg_label, {_O_COS} AS score
+         a.vec_id AS vec_id, a.label AS neg_label, {_O_COS} AS score_u
   FROM emb a, probes b
   WHERE a.vec_id <> b.vec_id AND a.label <> b.label
 )
-SELECT probe_id, probe_label, vec_id, neg_label, score,
+SELECT probe_id, probe_label, vec_id, neg_label, score_u,
        rank::INT AS rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rank
+      PARTITION BY probe_id ORDER BY score_u DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= 5
 """)
@@ -394,7 +394,7 @@ def hard_negative_mining(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         corpus_payload=("neg_label",), probe_payload=("probe_label",),
         pair_filter=F.col("neg_label") != F.col("probe_label")) \
         .select("probe_id", "probe_label", "vec_id", "neg_label",
-                "score", "rank")
+                "score_u", "rank")
 
 
 @q("label_balance_resample", ("A1", "W1", "W3"), oracle="""

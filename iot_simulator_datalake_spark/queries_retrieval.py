@@ -762,7 +762,7 @@ WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
 probe AS (SELECT * FROM emb WHERE vec_id = 0),
 scored AS (
   SELECT a.vec_id AS id, a.vec,
-         CAST(ROUND(list_dot_product(a.vec, b.vec) /
+         CAST(floor(list_dot_product(a.vec, b.vec) /
               (sqrt(list_dot_product(a.vec, a.vec)) *
                sqrt(list_dot_product(b.vec, b.vec))) * 1e6) AS BIGINT)
              AS rel
@@ -775,7 +775,7 @@ rel AS (
 ),
 sims AS (
   SELECT a.id AS a, b.id AS b,
-         CAST(ROUND(list_dot_product(a.vec, b.vec) /
+         CAST(floor(list_dot_product(a.vec, b.vec) /
               (sqrt(list_dot_product(a.vec, a.vec)) *
                sqrt(list_dot_product(b.vec, b.vec))) * 1e6) AS BIGINT)
              AS sim
@@ -810,19 +810,16 @@ def mmr_diverse_rerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     cands = (brute_force_topk(e, e.filter(F.col("vec_id") == 0),
                               k=m["cands"])
              .select(F.col("vec_id").alias("id"),
-                     F.round(F.col("score") * 1e6).cast("long")
-                     .alias("rel")))
+                     F.col("score_u").alias("rel")))
     vecs = e.select(F.col("vec_id").alias("id"), "embedding")
     rel = cands.join(vecs, "id").cache()
     a = rel.select(F.col("id").alias("a"), F.col("embedding").alias("va"))
     b = rel.select(F.col("id").alias("b"), F.col("embedding").alias("vb"))
-    from .functions.vector import cosine_similarity
+    from .functions.vector import cosine_micro
     sims = (a.join(b, F.col("a") != F.col("b"))
             .select("a", "b",
-                    F.round(cosine_similarity(
-                        F.col("va"), F.col("vb"),
-                        scale=None) * 1e6)
-                    .cast("long").alias("sim")).cache())
+                    cosine_micro(F.col("va"), F.col("vb"))
+                    .alias("sim")).cache())
 
     first = rel.orderBy(F.col("rel").desc(), "id").limit(1) \
         .select("id").collect()[0]["id"]
