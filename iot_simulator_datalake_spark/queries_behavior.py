@@ -327,22 +327,22 @@ WITH u AS (
 )
 SELECT signup_week, n, k,
        CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
-       ROUND(((CAST(k AS DOUBLE) / n + (1.96::DOUBLE * 1.96::DOUBLE)
+       CAST(floor(((CAST(k AS DOUBLE) / n + (1.96::DOUBLE * 1.96::DOUBLE)
                  / (2 * CAST(n AS DOUBLE)))
               - 1.96::DOUBLE * SQRT((CAST(k AS DOUBLE) / n)
                   * (1 - CAST(k AS DOUBLE) / n) / CAST(n AS DOUBLE)
                   + (1.96::DOUBLE * 1.96::DOUBLE)
                     / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-             / (1 + (1.96::DOUBLE * 1.96::DOUBLE) / CAST(n AS DOUBLE)),
-             9) AS wilson_lo,
-       ROUND(((CAST(k AS DOUBLE) / n + (1.96::DOUBLE * 1.96::DOUBLE)
+             / (1 + (1.96::DOUBLE * 1.96::DOUBLE) / CAST(n AS DOUBLE))
+             * 1e9) AS BIGINT) AS wilson_lo_nano,
+       CAST(floor(((CAST(k AS DOUBLE) / n + (1.96::DOUBLE * 1.96::DOUBLE)
                  / (2 * CAST(n AS DOUBLE)))
               + 1.96::DOUBLE * SQRT((CAST(k AS DOUBLE) / n)
                   * (1 - CAST(k AS DOUBLE) / n) / CAST(n AS DOUBLE)
                   + (1.96::DOUBLE * 1.96::DOUBLE)
                     / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-             / (1 + (1.96::DOUBLE * 1.96::DOUBLE) / CAST(n AS DOUBLE)),
-             9) AS wilson_hi
+             / (1 + (1.96::DOUBLE * 1.96::DOUBLE) / CAST(n AS DOUBLE))
+             * 1e9) AS BIGINT) AS wilson_hi_nano
 FROM g
 """)
 def conversion_rate_wilson(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -350,7 +350,8 @@ def conversion_rate_wilson(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     95% score interval — the uncertainty-aware form of the funnel
     metric (a 3/4 cohort and a 3000/4000 cohort have the same point
     rate and very different intervals; dashboards that omit the
-    interval invite bad ship decisions).
+    interval invite bad ship decisions).  Bounds are emitted in
+    integer nano-units (floor(x·1e9), BIGINT).
 
     Scale design: one conditional-aggregation pass per user (map-side
     combined on user_id — the same shuffle every behavioral query
@@ -381,8 +382,13 @@ def conversion_rate_wilson(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return g.select(
         "signup_week", "n", "k",
         F.expr("k * 1000000 div n").alias("rate_ppm"),
-        F.round((center - half) / denom, 9).alias("wilson_lo"),
-        F.round((center + half) / denom, 9).alias("wilson_hi"))
+        # interval bounds in integer NANO-UNITS (floor(x*1e9)) — the
+        # repo determinism recipe; fractional ROUND(x, 9) was the
+        # HALF_UP cross-engine hazard.  Bounds are finite for n ≥ 1.
+        F.floor((center - half) / denom * F.lit(1e9)).cast("long")
+        .alias("wilson_lo_nano"),
+        F.floor((center + half) / denom * F.lit(1e9)).cast("long")
+        .alias("wilson_hi_nano"))
 
 
 # =========================================================================

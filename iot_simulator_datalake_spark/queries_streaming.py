@@ -612,12 +612,17 @@ def streaming_anomaly_scores(spark: "SparkSession",
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
     v = F.col("value")
-    z = F.round((v - F.col("s1") / F.col("n")) /
-                F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") /
-                        F.col("n")) / (F.col("n") - 1)), 4)
+    # micro-unit z (floor(z*1e6)) + degenerate-group guard — must stay
+    # in lockstep with the batch twin anomaly_zscore (shared oracle)
+    s1c, s2c, nc = F.col("s1"), F.col("s2"), F.col("n")
+    z_u = F.floor((v - s1c / nc) /
+                  F.sqrt((s2c - s1c * s1c / nc) / (nc - 1))
+                  * F.lit(1e6)).cast("long")
     scored = (stream.join(F.broadcast(mom), "user_id")
-              .select("event_id", "user_id", "value", z.alias("z"))
-              .filter(F.abs(F.col("z")) > 1.5))
+              .filter((nc > 1) & (s2c - s1c * s1c / nc > 0))
+              .select("event_id", "user_id", "value", z_u.alias("z_u"))
+              .filter((F.col("z_u") > 1_500_000)
+                      | (F.col("z_u") < -1_500_000)))
     name = f"stream_zscore_{uuid.uuid4().hex[:8]}"
     writer = (scored.writeStream.outputMode("append")
               .format("memory").queryName(name))

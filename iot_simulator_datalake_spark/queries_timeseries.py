@@ -160,12 +160,14 @@ WITH m AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id)
 )
-SELECT event_id, user_id, value,
-       ROUND((value - s1 / n) /
-             SQRT((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
-FROM m
-WHERE ABS(ROUND((value - s1 / n) /
-                SQRT((s2 - s1 * s1 / n) / (n - 1)), 4)) > 1.5
+, zz AS (
+  SELECT event_id, user_id, value,
+         CAST(floor((value - s1 / n) /
+               SQRT((s2 - s1 * s1 / n) / (n - 1)) * 1e6) AS BIGINT) AS z_u
+  FROM m
+  WHERE n > 1 AND (s2 - s1 * s1 / n) > 0
+)
+SELECT * FROM zz WHERE z_u > 1500000 OR z_u < -1500000
 """
 
 
@@ -175,7 +177,8 @@ def anomaly_zscore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     Σv and Σv² accumulate as DECIMAL (2-dp inputs square to exactly
     4 dp, so both sums are exact and order-independent), and only the
     final mean/variance/sqrt arithmetic runs in doubles — identical
-    expressions on both engines, rounded to 4 dp.
+    expressions on both engines, quantized to integer micro-units
+    (floor(z·1e6)) for the cross-engine hash compare.
 
     Shape: one shuffle on ``user_id``; the whole-partition window keeps
     per-key state to three numbers.  For heavy-hitter keys at 100 TB
@@ -190,10 +193,21 @@ def anomaly_zscore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     s2 = F.sum((v.cast("decimal(18,4)") * v.cast("decimal(18,4)"))
                .cast("decimal(38,8)")).over(w).cast("double")
     n = F.count(v).over(w).cast("double")
-    z = F.round((v - s1 / n) /
-                F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
-    return (e.select("event_id", "user_id", "value", z.alias("z"))
-            .filter(F.abs(F.col("z")) > 1.5))
+    # z in integer MICRO-UNITS (floor(z*1e6), BIGINT) — the repo-wide
+    # determinism recipe; ROUND(z, 4) was the fractional-ROUND HALF_UP
+    # cross-engine hazard class.  Degenerate groups (n=1, zero
+    # variance) are excluded by the same guard on both engines, so no
+    # ±inf/NaN reaches the floor.
+    m = e.select("event_id", "user_id", "value",
+                 s1.alias("s1"), s2.alias("s2"), n.alias("n"))
+    s1c, s2c, nc = F.col("s1"), F.col("s2"), F.col("n")
+    z_u = F.floor((v - s1c / nc) /
+                  F.sqrt((s2c - s1c * s1c / nc) / (nc - 1))
+                  * F.lit(1e6)).cast("long")
+    return (m.filter((nc > 1) & (s2c - s1c * s1c / nc > 0))
+            .select("event_id", "user_id", "value", z_u.alias("z_u"))
+            .filter((F.col("z_u") > 1_500_000)
+                    | (F.col("z_u") < -1_500_000)))
 
 
 # =========================================================================
@@ -493,10 +507,11 @@ WITH d AS (
   WINDOW w AS (ORDER BY day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
 )
 SELECT day, CAST(n AS BIGINT) AS n_days,
-       ROUND((n * sxy - sx * sy) /
-             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 9)
-           AS rolling_r
-FROM m WHERE n >= 10
+       CAST(floor((n * sxy - sx * sy) /
+             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) * 1e9)
+            AS BIGINT) AS rolling_r_nano
+FROM m
+WHERE n >= 10 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
 """)
 def rolling_corr_30d(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Rolling 30-day Pearson correlation between daily shipped
@@ -536,9 +551,14 @@ def rolling_corr_30d(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     r = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) *
                                F.sqrt(n * syy - sy * sy))
-    return (m.filter(n >= 10)
+    # nano-unit integer r (floor(r*1e9)) — fractional ROUND(r, 9) was
+    # the cross-engine HALF_UP hazard; zero-variance frames (either
+    # side constant) are excluded by the same guard on both engines.
+    return (m.filter((n >= 10) & (n * sxx - sx * sx > 0)
+                     & (n * syy - sy * sy > 0))
             .select("day", n.cast("long").alias("n_days"),
-                    F.round(r, 9).alias("rolling_r")))
+                    F.floor(r * F.lit(1e9)).cast("long")
+                    .alias("rolling_r_nano")))
 
 
 # =========================================================================
