@@ -9,10 +9,10 @@ from .text import (
     regex_token_count,
     tokens,
 )
-from .vector import cosine_similarity, dot, l2_norm
+from .vector import cosine_micro, cosine_similarity, dot, l2_norm
 
 __all__ = [
     "tokens", "ngrams", "language_id", "quality_score",
     "regex_token_count", "fingerprint", "LANG_LEXICONS",
-    "cosine_similarity", "dot", "l2_norm",
+    "cosine_micro", "cosine_similarity", "dot", "l2_norm",
 ]

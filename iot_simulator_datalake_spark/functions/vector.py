@@ -35,6 +35,10 @@ def cosine_similarity(a: Column, b: Column,
                       scale: int | None = None) -> Column:
     """Cosine similarity (raw double by default).
 
+    BEHAVIOR CHANGE (round 6): the default ``scale`` moved from 6 to
+    ``None`` — callers now get the raw double unless they opt into
+    rounding explicitly.
+
     For any HASH-COMPARED output use :func:`cosine_micro` instead —
     ``F.round(sim, n)`` with fractional ``n`` re-enters the
     HALF_UP-vs-scaled-double cross-engine boundary class the repo's

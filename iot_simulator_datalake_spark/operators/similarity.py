@@ -61,15 +61,20 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     # functions.vector.cosine_micro; fractional ROUND was the
     # HALF_UP cross-engine hazard class).
     from ..functions.vector import dot, l2_norm
+    # Zero-norm guard: floor(NaN) is 0 on Spark (ranks mid-list) but a
+    # CAST error on DuckDB — drop degenerate vectors before scoring so
+    # both engines see only finite cosines.  (Test embeddings have no
+    # zero-norm rows, so the oracle needs no matching WHERE.)
     p = probes.select(
         F.col(probe_id_col or id_col).alias("probe_id"),
         F.col(probe_vec_col or vec_col).alias("probe_vec"),
         l2_norm(F.col(probe_vec_col or vec_col)).alias("probe_norm"),
-        *[F.col(c) for c in probe_payload])
+        *[F.col(c) for c in probe_payload]).filter(F.col("probe_norm") > 0)
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("vec"),
                       l2_norm(F.col(vec_col)).alias("norm"),
-                      *[F.col(c) for c in corpus_payload])
+                      *[F.col(c) for c in corpus_payload]
+                      ).filter(F.col("norm") > 0)
     scored = (c.crossJoin(F.broadcast(p))
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", *probe_payload, "vec_id",
@@ -137,14 +142,16 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("vec"),
-                      l2_norm(F.col(vec_col)).alias("norm")),
+                      l2_norm(F.col(vec_col)).alias("norm"))
+        .filter(F.col("norm") > 0),  # zero-norm guard (see exact_topk)
         cents, vec_col="vec")
     # multi-probe: each probe searches its n_probe nearest cells —
     # recall rises with n_probe at a linear cost in scored candidates
     # (n_probe/n_centroids of the corpus per probe)
     p = probes.select(F.col(id_col).alias("probe_id"),
                       F.col(vec_col).alias("probe_vec"),
-                      l2_norm(F.col(vec_col)).alias("probe_norm"))
+                      l2_norm(F.col(vec_col)).alias("probe_norm")
+                      ).filter(F.col("probe_norm") > 0)
     p_scored = (p.crossJoin(F.broadcast(cents))
                 .withColumn("_dist",
                             -cosine_micro(F.col("probe_vec"),
@@ -198,7 +205,8 @@ def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     from ..functions.vector import dot, l2_norm
     v = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
          .withColumn("bucket", sign_bucket(F.col("vec"), n_planes))
-         .withColumn("norm", l2_norm(F.col("vec"))))
+         .withColumn("norm", l2_norm(F.col("vec")))
+         .filter(F.col("norm") > 0))  # zero-norm guard (see exact_topk)
     if max_bucket is not None:
         counts = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
         v = (v.join(counts, "bucket")
@@ -227,11 +235,13 @@ def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     c = (corpus.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("vec"))
          .withColumn("bucket", sign_bucket(F.col("vec"), n_planes))
-         .withColumn("norm", l2_norm(F.col("vec"))))
+         .withColumn("norm", l2_norm(F.col("vec")))
+         .filter(F.col("norm") > 0))  # zero-norm guard (see exact_topk)
     p = (probes.select(F.col(id_col).alias("probe_id"),
                        F.col(vec_col).alias("probe_vec"))
          .withColumn("bucket", sign_bucket(F.col("probe_vec"), n_planes))
-         .withColumn("probe_norm", l2_norm(F.col("probe_vec"))))
+         .withColumn("probe_norm", l2_norm(F.col("probe_vec")))
+         .filter(F.col("probe_norm") > 0))
     scored = (c.join(F.broadcast(p), "bucket")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",

@@ -204,6 +204,13 @@ def anomaly_zscore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     z_u = F.floor((v - s1c / nc) /
                   F.sqrt((s2c - s1c * s1c / nc) / (nc - 1))
                   * F.lit(1e6)).cast("long")
+    # NOTE the floor-based flag is asymmetric by one micro-unit around
+    # ±1.5: positives need z ≥ 1.500001 (floor(z·1e6) > 1_500_000)
+    # while negatives flag at any z < -1.5 strictly.  Acceptable for
+    # determinism — both engines apply the identical rule — but any
+    # future threshold edit must keep BOTH signs and BOTH engines (the
+    # streaming twin in queries_streaming.py uses the same rule)
+    # intentional together.
     return (m.filter((nc > 1) & (s2c - s1c * s1c / nc > 0))
             .select("event_id", "user_id", "value", z_u.alias("z_u"))
             .filter((F.col("z_u") > 1_500_000)

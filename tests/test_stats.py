@@ -265,7 +265,9 @@ def test_rolling_corr_windows_are_correct(spark):
         xs = np.array([x for x, _ in win], dtype=float)
         ys = np.array([y for _, y in win], dtype=float)
         want = float(np.corrcoef(xs, ys)[0, 1])
-        assert abs(r["rolling_r"] - want) < 1e-6
+        # rolling_r_nano is floor(r * 1e9); /1e9 reintroduces at most
+        # 1 nano-unit of floor bias on top of the float tolerance
+        assert abs(r["rolling_r_nano"] / 1e9 - want) < 1e-6 + 1e-9
 
 
 def test_event_trigrams_reproduce(spark):

@@ -27,12 +27,14 @@ def test_wilson_interval_reproduces_and_brackets(spark):
         denom = 1 + z * z / n
         center = p + z * z / (2 * n)
         half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
-        assert math.isclose(r["wilson_lo"], (center - half) / denom,
-                            abs_tol=1e-8)
-        assert math.isclose(r["wilson_hi"], (center + half) / denom,
-                            abs_tol=1e-8)
-        assert 0 <= r["wilson_lo"] <= p + 1e-12
-        assert p - 1e-12 <= r["wilson_hi"] <= 1
+        # bounds are floor(x * 1e9) integer nano-units; allow 1 ulp of
+        # slack for the floor landing on either side of a float boundary
+        lo_want = math.floor((center - half) / denom * 1e9)
+        hi_want = math.floor((center + half) / denom * 1e9)
+        assert abs(r["wilson_lo_nano"] - lo_want) <= 1
+        assert abs(r["wilson_hi_nano"] - hi_want) <= 1
+        assert 0 <= r["wilson_lo_nano"] <= p * 1e9 + 1
+        assert p * 1e9 - 1 <= r["wilson_hi_nano"] <= 1e9
         assert r["rate_ppm"] == k * 1_000_000 // n
 
 
