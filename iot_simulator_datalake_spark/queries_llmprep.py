@@ -226,41 +226,110 @@ def contamination_ngram(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # Token-length quantile gate ([EXT])
 # =========================================================================
 
-_QGATE = dict(lo=0.05, hi=0.95)
+_QGATE = dict(lo_pct=5, hi_pct=95)  # integer percents — exact rational
 
 
 @q("length_quantile_filter", ("P6", "A8"), oracle=f"""
 WITH n AS (
   SELECT doc_id, len({O_TOKENS.format(c='text')}) AS n_toks FROM documents
+), c AS (
+  SELECT COUNT(*) AS cnt FROM n
+), vc AS (
+  SELECT n_toks, COUNT(*) AS ct FROM n GROUP BY 1
+), cum AS (
+  SELECT n_toks,
+         SUM(ct) OVER (ORDER BY n_toks) - ct AS lo_rk,
+         SUM(ct) OVER (ORDER BY n_toks) - 1 AS hi_rk
+  FROM vc
+), pos AS (
+  SELECT ((cnt - 1) * {_QGATE["lo_pct"]}) // 100 AS k_lo,
+         ((cnt - 1) * {_QGATE["lo_pct"]}) % 100 AS r_lo,
+         ((cnt - 1) * {_QGATE["hi_pct"]}) // 100 AS k_hi,
+         ((cnt - 1) * {_QGATE["hi_pct"]}) % 100 AS r_hi
+  FROM c
+), comp AS (
+  SELECT
+    MAX(CASE WHEN lo_rk <= k_lo AND k_lo <= hi_rk
+             THEN n_toks END) AS a_lo,
+    MAX(CASE WHEN lo_rk <= k_lo + 1 AND k_lo + 1 <= hi_rk
+             THEN n_toks END) AS b_lo,
+    MAX(CASE WHEN lo_rk <= k_hi AND k_hi <= hi_rk
+             THEN n_toks END) AS a_hi,
+    MAX(CASE WHEN lo_rk <= k_hi + 1 AND k_hi + 1 <= hi_rk
+             THEN n_toks END) AS b_hi,
+    MAX(r_lo) AS r_lo, MAX(r_hi) AS r_hi
+  FROM cum, pos
 ), b AS (
-  SELECT ROUND(quantile_cont(n_toks, {_QGATE["lo"]}), 6) AS lo,
-         ROUND(quantile_cont(n_toks, {_QGATE["hi"]}), 6) AS hi
-  FROM n
+  SELECT 100 * a_lo + CASE WHEN r_lo = 0 THEN 0
+                           ELSE r_lo * (b_lo - a_lo) END AS lo_s,
+         100 * a_hi + CASE WHEN r_hi = 0 THEN 0
+                           ELSE r_hi * (b_hi - a_hi) END AS hi_s
+  FROM comp
 )
 SELECT doc_id, CAST(n_toks AS INT) AS n_toks
 FROM n, b
-WHERE n_toks >= b.lo AND n_toks <= b.hi
+WHERE 100 * n_toks >= b.lo_s AND 100 * n_toks <= b.hi_s
 """)
 def length_quantile_filter(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Docs whose token count lies within the corpus's [p05, p95] —
     the distribution-relative length gate (absolute thresholds from
     text_quality_score don't transfer across corpora; quantiles do).
 
-    Shape: one tiny global aggregate (two exact interpolated
-    percentiles — both engines use the same (1-g)·a + g·b formula,
-    rounded to 6 dp for stability) cross-joined back as a 1-row
-    broadcast, then a map-side filter.  At 100 TB the percentile
-    becomes ``approx_percentile`` (KLL/GK sketch) with the same plan
-    shape — the gate stays two passes, no wide shuffle.
+    Determinism: the interpolated percentile of INTEGER token counts
+    at an INTEGER percent p is an exact rational — with idx·100 =
+    (N-1)·p = 100·k + r, quantile·100 = 100·a + r·(b-a) where a, b
+    are the order statistics at 0-based ranks k, k+1 — so the gate
+    compares 100·n_toks against integer bounds with no float anywhere
+    (the old path ROUNDed the engines' float (1-g)·a + g·b
+    interpolations to 6 dp — the repo's HALF_UP cross-engine hazard
+    class).  Order statistics come from cumulative counts over the
+    DISTINCT-value histogram (bounded by max document length), not a
+    corpus-wide sort; when r>0, rank k+1 always exists (k < N-1).
+
+    Shape: histogram aggregate → tiny unpartitioned cumsum window
+    over distinct lengths → 1-row bounds cross-joined back as a
+    broadcast, then a map-side filter.  At 100 TB the histogram is
+    one map-side-combining shuffle on n_toks and the window stays
+    tiny; the same plan degrades gracefully to ``approx_percentile``
+    if lengths were unbounded.
     """
     d = load(spark, sf_dir, "documents")
     nt = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_toks"))
-    bounds = nt.agg(
-        F.round(F.percentile("n_toks", _QGATE["lo"]), 6).alias("lo"),
-        F.round(F.percentile("n_toks", _QGATE["hi"]), 6).alias("hi"))
+    cnt = nt.agg(F.count(F.lit(1)).alias("cnt"))
+    vc = nt.groupBy("n_toks").agg(F.count(F.lit(1)).alias("ct"))
+    wcum = W.orderBy("n_toks").rowsBetween(W.unboundedPreceding,
+                                           W.currentRow)
+    cum = vc.select("n_toks",
+                    (F.sum("ct").over(wcum) - F.col("ct")).alias("lo_rk"),
+                    (F.sum("ct").over(wcum) - 1).alias("hi_rk"))
+    lo_p, hi_p = _QGATE["lo_pct"], _QGATE["hi_pct"]
+    ranks = cum.crossJoin(F.broadcast(cnt)).select(
+        "n_toks", "lo_rk", "hi_rk",
+        F.expr(f"((cnt - 1) * {lo_p}) div 100").alias("k_lo"),
+        F.expr(f"((cnt - 1) * {lo_p}) % 100").alias("r_lo"),
+        F.expr(f"((cnt - 1) * {hi_p}) div 100").alias("k_hi"),
+        F.expr(f"((cnt - 1) * {hi_p}) % 100").alias("r_hi"))
+
+    def _at(rank_col: str, off: int = 0):
+        rk = F.col(rank_col) + off
+        return F.max(F.when((F.col("lo_rk") <= rk)
+                            & (rk <= F.col("hi_rk")), F.col("n_toks")))
+
+    comp = ranks.agg(_at("k_lo").alias("a_lo"), _at("k_lo", 1).alias("b_lo"),
+                     _at("k_hi").alias("a_hi"), _at("k_hi", 1).alias("b_hi"),
+                     F.max("r_lo").alias("r_lo"), F.max("r_hi").alias("r_hi"))
+    bounds = comp.select(
+        (100 * F.col("a_lo")
+         + F.when(F.col("r_lo") == 0, F.lit(0))
+            .otherwise(F.col("r_lo") * (F.col("b_lo") - F.col("a_lo"))))
+        .alias("lo_s"),
+        (100 * F.col("a_hi")
+         + F.when(F.col("r_hi") == 0, F.lit(0))
+            .otherwise(F.col("r_hi") * (F.col("b_hi") - F.col("a_hi"))))
+        .alias("hi_s"))
     return (nt.crossJoin(F.broadcast(bounds))
-            .where((F.col("n_toks") >= F.col("lo"))
-                   & (F.col("n_toks") <= F.col("hi")))
+            .where((100 * F.col("n_toks") >= F.col("lo_s"))
+                   & (100 * F.col("n_toks") <= F.col("hi_s")))
             .select("doc_id", F.col("n_toks").cast("int").alias("n_toks")))
 
 

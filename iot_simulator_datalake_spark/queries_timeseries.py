@@ -35,9 +35,11 @@ if TYPE_CHECKING:  # pragma: no cover
 # Gap fill + linear interpolation over a per-key date spine
 # =========================================================================
 
-@q("ts_gap_fill_interpolate", ("A6", "W1", "F2", "F7"), oracle=f"""
+@q("ts_gap_fill_interpolate", ("A6", "W1", "F2", "F7"), oracle="""
 WITH daily AS (
-  SELECT user_id, CAST(ts AS DATE) AS d, {oavg('value')} AS v
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         100 * SUM(CAST(ROUND(value * 10000) AS BIGINT))
+           // COUNT(value) AS v_u
   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 ), b AS (
   SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
@@ -46,16 +48,16 @@ WITH daily AS (
          CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
   FROM b
 ), s AS (
-  SELECT spine.user_id, spine.d, daily.v
+  SELECT spine.user_id, spine.d, daily.v_u
   FROM spine LEFT JOIN daily
     ON spine.user_id = daily.user_id AND spine.d = daily.d
 ), fill AS (
-  SELECT user_id, d, v,
-         LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
-         LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+  SELECT user_id, d, v_u,
+         LAST_VALUE(v_u IGNORE NULLS) OVER wp AS pvu,
+         LAST_VALUE(CASE WHEN v_u IS NOT NULL THEN d END IGNORE NULLS)
            OVER wp AS pd,
-         FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
-         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+         FIRST_VALUE(v_u IGNORE NULLS) OVER wn AS nvu,
+         FIRST_VALUE(CASE WHEN v_u IS NOT NULL THEN d END IGNORE NULLS)
            OVER wn AS nd
   FROM s
   WINDOW wp AS (PARTITION BY user_id ORDER BY d
@@ -64,20 +66,18 @@ WITH daily AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 , units AS (
-  SELECT user_id, d, v,
-         CAST(ROUND(pv * 1000000) AS BIGINT) AS pvu,
-         CAST(ROUND(nv * 1000000) AS BIGINT) AS nvu,
+  SELECT user_id, d, v_u, pvu, nvu,
          date_diff('day', pd, d) AS dd_prev,
          date_diff('day', d, nd) AS dd_next,
          date_diff('day', pd, nd) AS den
   FROM fill
 )
 SELECT user_id, d AS day,
-       CASE WHEN v IS NOT NULL THEN v
-            ELSE CAST((2 * (pvu * dd_next + nvu * dd_prev) + den)
-                      // (2 * NULLIF(den, 0)) AS DOUBLE) / 1000000.0
-       END AS value_filled,
-       CAST(v IS NULL AS INT) AS interpolated
+       CAST(CASE WHEN v_u IS NOT NULL THEN v_u
+            ELSE (2 * (pvu * dd_next + nvu * dd_prev) + den)
+                 // (2 * NULLIF(den, 0))
+       END AS BIGINT) AS value_filled_u,
+       CAST(v_u IS NULL AS INT) AS interpolated
 FROM units
 """)
 def ts_gap_fill_interpolate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -95,18 +95,20 @@ def ts_gap_fill_interpolate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     days-per-device (bounded, e.g. ≤ a retention window), never
     rows × rows.
 
-    Determinism: the interpolated value is computed in integer
-    micro-units — neighbors scale to BIGINT by 1e6, the weighted mean
-    rounds half-up as ``(2n + d) div 2d`` entirely in integers, and
-    only the final ÷1e6 touches doubles (same two operands on both
-    engines → identical bits).  A float-side ROUND instead lands on
-    decimal .5 ties (e.g. the midpoint of two 6-dp values) that Spark
-    and DuckDB break differently in binary."""
+    Determinism: the whole series is integer micro-units end-to-end —
+    4-dp readings scale to exact deci-milli ints, the daily mean is
+    ONE integer floor-division ``(100·Σvq) div count`` (v_u =
+    floor(mean·1e6); the old 6-dp ROUND of the double quotient was
+    the HALF_UP cross-engine hazard class), gap rows interpolate the
+    neighbor v_u's half-up as ``(2n + d) div 2d`` entirely in
+    integers, and the output column ``value_filled_u`` stays BIGINT.
+    All operands non-negative (value ≥ 0), so Spark's ``div`` and
+    DuckDB's ``//`` agree."""
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = (e.groupBy("user_id", F.col("ts").cast("date").alias("d"))
-             .agg(F.round(
-                 F.sum(F.col("value").cast("decimal(25,4)")).cast("double")
-                 / F.count("value"), 6).alias("v")))
+             .agg(F.expr(
+                 "100 * sum(CAST(round(value * 10000, 0) AS BIGINT))"
+                 " div count(value)").alias("v_u")))
     spine = (daily.groupBy("user_id")
              .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
              .select("user_id",
@@ -116,19 +118,15 @@ def ts_gap_fill_interpolate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     wn = (W.partitionBy("user_id").orderBy("d")
           .rowsBetween(W.currentRow, W.unboundedFollowing))
-    v, d = F.col("v"), F.col("d")
+    v, d = F.col("v_u"), F.col("d")
     pv = F.last(v, ignorenulls=True).over(wp)
     pd_ = F.last(F.when(v.isNotNull(), d), ignorenulls=True).over(wp)
     nv = F.first(v, ignorenulls=True).over(wn)
     nd = F.first(F.when(v.isNotNull(), d), ignorenulls=True).over(wn)
-    units = (s.withColumn("pv", pv).withColumn("pd", pd_)
-             .withColumn("nv", nv).withColumn("nd", nd)
+    units = (s.withColumn("pvu", pv).withColumn("pd", pd_)
+             .withColumn("nvu", nv).withColumn("nd", nd)
              .select(
-                 "user_id", d, v,
-                 F.round(F.col("pv") * 1_000_000).cast("bigint")
-                  .alias("pvu"),
-                 F.round(F.col("nv") * 1_000_000).cast("bigint")
-                  .alias("nvu"),
+                 "user_id", d, v, "pvu", "nvu",
                  F.datediff(d, F.col("pd")).cast("bigint").alias("dd_prev"),
                  F.datediff(F.col("nd"), d).cast("bigint").alias("dd_next"),
                  F.datediff(F.col("nd"), F.col("pd")).cast("bigint")
@@ -138,9 +136,8 @@ def ts_gap_fill_interpolate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         " div (2 * nullif(den, 0))")
     return units.select(
         "user_id", d.alias("day"),
-        F.when(v.isNotNull(), v)
-         .otherwise(interp_u.cast("double") / F.lit(1_000_000.0))
-         .alias("value_filled"),
+        F.when(v.isNotNull(), v).otherwise(interp_u)
+         .cast("bigint").alias("value_filled_u"),
         v.isNull().cast("int").alias("interpolated"))
 
 
@@ -270,8 +267,8 @@ WITH seq AS (
 )
 SELECT user_id,
        CAST(SUM(dur_s) AS BIGINT) AS active_sec,
-       ROUND(CAST(SUM(vq * dur_s) AS DOUBLE)
-             / (10000.0 * SUM(dur_s)), 6) AS twa_value
+       CAST(SUM(CAST(vq AS HUGEINT) * dur_s) * 100 // SUM(dur_s)
+            AS BIGINT) AS twa_u
 FROM seg WHERE dur_s > 0 GROUP BY user_id
 """)
 def time_weighted_avg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -283,8 +280,14 @@ def time_weighted_avg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     One shuffle on user_id: LEAD gives the segment end, then a plain
     aggregate.  Exactness: 4-dp values scale to integer deci-milli
     units and durations truncate to whole seconds, so the weighted sum
-    is exact int64 arithmetic (max |vq·dur| ≈ 1e13 per segment) and
-    both engines divide the same two integers once, at the end.
+    is exact integer arithmetic — 128-bit through the aggregate
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT: per-segment vq·dur ≈ 1e13,
+    so a corpus-scale SUM·100 can pass int64) — and the average is
+    ONE integer floor-division at the end, emitted in micro-units
+    (``twa_u`` = floor(twa·1e6); the old 6-dp ROUND of the raw double
+    quotient was the HALF_UP cross-engine hazard class).  Operands
+    are non-negative (value ≥ 0, dur > 0), so Spark's
+    truncate-toward-zero ``div`` and DuckDB's flooring ``//`` agree.
     Zero-length segments (same-second ties) drop on both sides."""
     ev = load(spark, sf_dir, "events")
     wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -298,10 +301,9 @@ def time_weighted_avg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
            .filter(F.col("dur_s") > 0))
     return (seg.groupBy("user_id")
             .agg(F.sum("dur_s").cast("bigint").alias("active_sec"),
-                 F.round(F.sum(F.col("vq") * F.col("dur_s"))
-                         .cast("double") /
-                         (F.lit(10000.0) * F.sum("dur_s")), 6)
-                 .alias("twa_value")))
+                 F.expr("CAST(sum(CAST(vq AS DECIMAL(38,0)) * dur_s)"
+                        " * 100 div sum(dur_s) AS BIGINT)")
+                 .alias("twa_u")))
 
 
 # =========================================================================

@@ -101,6 +101,9 @@ GLOBAL_WINDOW_ALLOW = {
     "revenue_share_of_total",   # nation-grouped aggregate: 25 rows
     "curriculum_order",         # per-value length histogram: |distinct
                                 # n_chars| rows (value-range bounded)
+    "length_quantile_filter",   # cumsum over the distinct-token-count
+                                # histogram: |distinct n_toks| rows
+                                # (doc-length bounded)
 }
 
 #: streaming / engine-run queries execute side effects at build time and
