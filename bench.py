@@ -37,6 +37,36 @@ from iot_simulator_datalake_spark.queries import REGISTRY  # noqa: E402
 from iot_simulator_datalake_spark.session import get_spark  # noqa: E402
 
 
+def calibration_sec(reps: int = 3) -> float:
+    """Co-tenant contamination sentinel: median wall time of a FIXED
+    single-threaded CPU workload (256 md5 passes over a 1 MiB buffer).
+
+    The workload is constant across rounds, so its timing moves only
+    with host contention — never with repo changes.  Compare against
+    the idle reference in BASELINE.md: a materially higher reading
+    (>1.5×) means the query timings in the same JSON are inflated by
+    co-tenants, the round-5 false-1.95× failure mode (BASELINE.md /
+    VERDICT r5 adjudication), and should be adjudicated against an
+    idle re-run rather than read as a regression."""
+    import hashlib
+    buf = b"\x5a" * (1 << 20)
+    ts = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        h = hashlib.md5()
+        for _ in range(256):
+            h.update(buf)
+        ts.append(time.monotonic() - t0)
+    return round(sorted(ts)[len(ts) // 2], 4)
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        return []
+
+
 def _join_nodes(df) -> int:
     """Number of Join nodes in the optimized logical plan."""
     return df._jdf.queryExecution().optimizedPlan().toString().count("Join")
@@ -65,6 +95,7 @@ BASELINE_SUBSET = (
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calib_start, load_start = calibration_sec(), _loadavg()
     spark = get_spark("bench")
 
     names = [n for n, qd in REGISTRY.items() if qd.bench]
@@ -107,6 +138,7 @@ def main() -> None:
     missing = [n for n in BASELINE_SUBSET if n not in timings]
     assert not missing, f"baseline-subset queries absent: {missing}"
     subset = round(sum(timings[n] for n in BASELINE_SUBSET), 3)
+    calib_end, load_end = calibration_sec(), _loadavg()
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -114,6 +146,11 @@ def main() -> None:
         "queries": timings,
         "baseline_subset_sec": subset,
         "aggregation": "median_of_3",
+        # contamination sentinel (calibration_sec docstring): compare
+        # against the idle reference in BASELINE.md before reading the
+        # timings as a regression or a win
+        "calibration_sec": {"start": calib_start, "end": calib_end},
+        "loadavg": {"start": load_start, "end": load_end},
         "full_mat_queries": sorted(needs_full_mat),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
