@@ -954,6 +954,12 @@ def entity_resolution_sorted_neighborhood(spark: "SparkSession",
     dedupe by pair key.  The recall cost of the windows (vs the full
     blocked argmax) is measured, not assumed:
     ``entity_resolution_snm_recall_eval``.
+
+    KNOWN BOUND (measured at ×100 — SCALE.md): under side imbalance
+    the mixed-rank ±w window starves the large side — matched
+    customers plateau at suppliers·2w.
+    ``entity_resolution_blocked_refined`` closes this by taking the
+    window in SUPPLIER-rank space; prefer it when the sides skew.
     """
     pairs = _snm_pairs(spark, sf_dir)
     maxlen = F.greatest(F.length("cname"), F.length("sname")) \
@@ -1038,6 +1044,234 @@ def entity_resolution_snm_recall_eval(spark: "SparkSession",
         eq.cast("int").alias("n_score_equal"),
         (eq.cast("double") / F.count(F.lit(1))).alias("snm_recall"),
         F.sum(F.col("full_u") - F.coalesce(F.col("snm_u"), F.lit(0)))
+        .cast("long").alias("score_shortfall_u"))
+
+
+_ERB_K = 2  # nearest suppliers kept on EACH side of a customer's
+#            per-pass as-of position (candidates per pass = 2K)
+
+#: refined-blocking candidate pairs (oracle twin): suppliers ranked
+#: per nation by each sort key, each customer joined to the 2K
+#: suppliers nearest its as-of position p (= count of strictly-smaller
+#: supplier keys in its nation) — shared by the gated query and its
+#: recall eval
+_O_ERB_PAIRS = f"""
+sup AS (
+  SELECT s_suppkey AS s_id, s_name AS sname,
+         CAST(ROUND(s_acctbal * 100) AS BIGINT) AS sc,
+         s_nationkey AS nation
+  FROM supplier
+), cus AS (
+  SELECT c_custkey AS c_id, c_name AS cname,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cc,
+         c_nationkey AS nation
+  FROM customer
+), srk1 AS (
+  SELECT nation, s_id, sname, sc,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY sc, s_id) AS srk
+  FROM sup
+), srk2 AS (
+  SELECT nation, s_id, sname, sc,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY right(sname, 9), s_id) AS srk
+  FROM sup
+), pos1 AS (
+  SELECT c.c_id, c.cname, c.cc, c.nation, COUNT(s.s_id) AS p
+  FROM cus c LEFT JOIN sup s ON s.nation = c.nation AND s.sc < c.cc
+  GROUP BY 1, 2, 3, 4
+), pos2 AS (
+  SELECT c.c_id, c.cname, c.cc, c.nation, COUNT(s.s_id) AS p
+  FROM cus c LEFT JOIN sup s
+    ON s.nation = c.nation AND right(s.sname, 9) < right(c.cname, 9)
+  GROUP BY 1, 2, 3, 4
+), erb AS (
+  SELECT c.c_id, s.s_id, c.cname, s.sname, c.cc, s.sc
+  FROM pos1 c JOIN srk1 s
+    ON s.nation = c.nation
+   AND s.srk BETWEEN c.p - {_ERB_K - 1} AND c.p + {_ERB_K}
+  UNION
+  SELECT c.c_id, s.s_id, c.cname, s.sname, c.cc, s.sc
+  FROM pos2 c JOIN srk2 s
+    ON s.nation = c.nation
+   AND s.srk BETWEEN c.p - {_ERB_K - 1} AND c.p + {_ERB_K}
+)"""
+
+
+def _refined_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Refined-blocking candidate pairs (c_id, s_id, cname, sname, cc,
+    sc): per sort pass, each customer pairs with the 2K suppliers
+    nearest its as-of position in the SUPPLIER rank order of its
+    nation; shared by the gated query and its recall eval."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c_id"), F.col("c_name").alias("cname"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cc"),
+        F.col("c_nationkey").alias("nation"))
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s_id"), F.col("s_name").alias("sname"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("sc"),
+        F.col("s_nationkey").alias("nation"))
+    k = _ERB_K
+
+    def one_pass(skey, ckey) -> "DataFrame":
+        wr = W.partitionBy("nation").orderBy(skey, "s_id")
+        ranked = s.select("nation", "s_id", "sname", "sc",
+                          F.row_number().over(wr).alias("srk"))
+        # per-nation sorted supplier-key array, broadcast: the as-of
+        # position is computed MAP-SIDE on the customer scan — the
+        # big side never shuffles for it (supplier is dimension-like:
+        # the ×100 imbalance replica holds it fixed while customers
+        # grow, the exact shape this operator is built for)
+        keys = s.groupBy("nation").agg(
+            F.sort_array(F.collect_list(skey)).alias("sk"))
+        pos = (c.join(F.broadcast(keys), "nation", "left")
+               .withColumn("p", F.coalesce(
+                   F.size(F.filter("sk", lambda x: x < ckey)), F.lit(0)))
+               .drop("sk"))
+        cand = pos.select(
+            "c_id", "cname", "cc", "nation",
+            F.explode(F.array(*[F.col("p") + F.lit(d)
+                                for d in range(-k + 1, k + 1)]))
+            .alias("srk"))
+        return (cand.join(F.broadcast(ranked), ["nation", "srk"])
+                .select("c_id", "s_id", "cname", "sname", "cc", "sc"))
+
+    p1 = one_pass(F.col("sc"), F.col("cc"))
+    # right(name, 9), not substring(-9): engine-parity at every length
+    # (see _snm_pairs)
+    p2 = one_pass(F.expr("right(sname, 9)"), F.expr("right(cname, 9)"))
+    # UNION set semantics: a pair found by both passes scores once
+    return p1.union(p2).distinct()
+
+
+@q("entity_resolution_blocked_refined", ("J5", "F11", "W3", "W1"),
+   oracle=f"""
+WITH {_O_ERB_PAIRS}, scored AS (
+  SELECT c_id, s_id, {_O_ER_SCORE} AS score_u FROM erb
+), r AS (
+  SELECT c_id, s_id, score_u,
+         ROW_NUMBER() OVER (PARTITION BY c_id
+                            ORDER BY score_u DESC, s_id) AS rn
+  FROM scored
+)
+SELECT c_id AS customer, s_id AS supplier,
+       CAST(score_u AS DOUBLE) / 1000000.0 AS match_score
+FROM r WHERE rn = 1
+""")
+def entity_resolution_blocked_refined(spark: "SparkSession",
+                                      sf_dir: str) -> "DataFrame":
+    """Record linkage with a REFINED, imbalance-proof blocking scheme —
+    the production answer to the two measured pathologies of its
+    siblings (SCALE.md): ``entity_resolution_best_match``'s fixed
+    25-nation key goes quadratic when both sides grow, and
+    ``entity_resolution_sorted_neighborhood``'s ±w window over the
+    MIXED-side rank starves customers under side imbalance (the ×100
+    replica holds suppliers fixed while customers grow 100× → most
+    customers see zero suppliers within ±16 mixed positions; matched
+    customers plateau at suppliers·2w — measured, queries_ext.py SNM
+    docstring).
+
+    The fix: take the window in SUPPLIER-rank space.  Per sort pass
+    (pass 1 balance cents, pass 2 name digit suffix — one per score
+    signal, classic multi-pass), suppliers are ranked per nation and
+    each customer pairs with the 2K suppliers nearest its as-of
+    position p (count of strictly-smaller supplier keys).  Candidates
+    per customer are EXACTLY 2K per pass no matter how the sides skew
+    — coverage is complete by construction (every customer with ≥1
+    same-nation supplier gets candidates), and the pair space is
+    2·2K·|C|, linear in the growing side with a constant independent
+    of the imbalance ratio.
+
+    Scale shape: the supplier side is dimension-like, so its per-pass
+    rank is a tiny window and its per-nation sorted key arrays
+    broadcast; the as-of position is computed map-side on the customer
+    scan (no customer shuffle), candidates explode to 2K synthetic
+    ranks and hash-join the broadcast ranked suppliers.  Only the
+    final per-customer argmax shuffles the (already 4K-bounded)
+    candidate set.  The recall cost vs the full blocked argmax is
+    measured, not assumed: ``entity_resolution_refined_recall_eval``.
+    """
+    pairs = _refined_pairs(spark, sf_dir)
+    maxlen = F.greatest(F.length("cname"), F.length("sname")) \
+        .cast("long")
+    name_num = (maxlen - F.levenshtein("cname", "sname")) * 700000
+    name_u = ((name_num - name_num % maxlen) / maxlen).cast("long")
+    den = F.abs(F.col("cc")) + F.abs(F.col("sc")) + 100
+    acct_num = (den - F.abs(F.col("cc") - F.col("sc"))) * 300000
+    acct_u = ((acct_num - acct_num % den) / den).cast("long")
+    scored = pairs.select(
+        F.col("c_id").alias("customer"), F.col("s_id").alias("supplier"),
+        (name_u + acct_u).alias("score_u"))
+    wn = W.partitionBy("customer").orderBy(F.col("score_u").desc(),
+                                           F.col("supplier"))
+    return (scored.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("customer", "supplier",
+                    (F.col("score_u").cast("double") / 1000000.0)
+                    .alias("match_score")))
+
+
+@q("entity_resolution_refined_recall_eval", ("J5", "A1"), oracle=f"""
+WITH full_p AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (700000 * (GREATEST(length(c.c_name), length(s.s_name))
+                    - levenshtein(c.c_name, s.s_name)))
+           // GREATEST(length(c.c_name), length(s.s_name))
+       + (300000 * (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                    + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100
+                    - ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                          - CAST(ROUND(s.s_acctbal * 100) AS BIGINT))))
+           // (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+               + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100)
+           AS score_u
+  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+), full_r AS (
+  SELECT c_custkey AS customer, score_u,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY score_u DESC, s_suppkey) AS rn
+  FROM full_p
+), fb AS (SELECT customer, score_u AS full_u FROM full_r WHERE rn = 1),
+{_O_ERB_PAIRS}, ref_r AS (
+  SELECT c_id AS customer, score_u,
+         ROW_NUMBER() OVER (PARTITION BY c_id
+                            ORDER BY score_u DESC, s_id) AS rn
+  FROM (SELECT c_id, s_id, {_O_ER_SCORE} AS score_u FROM erb)
+), rb AS (SELECT customer, score_u AS ref_u FROM ref_r WHERE rn = 1)
+SELECT COUNT(*)::INT AS n_customers,
+       COUNT(rb.ref_u)::INT AS n_ref_matched,
+       COUNT(*) FILTER (WHERE rb.ref_u = fb.full_u)::INT
+         AS n_score_equal,
+       CAST(COUNT(*) FILTER (WHERE rb.ref_u = fb.full_u) AS DOUBLE)
+         / COUNT(*) AS refined_recall,
+       CAST(SUM(fb.full_u - COALESCE(rb.ref_u, 0)) AS BIGINT)
+         AS score_shortfall_u
+FROM fb LEFT JOIN rb USING (customer)
+""")
+def entity_resolution_refined_recall_eval(spark: "SparkSession",
+                                          sf_dir: str) -> "DataFrame":
+    """Trust gate for the refined blocking (the ER analog of
+    ``entity_resolution_snm_recall_eval``): what fraction of customers
+    get a best match AS GOOD AS the full nation-blocked argmax, and —
+    the property the refinement exists for — does every full-matched
+    customer get SOME candidate (``n_ref_matched`` vs ``n_customers``:
+    coverage must be complete by construction, unlike the SNM window
+    whose matched-customer count plateaus at suppliers·2w under
+    imbalance)."""
+    full = (entity_resolution_best_match(spark, sf_dir)
+            .select("customer",
+                    F.round(F.col("match_score") * 1000000)
+                    .cast("long").alias("full_u")))
+    ref = (entity_resolution_blocked_refined(spark, sf_dir)
+           .select("customer",
+                   F.round(F.col("match_score") * 1000000)
+                   .cast("long").alias("ref_u")))
+    both = full.join(ref, "customer", "left")
+    eq = F.count_if(F.col("ref_u") == F.col("full_u"))
+    return both.agg(
+        F.count(F.lit(1)).cast("int").alias("n_customers"),
+        F.count("ref_u").cast("int").alias("n_ref_matched"),
+        eq.cast("int").alias("n_score_equal"),
+        (eq.cast("double") / F.count(F.lit(1))).alias("refined_recall"),
+        F.sum(F.col("full_u") - F.coalesce(F.col("ref_u"), F.lit(0)))
         .cast("long").alias("score_shortfall_u"))
 
 
