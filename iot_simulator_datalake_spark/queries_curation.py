@@ -547,16 +547,20 @@ FROM av v LEFT JOIN mx m ON v.id = m.id
 
 
 def _kmeans_assigned_vectors(spark: "SparkSession", sf_dir: str,
-                             afin: "DataFrame | None" = None
-                             ) -> "DataFrame":
+                             afin: "DataFrame | None" = None,
+                             auto_k: bool = False) -> "DataFrame":
     """(id, vec, cid, norm): embeddings joined to their trained Lloyd
     cell.  ``afin`` lets a caller that needs BOTH kmeans prune
     variants (the recall eval) train once and share the deterministic
-    assignment — Lloyd dominates those queries' runtime."""
+    assignment — Lloyd dominates those queries' runtime.  ``auto_k``
+    derives K from the corpus count (one bounded driver scalar) via
+    :func:`queries_ml.auto_k_of` instead of the pinned K=8."""
     from .functions.vector import l2_norm
-    from .queries_ml import lloyd_final
+    from .queries_ml import auto_k_of, lloyd_final
     if afin is None:
-        _, afin, _ = lloyd_final(spark, sf_dir)
+        k = (auto_k_of(load(spark, sf_dir, "embeddings").count())
+             if auto_k else None)
+        _, afin, _ = lloyd_final(spark, sf_dir, k=k)
     e = load(spark, sf_dir, "embeddings")
     return (e.select(F.col("vec_id").alias("id"),
                      F.col("embedding").cast("array<double>").alias("vec"))
@@ -709,10 +713,10 @@ def _o_subcell(src: str, cell: str) -> str:
 )"""
 
 
-def _semdedup_kmeans_capped_oracle() -> str:
+def _semdedup_kmeans_capped_oracle(auto_k: bool = False) -> str:
     from .queries_ml import _kmeans_assign_ctes
     return f"""
-WITH {_kmeans_assign_ctes()},
+WITH {_kmeans_assign_ctes(auto_k=auto_k)},
 emb AS ({_O_SEM_EMB}),
 av AS (
   SELECT e.vec_id AS id, a.cid, e.vec
@@ -756,6 +760,45 @@ def semdedup_kmeans_prune_capped(spark: "SparkSession", sf_dir: str,
     once, and no single task ever sees more than cap members of any
     cell."""
     v = _subcell(_kmeans_assigned_vectors(spark, sf_dir, afin), "cid")
+    mx = _max_lower_cos_micro(v, ["cid", "sub"])
+    return (v.join(mx, "id", "left")
+            .select(F.col("id").alias("vec_id"),
+                    F.col("cid").cast("int").alias("cluster"),
+                    F.col("sub").cast("int").alias("subcell"),
+                    "max_lower_cos_micro",
+                    F.coalesce(F.col("max_lower_cos_micro") >= _SEM_TAU_MICRO,
+                               F.lit(False)).alias("pruned")))
+
+
+@q("semdedup_autok_prune_capped", ("F10", "J5", "W2", "A1"),
+   oracle=_semdedup_kmeans_capped_oracle(auto_k=True))
+def semdedup_autok_prune_capped(spark: "SparkSession", sf_dir: str
+                                ) -> "DataFrame":
+    """``semdedup_kmeans_prune_capped`` with SemDeDup's OWN
+    K-selection rule applied instead of the pinned K=8: K =
+    max(8, ⌈N / target⌉) derived from the corpus count (Abbas et al.
+    2023 scale K with the corpus — ~11k cells on LAION — precisely so
+    that expected cell size stays constant as data grows).  The K
+    derivation is one bounded driver scalar on the Spark side and the
+    ``kk`` CTE in the oracle — the same exact integer rule, so both
+    engines train the same K (it ENGAGES at the gate SF: 500 vectors
+    → K=10 > 8) and seeds stay the deterministic first-K vec_ids.
+
+    The md5 sub-cell cap still composes inside the trained cells:
+    auto-K bounds the EXPECTED cell size, the cap bounds the worst
+    cell (a degenerate quantizer collapsing cells, one giant
+    near-duplicate cluster — failure modes K-scaling cannot fix), so
+    the pairwise stage is bounded by cells·⌈n/cap⌉·cap² under both
+    the average and the adversarial distribution.
+
+    Scale note (measured family behavior, SCALE.md): the exact Lloyd
+    assignment is N·K distance pairs, so auto-K trades assignment
+    cost for pruning cost — at the 100 TB point the assignment swaps
+    to the coarse-quantizer multi-probe (operators/similarity
+    ``ivf_assign``) with the same downstream cell/cap shape, which is
+    also what SemDeDup's faiss pipeline does."""
+    v = _subcell(_kmeans_assigned_vectors(spark, sf_dir, auto_k=True),
+                 "cid")
     mx = _max_lower_cos_micro(v, ["cid", "sub"])
     return (v.join(mx, "id", "left")
             .select(F.col("id").alias("vec_id"),

@@ -39,6 +39,8 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 _K = 8          # clusters; seeds = vec_id 0..7 (deterministic init)
+_AUTOK_TARGET = 50  # target vectors per cell for the auto-K rule
+#                     (SemDeDup's own K-selection: K ∝ corpus size)
 _DIMS = 64      # embedding width in the driver's table
 _ITERS = 2      # Lloyd rounds (unrolled in the oracle as chained CTEs)
 _SHIFT = 10_000  # positivity shift so div/// agree (module docstring)
@@ -70,16 +72,29 @@ _STEP_SQL = """
 )"""
 
 
-def _kmeans_assign_ctes() -> str:
+def auto_k_of(n: int) -> int:
+    """The auto-K rule: K = max(_K, ⌈n / _AUTOK_TARGET⌉) — exact
+    integer arithmetic, mirrored verbatim in the oracle's ``kk`` CTE,
+    so both engines derive the same K from the same corpus."""
+    return max(_K, -(-n // _AUTOK_TARGET))
+
+
+def _kmeans_assign_ctes(auto_k: bool = False) -> str:
     """WITH-body through the final assignment (`afin`: vec_id → cid) —
     shared by the k-means oracle below and by downstream consumers of
-    the clustering (``semdedup_kmeans_prune`` in queries_curation)."""
+    the clustering (``semdedup_kmeans_prune`` in queries_curation).
+    With ``auto_k`` the seed count K is derived from the corpus size
+    (``kk`` CTE = the SQL twin of :func:`auto_k_of`) instead of the
+    pinned ``_K``."""
+    ksql = "(SELECT k FROM kk)" if auto_k else str(_K)
+    kk = (f"kk AS (SELECT GREATEST({_K}, (COUNT(*) + {_AUTOK_TARGET - 1})"
+          f" // {_AUTOK_TARGET}) AS k FROM embeddings),\n" if auto_k else "")
     steps = "".join(
         _STEP_SQL.format(k=k, prev=f"c{k - 1}" if k > 1 else "c0")
         for k in range(1, _ITERS + 1))
     last = f"c{_ITERS}"
-    return f"""pts AS ({_PTS_SQL}),
-c0 AS (SELECT vec_id AS cid, d, qv AS cv FROM pts WHERE vec_id < {_K})
+    return f"""{kk}pts AS ({_PTS_SQL}),
+c0 AS (SELECT vec_id AS cid, d, qv AS cv FROM pts WHERE vec_id < {ksql})
 {steps}
 , dfin AS (
   SELECT p.vec_id, c.cid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist2
@@ -110,13 +125,16 @@ FROM cs LEFT JOIN stats st USING (cid)
 """
 
 
-def lloyd_final(spark: "SparkSession", sf_dir: str
+def lloyd_final(spark: "SparkSession", sf_dir: str, k: int | None = None
                 ) -> tuple["DataFrame", "DataFrame", "DataFrame"]:
     """Run the deterministic Lloyd rounds and return
     ``(cent, afin, mfin)`` — final centroids (cid, d, cv), final
     assignment (vec_id, cid) and final min-distance (vec_id, md).
-    Shared by ``kmeans_lloyd`` and the SemDeDup k-means pruner
-    (queries_curation.semdedup_kmeans_prune)."""
+    Shared by ``kmeans_lloyd`` and the SemDeDup k-means pruners
+    (queries_curation.semdedup_kmeans_prune and the auto-K twin,
+    which passes ``k`` = :func:`auto_k_of` of the corpus count)."""
+    if k is None:
+        k = _K
     emb = load(spark, sf_dir, "embeddings")
     pts = (emb.select(
         "vec_id",
@@ -127,7 +145,7 @@ def lloyd_final(spark: "SparkSession", sf_dir: str
                  + F.lit(_SHIFT)).alias("qv")))
     pts = pts.cache()  # reused by every round: scan+quantize once
 
-    cent = (pts.filter(F.col("vec_id") < _K)
+    cent = (pts.filter(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cid"), "d",
                     F.col("qv").alias("cv")))
 

@@ -219,3 +219,22 @@ def test_semdedup_cap_bounds_cell_sizes(spark):
     for r in sizes:
         n_sub.setdefault(r["cluster"], set()).add(r["subcell"])
     assert max(len(s) for s in n_sub.values()) >= 2  # cap triggered
+
+
+def test_semdedup_autok_scales_k_with_corpus(spark):
+    """The auto-K rule must (a) reproduce the exact integer formula,
+    (b) ENGAGE above the pinned K=8 at the gate corpus, and (c) the
+    trained clustering must actually use K cells (cluster ids ⊆
+    seeds 0..K-1, with more than 8 distinct ids in use)."""
+    from iot_simulator_datalake_spark.queries_ml import (
+        _AUTOK_TARGET, _K, auto_k_of)
+    assert auto_k_of(1) == _K
+    assert auto_k_of(_K * _AUTOK_TARGET + 1) == _K + 1
+    assert auto_k_of(500) == 10 > _K          # gate SF engages auto-K
+    from iot_simulator_datalake_spark.queries import REGISTRY
+    out = REGISTRY["semdedup_autok_prune_capped"].fn(
+        spark, "/root/testdata/sf0.001")
+    cids = {r["cluster"] for r in out.select("cluster").distinct()
+            .collect()}
+    assert cids <= set(range(10))
+    assert len(cids) > _K - 1  # K=10 seeds in play, not the pinned 8
