@@ -444,6 +444,111 @@ def hll_mergeable_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  .alias("distinct_users")))
 
 
+#: HLL error envelope: 3σ for lgConfigK=21 (RSE = 1.04/√2²¹ ≈ 718 ppm
+#: → 3σ ≈ 2154 ppm, rounded up).  Measured headroom at ×10: max error
+#: 112 ppm at 14.4k distinct (SCALE.md round 7).
+_HLL_BOUND_PPM = 2200
+
+
+def _hll_within(est, exact) -> "F.Column":
+    """TRUE iff the HLL estimate sits inside the ±3σ envelope of the
+    exact distinct count (absolute floor of 2 for tiny groups) — the
+    scale-robust claim the envelope twins hash-compare, replacing the
+    exactness claim that breaks once sketches exit coupon mode."""
+    bound = F.greatest(F.lit(2).cast("long"),
+                       F.expr(f"({exact} * {_HLL_BOUND_PPM}) div 1000000"))
+    return (F.abs(F.col(est) - F.col(exact)) <= bound)
+
+
+@q("hll_envelope_rollup", ("A8", "A6"), oracle="""
+SELECT CAST(DATE_TRUNC('week', DATE_TRUNC('day', ts)) AS TIMESTAMP)
+         AS week,
+       event_type,
+       COUNT(DISTINCT user_id) AS distinct_exact,
+       TRUE AS within_envelope
+FROM events GROUP BY 1, 2
+""")
+def hll_envelope_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Error-envelope twin of ``hll_mergeable_rollup`` — the gate that
+    SURVIVES the exact-coupon regime.  The sibling hash-matches the
+    sketch estimate against exact COUNT(DISTINCT), which is only valid
+    while lgK=21 keeps the sketch exact (its ×10 sweep entry is a
+    documented FAIL once estimates leave that regime — SCALE.md).
+    This twin makes the scale-TRUE claim instead: the merged estimate
+    must sit within the ±3σ theoretical envelope (2200 ppm, abs floor
+    2) of the exact count — emitted as a BOOLEAN next to the exact
+    count, with the oracle asserting TRUE.  If any group's estimate
+    ever leaves the envelope, the Spark side emits FALSE and the hash
+    gate fails loudly, at any scale.  (Measured headroom at ×10: max
+    112 ppm.)  The exact side is gate/QA cost only — production serves
+    the sketch path; this twin is the offline eval, like every recall
+    gate in the repo."""
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")))
+    est = (daily
+           .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")))
+    exact = (e.groupBy(F.date_trunc("week",
+                                    F.date_trunc("day", "ts")).alias("week"),
+                       "event_type")
+             .agg(F.countDistinct("user_id").alias("distinct_exact")))
+    return (exact.join(est, ["week", "event_type"])
+            .select("week", "event_type", "distinct_exact",
+                    _hll_within("est", "distinct_exact")
+                    .alias("within_envelope")))
+
+
+@q("hll_envelope_mau", ("A8", "A6", "W1"), oracle="""
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS BIGINT) AS day
+  FROM events
+), days AS (SELECT DISTINCT day FROM pairs),
+cover AS (
+  SELECT p.user_id, p.day + o.off AS window_end
+  FROM pairs p CROSS JOIN (SELECT UNNEST(range(30)) AS off) o
+)
+SELECT c.window_end, COUNT(DISTINCT c.user_id) AS mau_exact,
+       TRUE AS within_envelope
+FROM cover c JOIN days d ON d.day = c.window_end
+GROUP BY 1
+""")
+def hll_envelope_mau(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Error-envelope twin of ``monthly_active_users_hll`` (same
+    rationale as ``hll_envelope_rollup``: the sibling's exactness gate
+    is a documented ×10 FAIL; this one hash-compares the ±3σ envelope
+    CLAIM, valid at any scale).  Window ends restrict to observed
+    event days — the days the sketch path emits — so both engines
+    enumerate identical windows.  The exact sliding distinct here is
+    the ×30 activity-pair explode the sketch path exists to avoid:
+    gate/QA cost only."""
+    e = load(spark, sf_dir, "events")
+    day = (F.datediff(F.col("ts").cast("date"),
+                      F.lit("1970-01-01").cast("date"))
+           .cast("long").alias("day"))
+    pairs = e.select("user_id", day).distinct()
+    days = pairs.select("day").distinct()
+    cover = pairs.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 29))
+        .alias("window_end"))
+    exact = (cover.join(days.withColumnRenamed("day", "window_end"),
+                        "window_end")
+             .groupBy("window_end")
+             .agg(F.countDistinct("user_id").alias("mau_exact")))
+    daily = (e.select("user_id", day).groupBy("day")
+             .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")))
+    w = W.orderBy("day").rangeBetween(-29, W.currentRow)
+    est = daily.select(
+        F.col("day").alias("window_end"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"))
+    return (exact.join(est, "window_end")
+            .select("window_end", "mau_exact",
+                    _hll_within("est", "mau_exact")
+                    .alias("within_envelope")))
+
+
 @q("grouping_sets_explicit", ("A1", "F7"), oracle=f"""
 SELECT o_orderstatus AS status, o_orderpriority AS priority,
        EXTRACT(year FROM o_orderdate)::INT AS year,

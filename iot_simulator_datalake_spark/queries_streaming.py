@@ -831,6 +831,49 @@ def streaming_hll_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  .alias("distinct_users")))
 
 
+@q("streaming_hll_envelope", ("ST5", "A8", "A6"), oracle="""
+SELECT CAST(DATE_TRUNC('week', DATE_TRUNC('day', ts)) AS TIMESTAMP)
+         AS week,
+       event_type,
+       COUNT(DISTINCT user_id) AS distinct_exact,
+       TRUE AS within_envelope
+FROM events GROUP BY 1, 2
+""")
+def streaming_hll_envelope(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Error-envelope twin of ``streaming_hll_rollup`` — the streaming
+    member of the envelope family (see
+    queries_analytics.hll_envelope_rollup): sketches accumulate as
+    streaming state exactly as in the sibling, but the served claim is
+    the ±3σ envelope BOOLEAN against the exact batch COUNT(DISTINCT),
+    which stays hash-comparable after the sketch leaves the exact
+    coupon regime (the sibling's documented ×10 FAIL)."""
+    from .queries_analytics import _hll_within
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _stream_source(spark, raw_schema, sf_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    daily = (stream.groupBy(F.date_trunc("day", "ts").alias("day"),
+                            "event_type")
+             .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")))
+    name = f"stream_hllenv_{uuid.uuid4().hex[:8]}"
+    writer = (daily.writeStream.outputMode("complete")
+              .format("memory").queryName(name))
+    run_stream_available_now(writer)
+    est = (spark.table(name)
+           .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")))
+    e = load(spark, sf_dir, "events")
+    exact = (e.groupBy(F.date_trunc("week",
+                                    F.date_trunc("day", "ts")).alias("week"),
+                       "event_type")
+             .agg(F.countDistinct("user_id").alias("distinct_exact")))
+    return (exact.join(est, ["week", "event_type"])
+            .select("week", "event_type", "distinct_exact",
+                    _hll_within("est", "distinct_exact")
+                    .alias("within_envelope")))
+
+
 @q("streaming_incremental_join_rollup", ("ST1", "ST2", "ST3", "A6", "J1"),
    oracle="""
 SELECT n.n_name AS nation,

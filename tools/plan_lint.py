@@ -98,6 +98,8 @@ GLOBAL_WINDOW_ALLOW = {
     "rolling_corr_30d",         # day-calendar pre-aggregate
     "kaplan_meier_churn",       # duration-day grid (calendar-bounded)
     "monthly_active_users_hll",  # per-day sketch relation, KB sketches
+    "hll_envelope_mau",         # same per-day sketch relation (its
+                                # envelope eval twin)
     "revenue_share_of_total",   # nation-grouped aggregate: 25 rows
     "curriculum_order",         # per-value length histogram: |distinct
                                 # n_chars| rows (value-range bounded)
