@@ -9,10 +9,11 @@ from .text import (
     regex_token_count,
     tokens,
 )
+from .units import to_units
 from .vector import cosine_micro, cosine_similarity, dot, l2_norm
 
 __all__ = [
     "tokens", "ngrams", "language_id", "quality_score",
     "regex_token_count", "fingerprint", "LANG_LEXICONS",
-    "cosine_micro", "cosine_similarity", "dot", "l2_norm",
+    "cosine_micro", "cosine_similarity", "dot", "l2_norm", "to_units",
 ]

@@ -31,28 +31,22 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine_similarity(a: Column, b: Column,
-                      scale: int | None = None) -> Column:
-    """Cosine similarity (raw double by default).
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Raw-double cosine similarity.
 
-    BEHAVIOR CHANGE (round 6): the default ``scale`` moved from 6 to
-    ``None`` — callers now get the raw double unless they opt into
-    rounding explicitly.
-
-    For any HASH-COMPARED output use :func:`cosine_micro` instead —
-    ``F.round(sim, n)`` with fractional ``n`` re-enters the
-    HALF_UP-vs-scaled-double cross-engine boundary class the repo's
-    determinism sweep eliminated (see ``_O_SEM_COS``,
-    queries_curation.py)."""
-    sim = dot(a, b) / (l2_norm(a) * l2_norm(b))
-    return F.round(sim, scale) if scale is not None else sim
+    BEHAVIOR CHANGE (rounds 6–7): the former ``scale`` rounding
+    parameter is GONE — it was the exact fractional-ROUND HALF_UP
+    hazard the repo-wide determinism sweep eliminated, and keeping it
+    as an opt-in invited the regression back.  For any HASH-COMPARED
+    output use :func:`cosine_micro` (integer micro-units) instead."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def cosine_micro(a: Column, b: Column) -> Column:
     """Cosine similarity quantized to integer MICRO-UNITS:
     ``floor(cos · 1e6)`` as BIGINT — one IEEE multiply + floor on top
     of the bit-identical left-fold dot product, so Spark and DuckDB
-    agree exactly (the repo-wide determinism recipe; floor is
-    tie-rule-free, unlike fractional ROUND)."""
-    sim = dot(a, b) / (l2_norm(a) * l2_norm(b))
-    return F.floor(sim * F.lit(1e6)).cast("long")
+    agree exactly (the repo-wide determinism recipe via
+    :func:`functions.units.to_units`)."""
+    from .units import to_units
+    return to_units(dot(a, b) / (l2_norm(a) * l2_norm(b)), 6)

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.units import to_units
 from ..functions.vector import cosine_micro
 
 
@@ -63,8 +64,8 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     from ..functions.vector import dot, l2_norm
     # Zero-norm guard: floor(NaN) is 0 on Spark (ranks mid-list) but a
     # CAST error on DuckDB — drop degenerate vectors before scoring so
-    # both engines see only finite cosines.  (Test embeddings have no
-    # zero-norm rows, so the oracle needs no matching WHERE.)
+    # both engines see only finite cosines (the oracles' _O_EMB
+    # carries the matching WHERE, so the twins stay symmetric).
     p = probes.select(
         F.col(probe_id_col or id_col).alias("probe_id"),
         F.col(probe_vec_col or vec_col).alias("probe_vec"),
@@ -79,9 +80,8 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", *probe_payload, "vec_id",
                       *corpus_payload,
-                      F.floor(dot(F.col("probe_vec"), F.col("vec")) /
-                              (F.col("probe_norm") * F.col("norm"))
-                              * F.lit(1e6)).cast("long")
+                      to_units(dot(F.col("probe_vec"), F.col("vec")) /
+                               (F.col("probe_norm") * F.col("norm")), 6)
                       .alias("score_u")))
     if pair_filter is not None:
         scored = scored.filter(pair_filter)
@@ -135,10 +135,13 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     reusable — at 100 TB you materialize it once (partitioned by
     ``cluster``) and every probe batch joins against it.
     """
+    from ..functions.vector import dot, l2_norm
+    # zero-norm guard BEFORE seeding centroids too, so a degenerate
+    # vector can neither seed a cell nor be scored (see exact_topk)
+    corpus = corpus.filter(l2_norm(F.col(vec_col)) > 0)
     cents = (corpus.orderBy(id_col).limit(n_centroids)
              .select(F.col(id_col).alias("cent_id"),
                      F.col(vec_col).alias("cent_vec")))
-    from ..functions.vector import dot, l2_norm
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("vec"),
@@ -168,9 +171,8 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     scored = (c.join(F.broadcast(p_cells), "cluster")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",
-                      F.floor(dot(F.col("probe_vec"), F.col("vec")) /
-                              (F.col("probe_norm") * F.col("norm"))
-                              * F.lit(1e6)).cast("long")
+                      to_units(dot(F.col("probe_vec"), F.col("vec")) /
+                               (F.col("probe_norm") * F.col("norm")), 6)
                       .alias("score_u")))
     return _rank_topk(scored, k)
 
@@ -216,9 +218,8 @@ def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                    (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    F.floor(dot(F.col("a.vec"), F.col("b.vec")) /
-                            (F.col("a.norm") * F.col("b.norm"))
-                            * F.lit(1e6)).cast("long")
+                    to_units(dot(F.col("a.vec"), F.col("b.vec")) /
+                             (F.col("a.norm") * F.col("b.norm")), 6)
                     .alias("cosine_u"))
             .filter(F.col("cosine_u") >= threshold_micro))
 
@@ -245,8 +246,7 @@ def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     scored = (c.join(F.broadcast(p), "bucket")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",
-                      F.floor(dot(F.col("probe_vec"), F.col("vec")) /
-                              (F.col("probe_norm") * F.col("norm"))
-                              * F.lit(1e6)).cast("long")
+                      to_units(dot(F.col("probe_vec"), F.col("vec")) /
+                               (F.col("probe_norm") * F.col("norm")), 6)
                       .alias("score_u")))
     return _rank_topk(scored, k)

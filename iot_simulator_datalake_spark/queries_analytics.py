@@ -460,14 +460,39 @@ def _hll_within(est, exact) -> "F.Column":
     return (F.abs(F.col(est) - F.col(exact)) <= bound)
 
 
-@q("hll_envelope_rollup", ("A8", "A6"), oracle="""
+#: shared by the batch twin and streaming_hll_envelope — ONE oracle
+#: string and ONE week-level builder, so an edit to the bound, lgK or
+#: week-trunc rule cannot diverge the family silently
+HLL_WEEKLY_ENVELOPE_ORACLE = """
 SELECT CAST(DATE_TRUNC('week', DATE_TRUNC('day', ts)) AS TIMESTAMP)
          AS week,
        event_type,
        COUNT(DISTINCT user_id) AS distinct_exact,
        TRUE AS within_envelope
 FROM events GROUP BY 1, 2
-""")
+"""
+
+
+def hll_weekly_envelope(daily: "DataFrame", e: "DataFrame") -> "DataFrame":
+    """Week-level envelope check over per-(day, event_type) sketches
+    (column ``sk``): merge day sketches up to weeks, join the exact
+    weekly COUNT(DISTINCT) from the raw events ``e``, and emit the
+    envelope boolean — the single definition both the batch and the
+    streaming twin serve."""
+    est = (daily
+           .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")))
+    exact = (e.groupBy(F.date_trunc("week",
+                                    F.date_trunc("day", "ts")).alias("week"),
+                       "event_type")
+             .agg(F.countDistinct("user_id").alias("distinct_exact")))
+    return (exact.join(est, ["week", "event_type"])
+            .select("week", "event_type", "distinct_exact",
+                    _hll_within("est", "distinct_exact")
+                    .alias("within_envelope")))
+
+
+@q("hll_envelope_rollup", ("A8", "A6"), oracle=HLL_WEEKLY_ENVELOPE_ORACLE)
 def hll_envelope_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Error-envelope twin of ``hll_mergeable_rollup`` — the gate that
     SURVIVES the exact-coupon regime.  The sibling hash-matches the
@@ -486,17 +511,7 @@ def hll_envelope_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     e = load(spark, sf_dir, "events")
     daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
              .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")))
-    est = (daily
-           .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
-           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")))
-    exact = (e.groupBy(F.date_trunc("week",
-                                    F.date_trunc("day", "ts")).alias("week"),
-                       "event_type")
-             .agg(F.countDistinct("user_id").alias("distinct_exact")))
-    return (exact.join(est, ["week", "event_type"])
-            .select("week", "event_type", "distinct_exact",
-                    _hll_within("est", "distinct_exact")
-                    .alias("within_envelope")))
+    return hll_weekly_envelope(daily, e)
 
 
 @q("hll_envelope_mau", ("A8", "A6", "W1"), oracle="""

@@ -22,6 +22,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .functions.units import to_units
 from .queries import load, q
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -327,22 +328,24 @@ WITH u AS (
 )
 SELECT signup_week, n, k,
        CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
-       CAST(floor(((CAST(k AS DOUBLE) / n + (1.96::DOUBLE * 1.96::DOUBLE)
+       GREATEST(0, CAST(floor(((CAST(k AS DOUBLE) / n
+                 + (1.96::DOUBLE * 1.96::DOUBLE)
                  / (2 * CAST(n AS DOUBLE)))
               - 1.96::DOUBLE * SQRT((CAST(k AS DOUBLE) / n)
                   * (1 - CAST(k AS DOUBLE) / n) / CAST(n AS DOUBLE)
                   + (1.96::DOUBLE * 1.96::DOUBLE)
                     / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
              / (1 + (1.96::DOUBLE * 1.96::DOUBLE) / CAST(n AS DOUBLE))
-             * 1e9) AS BIGINT) AS wilson_lo_nano,
-       CAST(floor(((CAST(k AS DOUBLE) / n + (1.96::DOUBLE * 1.96::DOUBLE)
+             * 1e9) AS BIGINT)) AS wilson_lo_nano,
+       LEAST(1000000000, CAST(floor(((CAST(k AS DOUBLE) / n
+                 + (1.96::DOUBLE * 1.96::DOUBLE)
                  / (2 * CAST(n AS DOUBLE)))
               + 1.96::DOUBLE * SQRT((CAST(k AS DOUBLE) / n)
                   * (1 - CAST(k AS DOUBLE) / n) / CAST(n AS DOUBLE)
                   + (1.96::DOUBLE * 1.96::DOUBLE)
                     / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
              / (1 + (1.96::DOUBLE * 1.96::DOUBLE) / CAST(n AS DOUBLE))
-             * 1e9) AS BIGINT) AS wilson_hi_nano
+             * 1e9) AS BIGINT)) AS wilson_hi_nano
 FROM g
 """)
 def conversion_rate_wilson(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -385,9 +388,15 @@ def conversion_rate_wilson(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         # interval bounds in integer NANO-UNITS (floor(x*1e9)) — the
         # repo determinism recipe; fractional ROUND(x, 9) was the
         # HALF_UP cross-engine hazard.  Bounds are finite for n ≥ 1.
-        F.floor((center - half) / denom * F.lit(1e9)).cast("long")
+        # Clamped to [0, 1e9]: at k=0 (and symmetrically k=n) the true
+        # bound is exactly 0 (resp. 1) but float noise can land a few
+        # ulps past it, making the floor -1 / 1e9+… — a nonsensical
+        # probability bound.  Same clamp on both engines.
+        F.greatest(F.lit(0).cast("long"),
+                   to_units((center - half) / denom, 9))
         .alias("wilson_lo_nano"),
-        F.floor((center + half) / denom * F.lit(1e9)).cast("long")
+        F.least(F.lit(1_000_000_000).cast("long"),
+                to_units((center + half) / denom, 9))
         .alias("wilson_hi_nano"))
 
 

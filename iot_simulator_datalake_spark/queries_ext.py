@@ -441,8 +441,14 @@ _O_COS = ("CAST(floor(list_dot_product(a.vec, b.vec) / "
           "(sqrt(list_dot_product(a.vec, a.vec)) * "
           "sqrt(list_dot_product(b.vec, b.vec))) * 1e6) AS BIGINT)")
 
+#: zero-norm vectors are excluded on BOTH engines (the Spark operators
+#: filter norm > 0 — see operators/similarity.exact_topk): without the
+#: WHERE, a degenerate all-zero embedding would make DuckDB raise on
+#: CAST(floor(NaN) AS BIGINT) while Spark silently dropped it
 _O_EMB = ("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec "
-          "FROM embeddings")
+          "FROM embeddings "
+          "WHERE list_dot_product(CAST(embedding AS DOUBLE[]), "
+          "CAST(embedding AS DOUBLE[])) > 0")
 
 
 @q("similarity_topk_bruteforce", ("F10", "W3", "J5"), bench=True, oracle=f"""

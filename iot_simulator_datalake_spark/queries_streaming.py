@@ -16,6 +16,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .functions.units import to_units
 from .queries import load, oavg, osum, q
 from .queries_llmprep import _o_hash_bucket
 from .streaming.runner import run_stream_available_now
@@ -615,9 +616,8 @@ def streaming_anomaly_scores(spark: "SparkSession",
     # micro-unit z (floor(z*1e6)) + degenerate-group guard — must stay
     # in lockstep with the batch twin anomaly_zscore (shared oracle)
     s1c, s2c, nc = F.col("s1"), F.col("s2"), F.col("n")
-    z_u = F.floor((v - s1c / nc) /
-                  F.sqrt((s2c - s1c * s1c / nc) / (nc - 1))
-                  * F.lit(1e6)).cast("long")
+    z_u = to_units((v - s1c / nc) /
+                   F.sqrt((s2c - s1c * s1c / nc) / (nc - 1)), 6)
     scored = (stream.join(F.broadcast(mom), "user_id")
               .filter((nc > 1) & (s2c - s1c * s1c / nc > 0))
               .select("event_id", "user_id", "value", z_u.alias("z_u"))
@@ -831,23 +831,22 @@ def streaming_hll_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                  .alias("distinct_users")))
 
 
-@q("streaming_hll_envelope", ("ST5", "A8", "A6"), oracle="""
-SELECT CAST(DATE_TRUNC('week', DATE_TRUNC('day', ts)) AS TIMESTAMP)
-         AS week,
-       event_type,
-       COUNT(DISTINCT user_id) AS distinct_exact,
-       TRUE AS within_envelope
-FROM events GROUP BY 1, 2
-""")
+from .queries_analytics import HLL_WEEKLY_ENVELOPE_ORACLE  # noqa: E402
+
+
+@q("streaming_hll_envelope", ("ST5", "A8", "A6"),
+   oracle=HLL_WEEKLY_ENVELOPE_ORACLE)
 def streaming_hll_envelope(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Error-envelope twin of ``streaming_hll_rollup`` — the streaming
-    member of the envelope family (see
-    queries_analytics.hll_envelope_rollup): sketches accumulate as
-    streaming state exactly as in the sibling, but the served claim is
-    the ±3σ envelope BOOLEAN against the exact batch COUNT(DISTINCT),
-    which stays hash-comparable after the sketch leaves the exact
-    coupon regime (the sibling's documented ×10 FAIL)."""
-    from .queries_analytics import _hll_within
+    member of the envelope family: sketches accumulate as streaming
+    state exactly as in the sibling, then the drained day sketches go
+    through the SAME week-level envelope builder and oracle as the
+    batch twin (queries_analytics.hll_weekly_envelope — one definition
+    of the bound/lgK/week-trunc for the whole family), so the served
+    claim — the ±3σ boolean against exact COUNT(DISTINCT) — stays
+    hash-comparable after the sketch leaves the exact coupon regime
+    (the sibling's documented ×10 FAIL)."""
+    from .queries_analytics import hll_weekly_envelope
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -860,18 +859,8 @@ def streaming_hll_envelope(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     writer = (daily.writeStream.outputMode("complete")
               .format("memory").queryName(name))
     run_stream_available_now(writer)
-    est = (spark.table(name)
-           .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
-           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")))
-    e = load(spark, sf_dir, "events")
-    exact = (e.groupBy(F.date_trunc("week",
-                                    F.date_trunc("day", "ts")).alias("week"),
-                       "event_type")
-             .agg(F.countDistinct("user_id").alias("distinct_exact")))
-    return (exact.join(est, ["week", "event_type"])
-            .select("week", "event_type", "distinct_exact",
-                    _hll_within("est", "distinct_exact")
-                    .alias("within_envelope")))
+    return hll_weekly_envelope(spark.table(name),
+                               load(spark, sf_dir, "events"))
 
 
 @q("streaming_incremental_join_rollup", ("ST1", "ST2", "ST3", "A6", "J1"),

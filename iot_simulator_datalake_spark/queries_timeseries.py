@@ -25,7 +25,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .queries import load, oavg, q
+from .functions.units import to_units
+from .queries import load, q
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
@@ -198,9 +199,8 @@ def anomaly_zscore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     m = e.select("event_id", "user_id", "value",
                  s1.alias("s1"), s2.alias("s2"), n.alias("n"))
     s1c, s2c, nc = F.col("s1"), F.col("s2"), F.col("n")
-    z_u = F.floor((v - s1c / nc) /
-                  F.sqrt((s2c - s1c * s1c / nc) / (nc - 1))
-                  * F.lit(1e6)).cast("long")
+    z_u = to_units((v - s1c / nc) /
+                   F.sqrt((s2c - s1c * s1c / nc) / (nc - 1)), 6)
     # NOTE the floor-based flag is asymmetric by one micro-unit around
     # ±1.5: positives need z ≥ 1.500001 (floor(z·1e6) > 1_500_000)
     # while negatives flag at any z < -1.5 strictly.  Acceptable for
@@ -566,8 +566,7 @@ def rolling_corr_30d(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (m.filter((n >= 10) & (n * sxx - sx * sx > 0)
                      & (n * syy - sy * sy > 0))
             .select("day", n.cast("long").alias("n_days"),
-                    F.floor(r * F.lit(1e9)).cast("long")
-                    .alias("rolling_r_nano")))
+                    to_units(r, 9).alias("rolling_r_nano")))
 
 
 # =========================================================================

@@ -60,8 +60,11 @@ def test_refined_er_survives_side_imbalance(spark, tmp_path):
     u.write.mode("overwrite").parquet(str(out / "customer.parquet"))
     for t in ("supplier", "nation", "region"):
         shutil.copy(f"{SF}/{t}.parquet", out / f"{t}.parquet")
+    coverable = (c.join(load(spark, SF, "supplier"),
+                        c["c_nationkey"] == F.col("s_nationkey"), "semi")
+                 .count())
     r = (REGISTRY["entity_resolution_refined_recall_eval"]
          .fn(spark, str(out)).collect()[0])
-    assert r["n_customers"] == 8 * 62       # 62 coverable at sf0.001
+    assert r["n_customers"] == 8 * coverable
     assert r["n_ref_matched"] == r["n_customers"]   # no starvation
     assert r["refined_recall"] >= 0.826
