@@ -155,9 +155,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     """
     # Small inputs often arrive as one parquet file = one partition; the
     # md5/shingle work is CPU-bound map work, so spread it before
-    # computing signatures (at real scale the scan already has enough
-    # splits and this coalesces via AQE instead of exploding).
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # computing signatures — but ONLY when the scan is actually
+    # under-split: an unconditional repartition(N) is a full-corpus
+    # exchange (document text included) that AQE never coalesces
+    # (coalescePartitions applies to shuffles WITHOUT an explicit
+    # count), and at scale it would both pay a pointless shuffle and
+    # cap the map parallelism at defaultParallelism.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    spread = df.repartition(par) if df.rdd.getNumPartitions() < par else df
     # Exploded distinct (key, shingle) rows feed BOTH the signatures and
     # the exact-Jaccard verification — every downstream op is a codegen
     # join/aggregate; no shingle array ever rides a shuffle and no

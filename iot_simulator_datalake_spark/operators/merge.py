@@ -71,12 +71,22 @@ def merge_into(target: DataFrame, source: DataFrame, key: str, *,
                 f"merge key {key!r} is not unique in source "
                 f"(e.g. {dup[0][key]!r}); latest-wins pre-aggregate the "
                 "source (operators.scd.scd1_current) before merging")
-    t = target.alias("t")
-    s = source.alias("s")
+    # Side-existence markers, NOT key null-ness: a target row whose
+    # merge key is NULL never equi-matches, and classifying sides by
+    # t.key/s.key nullness would leave it in no class — filter() then
+    # silently DELETES it, where SQL MERGE must keep unmatched target
+    # rows unchanged.  (Symmetrically, a NULL-key source row is
+    # NOT MATCHED and may insert.)  The lit(True) markers are NULL on
+    # the absent side of the full-outer join, so they classify rows
+    # correctly for every key value including NULL.
+    t = target.withColumn("_t_exists", F.lit(True)).alias("t")
+    s = source.withColumn("_s_exists", F.lit(True)).alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
-    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
-    t_only = F.col(f"s.{key}").isNull() & F.col(f"t.{key}").isNotNull()
-    s_only = F.col(f"t.{key}").isNull() & F.col(f"s.{key}").isNotNull()
+    t_ex = F.col("t._t_exists").isNotNull()
+    s_ex = F.col("s._s_exists").isNotNull()
+    matched = t_ex & s_ex
+    t_only = t_ex & ~s_ex
+    s_only = s_ex & ~t_ex
 
     # SQL MERGE treats a NULL-evaluating clause condition as NOT
     # satisfied (WHEN MATCHED AND cond fires only when cond IS TRUE).

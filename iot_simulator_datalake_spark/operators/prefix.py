@@ -117,18 +117,23 @@ def ranged_prefix(df: DataFrame, order: list, *,
     rows = sorted(
         d.groupBy("_pid").agg(
             F.count(F.lit(1)).alias("_n"),
-            *[F.sum(src).alias(f"_t_{src}") for src in skeys]).collect(),
+            *[F.sum(src).alias(f"_t_{src}") for src in skeys],
+            *[F.count(src).alias(f"_c_{src}") for src in skeys]).collect(),
         key=lambda r: r["_pid"])
     rank_off: dict[int, int] = {}
     sum_off: dict[str, dict[int, int]] = {s: {} for s in skeys}
+    cnt_off: dict[str, dict[int, int]] = {s: {} for s in skeys}
     run_n = 0
     run_s = {s: 0 for s in skeys}
+    run_c = {s: 0 for s in skeys}
     for r in rows:
         rank_off[r["_pid"]] = run_n
         run_n += r["_n"]
         for s in skeys:
             sum_off[s][r["_pid"]] = run_s[s]
             run_s[s] += (r[f"_t_{s}"] or 0)
+            cnt_off[s][r["_pid"]] = run_c[s]
+            run_c[s] += r[f"_c_{s}"]
     w = W.partitionBy("_pid").orderBy(*order)
     wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     out = d
@@ -138,8 +143,17 @@ def ranged_prefix(df: DataFrame, order: list, *,
             (F.row_number().over(w).cast("long") +
              _offset_expr(rank_off)).cast("long"))
     for name, src in sums.items():
+        # exact naive-window parity including NULLs: SUM(x) OVER (...)
+        # is NULL iff the prefix holds NO non-null x, else the sum of
+        # the non-nulls.  An un-guarded `NULL + offset` would instead
+        # poison every row of a bucket whose local frame is all-NULL,
+        # losing the prior buckets' running total (the docstring
+        # promises hash-match with the naive window).
+        seen = F.count(src).over(wcum) + _offset_expr(cnt_off[src])
         out = out.withColumn(
-            name, F.sum(src).over(wcum) + _offset_expr(sum_off[src]))
+            name, F.when(seen == 0, F.lit(None))
+                   .otherwise(F.coalesce(F.sum(src).over(wcum), F.lit(0)) +
+                              _offset_expr(sum_off[src])))
     totals = {"n": run_n,
               **{name: run_s[src] for name, src in sums.items()}}
     return out.drop("_pid"), totals

@@ -37,7 +37,15 @@ def time_rollup(df: DataFrame, ts_col: str, keys: Sequence[str],
             "re-aggregate day buckets to months in batch (date_trunc), "
             "or use a foreachBatch sink with the batch form")
     if streaming_window:
-        bucket = F.window(F.col(ts_col), f"1 {grain}")["start"].alias("bucket")
+        # '1 week' tumbling windows align to the 1970-01-01 epoch — a
+        # THURSDAY — while date_trunc('week') truncates to Monday; the
+        # 4-day startTime offset re-anchors the window so the batch
+        # and streaming forms of the "same rollup" emit the same week
+        # keys (un-anchored, a backfill+live union would double-count
+        # every week across two disjoint bucket sets).
+        start = "4 days" if grain == "week" else None
+        bucket = F.window(F.col(ts_col), f"1 {grain}",
+                          startTime=start)["start"].alias("bucket")
     else:
         bucket = F.date_trunc(GRAINS[grain], F.col(ts_col)).alias("bucket")
     v = F.col(value_col)

@@ -18,6 +18,38 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import SparkSession
 
 
+def _restore_crashed_swap(path: Path) -> None:
+    """Recover from a crash INSIDE a previous atomic swap: between
+    ``path.rename(.old)`` and ``tmp.rename(path)`` the only complete
+    copy of the state lives at ``.old``.  Readers and writers call this
+    first — without it, the next write would ``rmtree(.old)`` the sole
+    surviving copy and silently rebuild the state from one batch
+    (total tombstone/history loss)."""
+    old = path.with_suffix(".old")
+    if not (path / "_SUCCESS").exists() and (old / "_SUCCESS").exists():
+        shutil.rmtree(path, ignore_errors=True)  # absent or incomplete
+        old.rename(path)
+
+
+def _atomic_swap_write(df: DataFrame, path: Path) -> None:
+    """Write ``df`` over the state at ``path`` via the staged-rename
+    protocol (stage → move live to .old → promote stage → drop .old),
+    with crash-window recovery on entry.  ONE definition shared by
+    every stateful operator in this module — the swap's failure modes
+    are subtle enough that two drifting copies were themselves a
+    review finding."""
+    _restore_crashed_swap(path)
+    tmp = path.with_suffix(".staging")
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(str(tmp))
+    old = path.with_suffix(".old")
+    shutil.rmtree(old, ignore_errors=True)
+    if path.exists():
+        path.rename(old)
+    tmp.rename(path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def scd1_current(changes: DataFrame, key: str, order_col: str = "op_ts",
                  tiebreak: str | None = None,
                  deleted_col: str = "_is_deleted") -> DataFrame:
@@ -66,6 +98,7 @@ class ApplyChanges:
         self.tiebreak, self.deleted_col = tiebreak, deleted_col
 
     def _state(self) -> DataFrame | None:
+        _restore_crashed_swap(self.path)
         if not (self.path / "_SUCCESS").exists():
             return None
         return self.spark.read.parquet(str(self.path))
@@ -80,15 +113,7 @@ class ApplyChanges:
         current = window_dedup(merged, [self.key], order)
         current = current.localCheckpoint(eager=True)  # break lineage to
         # the files replaced below
-        tmp = self.path.with_suffix(".staging")
-        shutil.rmtree(tmp, ignore_errors=True)
-        current.write.mode("overwrite").parquet(str(tmp))
-        old = self.path.with_suffix(".old")
-        shutil.rmtree(old, ignore_errors=True)
-        if self.path.exists():
-            self.path.rename(old)
-        tmp.rename(self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        _atomic_swap_write(current, self.path)
 
     def read(self, include_deleted: bool = False) -> DataFrame:
         state = self._state()
@@ -168,21 +193,13 @@ class SnapshotTable:
         self.updated_at, self.check_cols = updated_at, check_cols or []
 
     def _state(self) -> "DataFrame | None":
+        _restore_crashed_swap(self.path)
         if not (self.path / "_SUCCESS").exists():
             return None
         return self.spark.read.parquet(str(self.path))
 
     def _write(self, df: "DataFrame") -> None:
-        import shutil
-        tmp = self.path.with_suffix(".staging")
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(str(tmp))
-        old = self.path.with_suffix(".old")
-        shutil.rmtree(old, ignore_errors=True)
-        if self.path.exists():
-            self.path.rename(old)
-        tmp.rename(self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        _atomic_swap_write(df, self.path)
 
     def run(self, source: "DataFrame") -> None:
         src = source.withColumn("dbt_valid_from", F.col(self.updated_at)) \
@@ -194,31 +211,39 @@ class SnapshotTable:
             return
         closed = state.filter(F.col("dbt_valid_to").isNotNull())
         open_ = state.filter(F.col("dbt_valid_to").isNull())
-        s, o = src.alias("s"), open_.alias("o")
+        # Side-existence markers, not key null-ness (same hazard class
+        # as operators/merge.py): a NULL-unique_key open row would
+        # otherwise satisfy NO branch and vanish from the state every
+        # run.
+        s = src.withColumn("_s_exists", F.lit(True)).alias("s")
+        o = open_.withColumn("_o_exists", F.lit(True)).alias("o")
         joined = o.join(s, F.col(f"o.{self.key}") == F.col(f"s.{self.key}"),
                         "full_outer")
         if self.strategy == "timestamp":
-            changed = (F.col(f"s.{self.updated_at}") >
-                       F.col(f"o.{self.updated_at}"))
+            # coalesce to FALSE: a NULL source updated_at makes the
+            # comparison NULL, and an un-coalesced NULL satisfies
+            # neither keep nor close nor opened — the key's history
+            # would silently vanish (three-valued-logic leak; the
+            # check strategy's eqNullSafe can't produce NULL).
+            changed = F.coalesce(F.col(f"s.{self.updated_at}") >
+                                 F.col(f"o.{self.updated_at}"),
+                                 F.lit(False))
         else:
             changed = F.lit(False)
             for c in self.check_cols:
                 changed = changed | ~F.col(f"s.{c}").eqNullSafe(
                     F.col(f"o.{c}"))
-        s_key = F.col(f"s.{self.key}")
-        o_key = F.col(f"o.{self.key}")
+        s_ex = F.col("s._s_exists").isNotNull()
+        o_ex = F.col("o._o_exists").isNotNull()
         cols = state.columns
         # keep: untouched open rows; close: changed open rows; open: new
-        keep = joined.filter(o_key.isNotNull() &
-                             (s_key.isNull() | ~changed)) \
+        keep = joined.filter(o_ex & (~s_ex | ~changed)) \
             .select(*[F.col(f"o.{c}").alias(c) for c in cols])
-        close = joined.filter(o_key.isNotNull() & s_key.isNotNull() &
-                              changed) \
+        close = joined.filter(o_ex & s_ex & changed) \
             .select(*[(F.col(f"s.{self.updated_at}")
                        if c == "dbt_valid_to" else F.col(f"o.{c}"))
                       .alias(c) for c in cols])
-        opened = joined.filter(s_key.isNotNull() &
-                               (o_key.isNull() | changed)) \
+        opened = joined.filter(s_ex & (~o_ex | changed)) \
             .select(*[F.col(f"s.{c}").alias(c) for c in cols])
         new_state = closed.unionByName(keep).unionByName(close) \
                           .unionByName(opened)

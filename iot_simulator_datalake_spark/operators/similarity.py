@@ -43,7 +43,8 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
                      probe_vec_col: str | None = None,
                      corpus_payload: tuple[str, ...] = (),
                      probe_payload: tuple[str, ...] = (),
-                     pair_filter=None) -> DataFrame:
+                     pair_filter=None,
+                     exclude_self: bool = True) -> DataFrame:
     """Exact top-k cosine neighbours for each probe row.
 
     Output: (probe_id, [probe_payload...], vec_id, [corpus_payload...],
@@ -53,6 +54,13 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     predicate over the scored relation) restricts candidate pairs
     BEFORE ranking — e.g. label mismatch for hard-negative mining —
     fused into the scan, so rejected pairs never rank.
+
+    ``exclude_self`` (default True) drops pairs with probe_id ==
+    vec_id — correct when probes are drawn FROM the corpus (every
+    in-repo caller).  Pass False when probes and corpus are DISTINCT
+    tables that merely share an id space, or an unrelated corpus row
+    whose id collides with a probe id would silently vanish from its
+    top-k.
     """
     # Norms are precomputed per side (N + P folds) so the pair loop
     # runs ONE interpreted array fold (the dot product) instead of
@@ -76,8 +84,10 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
                       l2_norm(F.col(vec_col)).alias("norm"),
                       *[F.col(c) for c in corpus_payload]
                       ).filter(F.col("norm") > 0)
-    scored = (c.crossJoin(F.broadcast(p))
-              .filter(F.col("probe_id") != F.col("vec_id"))
+    scored = c.crossJoin(F.broadcast(p))
+    if exclude_self:
+        scored = scored.filter(F.col("probe_id") != F.col("vec_id"))
+    scored = (scored
               .select("probe_id", *probe_payload, "vec_id",
                       *corpus_payload,
                       to_units(dot(F.col("probe_vec"), F.col("vec")) /
@@ -121,7 +131,8 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, *,
 
 def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_centroids: int = 8, n_probe: int = 1) -> DataFrame:
+             n_centroids: int = 8, n_probe: int = 1,
+             exclude_self: bool = True) -> DataFrame:
     """IVF (inverted-file) ANN: corpus partitioned into centroid cells,
     each probe scored only against its ``n_probe`` nearest cells.
 
@@ -145,8 +156,7 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("vec"),
-                      l2_norm(F.col(vec_col)).alias("norm"))
-        .filter(F.col("norm") > 0),  # zero-norm guard (see exact_topk)
+                      l2_norm(F.col(vec_col)).alias("norm")),
         cents, vec_col="vec")
     # multi-probe: each probe searches its n_probe nearest cells —
     # recall rises with n_probe at a linear cost in scored candidates
@@ -168,8 +178,10 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     # no dedup needed: every corpus vector lives in exactly one cell and
     # a probe's n_probe cells are distinct, so (probe_id, vec_id) pairs
     # are unique by construction
-    scored = (c.join(F.broadcast(p_cells), "cluster")
-              .filter(F.col("probe_id") != F.col("vec_id"))
+    scored = c.join(F.broadcast(p_cells), "cluster")
+    if exclude_self:
+        scored = scored.filter(F.col("probe_id") != F.col("vec_id"))
+    scored = (scored
               .select("probe_id", "vec_id",
                       to_units(dot(F.col("probe_vec"), F.col("vec")) /
                                (F.col("probe_norm") * F.col("norm")), 6)
@@ -226,7 +238,8 @@ def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
 def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_planes: int = 4) -> DataFrame:
+                    n_planes: int = 4,
+                    exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: score only same-sign-bucket pairs.
 
     At 100 TB the corpus partitions by bucket once (reusable across
@@ -243,8 +256,10 @@ def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
          .withColumn("bucket", sign_bucket(F.col("probe_vec"), n_planes))
          .withColumn("probe_norm", l2_norm(F.col("probe_vec")))
          .filter(F.col("probe_norm") > 0))
-    scored = (c.join(F.broadcast(p), "bucket")
-              .filter(F.col("probe_id") != F.col("vec_id"))
+    scored = c.join(F.broadcast(p), "bucket")
+    if exclude_self:
+        scored = scored.filter(F.col("probe_id") != F.col("vec_id"))
+    scored = (scored
               .select("probe_id", "vec_id",
                       to_units(dot(F.col("probe_vec"), F.col("vec")) /
                                (F.col("probe_norm") * F.col("norm")), 6)

@@ -126,3 +126,35 @@ def test_dbt_snapshot_check_strategy(spark, tmp_path):
     assert len(rows) == 3
     cur = {r["id"]: r["val"] for r in rows if r["dbt_valid_to"] is None}
     assert cur == {1: "x", 2: "b"}
+
+
+def test_snapshot_null_updated_at_keeps_history(spark, tmp_path):
+    """Three-valued-logic regression: a source row with NULL updated_at
+    must be treated as NOT changed (SQL MERGE clause semantics) — not
+    make the key vanish from the snapshot state."""
+    from iot_simulator_datalake_spark.operators.scd import SnapshotTable
+    st = SnapshotTable(spark, tmp_path / "snap", unique_key="k")
+    t1 = datetime(2026, 1, 1)
+    st.run(spark.createDataFrame([(1, "a", t1)],
+                                 "k int, v string, updated_at timestamp"))
+    st.run(spark.createDataFrame(
+        [(1, "b", None)], "k int, v string, updated_at timestamp"))
+    rows = st.read().collect()
+    assert len(rows) == 1 and rows[0]["v"] == "a"   # key survived, unchanged
+
+
+def test_swap_crash_window_recovers_state(spark, tmp_path):
+    """If a previous atomic swap crashed between live→.old and
+    staging→live, the next run must RESTORE .old — not rmtree the only
+    surviving copy and rebuild the state from one batch."""
+    from iot_simulator_datalake_spark.operators.scd import ApplyChanges
+    path = tmp_path / "state"
+    ac = ApplyChanges(spark, path, key="k", order_col="ts")
+    ac.apply(spark.createDataFrame([(1, 10, False), (2, 10, False)],
+                                   "k int, ts int, _is_deleted boolean"))
+    # simulate the crash window: live moved aside, promote never ran
+    path.rename(path.with_suffix(".old"))
+    ac.apply(spark.createDataFrame([(3, 20, False)],
+                                   "k int, ts int, _is_deleted boolean"))
+    keys = sorted(r["k"] for r in ac.read().collect())
+    assert keys == [1, 2, 3]          # old state recovered, not lost

@@ -110,3 +110,23 @@ def test_merge_rejects_duplicate_source_keys(spark):
         merge_into(t, s, "k",
                    update_set={"v": F.expr("t.v + s.delta")},
                    check_unique_source=True)
+
+
+def test_merge_keeps_null_key_target_rows(spark):
+    """SQL MERGE must keep unmatched target rows unchanged — including
+    rows whose merge key is NULL (they equi-match nothing).  Key-null
+    classification would silently DELETE them; side-existence markers
+    must not."""
+    t = spark.createDataFrame([(None, 1), (1, 2)], "k int, v int")
+    s = spark.createDataFrame([(1, 99)], "k int, v int")
+    out = merge_into(t, s, "k", update_set={"v": F.col("s.v")}).collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {None: 1, 1: 99}
+    # and a NULL-key SOURCE row is NOT MATCHED → inserts when asked
+    out2 = merge_into(
+        t, spark.createDataFrame([(None, 7)], "k int, v int"), "k",
+        update_set={"v": F.col("s.v")},
+        insert_values={"k": F.col("s.k"), "v": F.col("s.v")}).collect()
+    assert sorted([(r["k"], r["v"]) for r in out2],
+                  key=lambda p: (p[0] is None, p[1])) \
+        == [(1, 2), (None, 1), (None, 7)]

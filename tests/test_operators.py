@@ -246,3 +246,56 @@ def test_time_rollup_month_streaming_refused(spark):
                     streaming_window=True)
     # batch month form still fine
     assert time_rollup(df, "ts", ["k"], "v", grain="month").count() == 1
+
+
+def test_asof_join_null_payload_not_skipped(spark):
+    """A legitimately-NULL payload value in the true as-of row must
+    survive — per-column ignorenulls fills would instead carry a STALE
+    value from an older right row (and mix columns across rows)."""
+    left = spark.createDataFrame([(1, 3, "e")], ["k", "ts", "name"])
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, "a"), (1, 2, None, "b")],
+        ["k", "ts", "threshold", "tag"])
+    out = asof_join(left, right, on="k", ts="ts").collect()[0]
+    assert out["right_threshold"] is None     # NOT the stale 5.0
+    assert out["right_tag"] == "b"            # whole as-of row, no mixing
+
+
+def test_time_rollup_week_buckets_match_batch(spark):
+    """Streaming '1 week' windows must anchor to Monday like
+    date_trunc('week') — unanchored they align to the epoch Thursday
+    and the batch/streaming twins emit disjoint week keys."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("2026-08-15 12:00:00",), ("2026-08-10 00:00:00",),
+         ("2026-08-09 23:59:59",)], ["s"]).select(
+        F.col("s").cast("timestamp").alias("ts"), F.lit(1.0).alias("v"))
+    b = sorted(r[0] for r in time_rollup(df, "ts", [], "v", grain="week")
+               .select("bucket").collect())
+    s = sorted(r[0] for r in time_rollup(df, "ts", [], "v", grain="week",
+                                         streaming_window=True)
+               .select("bucket").collect())
+    assert b == s
+    assert all(d.weekday() == 0 for d in b)   # Mondays
+
+
+def test_ranged_prefix_null_sums_match_naive_window(spark):
+    """Running sums over a source column WITH NULLs must hash-match
+    the naive single-partition window: NULL only while no non-null
+    value has appeared, never poisoned by an all-NULL bucket frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from iot_simulator_datalake_spark.operators.prefix import ranged_prefix
+    rows = [(i, None if i % 3 == 0 else i * 10) for i in range(1, 61)]
+    rows[0] = (1, None)  # leading NULL: naive prefix sum starts NULL
+    df = spark.createDataFrame(rows, ["k", "x"])
+    got, totals = ranged_prefix(df, [F.col("k")], rank_col="r",
+                                sums={"cum": "x"}, buckets=8)
+    want = df.select(
+        "k", F.sum("x").over(Window.orderBy("k")
+                             .rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"))
+    g = {r["k"]: r["cum"] for r in got.collect()}
+    w = {r["k"]: r["cum"] for r in want.collect()}
+    assert g == w
+    assert totals["cum"] == sum(v for _, v in rows if v is not None)
