@@ -76,10 +76,14 @@ def not_null(relation: str, column: str) -> Check:
 def unique(relation: str, column: str) -> Check:
     """_gold_core_models.yml:9-22 — violation = key values occurring >1×
     (two-phase hash aggregate; map-side combine keeps it scalable)."""
+    # aggregate under an unambiguous alias: groupBy(col).count() on a
+    # column itself NAMED "count" yields two "count" columns and the
+    # filter raises AMBIGUOUS_REFERENCE instead of evaluating
     return Check(
         name=f"unique__{relation}__{column}", relation=relation,
-        builder=lambda df: (df.groupBy(column).count()
-                            .filter(F.col("count") > 1)))
+        builder=lambda df: (df.groupBy(column)
+                            .agg(F.count(F.lit(1)).alias("__n"))
+                            .filter(F.col("__n") > 1)))
 
 
 def accepted_values(relation: str, column: str,
@@ -188,6 +192,14 @@ def expect_observed(df: "DataFrame", name: str, condition,
     streaming progress listener's observedMetrics (streams).
     """
     from pyspark.sql import Observation
+    if on_violation is OnViolation.FAIL:
+        # a scan-free observation cannot abort the query before rows
+        # flow — silently downgrading FAIL to WARN would drop the
+        # enforcement the caller explicitly asked for
+        raise ValueError(
+            "expect_observed cannot enforce FAIL (metrics ride the "
+            "caller's action; rows are not gated) — use expect() for "
+            "FAIL semantics")
     cond = condition if not isinstance(condition, str) else F.expr(condition)
     obs = Observation(name)
     observed = df.observe(

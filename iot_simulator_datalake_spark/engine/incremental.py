@@ -26,12 +26,13 @@ state table, which is still O(groups), not O(history).
 
 from __future__ import annotations
 
-import shutil
 from dataclasses import dataclass
 from pathlib import Path
 from typing import TYPE_CHECKING, Callable, Sequence
 
 from pyspark.sql import functions as F
+
+from ..operators.scd import _atomic_swap_write, _restore_crashed_swap
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +79,7 @@ class IncrementalAggTable:
     # -- state ------------------------------------------------------------
 
     def _state(self) -> "DataFrame | None":
+        _restore_crashed_swap(self.path)
         if not (self.path / "_SUCCESS").exists():
             return None
         return self.spark.read.parquet(str(self.path))
@@ -95,17 +97,17 @@ class IncrementalAggTable:
 
     def _write_state(self, df: "DataFrame",
                      epoch_id: int | None = None) -> None:
-        tmp = self.path.with_suffix(".staging")
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(str(tmp))
-        if epoch_id is not None:
-            (tmp / "_epoch").write_text(str(epoch_id))
-        old = self.path.with_suffix(".old")
-        shutil.rmtree(old, ignore_errors=True)
-        if self.path.exists():
-            self.path.rename(old)
-        tmp.rename(self.path)          # atomic dir swap on one fs
-        shutil.rmtree(old, ignore_errors=True)
+        # shared staged-swap with crash-window recovery (a crash
+        # between its two renames used to leave .old as the ONLY
+        # state copy, which the next refresh rmtree'd — silently
+        # rebuilding counts/sums from one micro-batch); the _epoch
+        # replay guard is written via finalize so it swaps atomically
+        # WITH the data
+        def _mark(tmp: Path) -> None:
+            if epoch_id is not None:
+                (tmp / "_epoch").write_text(str(epoch_id))
+
+        _atomic_swap_write(df, self.path, finalize=_mark)
 
     # -- refresh ----------------------------------------------------------
 

@@ -6,13 +6,14 @@ Streaming sinks append one file per micro-batch per partition; at
 100 TB that degrades scans (file-listing cost, tiny row groups, no
 row-group pruning).  Compaction rewrites a table directory to
 size-targeted files.  It is the one maintenance task a triggered-mode
-lakehouse must schedule; VACUUM is a no-op here because the atomic
-directory swap leaves no orphan versions behind.
+lakehouse must schedule; rewrites install as new version dirs through
+the runner's symlink protocol, so superseded versions persist for
+in-flight readers until ``runner.vacuum_table_versions`` reclaims
+them — the same retention contract as Delta OPTIMIZE + VACUUM.
 """
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 from typing import TYPE_CHECKING
 
@@ -76,23 +77,33 @@ def cluster(spark: "SparkSession", path: str | Path, cols: list[str],
 
 
 def _atomic_rewrite(src: Path, df) -> None:
-    """Rewrite ``src`` from ``df`` with an atomic directory swap,
-    preserving hive-style partition columns."""
+    """Rewrite ``src`` from ``df`` as a NEW version dir installed via
+    the runner's symlink protocol, preserving hive-style partition
+    columns.
+
+    The previous in-place dir swap was wrong twice over: on
+    engine-managed tables (which are SYMLINKS per
+    runner._install_version) ``shutil.rmtree`` silently refuses the
+    link, leaking the old version and wedging the SECOND rewrite with
+    ENOTDIR; and a crash between its two renames left the live path
+    absent with no recovery.  ``_install_version`` is atomic, keeps
+    the live path resolvable at every instant (crash-safe by
+    construction: the new version dir is complete before the link
+    repoints), and is concurrent-reader safe; superseded version dirs
+    are reclaimed by ``vacuum_table_versions``."""
+    import uuid
+
+    from .runner import _install_version
     part_cols = sorted({seg.split("=", 1)[0]
                         for p in src.rglob("*.parquet")
                         for seg in p.relative_to(src).parts[:-1]
                         if "=" in seg})
-    tmp = src.with_suffix(".compacting")
-    shutil.rmtree(tmp, ignore_errors=True)
+    vdir = src.with_name(f"{src.name}.v-maint-{uuid.uuid4().hex[:8]}")
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
-    writer.parquet(str(tmp))
-    old = src.with_suffix(".precompact")
-    shutil.rmtree(old, ignore_errors=True)
-    src.rename(old)
-    tmp.rename(src)
-    shutil.rmtree(old, ignore_errors=True)
+    writer.parquet(str(vdir))
+    _install_version(vdir, src)
 
 
 def _morton_key(cols: list[str], bits: int = 16):

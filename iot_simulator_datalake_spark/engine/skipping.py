@@ -95,6 +95,12 @@ def prune_files(path: str | Path, col: str, lo=None, hi=None) -> list[str]:
     """
     root = Path(path)
     manifest = read_stats_manifest(root)
+    # normalize the probe bounds the same way the manifest stored its
+    # min/max (_norm: datetimes -> isoformat strings, bytes -> str) —
+    # prune_files_eq already did; the range path compared str vs
+    # datetime and crashed every timestamp-column range scan
+    nlo = None if lo is None else _norm(lo)
+    nhi = None if hi is None else _norm(hi)
     kept = []
     for rel, stats in manifest["files"].items():
         rng = stats.get(col)
@@ -102,7 +108,7 @@ def prune_files(path: str | Path, col: str, lo=None, hi=None) -> list[str]:
             kept.append(str(root / rel))
             continue
         fmin, fmax = rng
-        if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+        if (nlo is None or fmax >= nlo) and (nhi is None or fmin <= nhi):
             kept.append(str(root / rel))
     return kept
 
@@ -125,7 +131,10 @@ def scan_with_skipping(spark: "SparkSession", path: str | Path, col: str,
         # degenerate: nothing can match; preserve schema via empty read
         df = spark.read.parquet(str(path)).limit(0)
         return df, 0, total
-    df = spark.read.parquet(*files)
+    # basePath keeps hive partition columns in the schema when only
+    # pruned leaf files are handed to the reader — without it the
+    # pruned and unpruned scans disagree on schema
+    df = spark.read.option("basePath", str(path)).parquet(*files)
     c = F.col(col)
     if lo is not None:
         df = df.filter(c >= F.lit(lo))
@@ -160,11 +169,27 @@ def _pow2ceil(n: int) -> int:
     return 1 << max(0, n - 1).bit_length()
 
 
+def _bloom_key(v) -> str:
+    """Type-canonical bloom hash key: ints and int-valued floats hash
+    IDENTICALLY (parquet numeric columns surface as Python floats from
+    pyarrow while probes often pass ints — repr-based hashing made a
+    probe for ``5`` miss files holding ``5.0``, a false NEGATIVE, the
+    one error class a bloom must never produce).  Non-numerics go
+    through the same JSON normalization as the min/max stats.  Large
+    ints past float53 may collide after the float round-trip — a
+    false-POSITIVE only, which blooms tolerate by design."""
+    if not isinstance(v, bool) and isinstance(v, (int, float)):
+        f = float(v)
+        return f"i:{int(f)}" if f.is_integer() else f"f:{f!r}"
+    return f"s:{_norm(v)}"
+
+
 def _bloom_positions(value, bits: int, k: int) -> list[int]:
     import hashlib
+    key = _bloom_key(value)
     out = []
     for i in range(k):
-        h = hashlib.md5(f"{i}:{value}".encode()).hexdigest()
+        h = hashlib.md5(f"{i}:{key}".encode()).hexdigest()
         out.append(int(h[:15], 16) % bits)
     return out
 
@@ -212,7 +237,7 @@ def build_bloom_manifest(path: str | Path, cols: list[str], *,
                 _pow2ceil(max(BLOOM_BITS, len(vals) * bits_per_key))
             bitmap = 0
             for v in vals:
-                for pos in _bloom_positions(_norm(v), m, hashes):
+                for pos in _bloom_positions(v, m, hashes):
                     bitmap |= 1 << pos
             per_col[c] = {"bits": m, "bitmap": hex(bitmap)}
         manifest["bloom"]["files"][rel] = per_col
@@ -246,7 +271,7 @@ def prune_files_eq(path: str | Path, col: str, value) -> list[str]:
             else:                          # legacy single-global-size
                 m, bm_hex = global_bits, ent
             if m not in pos_cache:
-                pos_cache[m] = _bloom_positions(_norm(value), m, hashes)
+                pos_cache[m] = _bloom_positions(value, m, hashes)
             bitmap = int(bm_hex, 16)
             if not all(bitmap >> p & 1 for p in pos_cache[m]):
                 continue

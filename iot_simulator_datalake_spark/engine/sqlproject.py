@@ -222,7 +222,13 @@ def load_sql_project(models_dir: str | Path,
             mat, note = "table", " [streaming_table rendered as batch]"
         schema = ((cfg.get("meta") or {}).get("target_schema")
                   or lay_def.get("schema"))
-        deps = tuple(sorted({f"{eff_schema[r]}.{r}" for r in set(refs)}))
+        # union refs from BOTH renders: the batch render strips
+        # {% if is_incremental() %} blocks BEFORE ref extraction, so a
+        # ref appearing only inside one (e.g. a watermark lookup) would
+        # otherwise vanish from the DAG and toposort could schedule
+        # this model before its incremental-only dependency
+        deps = tuple(sorted({f"{eff_schema[r]}.{r}"
+                             for r in set(refs) | set(_r2)}))
 
         def make_builder(rendered_sql: str, landing_views: list):
             def builder(ctx):
@@ -376,10 +382,19 @@ def load_snapshots(project_root: str | Path, engine,
     proj = load_project_yml(root)
     config_vars = {**proj["vars"], **(config_vars or {})}
     models_dir = root / "models"
+    # effective-schema resolution, same as load_sql_project /
+    # load_sql_tests: a snapshot's ref() must render the temp view the
+    # Engine actually registered — for schema-routed models (meta
+    # target_schema / +schema layer default) that is NOT
+    # "<layer>__<stem>"
     name_to_view: dict[str, str] = {}
     for p in sorted(models_dir.glob("**/*.sql")):
         layer = p.relative_to(models_dir).parts[0]
-        name_to_view[p.stem] = f"{layer}__{p.stem}"
+        cfg = parse_config(p.read_text())
+        lay_def = proj["layer_defaults"].get(layer, {})
+        schema = ((cfg.get("meta") or {}).get("target_schema")
+                  or lay_def.get("schema") or layer)
+        name_to_view[p.stem] = f"{schema}__{p.stem}"
 
     out: dict[str, SnapshotTable] = {}
     snap_dir = root / "snapshots"

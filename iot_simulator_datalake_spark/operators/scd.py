@@ -31,17 +31,22 @@ def _restore_crashed_swap(path: Path) -> None:
         old.rename(path)
 
 
-def _atomic_swap_write(df: DataFrame, path: Path) -> None:
+def _atomic_swap_write(df: DataFrame, path: Path, finalize=None) -> None:
     """Write ``df`` over the state at ``path`` via the staged-rename
     protocol (stage → move live to .old → promote stage → drop .old),
     with crash-window recovery on entry.  ONE definition shared by
-    every stateful operator in this module — the swap's failure modes
-    are subtle enough that two drifting copies were themselves a
-    review finding."""
+    every staged-swap state table (this module's operators and
+    engine/incremental.py) — the swap's failure modes are subtle
+    enough that drifting copies were themselves review findings, twice.
+    ``finalize(tmp_dir)`` runs after the stage is fully written and
+    before it is promoted — for markers that must swap atomically WITH
+    the data (e.g. the incremental tables' ``_epoch`` replay guard)."""
     _restore_crashed_swap(path)
     tmp = path.with_suffix(".staging")
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(str(tmp))
+    if finalize is not None:
+        finalize(tmp)
     old = path.with_suffix(".old")
     shutil.rmtree(old, ignore_errors=True)
     if path.exists():

@@ -249,10 +249,12 @@ def bloom_point_lookup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         build_stats_manifest(work, ["event_id"])
         build_bloom_manifest(work, ["event_id"])
 
-    # v2: per-file auto-sized blooms (v1's fixed 8192 bits saturated at
-    # the ×10 replica's 1.25 M keys/file — the tag bump invalidates any
-    # staged v1 layout)
-    work = _stage_once(sf_dir, "events", "bloom_scan_v2", _build)
+    # v3: type-canonical bloom hash keys (int ≡ int-valued float —
+    # skipping._bloom_key; the v2→v3 tag bump invalidates staged v2
+    # bitmaps whose positions used repr-typed keys).  v2 was the
+    # per-file auto-sizing fix (fixed 8192 bits saturated at the ×10
+    # replica's 1.25 M keys/file).
+    work = _stage_once(sf_dir, "events", "bloom_scan_v3", _build)
     df, n_read, n_total = scan_with_skipping_eq(
         spark, work, "event_id", _BLOOM_PROBE)
     if n_total >= 4 and n_read * 2 > n_total:

@@ -184,3 +184,27 @@ def test_masking_capability_grants(spark):
     # holder of the capability sees raw values
     raw = apply_masks(df, pol, capabilities=["pii:read"]).collect()[0]
     assert raw["name"] == "alice" and raw["bal"] == 1234.5
+
+
+def test_unique_check_on_column_named_count(spark):
+    """groupBy(col).count() with a tested column itself named 'count'
+    used to raise AMBIGUOUS_REFERENCE instead of evaluating."""
+    from iot_simulator_datalake_spark.engine import Engine, Registry
+    from iot_simulator_datalake_spark.engine.checks import unique
+    eng = Engine(spark, Registry())
+    eng.register("t.counts", spark.createDataFrame(
+        [(1,), (2,), (2,)], ["count"]))
+    res = unique("t.counts", "count").run(eng)
+    assert not res.passed and res.violations == 1
+
+
+def test_expect_observed_rejects_fail(spark):
+    """FAIL cannot be enforced scan-free — silently downgrading to
+    WARN dropped the enforcement the caller asked for; it must raise."""
+    import pytest
+    from iot_simulator_datalake_spark.engine import expect_observed
+    from iot_simulator_datalake_spark.engine.checks import OnViolation
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="FAIL"):
+        expect_observed(df, "gate", "id >= 0",
+                        on_violation=OnViolation.FAIL)

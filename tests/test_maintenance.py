@@ -128,3 +128,26 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     want = (spark.read.parquet(str(zo))
             .filter((F.col("b") >= 10) & (F.col("b") <= 20)).count())
     assert got == want
+
+
+def test_compact_engine_symlink_table_twice(spark, tmp_path):
+    """Engine-managed tables are SYMLINKS (runner._install_version);
+    the old in-place swap wedged the SECOND rewrite with ENOTDIR and
+    leaked versions.  Compaction must now install new version dirs and
+    stay repeatable."""
+    import os
+    from iot_simulator_datalake_spark.engine.maintenance import compact
+    from iot_simulator_datalake_spark.engine.runner import (
+        _install_version, vacuum_table_versions)
+    tbl = tmp_path / "t"
+    v0 = tmp_path / "t.v-0000"
+    spark.range(200).repartition(8).write.parquet(str(v0))
+    _install_version(v0, tbl)
+    assert tbl.is_symlink()
+    n1 = compact(spark, tbl, target_file_bytes=1 << 30)
+    n2 = compact(spark, tbl, target_file_bytes=1 << 30)  # second run
+    assert n1 == n2 == 1
+    assert tbl.is_symlink()                      # protocol preserved
+    assert spark.read.parquet(str(tbl)).count() == 200
+    vacuum_table_versions(tbl)
+    assert os.path.exists(tbl)                    # current survives

@@ -174,3 +174,70 @@ def test_bloom_autosizes_per_file(spark, tmp_path):
     # pinned-size mode still writes/reads (legacy global-bits path)
     build_bloom_manifest(path, ["k"], bits=1 << 22)
     assert len(prune_files_eq(path, "k", 123_456)) >= 1
+
+
+def test_range_scan_on_timestamp_column(spark, tmp_path):
+    """prune_files must normalize probe bounds like the manifest's
+    stored min/max (isoformat strings for timestamps) — the raw
+    comparison was str >= datetime and crashed every timestamp range
+    scan."""
+    from datetime import datetime
+    from pyspark.sql import functions as F
+    from iot_simulator_datalake_spark.engine.skipping import (
+        build_stats_manifest, scan_with_skipping)
+    t = tmp_path / "ts_table"
+    df = spark.range(100).select(
+        F.col("id"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,id)")
+        .alias("ts"))
+    # INT96 (the default output type) carries no pyarrow min/max —
+    # write micros so the manifest actually has timestamp stats
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        df.repartitionByRange(4, "ts").write.parquet(str(t))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    build_stats_manifest(t, ["ts"])
+    out, n_read, n_total = scan_with_skipping(
+        spark, t, "ts", lo=datetime(2024, 1, 20), hi=datetime(2024, 1, 30))
+    assert out.count() == 11
+    assert n_read < n_total            # pruning actually bit
+
+
+def test_pruned_scan_keeps_hive_partition_columns(spark, tmp_path):
+    """Pruned leaf-file reads must carry basePath so hive partition
+    columns survive — without it the pruned and unpruned scans
+    disagree on schema."""
+    from iot_simulator_datalake_spark.engine.skipping import (
+        build_stats_manifest, scan_with_skipping)
+    from pyspark.sql import functions as F
+    t = tmp_path / "part_table"
+    df = spark.range(40).select(
+        "id", (F.col("id") % 4).alias("bucket"))
+    df.write.partitionBy("bucket").parquet(str(t))
+    build_stats_manifest(t, ["id"])
+    out, _, _ = scan_with_skipping(spark, t, "id", lo=0, hi=10)
+    assert "bucket" in out.columns
+    assert out.filter(F.col("bucket").isNull()).count() == 0
+
+
+def test_bloom_probe_type_canonical(spark, tmp_path):
+    """An int probe must hit files whose parquet doubles hold the same
+    integral value — repr-typed hashing made 5 miss 5.0 (a bloom
+    false NEGATIVE, the forbidden error class)."""
+    from iot_simulator_datalake_spark.engine.skipping import (
+        build_bloom_manifest, build_stats_manifest, prune_files_eq)
+    from pyspark.sql import functions as F
+    t = tmp_path / "dbl_table"
+    spark.range(32).select(
+        (F.col("id").cast("double") * 1.0).alias("v")) \
+        .repartition(4).write.parquet(str(t))
+    build_stats_manifest(t, ["v"])
+    build_bloom_manifest(t, ["v"])
+    kept_int = prune_files_eq(t, "v", 5)
+    kept_flt = prune_files_eq(t, "v", 5.0)
+    assert kept_int == kept_flt and kept_int   # same files, non-empty
+    rows = spark.read.parquet(*kept_int).filter(F.col("v") == 5.0).count()
+    assert rows == 1                            # the value is really there
