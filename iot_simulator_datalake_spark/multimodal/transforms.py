@@ -128,8 +128,12 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int]:
         return (64 + digest[0] % 192, 64 + digest[1] % 192)
 
 
-FEATURE_SCHEMA = ("doc_id long, n_bytes long, digest string, "
-                  "width int, height int")
+def feature_schema(df: "DataFrame", id_col: str) -> str:
+    """Output schema with the id column typed (and named) from the
+    caller's frame — a hardcoded ``doc_id long`` crashed Arrow for any
+    string/UUID id while the signature promised generality."""
+    return (f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            "n_bytes long, digest string, width int, height int")
 
 
 def extract_features(df: "DataFrame", id_col: str = "doc_id",
@@ -147,7 +151,7 @@ def extract_features(df: "DataFrame", id_col: str = "doc_id",
             dims = [(None, None) if b is None else _decode_image_bytes(b)
                     for b in payloads]
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].values,
+                id_col: pdf[id_col].values,
                 "n_bytes": pd.array(
                     [None if b is None else len(b) for b in payloads],
                     dtype="Int64"),
@@ -159,7 +163,7 @@ def extract_features(df: "DataFrame", id_col: str = "doc_id",
             })
 
     return (df.select(id_col, payload_col)
-            .mapInPandas(run, schema=FEATURE_SCHEMA))
+            .mapInPandas(run, schema=feature_schema(df, id_col)))
 
 
 def decode_image(df: "DataFrame", payload_col: str = "payload",
@@ -177,8 +181,12 @@ def decode_image(df: "DataFrame", payload_col: str = "payload",
         "mapInPandas plumbing with a deterministic metadata fallback")
 
 
-FRAME_SCHEMA = ("doc_id long, frame_idx int, offset_bytes long, "
-                "frame_bytes long, frame_digest string")
+def frame_schema(df: "DataFrame", id_col: str) -> str:
+    """Frame-row schema, id typed/named from the caller's frame (see
+    :func:`feature_schema`)."""
+    return (f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            "frame_idx int, offset_bytes long, "
+            "frame_bytes long, frame_digest string")
 
 
 def frame_sample(df: "DataFrame", id_col: str = "doc_id",
@@ -222,13 +230,18 @@ def frame_sample(df: "DataFrame", id_col: str = "doc_id",
                     continue
                 buf = bytes(raw)
                 for i, (off, fr) in enumerate(dec(buf)):
+                    if i >= max_frames:
+                        # the cap binds for EVERY decoder — leaving it
+                        # inside fake_decoder only let a real codec
+                        # blow the per-batch lists on a 2-hour video
+                        break
                     ids.append(key)
                     idxs.append(i)
                     offs.append(off)
                     sizes.append(len(fr))
                     digests.append(hashlib.md5(fr).hexdigest())
             yield pd.DataFrame({
-                "doc_id": pd.array(ids, dtype="int64"),
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                 "frame_idx": pd.array(idxs, dtype="int32"),
                 "offset_bytes": pd.array(offs, dtype="int64"),
                 "frame_bytes": pd.array(sizes, dtype="int64"),
@@ -236,4 +249,4 @@ def frame_sample(df: "DataFrame", id_col: str = "doc_id",
             })
 
     return (df.select(id_col, payload_col)
-            .mapInPandas(run, schema=FRAME_SCHEMA))
+            .mapInPandas(run, schema=frame_schema(df, id_col)))

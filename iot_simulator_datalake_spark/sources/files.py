@@ -26,7 +26,13 @@ from pyspark.sql import types as T
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
-_CSV_OPTS = {"header": "true"}
+#: enforceSchema=false makes Spark VALIDATE csv headers against the
+#: user schema instead of applying it positionally — essential once
+#: schemas can evolve: an evolved contract appends new fields at the
+#: END (by-name merge), so a positional read of a producer file whose
+#: header orders columns differently would silently transpose values
+#: between columns.  With validation, the mismatch fails loudly.
+_CSV_OPTS = {"header": "true", "enforceSchema": "false"}
 
 
 def infer_csv_schema(spark: "SparkSession", path: str | Path,
@@ -66,10 +72,16 @@ def read_csv_batch(spark: "SparkSession", path: str | Path,
 def read_csv_stream(spark: "SparkSession", path: str | Path,
                     schema_store: str | Path,
                     max_files_per_trigger: int | None = None,
-                    options: dict[str, str] | None = None) -> "DataFrame":
+                    options: dict[str, str] | None = None,
+                    evolve: bool = False) -> "DataFrame":
     """Incremental exactly-once CSV file stream (schema inferred once
-    then fixed) — pair with streaming/runner.py's checkpointed sink."""
-    schema = infer_csv_schema(spark, path, schema_store, options=options)
+    then fixed; ``evolve`` re-samples and widens the stored contract
+    by name, exactly like ``read_json_stream`` — the flag previously
+    existed only on the shared core, leaving the CSV helper without
+    the ST6 path its JSON twin exposes) — pair with
+    streaming/runner.py's checkpointed sink."""
+    schema = infer_csv_schema(spark, path, schema_store, options=options,
+                              evolve=evolve)
     reader = (spark.readStream.schema(schema)
               .options(**{**_CSV_OPTS, **(options or {})}))
     if max_files_per_trigger:

@@ -65,7 +65,12 @@ def infer_persist_schema_core(path: str | Path,
         inferred = T.StructType(merged)
 
     store.parent.mkdir(parents=True, exist_ok=True)
-    store.write_text(json.dumps(inferred.jsonValue()))
+    # atomic publish (tmp + rename): a crash mid-write_text would leave
+    # a truncated store that every later run json.loads-fails on — the
+    # source would be wedged until someone hand-deleted the file
+    tmp = store.with_suffix(store.suffix + ".tmp")
+    tmp.write_text(json.dumps(inferred.jsonValue()))
+    tmp.replace(store)
     return inferred
 
 

@@ -52,6 +52,18 @@ def parse_kafka_json(raw: "DataFrame", payload: T.StructType,
     Works identically on a real Kafka read or any DataFrame with the
     same envelope (which is how it is tested without a broker).
     """
+    if with_metadata:
+        # the metadata columns keep their Kafka envelope names (the
+        # gated oracle depends on them) — so a payload field sharing
+        # one of those names would silently duplicate the column and
+        # poison every downstream select/write; reject it loudly
+        clash = {f.name for f in payload.fields} & \
+            {"topic", "partition", "offset", "kafka_ts"}
+        if clash:
+            raise ValueError(
+                f"payload fields {sorted(clash)} collide with Kafka "
+                "metadata column names; rename them in the payload "
+                "schema or pass with_metadata=False")
     parsed = F.from_json(F.col("value").cast("string"), payload)
     out = raw.select(
         parsed.alias("_p"),

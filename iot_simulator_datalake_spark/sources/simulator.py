@@ -121,11 +121,12 @@ class IoTSimulatorDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the source on a session."""
-    try:
-        spark.dataSource.register(IoTSimulatorDataSource)
-    except Exception:
-        pass  # already registered on this session
+    """Register the source on a session.  Re-registration simply
+    overwrites in pyspark 4, so this needs no guard — the old bare
+    ``except Exception: pass`` here masked REAL registration failures
+    (Connect sessions, API drift) that then resurfaced later as an
+    unrelated DATA_SOURCE_NOT_FOUND."""
+    spark.dataSource.register(IoTSimulatorDataSource)
 
 
 # -- streaming flavor ------------------------------------------------------

@@ -37,8 +37,6 @@ def running_schema(key_type: "T.DataType") -> T.StructType:
     ])
 
 
-#: long-keyed instance kept for callers that import the constant
-RUNNING_SCHEMA = running_schema(T.LongType())
 _STATE_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("total", T.DoubleType()),
@@ -73,11 +71,6 @@ def running_totals(grouped, key_col: str, value_col: str) -> "DataFrame":
         timeoutConf=GroupStateTimeout.NoTimeout)
 
 
-MICRO_OUTPUT_SCHEMA = T.StructType([
-    T.StructField("key", T.LongType()),
-    T.StructField("n_events", T.LongType()),
-    T.StructField("total_micro", T.LongType()),
-])
 _MICRO_STATE_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("total", T.LongType()),

@@ -32,11 +32,15 @@ from pyspark.sql.streaming.stateful_processor import (
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
-TOTALS_OUTPUT_SCHEMA = T.StructType([
-    T.StructField("key", T.LongType()),
-    T.StructField("n_events", T.LongType()),
-    T.StructField("total_micro", T.LongType()),
-])
+def totals_schema(key_type: "T.DataType") -> T.StructType:
+    """Output schema with the key typed from the caller's stream — a
+    hardcoded LongType key is the same Arrow-crash-on-string-keys bug
+    stateful._key_type documents for the v1 path."""
+    return T.StructType([
+        T.StructField("key", key_type),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_micro", T.LongType()),
+    ])
 
 
 class RunningTotalsProcessor(StatefulProcessor):
@@ -73,11 +77,9 @@ def running_totals_v2(stream: "DataFrame", key_col: str,
     codegen before rows cross the Arrow boundary, so the Python side
     only ever adds integers.
     """
-    quant = stream.select(
-        F.col(key_col).alias("key"),
-        (F.col(value_col).cast("decimal(25,4)") * 10_000)
-        .cast("long").alias("v_micro"))
+    from .stateful import quantize_micro
+    quant = quantize_micro(stream, key_col, value_col)
     return quant.groupBy("key").transformWithStateInPandas(
         statefulProcessor=RunningTotalsProcessor(),
-        outputStructType=TOTALS_OUTPUT_SCHEMA,
+        outputStructType=totals_schema(quant.schema["key"].dataType),
         outputMode="update", timeMode="None")

@@ -128,10 +128,26 @@ def test_frame_sample_caps_and_custom_decoder(spark):
         for off in range(0, len(buf), 200):
             yield off, buf[off:off + 100]
 
-    rows = frame_sample(df, decoder=every_other).collect()
+    rows = frame_sample(df, decoder=every_other, max_frames=100).collect()
     assert len(rows) == 50
     assert all(r.frame_bytes == 100 for r in rows)
     assert rows[0].offset_bytes % 200 == 0
+    # the cap binds for CUSTOM decoders too — previously only the fake
+    # decoder honored it, so a real codec on a long video was unbounded
+    assert frame_sample(df, decoder=every_other, max_frames=7).count() == 7
+
+
+def test_extract_features_string_ids(spark):
+    """id columns of any type must flow through — a hardcoded
+    'doc_id long' schema crashed Arrow for string/UUID ids."""
+    df = attach_payload(
+        spark.createDataFrame([("u-1", "abc"), ("u-2", "defg")],
+                              ["uid", "content"]), "content")
+    out = {r["uid"]: r["n_bytes"]
+           for r in extract_features(df, id_col="uid").collect()}
+    assert out == {"u-1": 3, "u-2": 4}
+    fr = frame_sample(df, id_col="uid", frame_bytes=2).collect()
+    assert {r["uid"] for r in fr} == {"u-1", "u-2"}
 
 
 def test_repartition_by_bytes_isolates_every_giant(spark):

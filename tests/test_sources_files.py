@@ -129,3 +129,36 @@ def test_streaming_table_empty_input_is_clean_noop(spark, tmp_path):
         path=tmp_path / "tbl", checkpoint=tmp_path / "ckpt")
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id", "v"]
+
+
+def test_csv_header_validation_catches_reordered_columns(spark, tmp_path):
+    """enforceSchema=false: a producer file whose header reorders
+    columns must FAIL loudly (positional application would silently
+    transpose values between columns — the evolve-merge appends new
+    fields at the END, so order mismatches are expected in the wild)."""
+    from iot_simulator_datalake_spark.sources.files import (
+        infer_csv_schema, read_csv_batch)
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text("id,v\n1,10\n")
+    schema = infer_csv_schema(spark, land, tmp_path / "store.json")
+    (land / "b.csv").write_text("id,extra,v\n2,99,20\n")
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception):
+        read_csv_batch(spark, land, schema=schema).collect()
+
+
+def test_csv_stream_evolve_flag(spark, tmp_path):
+    """read_csv_stream must expose the shared core's ST6 evolve path
+    (API parity with read_json_stream)."""
+    from iot_simulator_datalake_spark.sources.files import read_csv_stream
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text("id,v\n1,10\n")
+    store = tmp_path / "store.json"
+    s1 = read_csv_stream(spark, land, store).schema
+    assert [f.name for f in s1.fields] == ["id", "v"]
+    (land / "b.csv").write_text("id,v,extra\n2,20,hi\n")
+    s2 = read_csv_stream(spark, land, store, evolve=True).schema
+    assert [f.name for f in s2.fields] == ["id", "v", "extra"]

@@ -38,3 +38,22 @@ def test_kafka_source_errors_without_connector(spark):
     with pytest.raises(Exception, match="[Kk]afka"):
         df = read_kafka_stream(spark, "localhost:9092", "t")
         df.writeStream.format("noop").start()  # force plan if lazy
+
+
+def test_metadata_name_collision_rejected(spark):
+    """A payload field named like a Kafka metadata column would emit a
+    duplicate column (AMBIGUOUS_REFERENCE downstream, parquet write
+    failure) — it must be rejected loudly instead."""
+    import pytest
+    from pyspark.sql import types as T
+    from iot_simulator_datalake_spark.sources.kafka import parse_kafka_json
+    raw = spark.createDataFrame(
+        [(b'{"offset": 1}',)], "value binary") \
+        .selectExpr("value", "'t' AS topic", "0 AS partition",
+                    "1L AS offset", "current_timestamp() AS timestamp")
+    schema = T.StructType([T.StructField("offset", T.LongType())])
+    with pytest.raises(ValueError, match="offset"):
+        parse_kafka_json(raw, schema)
+    # without metadata the same payload parses fine
+    out = parse_kafka_json(raw, schema, with_metadata=False).collect()
+    assert out[0]["offset"] == 1
