@@ -16,8 +16,13 @@ from pyspark.sql import functions as F
 
 def full_mat(df: DataFrame) -> int:
     """Execute the WHOLE plan (a count over every output column, which
-    marks each column as consumed) and return the row count."""
+    marks each column as consumed) and return the row count.
+
+    Columns are referenced BY INDEX, not by name: rows-only queries may
+    legally repeat an output name (AMBIGUOUS_REFERENCE under by-name
+    counting) or contain dots (parsed as struct access), and either
+    would kill the whole probe/bench sweep mid-run."""
     row = df.agg(F.count(F.lit(1)).alias("_n"),
-                 *[F.count(c).alias(f"_c{i}")
-                   for i, c in enumerate(df.columns)]).collect()[0]
+                 *[F.count(df[i]).alias(f"_c{i}")
+                   for i in range(len(df.columns))]).collect()[0]
     return row["_n"]

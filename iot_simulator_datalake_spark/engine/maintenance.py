@@ -6,10 +6,11 @@ Streaming sinks append one file per micro-batch per partition; at
 100 TB that degrades scans (file-listing cost, tiny row groups, no
 row-group pruning).  Compaction rewrites a table directory to
 size-targeted files.  It is the one maintenance task a triggered-mode
-lakehouse must schedule; rewrites install as new version dirs through
-the runner's symlink protocol, so superseded versions persist for
-in-flight readers until ``runner.vacuum_table_versions`` reclaims
-them — the same retention contract as Delta OPTIMIZE + VACUUM.
+lakehouse must schedule.  Engine-managed (symlink) tables rewrite as
+new version dirs through the runner's protocol — superseded versions
+persist for in-flight readers until ``runner.vacuum_table_versions``
+reclaims them (the Delta OPTIMIZE + VACUUM retention contract); plain
+directories use a self-contained staged swap with crash recovery.
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ def compact(spark: "SparkSession", path: str | Path,
     compact per-partition automatically (coalesce preserves the
     partition columns through the rewrite's partitionBy discovery)."""
     src = Path(path)
+    _restore_precompact(src)
     n_files, total = table_file_stats(src)
     n_target = max(1, -(-total // target_file_bytes))
     if n_files <= n_target:
@@ -67,6 +69,7 @@ def cluster(spark: "SparkSession", path: str | Path, cols: list[str],
     would put one hot key's whole mass in one file.
     """
     src = Path(path)
+    _restore_precompact(src)
     _, total = table_file_stats(src)
     n_target = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(str(src))
@@ -76,34 +79,64 @@ def cluster(spark: "SparkSession", path: str | Path, cols: list[str],
     return table_file_stats(src)[0]
 
 
-def _atomic_rewrite(src: Path, df) -> None:
-    """Rewrite ``src`` from ``df`` as a NEW version dir installed via
-    the runner's symlink protocol, preserving hive-style partition
-    columns.
+def _restore_precompact(src: Path) -> None:
+    """Crash-window recovery for the plain-directory swap below: a
+    crash between ``src.rename(.precompact)`` and the stage promote
+    leaves ``.precompact`` as the only complete copy — restore it
+    instead of letting the next rewrite rmtree it.  Called by every
+    maintenance entry point BEFORE reading the table."""
+    import shutil
+    old = src.with_suffix(".precompact")
+    if not (src / "_SUCCESS").exists() and (old / "_SUCCESS").exists():
+        shutil.rmtree(src, ignore_errors=True)
+        old.rename(src)
 
-    The previous in-place dir swap was wrong twice over: on
-    engine-managed tables (which are SYMLINKS per
-    runner._install_version) ``shutil.rmtree`` silently refuses the
-    link, leaking the old version and wedging the SECOND rewrite with
-    ENOTDIR; and a crash between its two renames left the live path
-    absent with no recovery.  ``_install_version`` is atomic, keeps
-    the live path resolvable at every instant (crash-safe by
-    construction: the new version dir is complete before the link
-    repoints), and is concurrent-reader safe; superseded version dirs
-    are reclaimed by ``vacuum_table_versions``."""
+
+def _atomic_rewrite(src: Path, df) -> None:
+    """Rewrite ``src`` from ``df``, preserving hive-style partition
+    columns — two shapes depending on what ``src`` IS:
+
+    - **engine-managed table (a SYMLINK per runner._install_version)**:
+      write a new version dir beside it and atomically repoint the
+      link.  The old in-place swap was doubly wrong here — rmtree
+      silently refuses symlinks (leaking the superseded version and
+      wedging the SECOND rewrite with ENOTDIR) and a crash between its
+      renames left the live path absent.  Version install keeps the
+      path resolvable at every instant; superseded versions are
+      reclaimed by ``vacuum_table_versions``.
+
+    - **plain directory**: staged in-place swap (self-contained — no
+      sibling artifacts, which stage_once's cache layout depends on),
+      with the ``.precompact`` crash window recovered on the next
+      entry via :func:`_restore_precompact`."""
+    import shutil
     import uuid
 
-    from .runner import _install_version
     part_cols = sorted({seg.split("=", 1)[0]
                         for p in src.rglob("*.parquet")
                         for seg in p.relative_to(src).parts[:-1]
                         if "=" in seg})
-    vdir = src.with_name(f"{src.name}.v-maint-{uuid.uuid4().hex[:8]}")
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(str(vdir))
-    _install_version(vdir, src)
+
+    def write_to(path: Path) -> None:
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(str(path))
+
+    if src.is_symlink():
+        from .runner import _install_version
+        vdir = src.with_name(f"{src.name}.v-maint-{uuid.uuid4().hex[:8]}")
+        write_to(vdir)
+        _install_version(vdir, src)
+        return
+    tmp = src.with_suffix(".compacting")
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_to(tmp)
+    old = src.with_suffix(".precompact")
+    shutil.rmtree(old, ignore_errors=True)
+    src.rename(old)
+    tmp.rename(src)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _morton_key(cols: list[str], bits: int = 16):
@@ -151,6 +184,7 @@ def zorder(spark: "SparkSession", path: str | Path, cols: list[str],
     from pyspark.sql import functions as F
 
     src = Path(path)
+    _restore_precompact(src)
     _, total = table_file_stats(src)
     n_target = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(str(src))

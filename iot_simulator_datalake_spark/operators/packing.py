@@ -17,6 +17,22 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
 
+#: THE dataset-split thresholds: bucket < 80 → train, < 90 →
+#: validation, else test.  One definition — dataset_split
+#: (queries_training), the corpus-prep pipeline (corpus_models), and
+#: their oracles all read it; literal copies silently desynchronized
+#: split membership across surfaces (test-set leakage with no gate).
+SPLIT_THRESHOLDS = dict(train=80, validation=90)
+
+
+def plain_bucket(col, mod: int = 100):
+    """Un-seeded md5 bucket over a key column — the split/contamination
+    bucket expression, single-sourced for the same reason as
+    SPLIT_THRESHOLDS (and mirrored literally in the DuckDB oracles)."""
+    h = F.md5(col.cast("string"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % mod
+
+
 def hash_bucket(col, seed: str, mod: int):
     """Deterministic engine-portable bucket: md5(seed:key) % mod —
     stable across runs, engines, partitionings, and retries (the

@@ -39,8 +39,11 @@ if TYPE_CHECKING:  # pragma: no cover
 
 #: silver length gate (tokens) and packing geometry — shared with the
 #: oracle in queries_corpus.py
+from ..operators.packing import (SPLIT_THRESHOLDS as _SPLIT,  # noqa: E402
+                                 plain_bucket)
+
 CORPUS = dict(min_toks=5, max_toks=400, block=64, shards=4, seed="corp1",
-              train_hi=80, val_hi=90)
+              train_hi=_SPLIT["train"], val_hi=_SPLIT["validation"])
 
 
 def build_corpus_registry() -> Registry:
@@ -74,10 +77,10 @@ def build_corpus_registry() -> Registry:
            description="Deterministic 80/10/10 split by md5 bucket")
     def corpus_splits(ctx: ModelContext) -> "DataFrame":
         d = ctx.ref("silver.documents")
-        # plain md5(doc_id) % 100 — same buckets as the standalone
-        # dataset_split query, so the two split surfaces agree
-        b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                                1, 15), 16, 10).cast("long") % 100)
+        # plain_bucket + SPLIT_THRESHOLDS: the SAME definition the
+        # standalone dataset_split query reads, so the two split
+        # surfaces cannot desynchronize
+        b = plain_bucket(F.col("doc_id"))
         split = (F.when(b < CORPUS["train_hi"], "train")
                  .when(b < CORPUS["val_hi"], "validation")
                  .otherwise("test"))

@@ -77,10 +77,23 @@ def dsum(col) -> F.Column:
 
 
 def davg(col) -> F.Column:
-    """Deterministic avg: exact decimal sum ÷ count, rounded to 6 dp."""
+    """Deterministic avg as a double: floor((exact decimal sum × 1e6)
+    / count) integer micro-units, divided ONCE by 1e6.0 at the end —
+    both engines floor the same exact integers and then perform one
+    identical IEEE division, so the bits match.  (The previous 6-dp
+    F.round of the raw double quotient was the HALF_UP-vs-
+    scaled-double cross-engine class the repo-wide determinism sweep
+    eliminated everywhere else; it survived here as documented policy
+    until round 7 closed it too.)  Floor division uses the mod
+    identity — POSITIVE operands only (Spark % truncates, DuckDB %
+    floors on negatives); every caller aggregates money/quantity/value
+    columns ≥ 0."""
     c = col if not isinstance(col, str) else F.col(col)
-    return F.round(F.sum(c.cast("decimal(25,4)")).cast("double") /
-                   F.count(c), 6)
+    num = (F.sum(c.cast("decimal(25,4)")) * F.lit(1_000_000)) \
+        .cast("decimal(38,0)")
+    cnt = F.count(c)
+    micro = ((num - num % cnt) / cnt).cast("long")
+    return micro.cast("double") / F.lit(1_000_000.0)
 
 
 #: oracle-side twins of dsum/davg (DuckDB SQL fragments)
@@ -89,8 +102,8 @@ def osum(col: str) -> str:
 
 
 def oavg(col: str) -> str:
-    return (f"ROUND(CAST(SUM(CAST({col} AS DECIMAL(25,4))) AS DOUBLE)"
-            f" / COUNT({col}), 6)")
+    return (f"CAST(CAST(SUM(CAST({col} AS DECIMAL(25,4))) * 1000000 "
+            f"AS HUGEINT) // COUNT({col}) AS BIGINT) / 1000000.0")
 
 
 @dataclass
@@ -108,6 +121,13 @@ REGISTRY: dict[str, QueryDef] = {}
 def q(name: str, operators: tuple[str, ...], oracle: str | None = None,
       bench: bool = False):
     def wrap(fn):
+        if name in REGISTRY:
+            # 20 modules register into one dict: a silent overwrite
+            # would drop the import-order loser from every gate
+            # (check_oracle, bench, plan lint) with all reports still
+            # showing N/N green — coverage lost with zero signal
+            raise ValueError(f"duplicate query name {name!r} "
+                             f"(already registered)")
         REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle,
                                   operators=operators, bench=bench)
         return fn

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .functions.text import tokens
 from .operators.components import connected_components
 from .operators.dedup import minhash_lsh_cross_pairs, minhash_lsh_pairs
+from .operators.packing import SPLIT_THRESHOLDS as _SPLIT, plain_bucket
 from .queries import load, q
 from .queries_ext import (O_TOKENS, _MINHASH, _MINHASH_CAP, _mh_bandkeys_sql,
                           _mh_shingles_sql, _mh_sigs_sql, _minhash_oracle)
@@ -79,7 +80,8 @@ def neardup_clusters(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # Deterministic train/validation/test split ([EXT])
 # =========================================================================
 
-_SPLIT = dict(train=80, validation=90)  # bucket < 80 / < 90 / else test
+# _SPLIT is operators.packing.SPLIT_THRESHOLDS (one definition for
+# every split surface)
 
 
 @q("dataset_split", ("F2",), oracle=f"""
@@ -103,8 +105,7 @@ def dataset_split(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     shuffle, fully pipelined into the scan at any scale.
     """
     d = load(spark, sf_dir, "documents")
-    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-                16, 10).cast("long") % 100)
+    b = plain_bucket(F.col("doc_id"))
     split = (F.when(b < _SPLIT["train"], "train")
              .when(b < _SPLIT["validation"], "validation")
              .otherwise("test"))

@@ -53,13 +53,24 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def tune_session(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
+def tune_session(spark: SparkSession,
+                 shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    ``spark.sql.shuffle.partitions`` IS runtime-settable, and the
+    module docstring promises it: a driver-provided session would
+    otherwise run every query at its own default (200) partitions.
+    ``None`` sizes it from the environment like a fresh session."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable at runtime on this build — fine
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions or default_parallelism()))
+    except Exception:
+        pass
     return spark
 
 
@@ -83,6 +94,11 @@ def get_spark(app_name: str = "iot_simulator_datalake_spark",
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # NOTE getOrCreate IGNORES builder configs when a session already
+    # exists — master/memory are then fixed for the JVM's lifetime.
+    # The runtime-settable subset (tune_session, incl. the explicit
+    # shuffle_partitions arg) is re-applied below either way, so that
+    # arg is honored even on a reused session.
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return tune_session(spark)
+    return tune_session(spark, shuffle_partitions)

@@ -37,16 +37,41 @@ def source_digest(sf_dir: str, table: str) -> str:
     return h.hexdigest()[:16]
 
 
-def _recipe_digest(build: Callable) -> str:
-    """Fingerprint of the BUILDER itself (bytecode + constants), so
-    editing a layout recipe — clustering granularity, bloom sizing, a
-    new manifest step — auto-invalidates the cache instead of relying
-    on a hand-bumped tag (the round-5 bloom fix needed exactly that
-    manual bump; this makes the next one automatic)."""
-    code = build.__code__
-    h = hashlib.md5(code.co_code)
+def _hash_code(h, fn: Callable, seen: set) -> None:
+    code = fn.__code__
+    if code in seen:
+        return
+    seen.add(code)
+    h.update(code.co_code)
     h.update(repr(code.co_consts).encode())
     h.update(repr(code.co_names).encode())
+    # recurse into closure-captured FUNCTIONS: a builder typically
+    # delegates to helpers it closes over (cluster, build_bloom_
+    # manifest, …) whose bytecode is the actual recipe
+    for cell in (fn.__closure__ or ()):
+        try:
+            v = cell.cell_contents
+        except ValueError:          # empty cell
+            continue
+        if callable(v) and hasattr(v, "__code__"):
+            _hash_code(h, v, seen)
+        else:
+            h.update(repr(type(v)).encode())
+
+
+def _recipe_digest(build: Callable) -> str:
+    """Fingerprint of the BUILDER (bytecode + constants, recursing into
+    closure-captured helper functions), so editing a layout recipe —
+    clustering granularity, bloom sizing, a new manifest step —
+    auto-invalidates the cache instead of relying on a hand-bumped tag.
+
+    HONEST LIMIT: helpers reached via MODULE imports (co_names holds
+    only the NAME) and module-level constants are NOT covered — editing
+    e.g. engine/skipping's bloom hashing still requires bumping the
+    caller's tag (the round-5 v1→v2 and round-7 v2→v3 bloom bumps are
+    that discipline in action)."""
+    h = hashlib.md5()
+    _hash_code(h, build, set())
     return h.hexdigest()[:8]
 
 
@@ -96,4 +121,16 @@ def stage_once(sf_dir: str, table: str, tag: str,
         shutil.rmtree(tmp, ignore_errors=True)
         if not (dest / "_STAGED").exists():
             raise  # not a lost race — surface the real failure
+    # GC superseded generations of the SAME (tag, source): a recipe
+    # edit otherwise strands a full multi-table-sized layout forever —
+    # the unbounded leak this module was built to stop.  Scoped to the
+    # source digest on purpose: the same tag staged from OTHER source
+    # dirs (sf0.001 vs sf0.01 vs replicas) is concurrently live, and a
+    # tag-wide sweep deleted a sibling SF's layout out from under its
+    # reader (measured: FileNotFound mid-oracle-sweep).  Same source +
+    # same tag + different recipe is superseded by definition.
+    prefix = f"{tag}-{source_digest(sf_dir, table)}-r"
+    for p in dest.parent.glob(f"{prefix}*"):
+        if p != dest and (p / "_STAGED").exists():
+            shutil.rmtree(p, ignore_errors=True)
     return dest

@@ -241,3 +241,33 @@ def test_bloom_probe_type_canonical(spark, tmp_path):
     assert kept_int == kept_flt and kept_int   # same files, non-empty
     rows = spark.read.parquet(*kept_int).filter(F.col("v") == 5.0).count()
     assert rows == 1                            # the value is really there
+
+
+def test_stage_once_gc_scoped_to_same_source(spark, tmp_path, monkeypatch):
+    """GC must reclaim only superseded RECIPE generations of the same
+    (tag, source): a tag-wide sweep deleted sibling-SF layouts out
+    from under live readers (measured mid-sweep FileNotFound)."""
+    import tempfile
+    from iot_simulator_datalake_spark.stagecache import stage_once
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    srcs = []
+    for i in (0, 1):
+        d = tmp_path / f"src{i}"
+        d.mkdir()
+        spark.range(5 + i).write.parquet(str(d / "t.parquet"))
+        srcs.append(str(d))
+
+    def build_a(work):
+        spark.range(1).write.parquet(str(work))
+
+    p0 = stage_once(srcs[0], "t", "gctag", build_a)
+    p1 = stage_once(srcs[1], "t", "gctag", build_a)
+    assert p0.exists() and p1.exists()          # both sources stay live
+
+    def build_b(work):  # recipe change for source 0 only
+        spark.range(2).coalesce(1).write.parquet(str(work))
+
+    p0b = stage_once(srcs[0], "t", "gctag", build_b)
+    assert p0b.exists() and p0b != p0
+    assert not p0.exists()                       # superseded gen GC'd
+    assert p1.exists()                           # other source untouched
