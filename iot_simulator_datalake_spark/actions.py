@@ -18,11 +18,15 @@ def full_mat(df: DataFrame) -> int:
     """Execute the WHOLE plan (a count over every output column, which
     marks each column as consumed) and return the row count.
 
-    Columns are referenced BY INDEX, not by name: rows-only queries may
-    legally repeat an output name (AMBIGUOUS_REFERENCE under by-name
-    counting) or contain dots (parsed as struct access), and either
-    would kill the whole probe/bench sweep mid-run."""
-    row = df.agg(F.count(F.lit(1)).alias("_n"),
-                 *[F.count(df[i]).alias(f"_c{i}")
-                   for i in range(len(df.columns))]).collect()[0]
+    Columns are first renamed POSITIONALLY via ``toDF`` (which is truly
+    ordinal, unlike ``df[i]`` — PySpark implements that as
+    ``_jdf.apply(self.columns[i])``, i.e. name-based resolution):
+    rows-only queries may legally repeat an output name
+    (AMBIGUOUS_REFERENCE under by-name counting) or contain dots
+    (UNRESOLVED_COLUMN: parsed as struct access), and either would kill
+    the whole probe/bench sweep mid-run."""
+    d = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
+    row = d.agg(F.count(F.lit(1)).alias("_n"),
+                *[F.count(f"_c{i}").alias(f"_k{i}")
+                  for i in range(len(d.columns))]).collect()[0]
     return row["_n"]

@@ -292,5 +292,10 @@ def scan_with_skipping_eq(spark: "SparkSession", path: str | Path,
     if not files:
         df = spark.read.parquet(str(path)).limit(0)
         return df, 0, total
-    df = spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
+    # basePath keeps hive partition columns in the schema when only
+    # some leaf files survive pruning (same divergence scan_with_
+    # skipping fixed in r7; latent here while bloom layouts are
+    # unpartitioned, but the helper is public API).
+    df = (spark.read.option("basePath", str(path)).parquet(*files)
+          .filter(F.col(col) == F.lit(value)))
     return df, len(files), total

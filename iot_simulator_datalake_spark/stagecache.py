@@ -55,6 +55,12 @@ def _hash_code(h, fn: Callable, seen: set) -> None:
             continue
         if callable(v) and hasattr(v, "__code__"):
             _hash_code(h, v, seen)
+        elif isinstance(v, (int, float, str, bytes, bool, tuple,
+                            frozenset, type(None))):
+            # captured CONFIG SCALARS are part of the recipe: a builder
+            # closing over e.g. target_file_bytes must re-stage when
+            # that value changes, not keep serving the stale layout
+            h.update(repr(v).encode())
         else:
             h.update(repr(type(v)).encode())
 
@@ -65,8 +71,12 @@ def _recipe_digest(build: Callable) -> str:
     clustering granularity, bloom sizing, a new manifest step —
     auto-invalidates the cache instead of relying on a hand-bumped tag.
 
+    Captured simple immutable values (int/float/str/bytes/bool/tuple/
+    frozenset/None) hash by VALUE, so config scalars invalidate too.
+
     HONEST LIMIT: helpers reached via MODULE imports (co_names holds
-    only the NAME) and module-level constants are NOT covered — editing
+    only the NAME), module-level constants, and captured MUTABLE
+    values (dict/list/object — hashed by type only) are NOT covered — editing
     e.g. engine/skipping's bloom hashing still requires bumping the
     caller's tag (the round-5 v1→v2 and round-7 v2→v3 bloom bumps are
     that discipline in action)."""
@@ -129,8 +139,13 @@ def stage_once(sf_dir: str, table: str, tag: str,
     # tag-wide sweep deleted a sibling SF's layout out from under its
     # reader (measured: FileNotFound mid-oracle-sweep).  Same source +
     # same tag + different recipe is superseded by definition.
+    # ``.tmp-`` siblings are EXCLUDED even though they carry _STAGED
+    # (the marker is written before the rename): they are another
+    # process's fully-built layout mid-publish, not a superseded
+    # generation — GC'ing one loses that process's build.
     prefix = f"{tag}-{source_digest(sf_dir, table)}-r"
     for p in dest.parent.glob(f"{prefix}*"):
-        if p != dest and (p / "_STAGED").exists():
+        if (p != dest and ".tmp-" not in p.name
+                and (p / "_STAGED").exists()):
             shutil.rmtree(p, ignore_errors=True)
     return dest

@@ -271,3 +271,76 @@ def test_stage_once_gc_scoped_to_same_source(spark, tmp_path, monkeypatch):
     assert p0b.exists() and p0b != p0
     assert not p0.exists()                       # superseded gen GC'd
     assert p1.exists()                           # other source untouched
+
+
+def test_pruned_eq_scan_keeps_hive_partition_columns(spark, tmp_path):
+    """scan_with_skipping_eq must carry basePath like its range
+    sibling — pruned and unpruned scans of a partitioned table must
+    agree on schema."""
+    from iot_simulator_datalake_spark.engine.skipping import (
+        build_bloom_manifest, build_stats_manifest, scan_with_skipping_eq)
+    from pyspark.sql import functions as F
+    t = tmp_path / "part_eq_table"
+    df = spark.range(40).select(
+        "id", (F.col("id") % 4).alias("bucket"))
+    df.write.partitionBy("bucket").parquet(str(t))
+    build_stats_manifest(t, ["id"])
+    build_bloom_manifest(t, ["id"])
+    out, n_read, n_total = scan_with_skipping_eq(spark, t, "id", 7)
+    assert "bucket" in out.columns
+    got = out.collect()
+    assert len(got) == 1 and got[0]["bucket"] == 7 % 4
+
+
+def test_stage_once_gc_skips_inflight_tmp(spark, tmp_path, monkeypatch):
+    """GC must NOT reclaim ``.tmp-`` siblings even though they carry
+    _STAGED (written before the publish rename): they are another
+    process's build mid-publish, not a superseded generation."""
+    import tempfile
+    from iot_simulator_datalake_spark.stagecache import (
+        stage_once, source_digest)
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    src = tmp_path / "src_tmp"
+    src.mkdir()
+    spark.range(3).write.parquet(str(src / "t.parquet"))
+
+    # simulate a concurrent process's fully-built tmp sibling
+    digest = source_digest(str(src), "t")
+    root = tmp_path / "lake_stage"
+    root.mkdir(parents=True, exist_ok=True)
+    inflight = root / f"gctag2-{digest}-rdeadbeef.tmp-abc12345"
+    inflight.mkdir(parents=True)
+    (inflight / "_STAGED").write_text("ok\n")
+
+    def build(work):
+        spark.range(1).write.parquet(str(work))
+
+    p = stage_once(str(src), "t", "gctag2", build)
+    assert p.exists()
+    assert inflight.exists()                     # in-flight tmp survives
+
+
+def test_recipe_digest_sees_captured_scalars():
+    """A builder closing over a config scalar must re-stage when the
+    value changes — captured simple immutables hash by VALUE."""
+    from iot_simulator_datalake_spark.stagecache import _recipe_digest
+
+    def make(bits):
+        def build(work):
+            return bits * 2
+        return build
+
+    assert _recipe_digest(make(8)) != _recipe_digest(make(16))
+    assert _recipe_digest(make(8)) == _recipe_digest(make(8))
+
+
+def test_full_mat_tolerates_duplicate_and_dotted_names(spark):
+    """full_mat must be truly ordinal: duplicate output names and
+    dotted names (df[i] is name-based under the hood) must not raise."""
+    from iot_simulator_datalake_spark.actions import full_mat
+    from pyspark.sql import functions as F
+    df = spark.range(5).select(
+        F.col("id").alias("count"),
+        (F.col("id") * 2).alias("count"),
+        F.lit(1).alias("a.b"))
+    assert full_mat(df) == 5
