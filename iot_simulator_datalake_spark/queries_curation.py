@@ -697,19 +697,21 @@ def semdedup_prune_capped(spark: "SparkSession", sf_dir: str
                                F.lit(False)).alias("pruned")))
 
 
-def _o_subcell(src: str, cell: str) -> str:
+def _o_subcell(src: str, cell: str, prefix: str = "") -> str:
     """DuckDB CTE pair replaying ``_subcell`` over relation ``src``
-    with cell column ``cell`` → relation ``sub`` (id, vec, {cell}, n,
-    sub)."""
-    return f"""sized AS (
+    with cell column ``cell`` → relation ``{prefix}sub`` (id, vec,
+    {cell}, n, sub).  ``prefix`` renames the emitted CTEs so one
+    oracle can replay TWO capped variants (the IVF recall eval)
+    without name collisions."""
+    return f"""{prefix}sized AS (
   SELECT *, COUNT(*) OVER (PARTITION BY {cell}) AS n FROM {src}
-), sub AS (
+), {prefix}sub AS (
   SELECT id, vec, {cell}, n,
          CASE WHEN n <= {_SEM_CAP} THEN 0
               ELSE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
                    % ((n + {_SEM_CAP} - 1) // {_SEM_CAP})
          END AS sub
-  FROM sized
+  FROM {prefix}sized
 )"""
 
 
@@ -878,6 +880,385 @@ def semdedup_kmeans_cap_recall_eval(spark: "SparkSession", sf_dir: str
         agree.cast("int").alias("agree_pruned"),
         (agree.cast("double") /
          F.nullif(n_u.cast("double"), F.lit(0.0))).alias("cap_recall"))
+
+
+# =========================================================================
+# SemDeDup at 100 TB: IVF coarse/fine assignment (the auto-K fix)
+# =========================================================================
+
+_CELL_PACK = 1 << 20  # (coarse, fine) cell pack; fine rank ≤ kf ≪ 2^20
+
+
+def _ivf_fine_step(k: int) -> str:
+    """One unrolled fine-level Lloyd round (the within-coarse-cell twin
+    of queries_ml._STEP_SQL): assignment is restricted to the fine
+    centroids of the vector's OWN coarse cell (join through ``iac``),
+    the centroid update is the same exact floor-division integer mean,
+    and empty fine cells keep their previous centroid."""
+    prev = f"if{k - 1}"
+    return f"""
+, fd{k} AS MATERIALIZED (
+  SELECT p.vec_id, c.fcid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist2
+  FROM pts p JOIN iac a ON p.vec_id = a.vec_id
+             JOIN {prev} c ON c.ccid = a.ccid AND c.d = p.d
+  GROUP BY 1, 2
+), fm{k} AS (
+  SELECT vec_id, MIN(dist2) AS md FROM fd{k} GROUP BY 1
+), fa{k} AS (
+  SELECT d.vec_id, MIN(d.fcid) AS fcid
+  FROM fd{k} d JOIN fm{k} m ON d.vec_id = m.vec_id AND d.dist2 = m.md
+  GROUP BY 1
+), fs{k} AS (
+  SELECT a.ccid, f.fcid, p.d, CAST(SUM(p.qv) // COUNT(*) AS BIGINT) AS cv
+  FROM pts p JOIN iac a USING (vec_id) JOIN fa{k} f USING (vec_id)
+  GROUP BY 1, 2, 3
+), if{k} AS MATERIALIZED (
+  SELECT c.ccid, c.fcid, c.d, CAST(COALESCE(s.cv, c.cv) AS BIGINT) AS cv
+  FROM {prev} c LEFT JOIN fs{k} s
+    ON s.ccid = c.ccid AND s.fcid = c.fcid AND s.d = c.d
+)"""
+
+
+def _ivf_ctes(with_common: bool = False) -> str:
+    """DuckDB CTE chain replaying the two-level trained IVF assignment
+    → relations ``iac`` (vec_id → ccid) and ``iaf`` (vec_id → fcid):
+    a Lloyd chain at kc = ⌈√K⌉ for the coarse level (prefix ``q`` —
+    the exact queries_ml rounds, seed-count overridden), then an
+    unrolled fine-level Lloyd at kf = ⌈K/kc⌉ WITHIN each coarse cell
+    (seeds = the kf lowest-id members).  With ``with_common`` it also
+    emits the shared ``kk`` (auto-K rule) and ``pts`` (quantized long
+    format) CTEs; without, the caller has already defined them (the
+    recall eval reuses the exact chain's).
+
+    ``CEIL(SQRT(k))`` is the one floating-point step: IEEE-754 sqrt is
+    correctly rounded in both engines, and k is an exact small
+    integer, so kc is deterministic cross-engine (mirrored by
+    ``math.ceil(math.sqrt(k))`` on the Spark side).
+
+    The iterated CTEs (``iac``, ``fd{k}``, ``if{k}``, ``fdf``,
+    ``iaf``) are ``AS MATERIALIZED``: DuckDB inlines multi-referenced
+    CTEs, so without it each fine round re-evaluates the entire
+    upstream chain — measured 0.3 s → 8.7 s → 145 s per round at a
+    mere 500 vectors (exponential in rounds).  MATERIALIZED is
+    semantically identical; it only pins evaluation order."""
+    from .queries_ml import (_AUTOK_TARGET, _ITERS, _K, _PTS_SQL,
+                             _kmeans_assign_ctes)
+    common = (f"kk AS (SELECT GREATEST({_K}, (COUNT(*) + "
+              f"{_AUTOK_TARGET - 1}) // {_AUTOK_TARGET}) AS k "
+              f"FROM embeddings),\npts AS ({_PTS_SQL}),\n"
+              if with_common else "")
+    coarse = _kmeans_assign_ctes(prefix="q", ksql="(SELECT kc FROM dims)",
+                                 emit_common=False)
+    fine_steps = "".join(_ivf_fine_step(k) for k in range(1, _ITERS + 1))
+    last = f"if{_ITERS}"
+    return common + f"""dims AS (
+  SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS kc,
+         (k + CAST(CEIL(SQRT(k)) AS BIGINT) - 1)
+           // CAST(CEIL(SQRT(k)) AS BIGINT) AS kf
+  FROM kk
+), {coarse},
+iac AS MATERIALIZED (
+  SELECT vec_id, cid AS ccid FROM qafin
+), irk AS (
+  SELECT vec_id, ccid,
+         ROW_NUMBER() OVER (PARTITION BY ccid ORDER BY vec_id) AS r
+  FROM iac
+), if0 AS MATERIALIZED (
+  SELECT r.ccid, r.r AS fcid, p.d, p.qv AS cv
+  FROM irk r JOIN pts p USING (vec_id) CROSS JOIN dims
+  WHERE r.r <= dims.kf
+){fine_steps}
+, fdf AS MATERIALIZED (
+  SELECT p.vec_id, c.fcid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist2
+  FROM pts p JOIN iac a ON p.vec_id = a.vec_id
+             JOIN {last} c ON c.ccid = a.ccid AND c.d = p.d
+  GROUP BY 1, 2
+), fmf AS (
+  SELECT vec_id, MIN(dist2) AS md FROM fdf GROUP BY 1
+), iaf AS MATERIALIZED (
+  SELECT d.vec_id, MIN(d.fcid) AS fcid
+  FROM fdf d JOIN fmf m ON d.vec_id = m.vec_id AND d.dist2 = m.md
+  GROUP BY 1
+)"""
+
+
+_IVF_NPROBE_C = 2  # coarse cells considered per vector (faiss nprobe)
+_IVF_NPROBE = 3    # total probed (coarse, fine) cells incl the home cell
+
+
+def _ivf_model(spark: "SparkSession", sf_dir: str) -> dict:
+    """Train the two-level IVF quantizer and return its pieces:
+    ``pts`` (quantized long format, cached), ``ccent`` (final coarse
+    centroids: cid, d, cv), ``ac`` (vec_id → ccid, cached), ``fcent``
+    (final fine centroids: ccid, fcid, d, cv — driver-pinned), ``af``
+    (vec_id → fcid).
+
+    K = auto_k_of(N) split as kc = ⌈√K⌉ coarse × kf = ⌈K/kc⌉ fine —
+    hierarchical Lloyd: the coarse level is the exact deterministic
+    rounds (``lloyd_final`` at k = kc) over the full corpus; the fine
+    level runs the SAME rounds within each coarse cell (seeds = the kf
+    lowest-id members, assignment restricted to the cell's own fine
+    centroids, floor-division integer centroid update, empty cells
+    keep their previous centroid).
+
+    Per-round cost is N·(kc + kf) ≈ 2N·√K quantized-integer distances
+    instead of the flat exact Lloyd's N·K — the assignment-cost fix
+    for the auto-K family (K ∝ N makes flat assignment O(N²/target);
+    measured 433 s at ×10's 20 k vectors, SCALE.md).  Training both
+    levels matters: the untrained variant (arbitrary corpus vectors as
+    centroids, the ``ivf_topk`` convention) measured 0.28 recall vs
+    the exact decisions at sf0.01; trained, 0.46 single-probe.
+
+    Scale limits, stated: fine centroids are K·d rows — driver-pinned
+    between rounds like ``lloyd_final``'s (fine up to K ~ 1e5; past
+    that keep them distributed and hash-partition both sides by ccid
+    instead of broadcasting), and the fine-seed election window
+    shuffles only (vec_id, ccid) pairs, never vectors."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    from .queries_ml import _ITERS, auto_k_of, lloyd_final, quantized_pts
+    emb = load(spark, sf_dir, "embeddings")
+    k = auto_k_of(emb.count())
+    kc = math.ceil(math.sqrt(k))  # IEEE sqrt: correctly rounded, ≡ SQL
+    kf = (k + kc - 1) // kc
+    ccent, ac, _ = lloyd_final(spark, sf_dir, k=kc)  # trained coarse
+    ac = (ac.select("vec_id", F.col("cid").alias("ccid"))
+          .cache())  # id-sized (2 ints/row); consumed by every stage
+    pts = quantized_pts(emb).cache()
+    ptsc = pts.join(ac, "vec_id")  # (vec_id, d, qv, ccid)
+    # fine seeds: the kf lowest-id members of each coarse cell
+    w = W.partitionBy("ccid").orderBy("vec_id")
+    fcent = (ac.withColumn("r", F.row_number().over(w))
+             .filter(F.col("r") <= kf)
+             .join(pts, "vec_id")
+             .select("ccid", F.col("r").alias("fcid"), "d",
+                     F.col("qv").alias("cv")))
+    diff = F.col("qv") - F.col("cv")
+
+    def assign_f(fcent: "DataFrame") -> "DataFrame":
+        # restricted to the vector's own coarse cell via the (ccid, d)
+        # join key; argmin with MIN(fcid) tie-break (Lloyd convention)
+        dist = (ptsc.join(F.broadcast(fcent), ["ccid", "d"])
+                .groupBy("vec_id", "fcid")
+                .agg(F.sum(diff * diff).alias("dist2")))
+        md = dist.groupBy("vec_id").agg(F.min("dist2").alias("md"))
+        return (dist.join(md, "vec_id")
+                .where(F.col("dist2") == F.col("md"))
+                .groupBy("vec_id").agg(F.min("fcid").alias("fcid")))
+
+    for _ in range(_ITERS):
+        fa = assign_f(fcent)
+        sums = (ptsc.join(fa, "vec_id")
+                .groupBy("ccid", "fcid", "d")
+                .agg(F.expr("sum(qv) div count(1)").alias("cv_new")))
+        fcent = (fcent.join(sums, ["ccid", "fcid", "d"], "left")
+                 .select("ccid", "fcid", "d",
+                         F.coalesce("cv_new", "cv").cast("bigint")
+                         .alias("cv")))
+        # pin K·d centroid rows on the driver between rounds (the
+        # lloyd_final convention — truncates the iterative lineage)
+        fcent = spark.createDataFrame(fcent.collect(), fcent.schema)
+    af = assign_f(fcent)
+    return {"emb": emb, "pts": pts, "ccent": ccent, "ac": ac,
+            "fcent": fcent, "af": af}
+
+
+def _ivf_assigned_vectors(spark: "SparkSession", sf_dir: str,
+                          model: dict | None = None) -> "DataFrame":
+    """(id, vec, ccid, fcid, cell, norm): every embedding joined to its
+    trained two-level IVF cell (see :func:`_ivf_model`); ``cell`` packs
+    (ccid, fcid) into one bigint for single-column grouping."""
+    from .functions.vector import l2_norm
+    m = model if model is not None else _ivf_model(spark, sf_dir)
+    e = m["emb"].select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"))
+    return (e.join(m["ac"].select(F.col("vec_id").alias("id"), "ccid"),
+                   "id")
+            .join(m["af"].select(F.col("vec_id").alias("id"), "fcid"),
+                  "id")
+            .withColumn("cell", F.col("ccid") * F.lit(_CELL_PACK)
+                        + F.col("fcid"))
+            .withColumn("norm", l2_norm(F.col("vec"))))
+
+
+def _ivf_probes(spark: "SparkSession", model: dict) -> "DataFrame":
+    """(vec_id, cell): the multi-probe set — the home cell plus the
+    ``_IVF_NPROBE - 1`` nearest OTHER fine cells drawn from the
+    vector's ``_IVF_NPROBE_C`` nearest coarse cells (faiss's nprobe,
+    applied to dedup: a vector is compared against lower-id HOME
+    members of every probed cell, which recovers near-boundary pairs
+    the single-cell assignment splits).  Including the home cell
+    explicitly guarantees the probed decision set is a superset of the
+    single-probe one.  Cost: N·kc coarse distances (reusing the final
+    trained centroids) + N·nprobe_c·kf fine distances + id-only
+    windows — still ≈ 2N√K, never N·K."""
+    from pyspark.sql import Window as W
+    diff = F.col("qv") - F.col("cv")
+    pts = model["pts"]
+    cdist = (pts.join(F.broadcast(model["ccent"]), "d")
+             .groupBy("vec_id", "cid")
+             .agg(F.sum(diff * diff).alias("dc2")))
+    wc = W.partitionBy("vec_id").orderBy("dc2", "cid")
+    ctop = (cdist.withColumn("cr", F.row_number().over(wc))
+            .filter(F.col("cr") <= _IVF_NPROBE_C)
+            .select("vec_id", F.col("cid").alias("ccid")))
+    fdist = (pts.join(ctop, "vec_id")
+             .join(F.broadcast(model["fcent"]), ["ccid", "d"])
+             .groupBy("vec_id", "ccid", "fcid")
+             .agg(F.sum(diff * diff).alias("df2")))
+    cand = fdist.select(
+        "vec_id",
+        (F.col("ccid") * F.lit(_CELL_PACK) + F.col("fcid")).alias("cell"),
+        "df2")
+    home = (model["ac"].join(model["af"], "vec_id")
+            .select("vec_id",
+                    (F.col("ccid") * F.lit(_CELL_PACK)
+                     + F.col("fcid")).alias("cell")))
+    wn = W.partitionBy("vec_id").orderBy("df2", "cell")
+    nonhome = (cand.join(home.withColumnRenamed("cell", "hcell"),
+                         "vec_id")
+               .filter(F.col("cell") != F.col("hcell"))
+               .withColumn("pr", F.row_number().over(wn))
+               .filter(F.col("pr") <= _IVF_NPROBE - 1)
+               .select("vec_id", "cell"))
+    return home.unionByName(nonhome)
+
+
+def _semdedup_ivf_oracle() -> str:
+    return f"""
+WITH {_ivf_ctes(with_common=True)},
+emb AS ({_O_SEM_EMB}),
+av AS (
+  SELECT e.vec_id AS id, e.vec, c.ccid * {_CELL_PACK} + f.fcid AS cell
+  FROM emb e JOIN iac c ON e.vec_id = c.vec_id
+             JOIN iaf f ON e.vec_id = f.vec_id
+), {_o_subcell('av', 'cell')}, mx AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS max_lower_cos_micro
+  FROM sub a JOIN sub b
+    ON a.cell = b.cell AND a.sub = b.sub AND a.id < b.id
+  GROUP BY 1
+)
+SELECT s.id AS vec_id,
+       (s.cell // {_CELL_PACK})::INT AS cluster_coarse,
+       (s.cell % {_CELL_PACK})::INT AS cluster_fine,
+       s.sub::INT AS subcell, m.max_lower_cos_micro,
+       COALESCE(m.max_lower_cos_micro >= {_SEM_TAU_MICRO}, FALSE) AS pruned
+FROM sub s LEFT JOIN mx m ON s.id = m.id
+"""
+
+
+@q("semdedup_ivf_prune", ("F10", "J5", "W2", "A1"),
+   oracle=_semdedup_ivf_oracle())
+def semdedup_ivf_prune(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The 100 TB form of auto-K SemDeDup: IVF coarse/fine assignment
+    + the md5 sub-cell cap — what SemDeDup's faiss pipeline actually
+    runs (Abbas et al. 2023 assign with a trained coarse quantizer,
+    never exact K-way distances once K scales with the corpus).
+
+    K follows the paper's own rule (auto_k_of: K = max(8, ⌈N/50⌉))
+    but is realized as a TRAINED hierarchy — kc = ⌈√K⌉ Lloyd-trained
+    coarse cells × kf = ⌈K/kc⌉ Lloyd-trained fine cells per coarse
+    cell — so each round costs N·(kc+kf) ≈ 2N√K distances: at ×10
+    that is ~40 per vector per round instead of 400 (the flat exact
+    auto-K path measured 433 s there, and its ×10 oracle spilled
+    >70 GB; this one is oracle-FEASIBLE because both unrolled Lloyd
+    chains run at √K-sized centroid sets).  Expected cell size stays
+    the paper's target (N/K = 50); the md5 sub-cell cap still bounds
+    the adversarial cell, so pairwise cost ≤ cells·⌈n/cap⌉·cap² under
+    any distribution.  The recall cost vs the exact auto-K decisions
+    is measured by ``semdedup_ivf_recall_eval``, not assumed.
+
+    Plan shape: cached quantized scan, broadcast-join argmin
+    aggregates per round (centroids ≪ corpus; map-side combine on
+    (vec_id, cid)), one id-only window for fine-seed election, then
+    the shared capped pairwise stage — vectors shuffle once per
+    stage and no task ever sees more than cap members of a cell."""
+    v = _subcell(_ivf_assigned_vectors(spark, sf_dir), "cell")
+    mx = _max_lower_cos_micro(v, ["cell", "sub"])
+    return (v.join(mx, "id", "left")
+            .select(F.col("id").alias("vec_id"),
+                    (F.col("cell") / F.lit(_CELL_PACK)).cast("int")
+                    .alias("cluster_coarse"),
+                    (F.col("cell") % F.lit(_CELL_PACK)).cast("int")
+                    .alias("cluster_fine"),
+                    F.col("sub").cast("int").alias("subcell"),
+                    "max_lower_cos_micro",
+                    F.coalesce(F.col("max_lower_cos_micro") >= _SEM_TAU_MICRO,
+                               F.lit(False)).alias("pruned")))
+
+
+def _semdedup_ivf_recall_oracle() -> str:
+    from .queries_ml import _kmeans_assign_ctes
+    return f"""
+WITH {_kmeans_assign_ctes(auto_k=True)},
+emb AS ({_O_SEM_EMB}),
+eav AS (
+  SELECT e.vec_id AS id, a.cid, e.vec
+  FROM emb e JOIN afin a ON e.vec_id = a.vec_id
+), {_o_subcell('eav', 'cid', prefix='e')}, emx AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS m
+  FROM esub a JOIN esub b
+    ON a.cid = b.cid AND a.sub = b.sub AND a.id < b.id
+  GROUP BY 1
+), exact AS (
+  SELECT s.id, COALESCE(m.m >= {_SEM_TAU_MICRO}, FALSE) AS pruned
+  FROM esub s LEFT JOIN emx m ON s.id = m.id
+), {_ivf_ctes()},
+iav AS (
+  SELECT e.vec_id AS id, e.vec, c.ccid * {_CELL_PACK} + f.fcid AS cell
+  FROM emb e JOIN iac c ON e.vec_id = c.vec_id
+             JOIN iaf f ON e.vec_id = f.vec_id
+), {_o_subcell('iav', 'cell', prefix='i')}, imx AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS m
+  FROM isub a JOIN isub b
+    ON a.cell = b.cell AND a.sub = b.sub AND a.id < b.id
+  GROUP BY 1
+), approx AS (
+  SELECT s.id, COALESCE(m.m >= {_SEM_TAU_MICRO}, FALSE) AS pruned
+  FROM isub s LEFT JOIN imx m ON s.id = m.id
+)
+SELECT COUNT(*)::INT AS n_vectors,
+       COUNT(*) FILTER (WHERE e.pruned)::INT AS pruned_exact,
+       COUNT(*) FILTER (WHERE i.pruned)::INT AS pruned_ivf,
+       COUNT(*) FILTER (WHERE e.pruned AND i.pruned)::INT AS agree_pruned,
+       CAST(COUNT(*) FILTER (WHERE e.pruned AND i.pruned) AS DOUBLE)
+         / NULLIF(COUNT(*) FILTER (WHERE e.pruned), 0) AS ivf_recall
+FROM exact e JOIN approx i USING (id)
+"""
+
+
+@q("semdedup_ivf_recall_eval", ("F10", "A1"),
+   oracle=_semdedup_ivf_recall_oracle())
+def semdedup_ivf_recall_eval(spark: "SparkSession", sf_dir: str
+                             ) -> "DataFrame":
+    """Trust gate for the IVF assignment: of the vectors the EXACT
+    auto-K capped path (``semdedup_autok_prune_capped`` — Lloyd-trained
+    cells) prunes, what fraction does ``semdedup_ivf_prune`` also
+    prune?  Same contract as ``semdedup_kmeans_cap_recall_eval``: the
+    approximation's recall cost is itself oracle-gated, and a low
+    reading says raise kf (more cells ⇒ finer split) or n-probe the
+    pruning stage.  The exact twin is the verification baseline,
+    usable only at QA scale — offline QA over a hash-sample in
+    production, exactly like ``ann_recall_eval``."""
+    ex = (semdedup_autok_prune_capped(spark, sf_dir)
+          .select(F.col("vec_id").alias("id"),
+                  F.col("pruned").alias("e_pruned")))
+    iv = (semdedup_ivf_prune(spark, sf_dir)
+          .select(F.col("vec_id").alias("id"),
+                  F.col("pruned").alias("i_pruned")))
+    both = ex.join(iv, "id")
+    agree = F.count_if(F.col("e_pruned") & F.col("i_pruned"))
+    n_e = F.count_if(F.col("e_pruned"))
+    return both.agg(
+        F.count(F.lit(1)).cast("int").alias("n_vectors"),
+        n_e.cast("int").alias("pruned_exact"),
+        F.count_if(F.col("i_pruned")).cast("int").alias("pruned_ivf"),
+        agree.cast("int").alias("agree_pruned"),
+        (agree.cast("double") /
+         F.nullif(n_e.cast("double"), F.lit(0.0))).alias("ivf_recall"))
 
 
 # =========================================================================

@@ -54,21 +54,22 @@ _PTS_SQL = f"""
 """
 
 _STEP_SQL = """
-, d{k} AS (
+, {p}d{k} AS (
   SELECT p.vec_id, c.cid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist2
   FROM pts p JOIN {prev} c USING (d) GROUP BY 1, 2
-), m{k} AS (
-  SELECT vec_id, MIN(dist2) AS md FROM d{k} GROUP BY 1
-), a{k} AS (
+), {p}m{k} AS (
+  SELECT vec_id, MIN(dist2) AS md FROM {p}d{k} GROUP BY 1
+), {p}a{k} AS (
   SELECT dd.vec_id, MIN(dd.cid) AS cid
-  FROM d{k} dd JOIN m{k} mm ON dd.vec_id = mm.vec_id AND dd.dist2 = mm.md
+  FROM {p}d{k} dd JOIN {p}m{k} mm
+    ON dd.vec_id = mm.vec_id AND dd.dist2 = mm.md
   GROUP BY 1
-), s{k} AS (
+), {p}s{k} AS (
   SELECT a.cid, p.d, CAST(SUM(p.qv) // COUNT(*) AS BIGINT) AS cv
-  FROM pts p JOIN a{k} a USING (vec_id) GROUP BY 1, 2
-), c{k} AS (
+  FROM pts p JOIN {p}a{k} a USING (vec_id) GROUP BY 1, 2
+), {p}c{k} AS (
   SELECT c.cid, c.d, CAST(COALESCE(s.cv, c.cv) AS BIGINT) AS cv
-  FROM {prev} c LEFT JOIN s{k} s ON s.cid = c.cid AND s.d = c.d
+  FROM {prev} c LEFT JOIN {p}s{k} s ON s.cid = c.cid AND s.d = c.d
 )"""
 
 
@@ -79,31 +80,41 @@ def auto_k_of(n: int) -> int:
     return max(_K, -(-n // _AUTOK_TARGET))
 
 
-def _kmeans_assign_ctes(auto_k: bool = False) -> str:
-    """WITH-body through the final assignment (`afin`: vec_id → cid) —
-    shared by the k-means oracle below and by downstream consumers of
-    the clustering (``semdedup_kmeans_prune`` in queries_curation).
-    With ``auto_k`` the seed count K is derived from the corpus size
-    (``kk`` CTE = the SQL twin of :func:`auto_k_of`) instead of the
-    pinned ``_K``."""
-    ksql = "(SELECT k FROM kk)" if auto_k else str(_K)
+def _kmeans_assign_ctes(auto_k: bool = False, prefix: str = "",
+                        ksql: str | None = None,
+                        emit_common: bool = True) -> str:
+    """WITH-body through the final assignment (`{prefix}afin`: vec_id →
+    cid) — shared by the k-means oracle below and by downstream
+    consumers of the clustering (``semdedup_kmeans_prune`` and the IVF
+    coarse level in queries_curation).  With ``auto_k`` the seed count
+    K is derived from the corpus size (``kk`` CTE = the SQL twin of
+    :func:`auto_k_of`) instead of the pinned ``_K``; ``ksql`` overrides
+    the seed-count expression outright (the IVF coarse level trains at
+    kc = ⌈√K⌉).  ``prefix`` renames every emitted CTE except the shared
+    ``kk``/``pts`` so one oracle can unroll TWO Lloyd chains; with
+    ``emit_common`` False the caller has already defined those two."""
+    if ksql is None:
+        ksql = "(SELECT k FROM kk)" if auto_k else str(_K)
     kk = (f"kk AS (SELECT GREATEST({_K}, (COUNT(*) + {_AUTOK_TARGET - 1})"
-          f" // {_AUTOK_TARGET}) AS k FROM embeddings),\n" if auto_k else "")
+          f" // {_AUTOK_TARGET}) AS k FROM embeddings),\n"
+          if auto_k and emit_common else "")
+    common = f"{kk}pts AS ({_PTS_SQL}),\n" if emit_common else ""
+    p = prefix
     steps = "".join(
-        _STEP_SQL.format(k=k, prev=f"c{k - 1}" if k > 1 else "c0")
+        _STEP_SQL.format(k=k, p=p, prev=f"{p}c{k - 1}" if k > 1 else f"{p}c0")
         for k in range(1, _ITERS + 1))
-    last = f"c{_ITERS}"
-    return f"""{kk}pts AS ({_PTS_SQL}),
-c0 AS (SELECT vec_id AS cid, d, qv AS cv FROM pts WHERE vec_id < {ksql})
+    last = f"{p}c{_ITERS}"
+    return f"""{common}{p}c0 AS (SELECT vec_id AS cid, d, qv AS cv FROM pts WHERE vec_id < {ksql})
 {steps}
-, dfin AS (
+, {p}dfin AS (
   SELECT p.vec_id, c.cid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist2
   FROM pts p JOIN {last} c USING (d) GROUP BY 1, 2
-), mfin AS (
-  SELECT vec_id, MIN(dist2) AS md FROM dfin GROUP BY 1
-), afin AS (
+), {p}mfin AS (
+  SELECT vec_id, MIN(dist2) AS md FROM {p}dfin GROUP BY 1
+), {p}afin AS (
   SELECT dd.vec_id, MIN(dd.cid) AS cid
-  FROM dfin dd JOIN mfin mm ON dd.vec_id = mm.vec_id AND dd.dist2 = mm.md
+  FROM {p}dfin dd JOIN {p}mfin mm
+    ON dd.vec_id = mm.vec_id AND dd.dist2 = mm.md
   GROUP BY 1
 )"""
 
@@ -125,6 +136,22 @@ FROM cs LEFT JOIN stats st USING (cid)
 """
 
 
+def quantized_pts(emb: "DataFrame") -> "DataFrame":
+    """(vec_id, d, qv): the shared quantized long format — dimension
+    index ``d`` 1-based, coordinate ``qv = round(x·1000) + _SHIFT``
+    (exact integers, positive, so Spark and DuckDB distance arithmetic
+    is bit-identical; the SQL twin is ``_PTS_SQL``).  Shared by the
+    Lloyd rounds here and the IVF coarse/fine assignment in
+    queries_curation."""
+    return (emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("d"),
+                (F.round(F.col("x") * 1000, 0).cast("bigint")
+                 + F.lit(_SHIFT)).alias("qv")))
+
+
 def lloyd_final(spark: "SparkSession", sf_dir: str, k: int | None = None
                 ) -> tuple["DataFrame", "DataFrame", "DataFrame"]:
     """Run the deterministic Lloyd rounds and return
@@ -136,14 +163,7 @@ def lloyd_final(spark: "SparkSession", sf_dir: str, k: int | None = None
     if k is None:
         k = _K
     emb = load(spark, sf_dir, "embeddings")
-    pts = (emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>"))
-         .alias("pos", "x"))
-        .select("vec_id", (F.col("pos") + 1).alias("d"),
-                (F.round(F.col("x") * 1000, 0).cast("bigint")
-                 + F.lit(_SHIFT)).alias("qv")))
-    pts = pts.cache()  # reused by every round: scan+quantize once
+    pts = quantized_pts(emb).cache()  # reused every round: quantize once
 
     cent = (pts.filter(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cid"), "d",
