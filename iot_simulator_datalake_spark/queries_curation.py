@@ -1261,6 +1261,217 @@ def semdedup_ivf_recall_eval(spark: "SparkSession", sf_dir: str
          F.nullif(n_e.cast("double"), F.lit(0.0))).alias("ivf_recall"))
 
 
+def _o_ivf_probes(sub: str = "sub", pfx: str = "") -> str:
+    """DuckDB CTE chain replaying :func:`_ivf_probes` → relation
+    ``{pfx}bpr`` (b_id, cell, sub): for each vector, the home fine
+    cell plus the ``_IVF_NPROBE - 1`` nearest others (drawn from the
+    ``_IVF_NPROBE_C`` nearest coarse cells by trained-centroid
+    distance), each paired with the sub-cell the vector's id hashes to
+    UNDER THAT CELL'S member count (``{sub}`` = the home-member
+    subcell relation supplying cell sizes).  ``pfx`` renames the
+    emitted CTEs so the recall eval can compose this next to the exact
+    chain without collisions."""
+    from .queries_ml import _ITERS
+    return f"""{pfx}cdp AS (
+  SELECT p.vec_id, c.cid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dc2
+  FROM pts p JOIN qc{_ITERS} c USING (d) GROUP BY 1, 2
+), {pfx}ctp AS (
+  SELECT vec_id, cid AS ccid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dc2, cid) AS cr
+    FROM {pfx}cdp)
+  WHERE cr <= {_IVF_NPROBE_C}
+), {pfx}fdp AS MATERIALIZED (
+  SELECT p.vec_id, c.ccid, c.fcid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS df2
+  FROM pts p JOIN {pfx}ctp t ON p.vec_id = t.vec_id
+             JOIN if{_ITERS} c ON c.ccid = t.ccid AND c.d = p.d
+  GROUP BY 1, 2, 3
+), {pfx}homc AS (
+  SELECT c.vec_id, c.ccid * {_CELL_PACK} + f.fcid AS cell
+  FROM iac c JOIN iaf f USING (vec_id)
+), {pfx}nonh AS (
+  SELECT vec_id, cell FROM (
+    SELECT f.vec_id, f.ccid * {_CELL_PACK} + f.fcid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                              ORDER BY f.df2,
+                                       f.ccid * {_CELL_PACK} + f.fcid) AS pr
+    FROM {pfx}fdp f JOIN {pfx}homc h ON f.vec_id = h.vec_id
+    WHERE f.ccid * {_CELL_PACK} + f.fcid <> h.cell)
+  WHERE pr <= {_IVF_NPROBE - 1}
+), {pfx}prb AS (
+  SELECT * FROM {pfx}homc UNION ALL SELECT * FROM {pfx}nonh
+), {pfx}csz AS (
+  SELECT DISTINCT cell, n FROM {sub}
+), {pfx}bpr AS (
+  SELECT p.vec_id AS b_id, p.cell,
+         CASE WHEN z.n <= {_SEM_CAP} THEN 0
+              ELSE ('0x' || substr(md5(CAST(p.vec_id AS VARCHAR)),
+                                   1, 15))::BIGINT
+                   % ((z.n + {_SEM_CAP} - 1) // {_SEM_CAP})
+         END AS sub
+  FROM {pfx}prb p JOIN {pfx}csz z USING (cell)
+)"""
+
+
+def _mp_candidates(spark: "SparkSession", sf_dir: str,
+                   model: dict | None = None) -> "DataFrame":
+    """Home-member subcell relation ``v`` LEFT-joined to the
+    multi-probe max-lower cosine: the Spark twin of
+    ``_o_ivf_probes`` + the mx aggregate.  Returns ``v`` columns plus
+    ``max_lower_cos_micro``."""
+    from .functions.vector import dot
+    m = model if model is not None else _ivf_model(spark, sf_dir)
+    v = _subcell(_ivf_assigned_vectors(spark, sf_dir, m), "cell")
+    probes = _ivf_probes(spark, m)
+    cellsz = v.select("cell", "n").distinct()
+    sub_b = F.when(F.col("n") <= _SEM_CAP, F.lit(0).cast("bigint")) \
+        .otherwise(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
+                               1, 15), 16, 10).cast("bigint") %
+            F.floor((F.col("n") + _SEM_CAP - 1) / _SEM_CAP).cast("bigint"))
+    bp = (probes.join(F.broadcast(cellsz), "cell")
+          .select(F.col("vec_id").alias("b_id"), "cell",
+                  sub_b.alias("sub")))
+    cand = (bp.join(v.select("id", "vec", "norm", "cell", "sub"),
+                    ["cell", "sub"])
+            .filter(F.col("id") < F.col("b_id")))
+    bside = v.select(F.col("id").alias("b_id"),
+                     F.col("vec").alias("b_vec"),
+                     F.col("norm").alias("b_norm"))
+    cos = F.floor(dot(F.col("vec"), F.col("b_vec")) /
+                  (F.col("norm") * F.col("b_norm")) * F.lit(1e6))
+    mx = (cand.join(bside, "b_id")
+          .groupBy(F.col("b_id").alias("id"))
+          .agg(F.max(cos).alias("max_lower_cos_micro")))
+    return v.join(mx, "id", "left")
+
+
+def _semdedup_ivf_mp_oracle() -> str:
+    return f"""
+WITH {_ivf_ctes(with_common=True)},
+emb AS ({_O_SEM_EMB}),
+av AS (
+  SELECT e.vec_id AS id, e.vec, c.ccid * {_CELL_PACK} + f.fcid AS cell
+  FROM emb e JOIN iac c ON e.vec_id = c.vec_id
+             JOIN iaf f ON e.vec_id = f.vec_id
+), {_o_subcell('av', 'cell')}, {_o_ivf_probes('sub')}, mx AS (
+  SELECT bp.b_id AS id, MAX({_O_SEM_COS}) AS max_lower_cos_micro
+  FROM bpr bp
+    JOIN sub a ON a.cell = bp.cell AND a.sub = bp.sub AND a.id < bp.b_id
+    JOIN av b ON b.id = bp.b_id
+  GROUP BY 1
+)
+SELECT s.id AS vec_id,
+       (s.cell // {_CELL_PACK})::INT AS cluster_coarse,
+       (s.cell % {_CELL_PACK})::INT AS cluster_fine,
+       s.sub::INT AS subcell, m.max_lower_cos_micro,
+       COALESCE(m.max_lower_cos_micro >= {_SEM_TAU_MICRO}, FALSE) AS pruned
+FROM sub s LEFT JOIN mx m ON s.id = m.id
+"""
+
+
+@q("semdedup_ivf_multiprobe_prune", ("F10", "J5", "W2", "A1"),
+   oracle=_semdedup_ivf_mp_oracle())
+def semdedup_ivf_multiprobe_prune(spark: "SparkSession", sf_dir: str
+                                  ) -> "DataFrame":
+    """``semdedup_ivf_prune`` with faiss-style MULTI-PROBE pruning —
+    the recall knob for the IVF approximation: each vector compares
+    against lower-id HOME members of its home cell AND its
+    ``_IVF_NPROBE - 1`` next-nearest fine cells (drawn from the
+    ``_IVF_NPROBE_C`` nearest coarse cells by trained-centroid
+    distance), recovering the near-boundary pairs a single-cell
+    assignment splits — the dominant loss mode measured by
+    ``semdedup_ivf_recall_eval`` (0.46 single-probe at sf0.01).
+
+    In each probed cell the vector compares against the ONE sub-cell
+    its id hashes to under that cell's member count (its own sub-cell
+    at home, so the decision set is a strict superset of the
+    single-probe one), keeping per-vector comparisons ≤ nprobe·cap —
+    still bounded under any cell-size distribution.  Probe cost reuses
+    the trained centroids: N·kc coarse + N·nprobe_c·kf fine distances
+    ≈ 2N√K, never N·K.  Recall vs the exact auto-K decisions is
+    measured by ``semdedup_ivf_mp_recall_eval``."""
+    v = _mp_candidates(spark, sf_dir)
+    return (v.select(F.col("id").alias("vec_id"),
+                     (F.col("cell") / F.lit(_CELL_PACK)).cast("int")
+                     .alias("cluster_coarse"),
+                     (F.col("cell") % F.lit(_CELL_PACK)).cast("int")
+                     .alias("cluster_fine"),
+                     F.col("sub").cast("int").alias("subcell"),
+                     "max_lower_cos_micro",
+                     F.coalesce(
+                         F.col("max_lower_cos_micro") >= _SEM_TAU_MICRO,
+                         F.lit(False)).alias("pruned")))
+
+
+def _semdedup_ivf_mp_recall_oracle() -> str:
+    from .queries_ml import _kmeans_assign_ctes
+    return f"""
+WITH {_kmeans_assign_ctes(auto_k=True)},
+emb AS ({_O_SEM_EMB}),
+eav AS (
+  SELECT e.vec_id AS id, a.cid, e.vec
+  FROM emb e JOIN afin a ON e.vec_id = a.vec_id
+), {_o_subcell('eav', 'cid', prefix='e')}, emx AS (
+  SELECT b.id AS id, MAX({_O_SEM_COS}) AS m
+  FROM esub a JOIN esub b
+    ON a.cid = b.cid AND a.sub = b.sub AND a.id < b.id
+  GROUP BY 1
+), exact AS (
+  SELECT s.id, COALESCE(m.m >= {_SEM_TAU_MICRO}, FALSE) AS pruned
+  FROM esub s LEFT JOIN emx m ON s.id = m.id
+), {_ivf_ctes()},
+iav AS (
+  SELECT e.vec_id AS id, e.vec, c.ccid * {_CELL_PACK} + f.fcid AS cell
+  FROM emb e JOIN iac c ON e.vec_id = c.vec_id
+             JOIN iaf f ON e.vec_id = f.vec_id
+), {_o_subcell('iav', 'cell', prefix='i')}, {_o_ivf_probes('isub', 'p')},
+imx AS (
+  SELECT bp.b_id AS id, MAX({_O_SEM_COS}) AS m
+  FROM pbpr bp
+    JOIN isub a ON a.cell = bp.cell AND a.sub = bp.sub AND a.id < bp.b_id
+    JOIN iav b ON b.id = bp.b_id
+  GROUP BY 1
+), approx AS (
+  SELECT s.id, COALESCE(m.m >= {_SEM_TAU_MICRO}, FALSE) AS pruned
+  FROM isub s LEFT JOIN imx m ON s.id = m.id
+)
+SELECT COUNT(*)::INT AS n_vectors,
+       COUNT(*) FILTER (WHERE e.pruned)::INT AS pruned_exact,
+       COUNT(*) FILTER (WHERE i.pruned)::INT AS pruned_ivf,
+       COUNT(*) FILTER (WHERE e.pruned AND i.pruned)::INT AS agree_pruned,
+       CAST(COUNT(*) FILTER (WHERE e.pruned AND i.pruned) AS DOUBLE)
+         / NULLIF(COUNT(*) FILTER (WHERE e.pruned), 0) AS ivf_recall
+FROM exact e JOIN approx i USING (id)
+"""
+
+
+@q("semdedup_ivf_mp_recall_eval", ("F10", "A1"),
+   oracle=_semdedup_ivf_mp_recall_oracle())
+def semdedup_ivf_mp_recall_eval(spark: "SparkSession", sf_dir: str
+                                ) -> "DataFrame":
+    """Trust gate for the multi-probe IVF pruning: same contract as
+    ``semdedup_ivf_recall_eval`` but over the multi-probe decision
+    set — the number that certifies the nprobe knob actually buys back
+    the recall the single-cell assignment loses."""
+    ex = (semdedup_autok_prune_capped(spark, sf_dir)
+          .select(F.col("vec_id").alias("id"),
+                  F.col("pruned").alias("e_pruned")))
+    iv = (semdedup_ivf_multiprobe_prune(spark, sf_dir)
+          .select(F.col("vec_id").alias("id"),
+                  F.col("pruned").alias("i_pruned")))
+    both = ex.join(iv, "id")
+    agree = F.count_if(F.col("e_pruned") & F.col("i_pruned"))
+    n_e = F.count_if(F.col("e_pruned"))
+    return both.agg(
+        F.count(F.lit(1)).cast("int").alias("n_vectors"),
+        n_e.cast("int").alias("pruned_exact"),
+        F.count_if(F.col("i_pruned")).cast("int").alias("pruned_ivf"),
+        agree.cast("int").alias("agree_pruned"),
+        (agree.cast("double") /
+         F.nullif(n_e.cast("double"), F.lit(0.0))).alias("ivf_recall"))
+
+
 # =========================================================================
 # Streaming curation: the classifier as a stateless stream transform
 # =========================================================================

@@ -1055,13 +1055,33 @@ def entity_resolution_snm_recall_eval(spark: "SparkSession",
 
 _ERB_K = 2  # nearest suppliers kept on EACH side of a customer's
 #            per-pass as-of position (candidates per pass = 2K)
+_ERB_ALPHA = 5   # auto-K: target suppliers per kept candidate —
+#                  K_n = ⌈block/α⌉ tracks the SCALE.md K-vs-recall
+#                  curve (K=8 at the ×10 40-supplier blocks → 0.972)
+_ERB_KMAX = 64   # auto-K hard cap: pair space stays ≤ 2·2·KMAX·|C|
+#                  (linear in the growing side) under ANY block growth
 
-#: refined-blocking candidate pairs (oracle twin): suppliers ranked
-#: per nation by each sort key, each customer joined to the 2K
-#: suppliers nearest its as-of position p (= count of strictly-smaller
-#: supplier keys in its nation) — shared by the gated query and its
-#: recall eval
-_O_ERB_PAIRS = f"""
+
+def _o_erb_pairs(autok: bool = False) -> str:
+    """Refined-blocking candidate pairs (oracle twin) → relation
+    ``erb``: suppliers ranked per nation by each sort key, each
+    customer joined to the 2K suppliers nearest its as-of position p
+    (= count of strictly-smaller supplier keys in its nation) — shared
+    by the gated queries and their recall evals.  With ``autok`` the
+    window half-width is per-nation data-dependent
+    (K_n = clamp(⌈block/α⌉, K, KMAX), the ``snk`` CTE) instead of the
+    pinned ``_ERB_K``; ONE template emits both so the fixed and auto-K
+    oracles cannot drift."""
+    if autok:
+        snk = (f", snk AS (\n  SELECT nation, LEAST({_ERB_KMAX}, "
+               f"GREATEST({_ERB_K}, (COUNT(*) + {_ERB_ALPHA - 1}) "
+               f"// {_ERB_ALPHA})) AS kn\n  FROM sup GROUP BY 1\n)")
+        joink = "JOIN snk k ON k.nation = c.nation\n              "
+        win = "BETWEEN c.p - (k.kn - 1) AND c.p + k.kn"
+    else:
+        snk, joink = "", ""
+        win = f"BETWEEN c.p - {_ERB_K - 1} AND c.p + {_ERB_K}"
+    return f"""
 sup AS (
   SELECT s_suppkey AS s_id, s_name AS sname,
          CAST(ROUND(s_acctbal * 100) AS BIGINT) AS sc,
@@ -1072,7 +1092,7 @@ sup AS (
          CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cc,
          c_nationkey AS nation
   FROM customer
-), srk1 AS (
+){snk}, srk1 AS (
   SELECT nation, s_id, sname, sc,
          ROW_NUMBER() OVER (PARTITION BY nation ORDER BY sc, s_id) AS srk
   FROM sup
@@ -1092,22 +1112,74 @@ sup AS (
   GROUP BY 1, 2, 3, 4
 ), erb AS (
   SELECT c.c_id, s.s_id, c.cname, s.sname, c.cc, s.sc
-  FROM pos1 c JOIN srk1 s
+  FROM pos1 c {joink}JOIN srk1 s
     ON s.nation = c.nation
-   AND s.srk BETWEEN c.p - {_ERB_K - 1} AND c.p + {_ERB_K}
+   AND s.srk {win}
   UNION
   SELECT c.c_id, s.s_id, c.cname, s.sname, c.cc, s.sc
-  FROM pos2 c JOIN srk2 s
+  FROM pos2 c {joink}JOIN srk2 s
     ON s.nation = c.nation
-   AND s.srk BETWEEN c.p - {_ERB_K - 1} AND c.p + {_ERB_K}
+   AND s.srk {win}
 )"""
 
 
-def _refined_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+_O_ERB_PAIRS = _o_erb_pairs()
+_O_ERB_AUTOK_PAIRS = _o_erb_pairs(autok=True)
+
+
+def _o_erb_recall(pairs_sql: str) -> str:
+    """Recall-eval oracle template shared by the fixed-K and auto-K
+    refined-blocking variants: full nation-blocked argmax baseline
+    LEFT JOIN the blocked variant's per-customer best score."""
+    return f"""
+WITH full_p AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (700000 * (GREATEST(length(c.c_name), length(s.s_name))
+                    - levenshtein(c.c_name, s.s_name)))
+           // GREATEST(length(c.c_name), length(s.s_name))
+       + (300000 * (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                    + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100
+                    - ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                          - CAST(ROUND(s.s_acctbal * 100) AS BIGINT))))
+           // (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+               + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100)
+           AS score_u
+  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+), full_r AS (
+  SELECT c_custkey AS customer, score_u,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY score_u DESC, s_suppkey) AS rn
+  FROM full_p
+), fb AS (SELECT customer, score_u AS full_u FROM full_r WHERE rn = 1),
+{pairs_sql}, ref_r AS (
+  SELECT c_id AS customer, score_u,
+         ROW_NUMBER() OVER (PARTITION BY c_id
+                            ORDER BY score_u DESC, s_id) AS rn
+  FROM (SELECT c_id, s_id, {_O_ER_SCORE} AS score_u FROM erb)
+), rb AS (SELECT customer, score_u AS ref_u FROM ref_r WHERE rn = 1)
+SELECT COUNT(*)::INT AS n_customers,
+       COUNT(rb.ref_u)::INT AS n_ref_matched,
+       COUNT(*) FILTER (WHERE rb.ref_u = fb.full_u)::INT
+         AS n_score_equal,
+       CAST(COUNT(*) FILTER (WHERE rb.ref_u = fb.full_u) AS DOUBLE)
+         / COUNT(*) AS refined_recall,
+       CAST(SUM(fb.full_u - COALESCE(rb.ref_u, 0)) AS BIGINT)
+         AS score_shortfall_u
+FROM fb LEFT JOIN rb USING (customer)
+"""
+
+
+
+def _refined_pairs(spark: "SparkSession", sf_dir: str,
+                   autok: bool = False) -> "DataFrame":
     """Refined-blocking candidate pairs (c_id, s_id, cname, sname, cc,
     sc): per sort pass, each customer pairs with the 2K suppliers
     nearest its as-of position in the SUPPLIER rank order of its
-    nation; shared by the gated query and its recall eval."""
+    nation; shared by the gated queries and their recall evals.  With
+    ``autok`` the half-width is per-nation data-dependent —
+    K_n = clamp(⌈block/α⌉, K, KMAX) — computed MAP-SIDE from the same
+    broadcast key array that gives the as-of position (its size IS the
+    block size), so the quality knob costs zero extra shuffles."""
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("c_id"), F.col("c_name").alias("cname"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cc"),
@@ -1132,12 +1204,17 @@ def _refined_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         pos = (c.join(F.broadcast(keys), "nation", "left")
                .withColumn("p", F.coalesce(
                    F.size(F.filter("sk", lambda x: x < ckey)), F.lit(0)))
+               .withColumn("kn", F.coalesce(
+                   F.least(F.lit(_ERB_KMAX), F.greatest(
+                       F.lit(k),
+                       F.expr(f"(size(sk) + {_ERB_ALPHA - 1}) "
+                              f"div {_ERB_ALPHA}"))),
+                   F.lit(k)) if autok else F.lit(k))
                .drop("sk"))
         cand = pos.select(
             "c_id", "cname", "cc", "nation",
-            F.explode(F.array(*[F.col("p") + F.lit(d)
-                                for d in range(-k + 1, k + 1)]))
-            .alias("srk"))
+            F.explode(F.sequence(F.col("p") - F.col("kn") + 1,
+                                 F.col("p") + F.col("kn"))).alias("srk"))
         return (cand.join(F.broadcast(ranked), ["nation", "srk"])
                 .select("c_id", "s_id", "cname", "sname", "cc", "sc"))
 
@@ -1196,7 +1273,13 @@ def entity_resolution_blocked_refined(spark: "SparkSession",
     candidate set.  The recall cost vs the full blocked argmax is
     measured, not assumed: ``entity_resolution_refined_recall_eval``.
     """
-    pairs = _refined_pairs(spark, sf_dir)
+    return _erb_score_argmax(_refined_pairs(spark, sf_dir))
+
+
+def _erb_score_argmax(pairs: "DataFrame") -> "DataFrame":
+    """Score candidate pairs with the shared integer-unit ER formula
+    (`_O_ER_SCORE`) and keep each customer's argmax (min-supplier
+    tie-break) — the final stage of every refined-blocking variant."""
     maxlen = F.greatest(F.length("cname"), F.length("sname")) \
         .cast("long")
     name_num = (maxlen - F.levenshtein("cname", "sname")) * 700000
@@ -1216,42 +1299,72 @@ def entity_resolution_blocked_refined(spark: "SparkSession",
                     .alias("match_score")))
 
 
-@q("entity_resolution_refined_recall_eval", ("J5", "A1"), oracle=f"""
-WITH full_p AS (
-  SELECT c.c_custkey, s.s_suppkey,
-         (700000 * (GREATEST(length(c.c_name), length(s.s_name))
-                    - levenshtein(c.c_name, s.s_name)))
-           // GREATEST(length(c.c_name), length(s.s_name))
-       + (300000 * (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
-                    + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100
-                    - ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
-                          - CAST(ROUND(s.s_acctbal * 100) AS BIGINT))))
-           // (ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
-               + ABS(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) + 100)
-           AS score_u
-  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
-), full_r AS (
-  SELECT c_custkey AS customer, score_u,
-         ROW_NUMBER() OVER (PARTITION BY c_custkey
-                            ORDER BY score_u DESC, s_suppkey) AS rn
-  FROM full_p
-), fb AS (SELECT customer, score_u AS full_u FROM full_r WHERE rn = 1),
-{_O_ERB_PAIRS}, ref_r AS (
-  SELECT c_id AS customer, score_u,
+@q("entity_resolution_blocked_autok", ("J5", "F11", "W3", "W1"),
+   oracle=f"""
+WITH {_O_ERB_AUTOK_PAIRS}, scored AS (
+  SELECT c_id, s_id, {_O_ER_SCORE} AS score_u FROM erb
+), r AS (
+  SELECT c_id, s_id, score_u,
          ROW_NUMBER() OVER (PARTITION BY c_id
                             ORDER BY score_u DESC, s_id) AS rn
-  FROM (SELECT c_id, s_id, {_O_ER_SCORE} AS score_u FROM erb)
-), rb AS (SELECT customer, score_u AS ref_u FROM ref_r WHERE rn = 1)
-SELECT COUNT(*)::INT AS n_customers,
-       COUNT(rb.ref_u)::INT AS n_ref_matched,
-       COUNT(*) FILTER (WHERE rb.ref_u = fb.full_u)::INT
-         AS n_score_equal,
-       CAST(COUNT(*) FILTER (WHERE rb.ref_u = fb.full_u) AS DOUBLE)
-         / COUNT(*) AS refined_recall,
-       CAST(SUM(fb.full_u - COALESCE(rb.ref_u, 0)) AS BIGINT)
-         AS score_shortfall_u
-FROM fb LEFT JOIN rb USING (customer)
+  FROM scored
+)
+SELECT c_id AS customer, s_id AS supplier,
+       CAST(score_u AS DOUBLE) / 1000000.0 AS match_score
+FROM r WHERE rn = 1
 """)
+def entity_resolution_blocked_autok(spark: "SparkSession",
+                                    sf_dir: str) -> "DataFrame":
+    """Refined-blocking ER with a DATA-DEPENDENT window — the quality
+    fix for the measured K-vs-recall cliff (SCALE.md: pinned K=2 gives
+    0.993 argmax recall at sf0.01's ~4-supplier nation blocks but
+    0.711 at ×10's 40-supplier blocks; the curve says K must track
+    block size).  Per nation, K_n = clamp(⌈block/α⌉, {_ERB_K},
+    {_ERB_KMAX}) with α={_ERB_ALPHA} — the auto-K idea from SemDeDup
+    applied to blocking: hold the CANDIDATE-TO-BLOCK ratio fixed
+    instead of the candidate count, so recall is scale-stable while
+    the hard cap keeps the pair space ≤ 2·2·KMAX·|C|, still linear in
+    the growing side and independent of the imbalance ratio.
+
+    Plan shape is IDENTICAL to ``entity_resolution_blocked_refined``:
+    K_n derives map-side from size(broadcast key array) — the array
+    already shipped for the as-of position — so the data-dependence
+    adds zero shuffles and zero extra passes; only the explode width
+    changes (``F.sequence`` on a per-row bound instead of a constant
+    array).  Recall vs the full argmax is measured, not assumed:
+    ``entity_resolution_autok_recall_eval``."""
+    return _erb_score_argmax(_refined_pairs(spark, sf_dir, autok=True))
+
+
+@q("entity_resolution_autok_recall_eval", ("J5", "A1"),
+   oracle=_o_erb_recall(_O_ERB_AUTOK_PAIRS))
+def entity_resolution_autok_recall_eval(spark: "SparkSession",
+                                        sf_dir: str) -> "DataFrame":
+    """Trust gate for the data-dependent window: same contract as
+    ``entity_resolution_refined_recall_eval`` but over the auto-K
+    variant — the acceptance bar is recall ≥ 0.95 at ×10 where the
+    pinned-K variant measured 0.711 (SCALE.md K-vs-recall curve)."""
+    full = (entity_resolution_best_match(spark, sf_dir)
+            .select("customer",
+                    F.round(F.col("match_score") * 1000000)
+                    .cast("long").alias("full_u")))
+    ref = (entity_resolution_blocked_autok(spark, sf_dir)
+           .select("customer",
+                   F.round(F.col("match_score") * 1000000)
+                   .cast("long").alias("ref_u")))
+    both = full.join(ref, "customer", "left")
+    eq = F.count_if(F.col("ref_u") == F.col("full_u"))
+    return both.agg(
+        F.count(F.lit(1)).cast("int").alias("n_customers"),
+        F.count("ref_u").cast("int").alias("n_ref_matched"),
+        eq.cast("int").alias("n_score_equal"),
+        (eq.cast("double") / F.count(F.lit(1))).alias("refined_recall"),
+        F.sum(F.col("full_u") - F.coalesce(F.col("ref_u"), F.lit(0)))
+        .cast("long").alias("score_shortfall_u"))
+
+
+@q("entity_resolution_refined_recall_eval", ("J5", "A1"),
+   oracle=_o_erb_recall(_O_ERB_PAIRS))
 def entity_resolution_refined_recall_eval(spark: "SparkSession",
                                           sf_dir: str) -> "DataFrame":
     """Trust gate for the refined blocking (the ER analog of
