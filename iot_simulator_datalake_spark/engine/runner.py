@@ -65,6 +65,7 @@ def _install_version(vdir: Path, final: Path) -> None:
     it is renamed into a version dir first (readers of the path itself
     see one brief ENOENT window during this one-time conversion).
     """
+    from ..operators.scd import _step  # shared crash-injection seam
     if final.exists() and not final.is_symlink():
         legacy = final.with_name(f"{final.name}.v-legacy-"
                                  f"{uuid.uuid4().hex[:8]}")
@@ -72,9 +73,12 @@ def _install_version(vdir: Path, final: Path) -> None:
             os.rename(final, legacy)
         except OSError:
             pass                    # another writer already converted it
+    _step("install:legacy-converted")
     tmp = final.with_name(f"{final.name}.ln-{uuid.uuid4().hex[:8]}")
     os.symlink(vdir.name, tmp)      # relative: version dirs sit beside
+    _step("install:tmp-linked")
     os.replace(tmp, final)          # atomic over an existing symlink
+    _step("install:replaced")
 
 
 def vacuum_table_versions(path: str | Path, keep_current: bool = True

@@ -18,6 +18,19 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import SparkSession
 
 
+#: Crash-injection seam (tests/test_crash_injection.py): when set,
+#: called with a step name AFTER each externally-visible effect of the
+#: staged-swap / version-install protocols; the harness raises from it
+#: to simulate a kill at every step and then asserts read-and-write
+#: healing.  Always None in production.
+_STEP_HOOK = None
+
+
+def _step(name: str) -> None:
+    if _STEP_HOOK is not None:
+        _STEP_HOOK(name)
+
+
 def _restore_crashed_swap(path: Path) -> None:
     """Recover from a crash INSIDE a previous atomic swap: between
     ``path.rename(.old)`` and ``tmp.rename(path)`` the only complete
@@ -42,17 +55,25 @@ def _atomic_swap_write(df: DataFrame, path: Path, finalize=None) -> None:
     before it is promoted — for markers that must swap atomically WITH
     the data (e.g. the incremental tables' ``_epoch`` replay guard)."""
     _restore_crashed_swap(path)
+    _step("swap:restored")
     tmp = path.with_suffix(".staging")
     shutil.rmtree(tmp, ignore_errors=True)
+    _step("swap:stage-cleared")
     df.write.mode("overwrite").parquet(str(tmp))
+    _step("swap:staged")
     if finalize is not None:
         finalize(tmp)
+    _step("swap:finalized")
     old = path.with_suffix(".old")
     shutil.rmtree(old, ignore_errors=True)
+    _step("swap:old-cleared")
     if path.exists():
         path.rename(old)
+    _step("swap:live-moved")
     tmp.rename(path)
+    _step("swap:promoted")
     shutil.rmtree(old, ignore_errors=True)
+    _step("swap:old-dropped")
 
 
 def scd1_current(changes: DataFrame, key: str, order_col: str = "op_ts",
