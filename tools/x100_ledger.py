@@ -1,0 +1,214 @@
+"""Machine-readable ×100 oracle-coverage ledger (VERDICT r7 #4).
+
+SCALE.md's "curated ×100 coverage" stays honest only if the complement
+is enumerated.  This tool maintains ``X100_LEDGER.json`` (repo root):
+every registry query is either
+
+- ``swept``    — hash-matched its DuckDB oracle on the ×100 replica,
+                 with the measured wall time recorded, or
+- ``excluded`` — carries an exclusion CLASS from the fixed vocabulary
+                 below plus a written, evidence-bearing reason.
+
+``--check`` (the round-close mode) fails unless the ledger is a
+complete partition of the CURRENT registry: a new query is neither
+swept nor excluded until someone runs the sweep or writes the
+justification — exactly the discipline prose couldn't enforce.
+
+``--sweep [names…]`` builds/uses the ×100 replica (``tools/replica.py
+100`` layout at $X100_DIR, default /tmp/x100) and runs every named —
+default: every unclassified — query through the same compare as
+tools/check_oracle.py, each in a SUBPROCESS with a timeout, so a
+wedged query records a measured ``timeout`` instead of hanging the
+sweep (timeouts stay UNclassified: triage each into a fix or an
+exclusion entry).
+
+Exclusion classes (each must cite its measurement or argument):
+
+- corpus-quadratic-output   the RESULT SET grows ~quadratically with
+                            the corpus (pair dumps): comparing it is
+                            the infeasible part, by design
+- uncapped-twin-kill        uncapped variant whose ×100 kill IS the
+                            documented measurement; the capped
+                            production twin is swept instead
+- comparator-infeasible     the DuckDB oracle (not the query) explodes
+                            at ×100 (unrolled iterative SQL, >70 GB
+                            spills); Spark side is probed separately
+- equals-gate               the query's oracle re-verifies equality
+                            against its own batch twin, which IS swept;
+                            re-running the equality at ×100 re-proves
+                            the twin, not the query
+- env-blocked               cannot run on this image (documented
+                            import gate)
+
+Usage:
+  python tools/x100_ledger.py --check
+  python tools/x100_ledger.py --sweep [name …]   [--timeout S]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+LEDGER = pathlib.Path(__file__).resolve().parent.parent / \
+    "X100_LEDGER.json"
+X100_DIR = os.environ.get("X100_DIR", "/tmp/x100")
+CLASSES = {"corpus-quadratic-output", "uncapped-twin-kill",
+           "comparator-infeasible", "equals-gate", "env-blocked"}
+
+
+def load_ledger() -> dict:
+    if LEDGER.exists():
+        return json.loads(LEDGER.read_text())
+    return {"swept": {}, "excluded": {}}
+
+
+def save_ledger(led: dict) -> None:
+    led["swept"] = dict(sorted(led["swept"].items()))
+    led["excluded"] = dict(sorted(led["excluded"].items()))
+    LEDGER.write_text(json.dumps(led, indent=1) + "\n")
+
+
+def registry_names() -> list[str]:
+    from iot_simulator_datalake_spark.queries import REGISTRY
+    return sorted(REGISTRY)
+
+
+def check(led: dict) -> int:
+    names = set(registry_names())
+    swept = set(led["swept"])
+    excl = set(led["excluded"])
+    bad = 0
+    for n in sorted(swept & excl):
+        print(f"BOTH swept and excluded: {n}")
+        bad += 1
+    for n in sorted(swept - names | excl - names):
+        print(f"ledger entry for UNKNOWN query: {n}")
+        bad += 1
+    for n in sorted(names - swept - excl):
+        print(f"UNCLASSIFIED query: {n} — sweep it or write an "
+              f"exclusion entry")
+        bad += 1
+    for n, e in led["excluded"].items():
+        if e.get("class") not in CLASSES:
+            print(f"excluded {n}: unknown class {e.get('class')!r}")
+            bad += 1
+        if not e.get("reason"):
+            print(f"excluded {n}: missing reason")
+            bad += 1
+    for n, e in led["swept"].items():
+        if e.get("status") != "ok":
+            print(f"swept {n}: non-ok status {e.get('status')!r} — "
+                  f"triage: fix or exclude")
+            bad += 1
+    n_ok = sum(1 for e in led["swept"].values()
+               if e.get("status") == "ok")
+    print(f"{n_ok} swept-green / {len(excl)} excluded / "
+          f"{len(names)} registry queries; {bad} problems")
+    return 1 if bad else 0
+
+
+_LINE = None  # compiled lazily: check_oracle per-query result lines
+
+
+def _parse_results(out: str) -> dict[str, tuple[str, float]]:
+    """Parse check_oracle stdout → {name: (status, spark_sec)}."""
+    import re
+    global _LINE
+    if _LINE is None:
+        _LINE = re.compile(
+            r"^\s{2}(\S+)\s+(OK|FAIL|ERR|rows-only)\b.*?"
+            r"(?:\[\s*([\d.]+)s\])?\s*$", re.M)
+    res = {}
+    for m in _LINE.finditer(out):
+        res[m.group(1)] = (m.group(2).lower(),
+                           float(m.group(3) or 0.0))
+    return res
+
+
+def sweep(led: dict, names: list[str], timeout: int,
+          chunk: int = 8) -> int:
+    if not pathlib.Path(X100_DIR, "lineitem.parquet").exists():
+        print(f"replica missing at {X100_DIR}: run "
+              f"`python tools/replica.py 100 /root/testdata/sf0.1 "
+              f"{X100_DIR}` first", file=sys.stderr)
+        return 2
+    reg = set(registry_names())
+    targets = [n for n in (names or sorted(
+        reg - set(led["swept"]) - set(led["excluded"]))) if n in reg]
+    batches = [targets[i:i + chunk] for i in range(0, len(targets), chunk)]
+    done = 0
+    for batch in batches:
+        t0 = time.time()
+        timed_out = False
+        try:
+            r = subprocess.run(
+                [sys.executable, "tools/check_oracle.py", X100_DIR,
+                 *batch],
+                capture_output=True, text=True,
+                timeout=timeout * len(batch), cwd=str(LEDGER.parent))
+            out = r.stdout + r.stderr
+        except subprocess.TimeoutExpired as e:
+            out = ((e.stdout or b"").decode(errors="replace")
+                   + (e.stderr or b"").decode(errors="replace"))
+            timed_out = True
+        wall = round(time.time() - t0, 1)
+        got = _parse_results(out)
+        reported = [n for n in batch if n in got]
+        for n in reported:
+            status, sec = got[n]
+            status = "ok" if status in ("ok", "rows-only") else status
+            led["swept"][n] = {"status": status, "wall_s": sec,
+                               "dir": X100_DIR}
+            if status != "ok":
+                detail = [ln for ln in out.splitlines()
+                          if ln.strip().startswith(n)
+                          or ln.startswith("      ")][:6]
+                led["swept"][n]["detail"] = " | ".join(detail)[-400:]
+        if timed_out:
+            # the first query with no result line is the one in flight
+            # when the batch timed out — attribute it; the unstarted
+            # remainder stays unclassified for the next run
+            pending = [n for n in batch if n not in got]
+            if pending:
+                led["swept"][pending[0]] = {
+                    "status": "timeout", "wall_s": wall,
+                    "dir": X100_DIR,
+                    "detail": f"batch of {len(batch)} timed out; "
+                              f"{len(reported)} completed before it"}
+        save_ledger(led)
+        done += len(batch)
+        line = ", ".join(f"{n}:{got[n][0]}" if n in got else f"{n}:?"
+                         for n in batch)
+        print(f"[{done}/{len(targets)}] {line} [{wall}s]", flush=True)
+    return 0
+
+
+def main(argv: list[str]) -> int:
+    led = load_ledger()
+    if argv[:1] == ["--check"] or not argv:
+        return check(led)
+    if argv[:1] == ["--sweep"]:
+        argv = argv[1:]
+        timeout, chunk = 900, 8
+        if "--timeout" in argv:
+            i = argv.index("--timeout")
+            timeout = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2:]
+        if "--chunk" in argv:
+            i = argv.index("--chunk")
+            chunk = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2:]
+        return sweep(led, argv, timeout, chunk)
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
