@@ -37,6 +37,10 @@ Exclusion classes (each must cite its measurement or argument):
                             against its own batch twin, which IS swept;
                             re-running the equality at ×100 re-proves
                             the twin, not the query
+- regime-bounded-oracle     the oracle asserts sketch EXACTNESS, true
+                            only at gate cardinalities (coupon
+                            regime); fails BY DESIGN beyond it — the
+                            ±3σ envelope twin is the swept scale gate
 - env-blocked               cannot run on this image (documented
                             import gate)
 
@@ -60,7 +64,8 @@ LEDGER = pathlib.Path(__file__).resolve().parent.parent / \
     "X100_LEDGER.json"
 X100_DIR = os.environ.get("X100_DIR", "/tmp/x100")
 CLASSES = {"corpus-quadratic-output", "uncapped-twin-kill",
-           "comparator-infeasible", "equals-gate", "env-blocked"}
+           "comparator-infeasible", "equals-gate",
+           "regime-bounded-oracle", "env-blocked"}
 
 
 def load_ledger() -> dict:
