@@ -612,6 +612,31 @@ def semdedup_kmeans_prune(spark: "SparkSession", sf_dir: str,
 _SEM_CAP = 64  # max members per pruning cell (sub-split above this)
 
 
+def _cap_sub(id_col, n_col):
+    """The canonical md5 sub-cell split (0 under the cap, else one of
+    ⌈n/cap⌉ deterministic id-hash splits) — ONE Spark source for the
+    cap mechanism shared by ``_subcell`` and the multi-probe candidate
+    builder; its SQL twin is :func:`_o_cap_sub`.  Keeping a single
+    definition is what guarantees the multi-probe decision set stays a
+    strict superset of the single-probe one."""
+    return F.when(n_col <= _SEM_CAP, F.lit(0).cast("bigint")).otherwise(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10)
+        .cast("bigint") %
+        F.floor((n_col + _SEM_CAP - 1) / _SEM_CAP).cast("bigint"))
+
+
+def _o_cap_sub(id_expr: str, n_expr: str) -> str:
+    """DuckDB twin of :func:`_cap_sub`, emitted at the shared CTE
+    indentation (byte-identical to the pre-refactor ``_o_subcell``
+    text for id/n, so already-gated oracles are unchanged)."""
+    return (f"CASE WHEN {n_expr} <= {_SEM_CAP} THEN 0\n"
+            f"              ELSE ('0x' || substr(md5(CAST({id_expr} AS "
+            f"VARCHAR)), 1, 15))::BIGINT\n"
+            f"                   % (({n_expr} + {_SEM_CAP - 1}) "
+            f"// {_SEM_CAP})\n"
+            f"         END")
+
+
 def _subcell(v: "DataFrame", cell_col: str) -> "DataFrame":
     """Attach ``(n, sub)`` to ``v``: ``n`` the member count of the
     row's cell, ``sub`` the deterministic md5(id) sub-cell (0 when the
@@ -623,10 +648,7 @@ def _subcell(v: "DataFrame", cell_col: str) -> "DataFrame":
     funnel every vector of a hot cell through one WindowExec task —
     the exact single-task pathology the cap exists to bound."""
     sizes = v.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n"))
-    sub = F.when(F.col("n") <= _SEM_CAP, F.lit(0).cast("bigint")).otherwise(
-        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") %
-        F.floor((F.col("n") + _SEM_CAP - 1) / _SEM_CAP).cast("bigint"))
+    sub = _cap_sub(F.col("id"), F.col("n"))
     return v.join(F.broadcast(sizes), cell_col).withColumn("sub", sub)
 
 
@@ -707,10 +729,7 @@ def _o_subcell(src: str, cell: str, prefix: str = "") -> str:
   SELECT *, COUNT(*) OVER (PARTITION BY {cell}) AS n FROM {src}
 ), {prefix}sub AS (
   SELECT id, vec, {cell}, n,
-         CASE WHEN n <= {_SEM_CAP} THEN 0
-              ELSE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
-                   % ((n + {_SEM_CAP} - 1) // {_SEM_CAP})
-         END AS sub
+         {_o_cap_sub('id', 'n')} AS sub
   FROM {prefix}sized
 )"""
 
@@ -1023,10 +1042,11 @@ def _ivf_model(spark: "SparkSession", sf_dir: str) -> dict:
     k = auto_k_of(emb.count())
     kc = math.ceil(math.sqrt(k))  # IEEE sqrt: correctly rounded, ≡ SQL
     kf = (k + kc - 1) // kc
-    ccent, ac, _ = lloyd_final(spark, sf_dir, k=kc)  # trained coarse
+    pts = quantized_pts(emb).cache()  # ONE quantized scan, shared with
+    #                                   the coarse Lloyd training below
+    ccent, ac, _ = lloyd_final(spark, sf_dir, k=kc, pts=pts)
     ac = (ac.select("vec_id", F.col("cid").alias("ccid"))
           .cache())  # id-sized (2 ints/row); consumed by every stage
-    pts = quantized_pts(emb).cache()
     ptsc = pts.join(ac, "vec_id")  # (vec_id, d, qv, ccid)
     # fine seeds: the kf lowest-id members of each coarse cell
     w = W.partitionBy("ccid").orderBy("vec_id")
@@ -1304,11 +1324,7 @@ def _o_ivf_probes(sub: str = "sub", pfx: str = "") -> str:
   SELECT DISTINCT cell, n FROM {sub}
 ), {pfx}bpr AS (
   SELECT p.vec_id AS b_id, p.cell,
-         CASE WHEN z.n <= {_SEM_CAP} THEN 0
-              ELSE ('0x' || substr(md5(CAST(p.vec_id AS VARCHAR)),
-                                   1, 15))::BIGINT
-                   % ((z.n + {_SEM_CAP} - 1) // {_SEM_CAP})
-         END AS sub
+         {_o_cap_sub('p.vec_id', 'z.n')} AS sub
   FROM {pfx}prb p JOIN {pfx}csz z USING (cell)
 )"""
 
@@ -1324,14 +1340,9 @@ def _mp_candidates(spark: "SparkSession", sf_dir: str,
     v = _subcell(_ivf_assigned_vectors(spark, sf_dir, m), "cell")
     probes = _ivf_probes(spark, m)
     cellsz = v.select("cell", "n").distinct()
-    sub_b = F.when(F.col("n") <= _SEM_CAP, F.lit(0).cast("bigint")) \
-        .otherwise(
-            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
-                               1, 15), 16, 10).cast("bigint") %
-            F.floor((F.col("n") + _SEM_CAP - 1) / _SEM_CAP).cast("bigint"))
     bp = (probes.join(F.broadcast(cellsz), "cell")
           .select(F.col("vec_id").alias("b_id"), "cell",
-                  sub_b.alias("sub")))
+                  _cap_sub(F.col("vec_id"), F.col("n")).alias("sub")))
     cand = (bp.join(v.select("id", "vec", "norm", "cell", "sub"),
                     ["cell", "sub"])
             .filter(F.col("id") < F.col("b_id")))

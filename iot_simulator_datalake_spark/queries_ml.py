@@ -152,18 +152,23 @@ def quantized_pts(emb: "DataFrame") -> "DataFrame":
                  + F.lit(_SHIFT)).alias("qv")))
 
 
-def lloyd_final(spark: "SparkSession", sf_dir: str, k: int | None = None
+def lloyd_final(spark: "SparkSession", sf_dir: str, k: int | None = None,
+                pts: "DataFrame | None" = None
                 ) -> tuple["DataFrame", "DataFrame", "DataFrame"]:
     """Run the deterministic Lloyd rounds and return
     ``(cent, afin, mfin)`` — final centroids (cid, d, cv), final
     assignment (vec_id, cid) and final min-distance (vec_id, md).
     Shared by ``kmeans_lloyd`` and the SemDeDup k-means pruners
     (queries_curation.semdedup_kmeans_prune and the auto-K twin,
-    which passes ``k`` = :func:`auto_k_of` of the corpus count)."""
+    which passes ``k`` = :func:`auto_k_of` of the corpus count).
+    ``pts`` lets a caller that already holds the cached quantized long
+    format (the IVF trainer) share it instead of building and caching
+    a second identical dataset."""
     if k is None:
         k = _K
-    emb = load(spark, sf_dir, "embeddings")
-    pts = quantized_pts(emb).cache()  # reused every round: quantize once
+    if pts is None:
+        emb = load(spark, sf_dir, "embeddings")
+        pts = quantized_pts(emb).cache()  # reused every round
 
     cent = (pts.filter(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cid"), "d",

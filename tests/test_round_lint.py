@@ -32,6 +32,20 @@ def test_source_rule_fires_on_builtin_round():
     assert scan_module_source("mod.py", src) == [("mod.py", 2, "helper", 5)]
 
 
+def test_source_rule_fires_on_keyword_lit_and_nonconstant_forms():
+    src = (
+        "from pyspark.sql import functions as F\n"
+        "def f(df, x, somevar):\n"
+        "    a = F.round(df.c, scale=3)\n"
+        "    b = round(x, ndigits=2)\n"
+        "    c = F.round(df.c, F.lit(4))\n"
+        "    d = F.round(df.c, somevar)\n")
+    hits = scan_module_source("m.py", src)
+    assert hits == [("m.py", 3, "f", 3), ("m.py", 4, "f", 2),
+                    ("m.py", 5, "f", 4),
+                    ("m.py", 6, "f", "non-constant")]
+
+
 def test_source_rule_quiet_on_integer_round():
     src = (
         "from pyspark.sql import functions as F\n"

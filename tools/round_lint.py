@@ -104,19 +104,44 @@ def scan_module_source(rel_name: str, src: str) -> list[tuple]:
                 best = (name, a)
         return best[0] if best else "<module>"
 
+    def scale_of(node: ast.Call):
+        """The effective scale argument of a round() call, or None if
+        absent/zero.  Covers positional AND keyword forms (builtin
+        ``ndigits=``, pyspark ``scale=``), unwraps ``F.lit(n)``, and
+        returns the sentinel string 'non-constant' for anything whose
+        value can't be proven — which the lint FLAGS, because an
+        unprovable fractional scale is exactly what must not slip by."""
+        arg = node.args[1] if len(node.args) >= 2 else None
+        if arg is None:
+            for kw in node.keywords:
+                if kw.arg in ("ndigits", "scale"):
+                    arg = kw.value
+        if arg is None:
+            return None
+        if (isinstance(arg, ast.Call)
+                and isinstance(arg.func, (ast.Attribute, ast.Name))
+                and (arg.func.attr if isinstance(arg.func, ast.Attribute)
+                     else arg.func.id) == "lit"
+                and arg.args and isinstance(arg.args[0], ast.Constant)):
+            arg = arg.args[0]           # F.round(c, F.lit(n))
+        if isinstance(arg, ast.Constant):
+            if isinstance(arg.value, int) and arg.value >= 1:
+                return arg.value
+            return None                 # 0 / None / negative: integerizing
+        return "non-constant"
+
     hits = []
     for n in ast.walk(tree):
-        if not (isinstance(n, ast.Call) and len(n.args) >= 2
-                and isinstance(n.args[1], ast.Constant)
-                and isinstance(n.args[1].value, int)
-                and n.args[1].value >= 1):
+        if not isinstance(n, ast.Call):
             continue
         is_round = (
             (isinstance(n.func, ast.Attribute) and n.func.attr == "round")
             or (isinstance(n.func, ast.Name) and n.func.id == "round"))
-        if is_round:
-            hits.append((rel_name, n.lineno, enclosing(n.lineno),
-                         n.args[1].value))
+        if not is_round:
+            continue
+        scale = scale_of(n)
+        if scale is not None:
+            hits.append((rel_name, n.lineno, enclosing(n.lineno), scale))
     return hits
 
 

@@ -17,10 +17,12 @@ justification — exactly the discipline prose couldn't enforce.
 ``--sweep [names…]`` builds/uses the ×100 replica (``tools/replica.py
 100`` layout at $X100_DIR, default /tmp/x100) and runs every named —
 default: every unclassified — query through the same compare as
-tools/check_oracle.py, each in a SUBPROCESS with a timeout, so a
-wedged query records a measured ``timeout`` instead of hanging the
-sweep (timeouts stay UNclassified: triage each into a fix or an
-exclusion entry).
+tools/check_oracle.py, in SUBPROCESS batches (``-u`` so per-query
+result lines survive a kill) with a timeout, so a wedged query records
+a measured ``timeout`` instead of hanging the sweep.  Non-ok statuses
+(fail / err / timeout / rows-only) are recorded with their evidence
+and KEEP ``--check`` FAILING until triaged into a fix or an exclusion
+entry — a recorded kill is a measurement, not a pass.
 
 Exclusion classes (each must cite its measurement or argument):
 
@@ -137,6 +139,24 @@ def _parse_results(out: str) -> dict[str, tuple[str, float]]:
     return res
 
 
+def _detail_for(out: str, name: str) -> str:
+    """The problem lines belonging to ONE query's result: everything
+    between its own result line and the next query's — never another
+    batch member's diffs."""
+    lines = out.splitlines()
+    start = next((i for i, ln in enumerate(lines)
+                  if ln.startswith(f"  {name} ")), None)
+    if start is None:
+        return ""
+    block = [lines[start].strip()]
+    for ln in lines[start + 1:]:
+        if ln.startswith("      "):
+            block.append(ln.strip())
+        else:
+            break
+    return " | ".join(block[:6])[-400:]
+
+
 def sweep(led: dict, names: list[str], timeout: int,
           chunk: int = 8) -> int:
     if not pathlib.Path(X100_DIR, "lineitem.parquet").exists():
@@ -153,9 +173,13 @@ def sweep(led: dict, names: list[str], timeout: int,
         t0 = time.time()
         timed_out = False
         try:
+            # -u: unbuffered child stdout, so every completed query's
+            # result line survives a mid-batch SIGKILL — without it the
+            # pipe's block buffer dies with the child and the timeout
+            # would be attributed to a query that already PASSED
             r = subprocess.run(
-                [sys.executable, "tools/check_oracle.py", X100_DIR,
-                 *batch],
+                [sys.executable, "-u", "tools/check_oracle.py",
+                 X100_DIR, *batch],
                 capture_output=True, text=True,
                 timeout=timeout * len(batch), cwd=str(LEDGER.parent))
             out = r.stdout + r.stderr
@@ -168,14 +192,12 @@ def sweep(led: dict, names: list[str], timeout: int,
         reported = [n for n in batch if n in got]
         for n in reported:
             status, sec = got[n]
-            status = "ok" if status in ("ok", "rows-only") else status
+            # 'rows-only' stays distinct: nothing was hash-verified,
+            # so it must NOT count as swept-green (check() flags it)
             led["swept"][n] = {"status": status, "wall_s": sec,
                                "dir": X100_DIR}
             if status != "ok":
-                detail = [ln for ln in out.splitlines()
-                          if ln.strip().startswith(n)
-                          or ln.startswith("      ")][:6]
-                led["swept"][n]["detail"] = " | ".join(detail)[-400:]
+                led["swept"][n]["detail"] = _detail_for(out, n)
         if timed_out:
             # the first query with no result line is the one in flight
             # when the batch timed out — attribute it; the unstarted
