@@ -158,7 +158,12 @@ def _detail_for(out: str, name: str) -> str:
 
 
 def sweep(led: dict, names: list[str], timeout: int,
-          chunk: int = 8) -> int:
+          chunk: int = 8, slice_spec: str | None = None,
+          out: pathlib.Path | None = None) -> int:
+    """``slice_spec`` 'i/m' takes every m-th target starting at i —
+    lets m concurrent sweep processes split the work; each writes its
+    own shard (``out``) which ``--merge`` folds into the ledger, so
+    concurrent processes never race on one file."""
     if not pathlib.Path(X100_DIR, "lineitem.parquet").exists():
         print(f"replica missing at {X100_DIR}: run "
               f"`python tools/replica.py 100 /root/testdata/sf0.1 "
@@ -167,6 +172,17 @@ def sweep(led: dict, names: list[str], timeout: int,
     reg = set(registry_names())
     targets = [n for n in (names or sorted(
         reg - set(led["swept"]) - set(led["excluded"]))) if n in reg]
+    if slice_spec:
+        i, m = (int(x) for x in slice_spec.split("/"))
+        targets = targets[i::m]
+    if out is not None:
+        led = {"swept": {}, "excluded": {}}  # fresh shard, merged later
+
+        def save():
+            out.write_text(json.dumps(led, indent=1) + "\n")
+    else:
+        def save():
+            save_ledger(led)
     batches = [targets[i:i + chunk] for i in range(0, len(targets), chunk)]
     done = 0
     for batch in batches:
@@ -182,13 +198,13 @@ def sweep(led: dict, names: list[str], timeout: int,
                  X100_DIR, *batch],
                 capture_output=True, text=True,
                 timeout=timeout * len(batch), cwd=str(LEDGER.parent))
-            out = r.stdout + r.stderr
+            txt = r.stdout + r.stderr
         except subprocess.TimeoutExpired as e:
-            out = ((e.stdout or b"").decode(errors="replace")
+            txt = ((e.stdout or b"").decode(errors="replace")
                    + (e.stderr or b"").decode(errors="replace"))
             timed_out = True
         wall = round(time.time() - t0, 1)
-        got = _parse_results(out)
+        got = _parse_results(txt)
         reported = [n for n in batch if n in got]
         for n in reported:
             status, sec = got[n]
@@ -197,7 +213,7 @@ def sweep(led: dict, names: list[str], timeout: int,
             led["swept"][n] = {"status": status, "wall_s": sec,
                                "dir": X100_DIR}
             if status != "ok":
-                led["swept"][n]["detail"] = _detail_for(out, n)
+                led["swept"][n]["detail"] = _detail_for(txt, n)
         if timed_out:
             # the first query with no result line is the one in flight
             # when the batch timed out — attribute it; the unstarted
@@ -209,7 +225,7 @@ def sweep(led: dict, names: list[str], timeout: int,
                     "dir": X100_DIR,
                     "detail": f"batch of {len(batch)} timed out; "
                               f"{len(reported)} completed before it"}
-        save_ledger(led)
+        save()
         done += len(batch)
         line = ", ".join(f"{n}:{got[n][0]}" if n in got else f"{n}:?"
                          for n in batch)
@@ -217,13 +233,27 @@ def sweep(led: dict, names: list[str], timeout: int,
     return 0
 
 
+def merge(led: dict, shards: list[str]) -> int:
+    """Fold sweep shards into the ledger (shard entries win)."""
+    n = 0
+    for s in shards:
+        sh = json.loads(pathlib.Path(s).read_text())
+        led["swept"].update(sh.get("swept", {}))
+        n += len(sh.get("swept", {}))
+    save_ledger(led)
+    print(f"merged {n} entries from {len(shards)} shards")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     led = load_ledger()
     if argv[:1] == ["--check"] or not argv:
         return check(led)
+    if argv[:1] == ["--merge"]:
+        return merge(led, argv[1:])
     if argv[:1] == ["--sweep"]:
         argv = argv[1:]
-        timeout, chunk = 900, 8
+        timeout, chunk, slice_spec, out = 900, 8, None, None
         if "--timeout" in argv:
             i = argv.index("--timeout")
             timeout = int(argv[i + 1])
@@ -232,7 +262,15 @@ def main(argv: list[str]) -> int:
             i = argv.index("--chunk")
             chunk = int(argv[i + 1])
             argv = argv[:i] + argv[i + 2:]
-        return sweep(led, argv, timeout, chunk)
+        if "--slice" in argv:
+            i = argv.index("--slice")
+            slice_spec = argv[i + 1]
+            argv = argv[:i] + argv[i + 2:]
+        if "--out" in argv:
+            i = argv.index("--out")
+            out = pathlib.Path(argv[i + 1])
+            argv = argv[:i] + argv[i + 2:]
+        return sweep(led, argv, timeout, chunk, slice_spec, out)
     print(__doc__)
     return 2
 
