@@ -1,0 +1,76 @@
+"""Unit tests for tools/x100_ledger.py — the ×100 coverage partition
+gate.  No Spark: these pin the output-parsing, detail-scoping, merge,
+and partition-check logic the sweep's evidence integrity rests on."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+import x100_ledger as xl  # noqa: E402
+
+SAMPLE = """
+  alpha_query                         OK      500 rows [ 12.3s]
+  beta_query                          FAIL    200 rows [  4.0s]
+      rowcount spark=200 duck=199
+      values differ; spark-only=[(1,)] duck-only=[(2,)]
+  gamma_query                         ERR ValueError: boom
+  delta_query                         rows-only:     10 rows [  1.0s]
+
+3/4 queries match
+"""
+
+
+def test_parse_results_statuses_and_times():
+    got = xl._parse_results(SAMPLE)
+    assert got["alpha_query"] == ("ok", 12.3)
+    assert got["beta_query"] == ("fail", 4.0)
+    assert got["gamma_query"][0] == "err"
+    assert got["delta_query"][0] == "rows-only"
+
+
+def test_detail_scoped_to_own_result_block():
+    d = xl._detail_for(SAMPLE, "beta_query")
+    assert "rowcount spark=200" in d and "values differ" in d
+    # gamma's detail must NOT pick up beta's indented problem lines
+    assert "rowcount" not in xl._detail_for(SAMPLE, "gamma_query")
+    assert xl._detail_for(SAMPLE, "not_there") == ""
+
+
+def test_check_partition_logic(monkeypatch, capsys):
+    monkeypatch.setattr(xl, "registry_names",
+                        lambda: ["a", "b", "c", "d"])
+    led = {"swept": {"a": {"status": "ok", "wall_s": 1},
+                     "b": {"status": "timeout", "wall_s": 600}},
+           "excluded": {"c": {"class": "uncapped-twin-kill",
+                              "reason": "measured kill"},
+                        "zz": {"class": "bogus-class", "reason": ""}}}
+    rc = xl.check(led)
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "UNCLASSIFIED query: d" in out          # d is neither
+    assert "UNKNOWN query: zz" in out              # stale entry
+    assert "non-ok status 'timeout'" in out        # b needs triage
+    assert "unknown class" in out                  # zz's class invalid
+    # a green, complete partition passes
+    led = {"swept": {n: {"status": "ok", "wall_s": 1}
+                     for n in ["a", "b", "d"]},
+           "excluded": {"c": {"class": "equals-gate", "reason": "x"}}}
+    assert xl.check(led) == 0
+
+
+def test_merge_folds_shards(tmp_path, monkeypatch):
+    monkeypatch.setattr(xl, "LEDGER", tmp_path / "L.json")
+    led = {"swept": {"a": {"status": "ok"}}, "excluded": {}}
+    s1 = tmp_path / "s1.json"
+    s1.write_text(json.dumps(
+        {"swept": {"b": {"status": "ok"}}, "excluded": {}}))
+    s2 = tmp_path / "s2.json"
+    s2.write_text(json.dumps(
+        {"swept": {"a": {"status": "fail"}}, "excluded": {}}))
+    xl.merge(led, [str(s1), str(s2)])
+    saved = json.loads((tmp_path / "L.json").read_text())
+    assert saved["swept"]["b"]["status"] == "ok"
+    assert saved["swept"]["a"]["status"] == "fail"  # shard wins
