@@ -1319,8 +1319,8 @@ def entity_resolution_blocked_autok(spark: "SparkSession",
     fix for the measured K-vs-recall cliff (SCALE.md: pinned K=2 gives
     0.993 argmax recall at sf0.01's ~4-supplier nation blocks but
     0.711 at ×10's 40-supplier blocks; the curve says K must track
-    block size).  Per nation, K_n = clamp(⌈block/α⌉, {_ERB_K},
-    {_ERB_KMAX}) with α={_ERB_ALPHA} — the auto-K idea from SemDeDup
+    block size).  Per nation, K_n = clamp(⌈block/α⌉, K=2, KMAX=64)
+    with α=5 (_ERB_ALPHA) — the auto-K idea from SemDeDup
     applied to blocking: hold the CANDIDATE-TO-BLOCK ratio fixed
     instead of the candidate count, so recall is scale-stable while
     the hard cap keeps the pair space ≤ 2·2·KMAX·|C|, still linear in
