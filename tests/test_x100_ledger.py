@@ -74,3 +74,27 @@ def test_merge_folds_shards(tmp_path, monkeypatch):
     saved = json.loads((tmp_path / "L.json").read_text())
     assert saved["swept"]["b"]["status"] == "ok"
     assert saved["swept"]["a"]["status"] == "fail"  # shard wins
+
+
+def test_sweep_records_wholesale_batch_crash(tmp_path, monkeypatch):
+    """A batch subprocess that dies with rc!=0 and ZERO result lines
+    (JVM OOM-kill at query 1) must attribute an 'err' to the first
+    pending query — before this rule the sweep recorded nothing and
+    moved on, silently shrinking coverage."""
+    import subprocess as sp
+    import types
+
+    monkeypatch.setattr(xl, "registry_names", lambda: ["a", "b"])
+    x100 = tmp_path / "x100"
+    (x100 / "lineitem.parquet").mkdir(parents=True)
+    monkeypatch.setattr(xl, "X100_DIR", str(x100))
+    monkeypatch.setattr(xl, "LEDGER", tmp_path / "L.json")
+    monkeypatch.setattr(
+        sp, "run",
+        lambda *a, **k: types.SimpleNamespace(
+            returncode=137, stdout="", stderr="Killed\n"))
+    led = {"swept": {}, "excluded": {}}
+    assert xl.sweep(led, ["a", "b"], timeout=5, chunk=2) == 0
+    assert led["swept"]["a"]["status"] == "err"
+    assert "rc=137" in led["swept"]["a"]["detail"]
+    assert "b" not in led["swept"]          # unstarted stays open

@@ -214,17 +214,31 @@ def sweep(led: dict, names: list[str], timeout: int,
                                "dir": X100_DIR}
             if status != "ok":
                 led["swept"][n]["detail"] = _detail_for(txt, n)
+        pending = [n for n in batch if n not in got]
         if timed_out:
             # the first query with no result line is the one in flight
             # when the batch timed out — attribute it; the unstarted
             # remainder stays unclassified for the next run
-            pending = [n for n in batch if n not in got]
             if pending:
                 led["swept"][pending[0]] = {
                     "status": "timeout", "wall_s": wall,
                     "dir": X100_DIR,
                     "detail": f"batch of {len(batch)} timed out; "
                               f"{len(reported)} completed before it"}
+        elif pending and r.returncode != 0:
+            # batch subprocess died (OOM-kill, JVM startup crash, …)
+            # before its remaining queries printed result lines.  The
+            # query in flight is the first pending one — record the
+            # crash there so --check keeps failing until triaged; the
+            # unstarted remainder stays unclassified.  Without this, a
+            # wholesale batch crash recorded NOTHING and the sweep
+            # moved on silently (observed: a 6-query batch whose JVM
+            # died at query 1 under co-tenant memory pressure).
+            led["swept"][pending[0]] = {
+                "status": "err", "wall_s": wall, "dir": X100_DIR,
+                "detail": f"batch subprocess rc={r.returncode} with "
+                          f"{len(reported)}/{len(batch)} result lines; "
+                          f"tail: {txt.strip()[-300:]}"}
         save()
         done += len(batch)
         line = ", ".join(f"{n}:{got[n][0]}" if n in got else f"{n}:?"
