@@ -251,12 +251,16 @@ def _mh_shingles_sql(n: int) -> str:
          END)"""
 
 
-def _minhash_oracle(cap: int | None = None) -> str:
+def _minhash_oracle(cap: int | None = None,
+                    src: str = "documents") -> str:
+    """``src`` is the relation the pairs are mined from — a table name
+    or a parenthesized subquery exposing (doc_id, text); the tiered
+    dedup twins pass the exact-canonical survivor set."""
     k, bands, n = (_MINHASH["n_hashes"], _MINHASH["bands"],
                    _MINHASH["shingle_n"])
     return f"""
 WITH tok AS (
-  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM documents
+  SELECT doc_id, {O_TOKENS.format(c='text')} AS toks FROM {src}
 ), sh AS (
   SELECT doc_id, {_mh_shingles_sql(n)} AS sh
   FROM tok

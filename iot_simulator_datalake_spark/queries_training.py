@@ -382,6 +382,117 @@ def fuzzy_dedup_report(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 # =========================================================================
+# Tiered (exact-first + hot-band-capped) fuzzy dedup — the 100 TB form
+# =========================================================================
+
+#: Exact-canonical survivor relation for the oracle side: one kept doc
+#: per distinct content (min doc_id per md5(text)) — the cheap exact
+#: tier that runs BEFORE banding in the tiered pipeline.
+_EXACT_SURV_SQL = """(SELECT d2.* FROM documents d2
+  JOIN (SELECT MIN(doc_id) AS m FROM documents
+        GROUP BY md5(text)) sv ON d2.doc_id = sv.m)"""
+
+
+def _tiered_oracle(select_body: str) -> str:
+    """Shared WITH-chain for the tiered dedup twins: exact canonical →
+    capped MinHash pairs over survivors → transitive closure → per-doc
+    final cluster; ``select_body`` projects the final relation."""
+    return f"""
+WITH RECURSIVE ex AS (
+  SELECT doc_id, source,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS ecan
+  FROM documents
+), pairs AS (
+  SELECT key_a, key_b
+  FROM ({_minhash_oracle(cap=_MINHASH_CAP, src=_EXACT_SURV_SQL)})
+), edges AS (
+  SELECT key_a AS a, key_b AS b FROM pairs
+  UNION ALL
+  SELECT key_b AS a, key_a AS b FROM pairs
+), reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
+), final AS (
+  SELECT ex.doc_id, ex.source, COALESCE(c.comp, ex.ecan) AS cluster_id
+  FROM ex LEFT JOIN comp c ON c.node = ex.ecan
+)
+{select_body}
+"""
+
+
+def _tiered_final(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-doc (doc_id, source, cluster_id) from the TIERED pipeline:
+    exact tier first (min doc_id per md5(text) — a 32-byte-key shuffle,
+    the dedup_exact shape), then hot-band-capped MinHash banding over
+    the exact-canonical SURVIVORS only, then min-label components.
+
+    This is the production composition the hot-band cap assumes: a
+    band bucket overflowing the cap is, overwhelmingly, one template
+    repeated verbatim — exactly what the exact tier already collapsed
+    — so capping after the exact tier loses only what the cheap tier
+    owns.  Scale shape: the text-carrying shuffle happens ONCE (the
+    md5 window); banding then runs on the collapsed survivor set, so a
+    corpus that is P% verbatim-duplicated costs the uncapped pipeline
+    ~(1/(1-P))² more candidate pairs but costs this one nothing extra
+    (measured: the uncapped e2e report dies of shuffle-spill disk
+    exhaustion on the ×100 replica — a 100%-duplicated corpus — while
+    this form completes; SCALE.md round-8)."""
+    d = load(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", "source", "text",
+        F.min("doc_id").over(W.partitionBy(F.md5("text"))).alias("ecan"))
+    surv = (ex.filter(F.col("doc_id") == F.col("ecan"))
+            .select("doc_id", "text"))
+    pairs = minhash_lsh_pairs(surv, "text", "doc_id",
+                              max_band_bucket=_MINHASH_CAP,
+                              **_MINHASH).select("key_a", "key_b")
+    comp = connected_components(pairs, "key_a", "key_b")
+    ex = ex.select("doc_id", "source", "ecan")
+    return (ex.join(comp, ex["ecan"] == comp["node"], "left")
+            .select("doc_id", "source",
+                    F.coalesce("comp", "ecan").alias("cluster_id")))
+
+
+@q("neardup_clusters_capped", ("W2", "J5"),
+   oracle=_tiered_oracle("SELECT doc_id, cluster_id FROM final"))
+def neardup_clusters_capped(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """(doc_id, cluster_id) from the tiered production pipeline (see
+    ``_tiered_final``): exact duplicates collapse into their group's
+    min doc_id, then capped banding clusters the survivors, and every
+    document inherits its exact-canonical's near-dup component.  The
+    uncapped ``neardup_clusters`` twin is the recall reference; this
+    form is the one that survives a template-heavy corpus."""
+    return _tiered_final(spark, sf_dir).select("doc_id", "cluster_id")
+
+
+@q("fuzzy_dedup_report_capped", ("W2", "J5", "A1"), oracle=_tiered_oracle("""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_removed
+FROM final GROUP BY source"""))
+def fuzzy_dedup_report_capped(spark: "SparkSession",
+                              sf_dir: str) -> "DataFrame":
+    """Per-source retention report from the tiered pipeline — the
+    numbers a curator reviews, now counting BOTH tiers' removals
+    (exact-duplicate collapse + capped near-dup clustering), unlike
+    the uncapped ``fuzzy_dedup_report`` whose banding must also carry
+    every verbatim copy.  n_docs ≡ n_kept + n_removed per source, and
+    Σ n_kept = number of final clusters."""
+    cl = _tiered_final(spark, sf_dir)
+    keep = (F.col("doc_id") == F.col("cluster_id")).cast("long")
+    return (cl.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(keep).alias("n_kept"),
+                 F.sum(1 - keep).alias("n_removed")))
+
+
+# =========================================================================
 # Incremental dedup: new batch vs standing corpus ([EXT] W2/J5/J3)
 # =========================================================================
 

@@ -238,3 +238,31 @@ def test_semdedup_autok_scales_k_with_corpus(spark):
             .collect()}
     assert cids <= set(range(10))
     assert len(cids) > _K - 1  # K=10 seeds in play, not the pinned 8
+
+
+def test_tiered_capped_dedup_collapses_hot_template(spark, tmp_path):
+    """The tier composition the hot-band cap assumes: verbatim copies
+    collapse in the EXACT tier, so capping their (overflowing) band
+    bucket away loses nothing — the capped e2e report still counts
+    them as removed, and every copy maps to the group's min doc_id."""
+    tpl = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, "src_a", tpl) for i in range(30)]
+    rows += [(100, "src_b", "completely unrelated text about engines"),
+             (101, "src_b", "a third distinct document of its own")]
+    (spark.createDataFrame(rows, "doc_id long, source string, text string")
+     .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet"))
+
+    rep = {r["source"]: r for r in
+           REGISTRY["fuzzy_dedup_report_capped"].fn(
+               spark, str(tmp_path)).collect()}
+    assert rep["src_a"]["n_docs"] == 30
+    assert rep["src_a"]["n_kept"] == 1
+    assert rep["src_a"]["n_removed"] == 29
+    for r in rep.values():
+        assert r["n_docs"] == r["n_kept"] + r["n_removed"]
+
+    cl = {r["doc_id"]: r["cluster_id"] for r in
+          REGISTRY["neardup_clusters_capped"].fn(
+              spark, str(tmp_path)).collect()}
+    assert all(cl[i] == 0 for i in range(30))   # copies → min doc_id
+    assert len(cl) == 32                        # total partition
