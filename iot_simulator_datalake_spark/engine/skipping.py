@@ -235,11 +235,21 @@ def build_bloom_manifest(path: str | Path, cols: list[str], *,
                     if v is not None}
             m = bits if bits is not None else \
                 _pow2ceil(max(BLOOM_BITS, len(vals) * bits_per_key))
-            bitmap = 0
+            # Accumulate in a bytearray, not a Python int: `big |= 1
+            # << pos` copies the WHOLE bitmap per set bit — O(keys ×
+            # m/8 bytes), which at replica scale (7.5 M keys × 64
+            # Mbit auto-sized bloom per file) is terabytes of memcpy
+            # (measured: the ×100 build wedged past the 1 h sweep
+            # timeout; this form finishes in minutes).  Bit layout is
+            # IDENTICAL — int.from_bytes(little) puts buf bit
+            # (pos>>3, pos&7) at int bit pos — so probes and staged
+            # manifests are unaffected.
+            buf = bytearray((m + 7) >> 3)
             for v in vals:
                 for pos in _bloom_positions(v, m, hashes):
-                    bitmap |= 1 << pos
-            per_col[c] = {"bits": m, "bitmap": hex(bitmap)}
+                    buf[pos >> 3] |= 1 << (pos & 7)
+            per_col[c] = {"bits": m,
+                          "bitmap": hex(int.from_bytes(buf, "little"))}
         manifest["bloom"]["files"][rel] = per_col
     tmp = root / (STATS_MANIFEST + ".tmp")
     tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
