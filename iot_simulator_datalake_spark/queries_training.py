@@ -35,11 +35,13 @@ if TYPE_CHECKING:  # pragma: no cover
 # Near-dup clusters: MinHash pairs → connected components ([EXT] W2/J5)
 # =========================================================================
 
-def _clusters_oracle() -> str:
-    return f"""
-WITH RECURSIVE pairs AS (
-  SELECT key_a, key_b FROM ({_minhash_oracle()})
-), edges AS (
+#: The min-label transitive closure as a DuckDB CTE chain — assumes a
+#: ``pairs(key_a, key_b)`` CTE is in scope and leaves ``comp(node,
+#: comp)``.  ONE definition shared by every clustering oracle
+#: (neardup_clusters, fuzzy_dedup_report, and the tiered twins) so the
+#: closure semantics cannot silently diverge between them — they all
+#: mirror operators/components.py.
+_CLOSURE_SQL = """edges AS (
   SELECT key_a AS a, key_b AS b FROM pairs
   UNION ALL
   SELECT key_b AS a, key_a AS b FROM pairs
@@ -49,7 +51,14 @@ WITH RECURSIVE pairs AS (
   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
 ), comp AS (
   SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
-)
+)"""
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT key_a, key_b FROM ({_minhash_oracle()})
+), {_CLOSURE_SQL}
 SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
@@ -327,17 +336,7 @@ def per_source_cap(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 @q("fuzzy_dedup_report", ("W2", "J5", "A1"), bench=True, oracle=f"""
 WITH RECURSIVE pairs AS (
   SELECT key_a, key_b FROM ({_minhash_oracle()})
-), edges AS (
-  SELECT key_a AS a, key_b AS b FROM pairs
-  UNION ALL
-  SELECT key_b AS a, key_a AS b FROM pairs
-), reach(node, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-), comp AS (
-  SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
-), cl AS (
+), {_CLOSURE_SQL}, cl AS (
   SELECT d.doc_id, d.source, COALESCE(c.comp, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 )
@@ -385,37 +384,27 @@ def fuzzy_dedup_report(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # Tiered (exact-first + hot-band-capped) fuzzy dedup — the 100 TB form
 # =========================================================================
 
-#: Exact-canonical survivor relation for the oracle side: one kept doc
-#: per distinct content (min doc_id per md5(text)) — the cheap exact
-#: tier that runs BEFORE banding in the tiered pipeline.
-_EXACT_SURV_SQL = """(SELECT d2.* FROM documents d2
-  JOIN (SELECT MIN(doc_id) AS m FROM documents
-        GROUP BY md5(text)) sv ON d2.doc_id = sv.m)"""
-
-
 def _tiered_oracle(select_body: str) -> str:
     """Shared WITH-chain for the tiered dedup twins: exact canonical →
     capped MinHash pairs over survivors → transitive closure → per-doc
-    final cluster; ``select_body`` projects the final relation."""
+    final cluster; ``select_body`` projects the final relation.
+
+    The survivor rule (min doc_id per md5(text)) is stated ONCE — the
+    ``surv`` CTE derives from ``ex``, and the nested minhash subquery
+    reads ``surv`` from the enclosing WITH scope (DuckDB resolves
+    outer CTEs inside FROM subqueries) — so the pair-mining corpus and
+    the doc→ecan mapping cannot drift apart."""
     return f"""
 WITH RECURSIVE ex AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, text,
          MIN(doc_id) OVER (PARTITION BY md5(text)) AS ecan
   FROM documents
+), surv AS (
+  SELECT doc_id, text FROM ex WHERE doc_id = ecan
 ), pairs AS (
   SELECT key_a, key_b
-  FROM ({_minhash_oracle(cap=_MINHASH_CAP, src=_EXACT_SURV_SQL)})
-), edges AS (
-  SELECT key_a AS a, key_b AS b FROM pairs
-  UNION ALL
-  SELECT key_b AS a, key_a AS b FROM pairs
-), reach(node, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-), comp AS (
-  SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
-), final AS (
+  FROM ({_minhash_oracle(cap=_MINHASH_CAP, src="surv")})
+), {_CLOSURE_SQL}, final AS (
   SELECT ex.doc_id, ex.source, COALESCE(c.comp, ex.ecan) AS cluster_id
   FROM ex LEFT JOIN comp c ON c.node = ex.ecan
 )
@@ -441,9 +430,16 @@ def _tiered_final(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     exhaustion on the ×100 replica — a 100%-duplicated corpus — while
     this form completes; SCALE.md round-8)."""
     d = load(spark, sf_dir, "documents")
+    # cache() pins the scan + md5-window result: the lineage forks here
+    # (the surv branch is consumed EAGERLY by the iterative components
+    # loop, the final join lazily afterwards), so without it documents
+    # is scanned and window-shuffled twice per query.  MEMORY_AND_DISK
+    # spills on big corpora; the _ivf_model cache follows the same
+    # convention.
     ex = d.select(
         "doc_id", "source", "text",
-        F.min("doc_id").over(W.partitionBy(F.md5("text"))).alias("ecan"))
+        F.min("doc_id").over(W.partitionBy(F.md5("text")))
+        .alias("ecan")).cache()
     surv = (ex.filter(F.col("doc_id") == F.col("ecan"))
             .select("doc_id", "text"))
     pairs = minhash_lsh_pairs(surv, "text", "doc_id",
