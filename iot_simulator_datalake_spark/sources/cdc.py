@@ -42,6 +42,18 @@ def parse_debezium(raw: "DataFrame", payload: T.StructType,
     ``after`` (public Debezium semantics).  All JVM-side (`from_json`),
     no Python per-row work.
     """
+    # output columns op/op_ts/_is_deleted keep fixed names (the flat
+    # fixture contract above) — a payload field sharing one would
+    # duplicate the column ('op' → AMBIGUOUS_REFERENCE far from here)
+    # or be silently clobbered ('_is_deleted' soft-delete overwritten
+    # by the withColumn below); reject loudly like the kafka twin
+    clash = {f.name for f in payload.fields} & \
+        {"op", "op_ts", "_is_deleted"}
+    if clash:
+        raise ValueError(
+            f"payload fields {sorted(clash)} collide with CDC output "
+            "column names (op, op_ts, _is_deleted); rename them in "
+            "the payload schema")
     env = F.from_json(F.col(json_col), debezium_envelope_schema(payload))
     image = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
     return (raw

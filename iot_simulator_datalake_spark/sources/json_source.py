@@ -18,6 +18,7 @@ full scan of a 100 TB landing volume.
 from __future__ import annotations
 
 import json
+import uuid
 from pathlib import Path
 from typing import TYPE_CHECKING
 
@@ -46,7 +47,27 @@ def infer_persist_schema_core(path: str | Path,
         if not evolve:
             return stored
 
-    files = sorted(str(p) for p in Path(path).glob(glob))[:sample_files]
+    all_files = sorted(str(p) for p in Path(path).glob(glob))
+    if not all_files:
+        # glob miss (e.g. .json.gz / .jsonl names the stream itself
+        # reads fine): fall back to a BOUNDED listing of regular
+        # files, never a whole-dir spark.read — the unbounded scan
+        # would break the module's bounded-sample contract exactly on
+        # the 100 TB landing volume it exists for
+        all_files = sorted(
+            str(p) for p in Path(path).rglob("*")
+            if p.is_file() and not p.name.startswith(("_", ".")))
+    if len(all_files) <= sample_files:
+        files = all_files
+    else:
+        # half from each END: the lexicographic head preserves the
+        # original stable-contract sample, and the tail is where
+        # schema evolution actually lands (part numbers and
+        # date-named files sort new-last) — a head-only sample
+        # re-inferred the SAME old files forever once the landing dir
+        # outgrew sample_files, silently no-opping evolve=True
+        head = all_files[:sample_files // 2]
+        files = head + all_files[-(sample_files - len(head)):]
     sample = files if files else str(path)
     inferred = infer(sample)
 
@@ -67,8 +88,13 @@ def infer_persist_schema_core(path: str | Path,
     store.parent.mkdir(parents=True, exist_ok=True)
     # atomic publish (tmp + rename): a crash mid-write_text would leave
     # a truncated store that every later run json.loads-fails on — the
-    # source would be wedged until someone hand-deleted the file
-    tmp = store.with_suffix(store.suffix + ".tmp")
+    # source would be wedged until someone hand-deleted the file.  The
+    # tmp name is uuid-suffixed because concurrent sessions inferring
+    # the same store otherwise share ONE tmp path: writer B truncates
+    # while A is mid-write and A renames interleaved garbage into
+    # place (or the loser's rename dies on a vanished tmp).
+    tmp = store.with_suffix(
+        store.suffix + f".tmp-{uuid.uuid4().hex[:8]}")
     tmp.write_text(json.dumps(inferred.jsonValue()))
     tmp.replace(store)
     return inferred

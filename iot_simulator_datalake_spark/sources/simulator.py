@@ -30,6 +30,7 @@ import hashlib
 from datetime import datetime, timedelta
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader,
                                     InputPartition)
 from pyspark.sql import types as T
 
@@ -91,9 +92,9 @@ class IoTSimulatorReader(DataSourceReader):
         self.start = datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
 
     def partitions(self):
-        # max(1, …): n_events=0 (empty-dataset smoke runs) would make
-        # the range step 0 and raise; the streaming twin already
-        # guards this way — zero events → zero partitions
+        # n_events=0 (empty-dataset smoke runs) → one EMPTY partition
+        # (Spark requires at least one); max(1, …) on the divisor
+        # guards numPartitions=0, mirrored in the streaming twin
         if self.n_events <= 0:
             return [_RangePartition(0, 0)]   # one empty partition
         step = max(1, -(-self.n_events // max(1, self.n_partitions)))
@@ -119,6 +120,12 @@ class IoTSimulatorDataSource(DataSource):
     def reader(self, schema):
         return IoTSimulatorReader(self.options)
 
+    def streamReader(self, schema):
+        # defined in-class (not monkeypatched on later) so a reader of
+        # this class sees the streaming capability; the stream reader
+        # class itself is defined below in the streaming section
+        return IoTSimulatorStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the source on a session.  Re-registration simply
@@ -130,8 +137,6 @@ def register(spark) -> None:
 
 
 # -- streaming flavor ------------------------------------------------------
-
-from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
 
 
 class IoTSimulatorStreamReader(DataSourceStreamReader):
@@ -169,7 +174,10 @@ class IoTSimulatorStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["idx"], end["idx"]
-        step = max(1, -(-(hi - lo) // self.n_partitions))
+        # max(1, …) on the divisor like the batch reader: a
+        # numPartitions=0 option otherwise ZeroDivisionErrors inside
+        # the data source, surfacing as an opaque stream failure
+        step = max(1, -(-(hi - lo) // max(1, self.n_partitions)))
         return [_RangePartition(a, min(a + step, hi))
                 for a in range(lo, hi, step)]
 
@@ -184,9 +192,3 @@ class IoTSimulatorStreamReader(DataSourceStreamReader):
         pass
 
 
-def _stream_reader(self, schema):
-    return IoTSimulatorStreamReader(self.options)
-
-
-#: attach streaming capability to the batch source class
-IoTSimulatorDataSource.streamReader = _stream_reader

@@ -37,14 +37,33 @@ def source_digest(sf_dir: str, table: str) -> str:
     return h.hexdigest()[:16]
 
 
-def _hash_code(h, fn: Callable, seen: set) -> None:
-    code = fn.__code__
+def _hash_codeobj(h, code, seen: set) -> None:
+    """Deterministic digest of one code object.  co_consts must NOT be
+    hashed via one big repr(): comprehensions and lambdas put nested
+    CODE OBJECTS in co_consts, and ``repr(code)`` embeds the object's
+    memory address — which made the digest differ on every process, so
+    the cache never hit across invocations and each run GC'd the
+    previous generation (measured: the same builder digested 6de5221d
+    then 0f11cf8a in two consecutive runs).  Recurse into nested code
+    objects instead; frozenset consts (compiled ``in {…}`` tests) are
+    hashed in sorted order because their iteration order follows the
+    per-process str hash seed."""
     if code in seen:
         return
     seen.add(code)
     h.update(code.co_code)
-    h.update(repr(code.co_consts).encode())
     h.update(repr(code.co_names).encode())
+    for c in code.co_consts:
+        if hasattr(c, "co_code"):
+            _hash_codeobj(h, c, seen)
+        elif isinstance(c, frozenset):
+            h.update(repr(sorted(c, key=repr)).encode())
+        else:
+            h.update(repr(c).encode())
+
+
+def _hash_code(h, fn: Callable, seen: set) -> None:
+    _hash_codeobj(h, fn.__code__, seen)
     # recurse into closure-captured FUNCTIONS: a builder typically
     # delegates to helpers it closes over (cluster, build_bloom_
     # manifest, …) whose bytecode is the actual recipe
@@ -92,9 +111,21 @@ def scratch_dir(sf_dir: str, table: str, tag: str) -> Path:
     leak (bench warm + 3 timed passes = one process); the pid suffix
     keeps concurrent sessions from overwriting each other's dir while
     one of them is mid-read."""
-    d = (Path(tempfile.gettempdir()) / _ROOT
-         / f"{tag}-{source_digest(sf_dir, table)}-pid{os.getpid()}")
+    base = Path(tempfile.gettempdir()) / _ROOT
+    d = base / f"{tag}-{source_digest(sf_dir, table)}-pid{os.getpid()}"
     d.mkdir(parents=True, exist_ok=True)
+    # GC dead-pid scratch siblings of the SAME tag: every invocation
+    # is a new process, so without this each run strands a full
+    # drain/demo output under its own pid dir — the cross-invocation
+    # disk leak this module exists to stop, re-created one pid at a
+    # time.  A LIVE pid (including a reused one) has /proc/<pid> and
+    # is never touched; non-Linux (no /proc) skips the sweep.
+    if Path("/proc").is_dir():
+        for p in base.glob(f"{tag}-*-pid*"):
+            pid = p.name.rsplit("pid", 1)[-1]
+            if (p != d and pid.isdigit()
+                    and not Path(f"/proc/{pid}").exists()):
+                shutil.rmtree(p, ignore_errors=True)
     return d
 
 
@@ -112,9 +143,10 @@ def stage_once(sf_dir: str, table: str, tag: str,
     tmp sibling (a killed PROCESS can still orphan one; orphans are
     never read — no marker — and carry .tmp- names for manual sweeps).
     """
+    src_digest = source_digest(sf_dir, table)  # stats every source
+    #                          file — compute once, reuse for the GC
     dest = (Path(tempfile.gettempdir()) / _ROOT
-            / (f"{tag}-{source_digest(sf_dir, table)}"
-               f"-r{_recipe_digest(build)}"))
+            / f"{tag}-{src_digest}-r{_recipe_digest(build)}")
     if (dest / "_STAGED").exists():
         return dest
     dest.parent.mkdir(parents=True, exist_ok=True)
@@ -143,7 +175,7 @@ def stage_once(sf_dir: str, table: str, tag: str,
     # (the marker is written before the rename): they are another
     # process's fully-built layout mid-publish, not a superseded
     # generation — GC'ing one loses that process's build.
-    prefix = f"{tag}-{source_digest(sf_dir, table)}-r"
+    prefix = f"{tag}-{src_digest}-r"
     for p in dest.parent.glob(f"{prefix}*"):
         if (p != dest and ".tmp-" not in p.name
                 and (p / "_STAGED").exists()):

@@ -72,4 +72,17 @@ def materialize_streaming_table(spark: "SparkSession", stream_df: "DataFrame",
     # clean no-ops for downstream models.
     if not any(p.suffix == ".parquet" for p in path.rglob("*")):
         return spark.createDataFrame([], stream_df.schema)
-    return spark.read.parquet(str(path))
+    out = spark.read.parquet(str(path))
+    if partition_by:
+        # partitioned read-back moves the partition columns LAST and
+        # re-types them via partition-column inference (a string day
+        # '20240101' comes back as int) — so the non-empty and
+        # zero-input paths returned DIFFERENT schemas and a downstream
+        # union/schema-compare broke depending on whether the landing
+        # dir happened to be empty.  Restore the stream's column order
+        # and types on both paths.
+        from pyspark.sql import functions as F
+        out = out.select(*[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in stream_df.schema.fields])
+    return out

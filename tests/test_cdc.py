@@ -56,3 +56,21 @@ def test_scd1_over_cdc(spark, cdc_dir):
     rows = {r["id"]: r["device_name"] for r in current.collect()}
     # d1 → latest update wins; d2 → deleted, excluded
     assert rows == {"d1": "alpha-2"}
+
+
+def test_parse_debezium_rejects_output_name_clashes(spark):
+    """Payload fields named op/op_ts/_is_deleted would duplicate or
+    silently clobber the flat output columns (the kafka source rejects
+    the same hazard loudly); parse_debezium must too."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from iot_simulator_datalake_spark.sources.cdc import parse_debezium
+    raw = spark.createDataFrame([("{}",)], "value string")
+    bad = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("op", T.StringType())])
+    with pytest.raises(ValueError, match="collide"):
+        parse_debezium(raw, bad)
+    worse = T.StructType([T.StructField("_is_deleted", T.BooleanType())])
+    with pytest.raises(ValueError, match="collide"):
+        parse_debezium(raw, worse)

@@ -71,3 +71,25 @@ def test_zero_events_smoke(spark):
     df = (spark.read.format("iot_simulator")
           .option("n_events", 0).load())
     assert df.count() == 0
+
+
+def test_stream_reader_partitions_guard_zero_npartitions():
+    """numPartitions=0 must not ZeroDivisionError inside the data
+    source (the batch reader already guarded the same option)."""
+    from iot_simulator_datalake_spark.sources.simulator import (
+        IoTSimulatorStreamReader)
+    r = IoTSimulatorStreamReader({"numPartitions": "0",
+                                  "max_events": "10"})
+    parts = r.partitions({"idx": 0}, {"idx": 10})
+    assert sum(p.end - p.start for p in parts) == 10
+
+
+def test_stream_reader_defined_in_class():
+    """Streaming capability is a real method on the data source class,
+    not a post-hoc monkeypatch."""
+    from iot_simulator_datalake_spark.sources.simulator import (
+        IoTSimulatorDataSource, IoTSimulatorStreamReader)
+    src = IoTSimulatorDataSource.__new__(IoTSimulatorDataSource)
+    src.options = {"max_events": "5"}
+    assert "streamReader" in IoTSimulatorDataSource.__dict__
+    assert isinstance(src.streamReader(None), IoTSimulatorStreamReader)

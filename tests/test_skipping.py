@@ -344,3 +344,55 @@ def test_full_mat_tolerates_duplicate_and_dotted_names(spark):
         (F.col("id") * 2).alias("count"),
         F.lit(1).alias("a.b"))
     assert full_mat(df) == 5
+
+
+def test_recipe_digest_stable_across_processes():
+    """A builder containing a comprehension puts a nested CODE OBJECT
+    in co_consts; repr() of a code object embeds its memory address,
+    which made the digest differ per process — the cache never hit
+    across invocations and each run GC'd the previous generation.
+    Pin cross-process stability by digesting the same builder in two
+    fresh interpreters."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys; sys.path.insert(0,'/root/repo')\n"
+        "from iot_simulator_datalake_spark.stagecache import"
+        " _recipe_digest\n"
+        "def b(work):\n"
+        "    xs = [x for x in ('a','b')]\n"
+        "    ok = 'a' in {'a','b'}\n"
+        "    f = lambda v: v + 1\n"
+        "print(_recipe_digest(b))\n")
+    outs = [subprocess.run([sys.executable, "-c", prog],
+                           capture_output=True, text=True,
+                           check=True).stdout.strip()
+            for _ in range(2)]
+    assert outs[0] == outs[1] and len(outs[0]) == 8
+
+
+def test_scratch_dir_gcs_dead_pid_siblings(tmp_path, monkeypatch):
+    """Dead-pid scratch dirs of the same tag are swept on the next
+    scratch_dir call; the caller's own dir and live/foreign names
+    survive."""
+    import pathlib
+
+    from iot_simulator_datalake_spark import stagecache as sc
+
+    monkeypatch.setattr(sc.tempfile, "gettempdir", lambda: str(tmp_path))
+    src = tmp_path / "src"
+    (src / "t.parquet").mkdir(parents=True)
+    (src / "t.parquet" / "part-0").write_text("x")
+    base = tmp_path / "lake_stage"
+    base.mkdir()
+    dig = sc.source_digest(str(src), "t")
+    dead = base / f"demo-{dig}-pid999999999"   # no such /proc entry
+    dead.mkdir()
+    other_tag = base / f"other-{dig}-pid999999999"
+    other_tag.mkdir()
+    d = sc.scratch_dir(str(src), "t", "demo")
+    assert d.exists()
+    if pathlib.Path("/proc").is_dir():
+        assert not dead.exists()               # dead sibling swept
+    assert other_tag.exists()                  # different tag untouched

@@ -162,3 +162,70 @@ def test_csv_stream_evolve_flag(spark, tmp_path):
     (land / "b.csv").write_text("id,v,extra\n2,20,hi\n")
     s2 = read_csv_stream(spark, land, store, evolve=True).schema
     assert [f.name for f in s2.fields] == ["id", "v", "extra"]
+
+
+def test_evolve_samples_newest_files_past_sample_cap(spark, tmp_path):
+    """Schema evolution must see fields that only exist in files
+    sorting AFTER the sample cap: a head-only sample re-inferred the
+    same old files forever once the landing dir outgrew sample_files,
+    silently no-opping evolve=True."""
+    from iot_simulator_datalake_spark.sources.json_source import (
+        infer_and_persist_schema)
+    landing = tmp_path / "json_landing"
+    landing.mkdir()
+    for i in range(8):
+        (landing / f"part-{i:05d}.json").write_text(
+            json.dumps({"device_id": f"d{i}", "value": 1.0}))
+    store = tmp_path / "schema.json"
+    s1 = infer_and_persist_schema(spark, landing, store, sample_files=4)
+    assert "new_field" not in s1.fieldNames()
+    # a NEW field lands in a file that sorts after the 4-file sample
+    (landing / "part-00099.json").write_text(
+        json.dumps({"device_id": "d99", "value": 2.0, "new_field": "x"}))
+    s2 = infer_and_persist_schema(spark, landing, store,
+                                  sample_files=4, evolve=True)
+    assert "new_field" in s2.fieldNames()
+
+
+def test_inference_glob_miss_stays_bounded(spark, tmp_path):
+    """A landing dir whose files miss the format glob (.jsonl) must
+    fall back to a bounded file listing, not an unbounded whole-dir
+    read — and still infer a usable schema."""
+    from iot_simulator_datalake_spark.sources.json_source import (
+        infer_and_persist_schema)
+    landing = tmp_path / "jsonl_landing"
+    landing.mkdir()
+    (landing / "a.jsonl").write_text(
+        json.dumps({"device_id": "d1", "value": 1.5}))
+    store = tmp_path / "schema.json"
+    s = infer_and_persist_schema(spark, landing, store)
+    assert set(s.fieldNames()) == {"device_id", "value"}
+
+
+def test_partitioned_materialize_schema_matches_stream(spark, tmp_path):
+    """With partition_by, the parquet read-back reorders partition
+    columns last and re-types them via partition inference; the
+    returned frame must keep the STREAM's column order and types on
+    both the empty and non-empty paths."""
+    landing = tmp_path / "csv_landing_p"
+    landing.mkdir()
+    _write_csv_wave(landing, "a.csv", [("20240101", 1.5),
+                                       ("20240102", 2.0)])
+    store = tmp_path / "schema_p.json"
+    stream = read_csv_stream(spark, landing, store)
+    out = materialize_streaming_table(
+        spark, stream, path=tmp_path / "out_p",
+        checkpoint=tmp_path / "ckpt_p",
+        partition_by=("device_id",))
+    # device_id is a string like '20240101' — partition inference
+    # would surface it as an int and move it last without the fix
+    assert out.schema == stream.schema
+    (tmp_path / "csv_landing_empty").mkdir()
+    empty_stream = (spark.readStream.schema(stream.schema)
+                    .option("header", "true")
+                    .csv(str(tmp_path / "csv_landing_empty")))
+    empty = materialize_streaming_table(
+        spark, empty_stream,
+        path=tmp_path / "out_e", checkpoint=tmp_path / "ckpt_e",
+        partition_by=("device_id",))
+    assert empty.schema == out.schema
