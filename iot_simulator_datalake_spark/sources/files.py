@@ -52,7 +52,8 @@ def infer_csv_schema(spark: "SparkSession", path: str | Path,
     return infer_persist_schema_core(
         path, schema_store,
         infer=lambda sample: spark.read.options(**opts).csv(sample).schema,
-        glob="**/*.csv", sample_files=sample_files, evolve=evolve)
+        glob="**/*.csv", sample_files=sample_files, evolve=evolve,
+        suffixes=(".csv", ".csv.gz", ".tsv", ".tsv.gz"))
 
 
 def read_csv_batch(spark: "SparkSession", path: str | Path,

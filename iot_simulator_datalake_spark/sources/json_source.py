@@ -32,14 +32,21 @@ def infer_persist_schema_core(path: str | Path,
                               schema_store: str | Path,
                               infer, glob: str,
                               sample_files: int = 64,
-                              evolve: bool = False) -> T.StructType:
+                              evolve: bool = False,
+                              suffixes: tuple[str, ...] = ()) -> T.StructType:
     """Format-agnostic infer-once-persist discipline (shared by the
     JSON and CSV sources so the store-check / bounded-sample / evolve
     contracts cannot drift apart): if the store exists return it
     verbatim (unless ``evolve``, which merges stored + fresh fields —
     new fields append, conflicting types widen to string);
     ``infer(sample)`` maps a file list (or the dir path) to a schema.
+    ``suffixes`` scopes the glob-miss fallback listing to the format's
+    plausible data extensions.
     """
+    # sample_files is the module's bounded-scan contract — clamp the
+    # degenerate 0/negative ask to 1 rather than letting the tail slice
+    # below ([-0:]) silently select the ENTIRE landing listing
+    sample_files = max(1, sample_files)
     store = Path(schema_store)
     stored: T.StructType | None = None
     if store.exists():
@@ -53,10 +60,16 @@ def infer_persist_schema_core(path: str | Path,
         # reads fine): fall back to a BOUNDED listing of regular
         # files, never a whole-dir spark.read — the unbounded scan
         # would break the module's bounded-sample contract exactly on
-        # the 100 TB landing volume it exists for
+        # the 100 TB landing volume it exists for.  The listing is
+        # scoped to the format's plausible extensions: a stray
+        # README.md in the landing dir would otherwise feed the
+        # inferrer a non-data file and PERSIST a _corrupt_record
+        # column into the stored contract.
         all_files = sorted(
             str(p) for p in Path(path).rglob("*")
-            if p.is_file() and not p.name.startswith(("_", ".")))
+            if p.is_file() and not p.name.startswith(("_", "."))
+            and (not suffixes
+                 or p.name.lower().endswith(suffixes)))
     if len(all_files) <= sample_files:
         files = all_files
     else:
@@ -67,7 +80,8 @@ def infer_persist_schema_core(path: str | Path,
         # re-inferred the SAME old files forever once the landing dir
         # outgrew sample_files, silently no-opping evolve=True
         head = all_files[:sample_files // 2]
-        files = head + all_files[-(sample_files - len(head)):]
+        tail_n = sample_files - len(head)  # ≥1 after the clamp above
+        files = head + all_files[-tail_n:]
     sample = files if files else str(path)
     inferred = infer(sample)
 
@@ -95,8 +109,15 @@ def infer_persist_schema_core(path: str | Path,
     # place (or the loser's rename dies on a vanished tmp).
     tmp = store.with_suffix(
         store.suffix + f".tmp-{uuid.uuid4().hex[:8]}")
-    tmp.write_text(json.dumps(inferred.jsonValue()))
-    tmp.replace(store)
+    try:
+        tmp.write_text(json.dumps(inferred.jsonValue()))
+        tmp.replace(store)
+    except BaseException:
+        # each attempt uses a fresh uuid, so a failed write would
+        # otherwise strand a distinct orphan .tmp-* next to the store
+        # on every retry, forever
+        tmp.unlink(missing_ok=True)
+        raise
     return inferred
 
 
@@ -109,7 +130,8 @@ def infer_and_persist_schema(spark: "SparkSession", path: str | Path,
     return infer_persist_schema_core(
         path, schema_store,
         infer=lambda sample: spark.read.json(sample).schema,
-        glob="**/*.json", sample_files=sample_files, evolve=evolve)
+        glob="**/*.json", sample_files=sample_files, evolve=evolve,
+        suffixes=(".json", ".jsonl", ".json.gz", ".jsonl.gz", ".ndjson"))
 
 
 def read_json_batch(spark: "SparkSession", path: str | Path) -> "DataFrame":

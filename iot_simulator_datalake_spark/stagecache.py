@@ -56,10 +56,22 @@ def _hash_codeobj(h, code, seen: set) -> None:
     for c in code.co_consts:
         if hasattr(c, "co_code"):
             _hash_codeobj(h, c, seen)
-        elif isinstance(c, frozenset):
-            h.update(repr(sorted(c, key=repr)).encode())
         else:
-            h.update(repr(c).encode())
+            h.update(_canon(c).encode())
+
+
+def _canon(c) -> str:
+    """Order-canonical repr of one const.  Recursive on purpose: a
+    frozenset nested inside a tuple const (e.g. a default-arg pair
+    ``(("a","b"), frozenset({...}))``) would fall into plain repr(),
+    whose element order follows the per-process hash seed — the same
+    cross-process digest instability the direct-frozenset branch fixes,
+    one nesting level down."""
+    if isinstance(c, frozenset):
+        return f"frozenset([{','.join(sorted(_canon(x) for x in c))}])"
+    if isinstance(c, tuple):
+        return f"({','.join(_canon(x) for x in c)})"
+    return repr(c)
 
 
 def _hash_code(h, fn: Callable, seen: set) -> None:
@@ -78,8 +90,10 @@ def _hash_code(h, fn: Callable, seen: set) -> None:
                             frozenset, type(None))):
             # captured CONFIG SCALARS are part of the recipe: a builder
             # closing over e.g. target_file_bytes must re-stage when
-            # that value changes, not keep serving the stale layout
-            h.update(repr(v).encode())
+            # that value changes, not keep serving the stale layout.
+            # _canon, not repr: a captured frozenset (or one nested in
+            # a tuple) iterates in hash-seed order.
+            h.update(_canon(v).encode())
         else:
             h.update(repr(type(v)).encode())
 

@@ -72,17 +72,14 @@ def materialize_streaming_table(spark: "SparkSession", stream_df: "DataFrame",
     # clean no-ops for downstream models.
     if not any(p.suffix == ".parquet" for p in path.rglob("*")):
         return spark.createDataFrame([], stream_df.schema)
-    out = spark.read.parquet(str(path))
-    if partition_by:
-        # partitioned read-back moves the partition columns LAST and
-        # re-types them via partition-column inference (a string day
-        # '20240101' comes back as int) — so the non-empty and
-        # zero-input paths returned DIFFERENT schemas and a downstream
-        # union/schema-compare broke depending on whether the landing
-        # dir happened to be empty.  Restore the stream's column order
-        # and types on both paths.
-        from pyspark.sql import functions as F
-        out = out.select(*[
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            for f in stream_df.schema.fields])
-    return out
+    # Read back with the STREAM's schema rather than letting inference
+    # run and casting after it.  Two reasons: (a) partitioned read-back
+    # moves partition columns last and re-types them via directory-value
+    # inference, so the non-empty and zero-input paths returned
+    # DIFFERENT schemas; (b) a cast AFTER inference is lossy — a string
+    # partition value like '0123' infers as int 123 and casts back to
+    # '123' (and '1.50' → '1.5'), silently corrupting numeric-looking
+    # string keys.  A user-specified schema makes Spark parse the
+    # directory values directly as the declared type (no inference) and
+    # pins the column order.
+    return spark.read.schema(stream_df.schema).parquet(str(path))

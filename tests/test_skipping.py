@@ -396,3 +396,33 @@ def test_scratch_dir_gcs_dead_pid_siblings(tmp_path, monkeypatch):
     if pathlib.Path("/proc").is_dir():
         assert not dead.exists()               # dead sibling swept
     assert other_tag.exists()                  # different tag untouched
+
+
+def test_recipe_digest_canonicalizes_nested_frozensets():
+    """ADVICE r8: a frozenset nested inside a TUPLE const fell into the
+    plain repr() branch, whose element order follows the per-process
+    hash seed — the same cross-process instability the direct-frozenset
+    branch fixed, one nesting level down.  Pin it with two interpreters
+    forced onto different hash seeds."""
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys; sys.path.insert(0,'/root/repo')\n"
+        "from iot_simulator_datalake_spark.stagecache import"
+        " _recipe_digest\n"
+        "def b(work):\n"
+        "    # tuple const carrying a nested frozenset (compiled as one\n"
+        "    # co_consts entry)\n"
+        "    pair = (('alpha', 'beta'), frozenset({'gamma', 'delta',"
+        " 'epsilon', 'zeta'}))\n"
+        "    return pair\n"
+        "print(_recipe_digest(b))\n")
+    outs = []
+    for seed in ("1", "42"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        outs.append(subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True,
+            text=True, check=True, env=env).stdout.strip())
+    assert outs[0] == outs[1] and len(outs[0]) == 8

@@ -229,3 +229,101 @@ def test_partitioned_materialize_schema_matches_stream(spark, tmp_path):
         path=tmp_path / "out_e", checkpoint=tmp_path / "ckpt_e",
         partition_by=("device_id",))
     assert empty.schema == out.schema
+
+
+def test_partition_leading_zero_string_value_preserved(spark, tmp_path):
+    """ADVICE r8: the partitioned read-back must not lossy-parse a
+    numeric-looking string partition value — '0123' inferred as int 123
+    then cast back to string yields '123'.  Reading with the stream's
+    schema parses the directory value directly as string."""
+    from iot_simulator_datalake_spark.sources.json_source import (
+        read_json_stream)
+    landing = tmp_path / "json_landing_lz"
+    landing.mkdir()
+    (landing / "a.json").write_text(
+        json.dumps({"device_id": "0123", "value": 1.5}) + "\n"
+        + json.dumps({"device_id": "1.50", "value": 2.0}))
+    store = tmp_path / "schema_lz.json"
+    stream = read_json_stream(spark, landing, store)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in stream.schema.fields)["device_id"] == "string"
+    out = materialize_streaming_table(
+        spark, stream, path=tmp_path / "out_lz",
+        checkpoint=tmp_path / "ckpt_lz",
+        partition_by=("device_id",))
+    vals = sorted(r.device_id for r in out.select("device_id").collect())
+    assert vals == ["0123", "1.50"]
+
+
+def test_inference_sample_cap_degenerate_zero_stays_bounded(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r8: sample_files=0 made the tail slice [-0:] select the
+    ENTIRE listing — the exact unbounded scan the contract forbids.
+    The clamp must keep the sample to ≥1 but ≤ a bounded handful."""
+    from iot_simulator_datalake_spark.sources import json_source
+
+    landing = tmp_path / "json_landing_deg"
+    landing.mkdir()
+    for i in range(10):
+        (landing / f"p{i}.json").write_text(json.dumps({"id": i}))
+
+    seen = {}
+    real = json_source.infer_persist_schema_core
+
+    def spy(path, store, infer, glob, **kw):
+        def infer_spy(sample):
+            seen["n"] = len(sample) if isinstance(sample, list) else -1
+            return infer(sample)
+        return real(path, store, infer_spy, glob, **kw)
+
+    monkeypatch.setattr(json_source, "infer_persist_schema_core", spy)
+    s = json_source.infer_and_persist_schema(
+        spark, landing, tmp_path / "s_deg.json", sample_files=0)
+    assert seen["n"] == 1          # clamped, not the whole listing
+    assert set(s.fieldNames()) == {"id"}
+
+
+def test_inference_glob_miss_fallback_skips_non_data_files(
+        spark, tmp_path):
+    """ADVICE r8: a stray README.md in a glob-miss landing dir must not
+    reach the inferrer — spark.read.json over non-JSON injects a
+    _corrupt_record column that would be PERSISTED into the contract."""
+    from iot_simulator_datalake_spark.sources.json_source import (
+        infer_and_persist_schema)
+    landing = tmp_path / "jsonl_landing_rm"
+    landing.mkdir()
+    (landing / "a.jsonl").write_text(json.dumps({"id": 1, "v": 2.0}))
+    (landing / "README.md").write_text("# not data\nplain prose here\n")
+    store = tmp_path / "schema_rm.json"
+    s = infer_and_persist_schema(spark, landing, store)
+    assert set(s.fieldNames()) == {"id", "v"}
+    assert "_corrupt_record" not in json.loads(store.read_text())["fields"][0]
+
+
+def test_schema_store_tmp_cleaned_on_publish_failure(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r8: a failure between tmp creation and replace() must not
+    strand a fresh-uuid orphan .tmp-* next to the store."""
+    from pathlib import Path
+    from iot_simulator_datalake_spark.sources.json_source import (
+        infer_and_persist_schema)
+    landing = tmp_path / "json_landing_tmpfail"
+    landing.mkdir()
+    (landing / "a.json").write_text(json.dumps({"id": 1}))
+    store = tmp_path / "store_tf.json"
+
+    real_replace = Path.replace
+
+    def boom(self, target):
+        if ".tmp-" in self.name:
+            raise OSError("simulated publish failure")
+        return real_replace(self, target)
+
+    monkeypatch.setattr(Path, "replace", boom)
+    try:
+        infer_and_persist_schema(spark, landing, store)
+    except OSError:
+        pass
+    monkeypatch.setattr(Path, "replace", real_replace)
+    assert not list(tmp_path.glob("store_tf.json.tmp-*"))
+    assert not store.exists()
