@@ -292,11 +292,16 @@ WHERE jaccard >= {_MINHASH["threshold"]}
 """
 
 
-@q("dedup_minhash_lsh", ("J5", "W2"), bench=True, oracle=_minhash_oracle())
+@q("dedup_minhash_lsh", ("J5", "W2"), oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """MinHash-LSH near-duplicate pairs: shingle → 6 min-hashes → 3 band
     keys → band-bucket equi-join → exact Jaccard on candidates only.
-    The only shuffle is on the band hash; nothing is quadratic."""
+    The only shuffle is on the band hash; candidate count is bounded by
+    band-bucket sizes — which is exactly why this UNCAPPED form is the
+    RECALL REFERENCE, not the production path: a template shared by B
+    docs emits B² candidates (measured ×100 kill, X100_LEDGER
+    `uncapped-twin-kill`).  ``dedup_minhash_lsh_capped`` is the
+    headline/production form (VERDICT r8 #1 promoted it)."""
     d = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "text", "doc_id", **_MINHASH)
 
@@ -312,7 +317,7 @@ def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 _MINHASH_CAP = 8
 
 
-@q("dedup_minhash_lsh_capped", ("J5", "W2"),
+@q("dedup_minhash_lsh_capped", ("J5", "W2"), bench=True,
    oracle=_minhash_oracle(cap=_MINHASH_CAP))
 def dedup_minhash_lsh_capped(spark: "SparkSession",
                              sf_dir: str) -> "DataFrame":

@@ -195,7 +195,7 @@ def _bm25_index(spark: "SparkSession", sf_dir: str):
             spark.read.parquet(str(root / "stats")))
 
 
-@q("bm25_from_postings", ("F9", "W3", "A1"), oracle=_BM25_SQL)
+@q("bm25_from_postings", ("F9", "W3", "A1"), bench=True, oracle=_BM25_SQL)
 def bm25_from_postings(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """BM25 served FROM the pre-built posting index — the production
     twin of ``bm25_topk``, which re-tokenizes the corpus per query
@@ -432,22 +432,28 @@ def hybrid_search_rrf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     the doc↔vector pairing a corpus store maintains.
 
     Scale design: both branches are the production operators already
-    certified (BM25's broadcast-stats pass; the ANN family's
-    broadcast-probe scan — swap in the IVF/LSH route unchanged), each
+    certified (BM25 served from the term-pruned posting index —
+    ``bm25_from_postings``, no corpus tokenize at query time; the ANN
+    family's broadcast-probe scan — swap in the IVF/LSH route
+    unchanged), each
     cut to depth {depth} BEFORE fusion, so the full-outer fusion join
     is depth-sized regardless of corpus size, and the fused score is
     an integer sum of per-ranking reciprocal terms (rank ties are
     impossible by construction, so RRF is bit-stable).
     """
     depth, kk = _RRF["depth"], _RRF["k"]
-    # The BM25 branch re-ranks bm25_topk's output, which is already
-    # cut to _BM25['topk'] rows — the fusion depth must fit inside
-    # that cut or the Spark branch would silently rank fewer docs than
-    # the oracle's unlimited QUALIFY (assert here, next to the reuse,
-    # so editing _RRF['depth'] fails loudly instead of at the gate).
+    # The BM25 branch re-ranks bm25_from_postings' output — the
+    # serving-index form (VERDICT r8 #3: the scan form re-tokenizes
+    # the whole corpus per query, ~30 s at the ×100 replica; the
+    # postings form reads only the query terms' pruned rows and is
+    # oracle-identical by contract).  Its output is already cut to
+    # _BM25['topk'] rows — the fusion depth must fit inside that cut
+    # or the Spark branch would silently rank fewer docs than the
+    # oracle's unlimited QUALIFY (assert here, next to the reuse, so
+    # editing _RRF['depth'] fails loudly instead of at the gate).
     assert depth <= _BM25["topk"], \
         f"_RRF depth {depth} exceeds _BM25 topk {_BM25['topk']}"
-    bm = bm25_topk(spark, sf_dir)   # @q returns the fn unwrapped
+    bm = bm25_from_postings(spark, sf_dir)  # @q returns the fn unwrapped
     bm = (bm.select("doc_id",
                     F.row_number().over(
                         W.orderBy(F.col("score_nano").desc(), "doc_id"))

@@ -333,7 +333,7 @@ def per_source_cap(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # Fuzzy-dedup retention report ([EXT] — the end-to-end dedup pipeline)
 # =========================================================================
 
-@q("fuzzy_dedup_report", ("W2", "J5", "A1"), bench=True, oracle=f"""
+@q("fuzzy_dedup_report", ("W2", "J5", "A1"), oracle=f"""
 WITH RECURSIVE pairs AS (
   SELECT key_a, key_b FROM ({_minhash_oracle()})
 ), {_CLOSURE_SQL}, cl AS (
@@ -354,6 +354,12 @@ def fuzzy_dedup_report(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     selection (min doc_id) → per-source retention report — i.e. the
     numbers a corpus curator actually reviews before signing off a
     training mix ("how much of src3 was near-duplicate?").
+
+    ROLE (VERDICT r8 #1): this UNCAPPED composition is the recall
+    reference — its banding carries every verbatim copy, which the
+    ×100 sweep measured as a shuffle-spill disk-exhaustion kill on a
+    fully-duplicated corpus.  The production/headline form is
+    ``fuzzy_dedup_report_capped`` (exact tier first, capped banding).
 
     Scale design: nothing new executes — this composes the three
     production stages (operators/dedup.py banding, whose candidate
@@ -465,7 +471,8 @@ def neardup_clusters_capped(spark: "SparkSession",
     return _tiered_final(spark, sf_dir).select("doc_id", "cluster_id")
 
 
-@q("fuzzy_dedup_report_capped", ("W2", "J5", "A1"), oracle=_tiered_oracle("""
+@q("fuzzy_dedup_report_capped", ("W2", "J5", "A1"), bench=True,
+   oracle=_tiered_oracle("""
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
             AS BIGINT) AS n_kept,
