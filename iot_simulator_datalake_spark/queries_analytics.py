@@ -413,10 +413,12 @@ def cube_status_priority(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 @q("hll_mergeable_rollup", ("A8", "A6"), oracle="""
-SELECT CAST(DATE_TRUNC('week', DATE_TRUNC('day', ts)) AS TIMESTAMP)
-         AS week,
+SELECT CAST(DATE_TRUNC('month', DATE_TRUNC('day', ts)) AS TIMESTAMP)
+         AS month,
        event_type,
-       COUNT(DISTINCT user_id) AS distinct_users
+       COUNT(DISTINCT user_id) AS distinct_exact,
+       TRUE AS within_envelope,
+       TRUE AS merge_associative
 FROM events GROUP BY 1, 2
 """)
 def hll_mergeable_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -425,23 +427,55 @@ def hll_mergeable_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     THE 100 TB pattern for distinct-count rollup hierarchies
     (hour→day→week→month): sketches are tiny (KB), mergeable, and each
     level re-aggregates the level below WITHOUT touching raw data,
-    which exact COUNT(DISTINCT) fundamentally cannot do.  At this test
-    cardinality (150 devices) the sketch is in sparse mode and the
-    estimate is exact, so the merged result sits under the exact
-    COUNT(DISTINCT) oracle — the gate certifies the merge algebra, and
-    at real scale only the estimate error (±~2%) changes, not the
-    plan."""
+    which exact COUNT(DISTINCT) fundamentally cannot do.
+
+    Gated claims (both scale-invariant — VERDICT r8 #4 replaced the
+    old exact-distinct oracle, which held only while lgK=21 kept the
+    sketch in coupon mode and was a documented ×10/×100 FAIL):
+
+    - ``within_envelope``: the month-level merged estimate sits within
+      the ±3σ envelope (``_HLL_BOUND_PPM``, abs floor 2) of exact
+      COUNT(DISTINCT) — the family bound of ``hll_envelope_rollup``.
+    - ``merge_associative``: the MERGEABILITY algebra itself — the
+      month estimate is IDENTICAL whether day sketches union straight
+      to months or via an intermediate partial level (odd/even-day
+      half-month unions re-unioned).  Datasketches HLL unions are
+      order- and grouping-insensitive, so any violation means the
+      re-aggregation plan (not the math) broke; this is exactly the
+      property a rollup hierarchy relies on, and it holds verbatim at
+      any cardinality/regime.
+
+    The exact side is gate/QA cost only — production serves the
+    sketch path; month level keeps this surface disjoint from the
+    week-level ``hll_envelope_rollup`` twin."""
     e = load(spark, sf_dir, "events")
-    # lgConfigK=21: the sketch stays in exact (coupon) mode well past
-    # the gate cardinalities (~1.4k distinct/group at sf0.1), so the
-    # merge algebra is certified against exact COUNT(DISTINCT); at
-    # true 100 TB cardinalities the same plan returns ±~2% estimates
     daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
              .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")))
-    return (daily
-            .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                 .alias("distinct_users")))
+    month = F.date_trunc("month", "day").alias("month")
+    direct = (daily.groupBy(month, "event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est_direct")))
+    # intermediate partial level: odd/even day-of-month halves — a
+    # grouping that nests into months (unlike ISO weeks, which straddle
+    # month boundaries), so two-level union covers exactly the same
+    # day sketches as the direct path
+    halves = (daily.groupBy(month, "event_type",
+                            (F.dayofmonth("day") % 2).alias("parity"))
+              .agg(F.hll_union_agg("sk").alias("hsk")))
+    two_level = (halves.groupBy("month", "event_type")
+                 .agg(F.hll_sketch_estimate(F.hll_union_agg("hsk"))
+                      .alias("est_two")))
+    exact = (e.groupBy(F.date_trunc("month",
+                                    F.date_trunc("day", "ts")).alias("month"),
+                       "event_type")
+             .agg(F.countDistinct("user_id").alias("distinct_exact")))
+    return (exact.join(direct, ["month", "event_type"])
+            .join(two_level, ["month", "event_type"])
+            .select("month", "event_type", "distinct_exact",
+                    _hll_within("est_direct", "distinct_exact")
+                    .alias("within_envelope"),
+                    (F.col("est_direct") == F.col("est_two"))
+                    .alias("merge_associative")))
 
 
 #: HLL error envelope: 3σ for lgConfigK=21 (RSE = 1.04/√2²¹ ≈ 718 ppm
@@ -871,15 +905,16 @@ WITH pairs AS (
          CAST(datediff('day', DATE '1970-01-01',
                        CAST(ts AS DATE)) AS BIGINT) AS day
   FROM events
-), bounds AS (SELECT MAX(day) AS max_day FROM pairs),
+), days AS (SELECT DISTINCT day FROM pairs),
 cover AS (
   SELECT p.user_id, p.day + o.off AS window_end
   FROM pairs p CROSS JOIN (SELECT UNNEST(range(30)) AS off) o
 )
-SELECT window_end, COUNT(DISTINCT user_id) AS mau
-FROM cover CROSS JOIN bounds
-WHERE window_end <= bounds.max_day
-GROUP BY window_end
+SELECT c.window_end, COUNT(DISTINCT c.user_id) AS mau_exact,
+       TRUE AS within_envelope,
+       TRUE AS window_merge_consistent
+FROM cover c JOIN days d ON d.day = c.window_end
+GROUP BY 1
 """)
 def monthly_active_users_hll(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Sliding 30-day active users via WINDOWED SKETCH MERGE — the
@@ -891,24 +926,63 @@ def monthly_active_users_hll(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     window pass costs nothing at any event volume — this is how
     90-day MAU stays feasible at 100 TB.
 
-    Same lgConfigK=21 exactness trick as hll_mergeable_rollup: at gate
-    cardinality the sketch is exact, so the merged estimate
-    hash-matches the exact sliding COUNT(DISTINCT) oracle — the gate
-    certifies the windowed merge algebra; at real cardinalities only
-    the ±2% estimate changes.
-    """
+    Gated claims (both scale-invariant — VERDICT r8 #4 replaced the
+    old exact-distinct oracle, a documented ×10/×100 FAIL once lgK=21
+    sketches leave coupon mode):
+
+    - ``within_envelope``: the windowed merge estimate sits within the
+      ±3σ family envelope of the exact sliding COUNT(DISTINCT).
+    - ``window_merge_consistent``: the RANGE-frame window union yields
+      the IDENTICAL estimate as an explicit day-range self-join merge
+      of the same 30 day-sketches — Datasketches unions are order- and
+      grouping-insensitive, so this pins the window-frame plan (frame
+      bounds, day alignment) against an independently-shaped plan at
+      any cardinality.
+
+    Window ends restrict to observed event days (the rows the sketch
+    relation emits), so both engines enumerate identical windows; the
+    exact ×30 activity-pair explode is gate/QA cost only.  Differs
+    from ``hll_envelope_mau`` (the plain envelope twin) by the
+    two-plan consistency claim."""
     e = load(spark, sf_dir, "events")
     daily = (e.select("user_id",
                       F.datediff(F.col("ts").cast("date"),
                                  F.lit("1970-01-01").cast("date"))
                       .cast("long").alias("day"))
              .groupBy("day")
-             .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk")))
+             .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk"))
+             .cache())  # calendar-sized; consumed by three branches
     w = W.orderBy("day").rangeBetween(-29, W.currentRow)
-    return (daily.select(
-                F.col("day").alias("window_end"),
-                F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
-                .alias("mau")))
+    est_w = daily.select(
+        F.col("day").alias("window_end"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .alias("est_w"))
+    # independent plan for the same merge: explicit day-range theta
+    # join (calendar × 30 rows — tiny at any event volume)
+    ends = daily.select(F.col("day").alias("window_end"))
+    est_j = (ends.join(daily,
+                       (F.col("day") <= F.col("window_end")) &
+                       (F.col("day") >= F.col("window_end") - 29))
+             .groupBy("window_end")
+             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                  .alias("est_j")))
+    pairs = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day")).distinct()
+    cover = pairs.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 29))
+        .alias("window_end"))
+    exact = (cover.join(ends, "window_end")
+             .groupBy("window_end")
+             .agg(F.countDistinct("user_id").alias("mau_exact")))
+    return (exact.join(est_w, "window_end").join(est_j, "window_end")
+            .select("window_end", "mau_exact",
+                    _hll_within("est_w", "mau_exact")
+                    .alias("within_envelope"),
+                    (F.col("est_w") == F.col("est_j"))
+                    .alias("window_merge_consistent")))
 
 
 @q("median_interpolated", ("A1", "W1", "F7"), oracle="""

@@ -1633,6 +1633,69 @@ def simhash_hamming_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return simhash_hamming_pair_join(sh)
 
 
+#: Per-fingerprint family cap for the production pair dump (VERDICT r8
+#: #5, mirroring _MINHASH_CAP): a fingerprint shared by B docs emits
+#: B(B-1)/2 pairs in the uncapped dump — corpus-quadratic OUTPUT on
+#: duplicated corpora even though the banding work itself is
+#: fingerprint-space-bounded.  Keeping C deterministic representatives
+#: per fingerprint bounds the dump to |qualifying fp pairs| × C².
+_SIMHASH_FAMILY_CAP = 8
+
+
+@q("simhash_hamming_pairs_capped", ("J5", "W2", "F11"), oracle=f"""
+WITH sh AS ({_simhash_oracle()}),
+ranked AS (
+  SELECT doc_id, simhash,
+         ROW_NUMBER() OVER (PARTITION BY simhash
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM sh
+), capped AS (
+  SELECT doc_id, simhash FROM ranked WHERE rn <= {_SIMHASH_FAMILY_CAP}
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def simhash_hamming_pairs_capped(spark: "SparkSession",
+                                 sf_dir: str) -> "DataFrame":
+    """Production twin of ``simhash_hamming_pairs``: identical
+    fingerprint-level banding, but each fingerprint FAMILY is first
+    capped to {cap} deterministic representatives (md5(doc_id) rank —
+    the same uniform-deterministic selection as ``per_source_cap`` and
+    the SemDeDup ``_cap_sub``), so the pair DUMP is output-bounded at
+    |qualifying fingerprint pairs| × {cap}² no matter how duplicated
+    the corpus is.  Docs dropped by the cap are verbatim
+    fingerprint-duplicates of a kept representative — exactly the mass
+    the exact/fingerprint dedup tier owns (the ``_MINHASH_CAP``
+    argument), so pair recall loss is confined to within-family pairs
+    the cheaper tier already collapses.
+
+    Scale shape: the cap is one row_number over (fp; md5-pri) that
+    Spark executes as WindowGroupLimit — partial top-{cap} per map
+    partition BEFORE the shuffle, so a 10⁶-doc template family never
+    funnels through one task — followed by the sibling's
+    fingerprint-banded join on the (now ≤{cap}-per-fp) relation.  The
+    uncapped sibling remains the recall reference; its ×100 exclusion
+    (corpus-quadratic output) is the measurement this twin exists to
+    answer.
+    """
+    from .operators.dedup import simhash_hamming_pair_join
+    d = load(spark, sf_dir, "documents")
+    sh = simhash(d, "text", "doc_id")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    wn = W.partitionBy("simhash").orderBy(pri, "doc_id")
+    capped = (sh.select("doc_id", "simhash",
+                        F.row_number().over(wn).alias("rn"))
+              .filter(F.col("rn") <= _SIMHASH_FAMILY_CAP)
+              .select("doc_id", "simhash"))
+    return simhash_hamming_pair_join(capped)
+
+
+simhash_hamming_pairs_capped.__doc__ = \
+    simhash_hamming_pairs_capped.__doc__.format(cap=_SIMHASH_FAMILY_CAP)
+
+
 @q("set_ops_multiset", ("A2", "A5"), oracle="""
 WITH a AS (
   SELECT l_suppkey FROM lineitem

@@ -795,7 +795,9 @@ def streaming_psi_drift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 SELECT CAST(DATE_TRUNC('week', DATE_TRUNC('day', ts)) AS TIMESTAMP)
          AS week,
        event_type,
-       COUNT(DISTINCT user_id) AS distinct_users
+       COUNT(DISTINCT user_id) AS distinct_exact,
+       TRUE AS within_envelope,
+       TRUE AS stream_matches_batch
 FROM events GROUP BY 1, 2
 """)
 def streaming_hll_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -808,11 +810,23 @@ def streaming_hll_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     keeps live distinct-count dashboards without a dropDuplicates
     state explosion.
 
-    Same lgConfigK=21 trick as the batch twin: at gate cardinalities
-    the sketch is exact, so the merged estimate hash-matches the exact
-    COUNT(DISTINCT) oracle — the gate certifies stream-side sketch
-    accumulation + serving-side merge algebra.
-    """
+    Gated claims (both scale-invariant — VERDICT r8 #4 replaced the
+    old exact-distinct oracle, a documented ×10/×100 FAIL once lgK=21
+    sketches leave coupon mode):
+
+    - ``within_envelope``: the week-level estimate served from the
+      STREAM-accumulated sketches sits within the ±3σ family envelope
+      of exact COUNT(DISTINCT).
+    - ``stream_matches_batch``: the stream-state sketches yield the
+      IDENTICAL week estimates as sketches built by a one-shot batch
+      aggregation of the same events — Datasketches sketch building
+      and unions are insertion-order- and micro-batch-split-
+      insensitive, so this pins exactly the streaming property the
+      query exists for (incremental state accumulation ≡ batch), and
+      it holds in any estimate regime.
+
+    Differs from ``streaming_hll_envelope`` (the plain envelope twin)
+    by the stream≡batch consistency claim."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = _stream_source(spark, raw_schema, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -825,10 +839,29 @@ def streaming_hll_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     writer = (daily.writeStream.outputMode("complete")
               .format("memory").queryName(name))
     run_stream_available_now(writer)
-    return (spark.table(name)
-            .groupBy(F.date_trunc("week", "day").alias("week"), "event_type")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                 .alias("distinct_users")))
+    week = F.date_trunc("week", "day").alias("week")
+    est_s = (spark.table(name)
+             .groupBy(week, "event_type")
+             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                  .alias("est_s")))
+    e = load(spark, sf_dir, "events")
+    est_b = (e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk"))
+             .groupBy(week, "event_type")
+             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                  .alias("est_b")))
+    exact = (e.groupBy(F.date_trunc("week",
+                                    F.date_trunc("day", "ts")).alias("week"),
+                       "event_type")
+             .agg(F.countDistinct("user_id").alias("distinct_exact")))
+    from .queries_analytics import _hll_within
+    return (exact.join(est_s, ["week", "event_type"])
+            .join(est_b, ["week", "event_type"])
+            .select("week", "event_type", "distinct_exact",
+                    _hll_within("est_s", "distinct_exact")
+                    .alias("within_envelope"),
+                    (F.col("est_s") == F.col("est_b"))
+                    .alias("stream_matches_batch")))
 
 
 from .queries_analytics import HLL_WEEKLY_ENVELOPE_ORACLE  # noqa: E402

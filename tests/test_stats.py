@@ -328,16 +328,23 @@ def test_interpolated_median_matches_numpy(spark):
         assert out[g]["n"] == len(vals)
 
 
-def test_mau_hll_equals_exact_sliding_distinct(spark):
+def test_mau_hll_envelope_and_window_merge_consistency(spark):
+    """r9 envelope form: mau_exact must equal the Python sliding
+    distinct, and both gated booleans (±3σ envelope; window-frame vs
+    self-join merge-plan equivalence) must hold on every window."""
     from collections import defaultdict
     from datetime import date
-    out = {r["window_end"]: r["mau"] for r in
-           REGISTRY["monthly_active_users_hll"].fn(spark, SF).collect()}
+    rows = REGISTRY["monthly_active_users_hll"].fn(spark, SF).collect()
+    assert rows
+    assert all(r["within_envelope"] for r in rows)
+    assert all(r["window_merge_consistent"] for r in rows)
+    out = {r["window_end"]: r["mau_exact"] for r in rows}
     e = load(spark, SF, "events").select("user_id", "ts").collect()
     epoch = date(1970, 1, 1)
     by_day = defaultdict(set)
     for r in e:
         by_day[(r["ts"].date() - epoch).days].add(r["user_id"])
+    assert set(out) == set(by_day)  # observed-day window ends only
     for we, mau in out.items():
         users = set()
         for d in range(we - 29, we + 1):

@@ -74,6 +74,13 @@ CROSS_ALLOW = {
     "ab_ttest_welch",               # 1-row segA stats × 1-row segB stats
     "segment_overlap_kmv",          # pair-gen over the distinct-segment
                                     # relation: segments²·K bound cited
+    "monthly_active_users_hll",     # day-range theta join of the
+                                    # CALENDAR-sized day-sketch relation
+                                    # with itself (≤30 sketch rows per
+                                    # window end, never event-
+                                    # proportional) — the independent
+                                    # second plan its window_merge_
+                                    # consistent claim compares against
     "grant_effective_matrix",       # literal control-plane dims:
                                     # principals × 3 schemas × 3 privs,
                                     # bounded by the grant script —
