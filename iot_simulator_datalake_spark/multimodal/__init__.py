@@ -3,20 +3,26 @@
 Payloads are opaque ``binary`` columns + a typed metadata struct; all
 transforms run as Arrow-batched ``mapInPandas`` operators so bytes move
 executor-side in columnar batches — never through the driver, never
-row-at-a-time.  Actual codec work (JPEG decode, audio resample, video
-frame extraction) is stubbed behind import-tries because the image/audio
-libraries are not in this container; the Spark-side plumbing — schemas,
-batch shapes, partition sizing — is real and tested.
+row-at-a-time.  Stdlib-decodable image formats (24bpp BMP, binary P6
+PPM) decode for REAL in ``decode_image`` (oracle-gated round trip —
+``multimodal_decode_image``); compressed codecs (JPEG/PNG, audio
+resample, video frames) still need libraries this container lacks and
+raise ``NotImplementedError`` per payload rather than fake pixels.
+The Spark-side plumbing — schemas, batch shapes, partition sizing —
+is real and tested either way.
 """
 
 from .transforms import (
     MEDIA_SCHEMA,
     attach_payload,
     decode_image,
+    encode_bmp,
+    encode_ppm,
     extract_features,
     frame_sample,
     repartition_by_bytes,
 )
 
 __all__ = ["MEDIA_SCHEMA", "attach_payload", "extract_features",
-           "decode_image", "frame_sample", "repartition_by_bytes"]
+           "decode_image", "encode_bmp", "encode_ppm", "frame_sample",
+           "repartition_by_bytes"]

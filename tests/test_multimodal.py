@@ -96,9 +96,14 @@ def test_extract_features_null_payload_row_preserved(spark):
     assert {f["doc_id"] for f in frames} == {1}
 
 
-def test_stubbed_decode_raises(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+def test_decode_raises_per_undecodable_payload(media):
+    """r9: decode_image is no longer a wholesale stub — BMP/P6 decode
+    for real — but text payloads (neither magic) must still raise
+    NotImplementedError at execution, per payload, not fake pixels."""
+    with pytest.raises(Exception) as ei:
+        decode_image(media).collect()
+    assert "NotImplementedError" in str(ei.value) or \
+        isinstance(ei.value, NotImplementedError)
 
 
 def test_frame_sample_explodes_one_to_k(spark):
@@ -172,3 +177,91 @@ def test_repartition_by_bytes_isolates_every_giant(spark):
     assert len(giant_parts) == 8, giant_parts
     assert all(r["count"] == 1 for r in giant_parts), giant_parts
     assert out.count() == 408
+
+
+# =========================================================================
+# Real stdlib image decode (r9, VERDICT r8 #8)
+# =========================================================================
+
+def _pattern(w, h, seed=0):
+    return bytes(((seed + 7 * x + 13 * y + c) % 256)
+                 for y in range(h) for x in range(w) for c in range(3))
+
+
+def test_bmp_roundtrip_with_stride_padding():
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_bmp, encode_bmp)
+    for w, h in ((7, 5), (4, 4), (1, 1), (3, 2)):
+        rgb = _pattern(w, h, seed=w * 31 + h)
+        assert _decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+def test_bmp_top_down_negative_height():
+    import struct
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_bmp, encode_bmp)
+    rgb = _pattern(3, 2)
+    buf = bytearray(encode_bmp(3, 2, rgb))
+    # flip to top-down: height := -2, pixel rows reordered to top-first
+    struct.pack_into("<i", buf, 22, -2)
+    stride = 12
+    off = 54
+    rows = [bytes(buf[off + i * stride:off + (i + 1) * stride])
+            for i in range(2)]
+    buf[off:off + 2 * stride] = rows[1] + rows[0]
+    assert _decode_bmp(bytes(buf)) == (3, 2, rgb)
+
+
+def test_ppm_roundtrip_and_comments():
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_ppm, encode_ppm)
+    rgb = _pattern(7, 5, seed=9)
+    assert _decode_ppm(encode_ppm(7, 5, rgb)) == (7, 5, rgb)
+    commented = b"P6\n# fixture\n7 5\n# more\n255\n" + rgb
+    assert _decode_ppm(commented) == (7, 5, rgb)
+
+
+def test_decode_auto_raises_for_compressed_formats():
+    import pytest
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_image_auto)
+    with pytest.raises(NotImplementedError):
+        _decode_image_auto(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        _decode_image_auto(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG
+
+
+def test_decode_image_operator_tensor_and_nulls(spark):
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        decode_image, encode_bmp, encode_ppm)
+    rgb = _pattern(7, 5, seed=3)
+    rows = [(1, encode_bmp(7, 5, rgb)), (2, encode_ppm(7, 5, rgb)),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image(df).collect()}
+    for did in (1, 2):
+        r = out[did]
+        assert (r["width"], r["height"]) == (7, 5)
+        assert len(r["tensor"]) == 7 * 5 * 3
+        got = bytes(round(v * 255) for v in r["tensor"])
+        assert got == rgb          # decoded pixels ARE the pattern
+    assert out[3]["width"] is None and out[3]["tensor"] is None
+    # BMP and PPM of the same pixels decode identically
+    assert out[1]["tensor"] == out[2]["tensor"]
+
+
+def test_decode_image_nearest_neighbor_resize(spark):
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        decode_image, encode_ppm)
+    rgb = _pattern(4, 4, seed=5)
+    df = spark.createDataFrame([(1, encode_ppm(4, 4, rgb))],
+                               "doc_id long, payload binary")
+    r = decode_image(df, size=(2, 2)).collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    assert len(r["tensor"]) == 2 * 2 * 3
+    # NN with xi = (i*4)//2 picks source pixels (0,0),(2,0),(0,2),(2,2)
+    def px(x, y):
+        i = (y * 4 + x) * 3
+        return rgb[i:i + 3]
+    want = px(0, 0) + px(2, 0) + px(0, 2) + px(2, 2)
+    assert bytes(round(v * 255) for v in r["tensor"]) == want

@@ -197,7 +197,14 @@ def sweep(led: dict, names: list[str], timeout: int,
                 [sys.executable, "-u", "tools/check_oracle.py",
                  X100_DIR, *batch],
                 capture_output=True, text=True,
-                timeout=timeout * len(batch), cwd=str(LEDGER.parent))
+                timeout=timeout * len(batch), cwd=str(LEDGER.parent),
+                # hash mode (check_oracle docstring, VERDICT r8 #7):
+                # the sweep's wall was dominated by the per-row Python
+                # comparator on big ×100 outputs; the vectorized
+                # row-hash multiset gives the same verdicts (parity
+                # pinned in tests/test_oracle_hash_mode.py) at a
+                # fraction of the comparator cost
+                env={**os.environ, "ORACLE_HASH_MODE": "1"})
             txt = r.stdout + r.stderr
         except subprocess.TimeoutExpired as e:
             txt = ((e.stdout or b"").decode(errors="replace")
