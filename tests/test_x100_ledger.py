@@ -98,3 +98,16 @@ def test_sweep_records_wholesale_batch_crash(tmp_path, monkeypatch):
     assert led["swept"]["a"]["status"] == "err"
     assert "rc=137" in led["swept"]["a"]["detail"]
     assert "b" not in led["swept"]          # unstarted stays open
+
+
+def test_status_block_counts_partition_registry():
+    """tools/status_block.py (r9): the README status numbers must come
+    from the ledger + registry, and those must partition exactly."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import status_block
+    c = status_block.counts()
+    assert c["registry"] == c["swept"] + c["excluded"] \
+        + c["unclassified"]
+    assert c["unclassified"] == 0, (
+        "ledger must classify every registry query at close")
