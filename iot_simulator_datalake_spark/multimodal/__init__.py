@@ -15,14 +15,16 @@ is real and tested either way.
 from .transforms import (
     MEDIA_SCHEMA,
     attach_payload,
+    decode_audio,
     decode_image,
     encode_bmp,
     encode_ppm,
+    encode_wav,
     extract_features,
     frame_sample,
     repartition_by_bytes,
 )
 
 __all__ = ["MEDIA_SCHEMA", "attach_payload", "extract_features",
-           "decode_image", "encode_bmp", "encode_ppm", "frame_sample",
-           "repartition_by_bytes"]
+           "decode_audio", "decode_image", "encode_bmp", "encode_ppm",
+           "encode_wav", "frame_sample", "repartition_by_bytes"]

@@ -332,6 +332,90 @@ def decode_image(df: "DataFrame", id_col: str = "doc_id",
             .mapInPandas(run, schema=decode_schema(df, id_col)))
 
 
+# ===========================================================================
+# Audio decode: real stdlib codec for PCM WAV (the audio analog of the
+# BMP/PPM image decoders — r9).  Compressed audio (mp3/ogg/flac) needs
+# libraries this container lacks and raises per payload.
+# ===========================================================================
+
+
+def _decode_wav(buf: bytes) -> tuple[int, int, bytes]:
+    """Decode a PCM WAV container → (sample_rate, n_channels,
+    interleaved 16-bit little-endian sample bytes).  Stdlib ``wave``
+    handles the RIFF chunking; only 16-bit PCM is accepted (8/24/32-bit
+    and float PCM raise NotImplementedError rather than resample)."""
+    import io
+    import wave
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(buf)) as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV is stdlib-decodable "
+                f"(got sample width {w.getsampwidth()} bytes)")
+        return (w.getframerate(), w.getnchannels(),
+                w.readframes(w.getnframes()))
+
+
+def encode_wav(rate: int, channels: int, samples: bytes) -> bytes:
+    """Fixture encoder: interleaved 16-bit LE sample bytes → a real
+    PCM WAV file (stdlib ``wave`` writer — standard RIFF output)."""
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples)
+    return bio.getvalue()
+
+
+def audio_schema(df: "DataFrame", id_col: str) -> str:
+    return (f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            "sample_rate int, n_channels int, n_samples long, "
+            "waveform array<float>")
+
+
+def decode_audio(df: "DataFrame", id_col: str = "doc_id",
+                 payload_col: str = "payload") -> "DataFrame":
+    """Decode a binary audio column to (sample_rate, n_channels,
+    n_samples, float waveform) — Arrow-batched mapInPandas, the same
+    batch discipline as :func:`decode_image`.  The waveform is
+    interleaved samples scaled to [-1, 1] (int16 / 32768).  16-bit PCM
+    WAV decodes for real via the stdlib; other formats raise
+    NotImplementedError per payload; NULL payloads yield null rows.
+    ``n_samples`` counts FRAMES (per channel), so duration_sec =
+    n_samples / sample_rate regardless of channel count."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chans, counts, waves = [], [], [], []
+            for raw in pdf[payload_col]:
+                if raw is None:
+                    rates.append(None), chans.append(None)
+                    counts.append(None), waves.append(None)
+                    continue
+                rate, nch, pcm = _decode_wav(bytes(raw))
+                a = np.frombuffer(pcm, dtype="<i2")
+                rates.append(rate), chans.append(nch)
+                counts.append(len(a) // nch)
+                waves.append(a.astype(np.float32) / np.float32(32768.0))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "sample_rate": pd.array(rates, dtype="Int32"),
+                "n_channels": pd.array(chans, dtype="Int32"),
+                "n_samples": pd.array(counts, dtype="Int64"),
+                "waveform": waves,
+            })
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(run, schema=audio_schema(df, id_col)))
+
+
 def frame_schema(df: "DataFrame", id_col: str) -> str:
     """Frame-row schema, id typed/named from the caller's frame (see
     :func:`feature_schema`)."""

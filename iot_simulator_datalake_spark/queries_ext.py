@@ -841,6 +841,82 @@ def multimodal_decode_image(spark: "SparkSession",
                     "pos_checksum"))
 
 
+#: fixture audio geometry for the decode round-trip gate
+_AUD_N, _AUD_RATE = 200, 16000
+
+
+@q("multimodal_decode_audio", ("F10",), oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS seed
+  FROM documents
+), s AS (
+  SELECT doc_id, i.i AS i,
+         ((seed + 11 * i.i) % 65536) - 32768 AS amp
+  FROM d CROSS JOIN (SELECT UNNEST(range({_AUD_N})) AS i) i
+)
+SELECT doc_id, {_AUD_RATE} AS sample_rate, 1 AS n_channels,
+       CAST({_AUD_N} AS BIGINT) AS n_samples,
+       CAST(SUM(amp) AS BIGINT) AS sum_amp,
+       CAST(SUM(amp * amp) AS BIGINT) AS sumsq_amp,
+       CAST(SUM(i * amp) AS BIGINT) AS pos_checksum
+FROM s GROUP BY 1
+""")
+def multimodal_decode_audio(spark: "SparkSession",
+                            sf_dir: str) -> "DataFrame":
+    """REAL audio decode, oracle-gated end-to-end — the audio analog
+    of ``multimodal_decode_image``: every document gets a
+    deterministic synthetic 16-bit PCM waveform (sample i =
+    ((seed + 11·i) mod 65536) − 32768, seed = first md5(doc_id) byte),
+    written as a genuine RIFF/WAVE file (stdlib ``wave`` writer), then
+    decoded by ``multimodal.transforms.decode_audio`` back to the
+    [−1, 1] float waveform.
+
+    The gate compares Σ amp, Σ amp² (energy — the RMS numerator a real
+    audio-quality filter uses) and the position-sensitive Σ i·amp
+    against the pattern's closed form in DuckDB: byte-order, container
+    offset, or interleave mistakes in either codec shift the sums.
+    Compressed audio still raises NotImplementedError per payload.
+
+    Scale shape mirrors the image gate: encode is the fixture stage,
+    decode one Arrow-batched mapInPandas pass, the checksum explode
+    ×{_AUD_N} of a fixed tiny geometry — gate cost, not production
+    cost."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from .multimodal.transforms import decode_audio, encode_wav
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n, rate = _AUD_N, _AUD_RATE
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                seed = int(hashlib.md5(str(did).encode())
+                           .hexdigest()[:2], 16)
+                samples = struct.pack(
+                    f"<{n}h", *(((seed + 11 * i) % 65536) - 32768
+                                for i in range(n)))
+                payloads.append(encode_wav(rate, 1, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "payload": payloads})
+
+    enc_df = d.mapInPandas(enc, schema="doc_id long, payload binary")
+    dec = decode_audio(enc_df, id_col="doc_id")
+    amp = F.round(F.col("v") * 32768).cast("long")
+    ex = dec.select("doc_id", "sample_rate", "n_channels", "n_samples",
+                    F.posexplode("waveform").alias("i", "v"))
+    return (ex.groupBy("doc_id", "sample_rate", "n_channels",
+                       "n_samples")
+            .agg(F.sum(amp).alias("sum_amp"),
+                 F.sum(amp * amp).alias("sumsq_amp"),
+                 F.sum(F.col("i") * amp).alias("pos_checksum")))
+
+
 @q("entity_resolution_best_match", ("J5", "F11", "W3"), oracle="""
 WITH p AS (
   SELECT c.c_custkey, s.s_suppkey,

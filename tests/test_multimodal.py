@@ -265,3 +265,59 @@ def test_decode_image_nearest_neighbor_resize(spark):
         return rgb[i:i + 3]
     want = px(0, 0) + px(2, 0) + px(0, 2) + px(2, 2)
     assert bytes(round(v * 255) for v in r["tensor"]) == want
+
+
+# =========================================================================
+# Real stdlib audio decode (r9)
+# =========================================================================
+
+def _pcm(n, seed=0):
+    import struct
+    return struct.pack(f"<{n}h", *(((seed + 11 * i) % 65536) - 32768
+                                   for i in range(n)))
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_wav, encode_wav)
+    pcm = _pcm(50, seed=4)
+    assert _decode_wav(encode_wav(16000, 1, pcm)) == (16000, 1, pcm)
+    stereo = _pcm(100, seed=8)   # 50 frames x 2 channels interleaved
+    assert _decode_wav(encode_wav(8000, 2, stereo)) == (8000, 2, stereo)
+
+
+def test_wav_rejects_non_16bit_and_non_riff():
+    import io
+    import wave
+    import pytest
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_wav)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1), w.setsampwidth(1), w.setframerate(8000)
+        w.writeframes(b"\x80" * 10)            # 8-bit PCM
+    with pytest.raises(NotImplementedError):
+        _decode_wav(bio.getvalue())
+    with pytest.raises(ValueError):
+        _decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_decode_audio_operator_waveform_and_nulls(spark):
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        decode_audio, encode_wav)
+    import struct
+    pcm = _pcm(64, seed=2)
+    rows = [(1, encode_wav(16000, 1, pcm)),
+            (2, encode_wav(8000, 2, _pcm(64, seed=2))), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    r1 = out[1]
+    assert (r1["sample_rate"], r1["n_channels"], r1["n_samples"]) == \
+        (16000, 1, 64)
+    got = struct.pack(f"<{64}h",
+                      *(round(v * 32768) for v in r1["waveform"]))
+    assert got == pcm                          # decoded samples exact
+    # stereo: 64 interleaved samples = 32 frames
+    assert (out[2]["n_channels"], out[2]["n_samples"]) == (2, 32)
+    assert len(out[2]["waveform"]) == 64
+    assert out[3]["sample_rate"] is None and out[3]["waveform"] is None
