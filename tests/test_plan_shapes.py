@@ -441,3 +441,28 @@ def test_semdedup_pairs_stay_within_buckets(spark):
 def test_gopher_rules_no_cartesian(spark):
     plan = plan_of(spark, "gopher_quality_rules")
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_serves_from_codes_with_broadcast_table(spark):
+    """r9 ADC serving: the probe's distance table (blocks×k rows) must
+    broadcast onto the code assignment; query-time work is the code
+    lookup join + integer sum + TakeOrderedAndProject — never a
+    cartesian, never a re-scan of raw floats per candidate."""
+    plan = plan_of(spark, "similarity_topk_pq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_recall_eval_bounds(spark):
+    """recall_ppm must be a true ratio over exactly k rows, and ADC
+    must agree with itself run-to-run (deterministic integer ties)."""
+    from iot_simulator_datalake_spark.queries import REGISTRY
+    SF = "/root/testdata/sf0.001"
+    r = REGISTRY["pq_adc_recall_eval"].fn(spark, SF).collect()[0]
+    assert r["k"] == 10 and 0 <= r["hits"] <= r["k"]
+    assert r["recall_ppm"] == (r["hits"] * 1_000_000) // r["k"]
+    a = REGISTRY["similarity_topk_pq_adc"].fn(spark, SF).collect()
+    b = REGISTRY["similarity_topk_pq_adc"].fn(spark, SF).collect()
+    assert [(x["vec_id"], x["adc2"]) for x in a] == \
+        [(x["vec_id"], x["adc2"]) for x in b]
