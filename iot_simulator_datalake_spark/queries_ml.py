@@ -518,10 +518,114 @@ def pq_adc_recall_eval(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                         " AS recall_ppm"))
 
 
+def _ivfpq_oracle() -> str:
+    from .queries_ext import _O_COS_EC, _O_EMB
+    return f"""
+WITH {_pq_ctes()},
+emb AS ({_O_EMB}),
+cents AS (
+  SELECT vec_id AS cent_id, vec AS cent_vec FROM emb
+  ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cent_id AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY -{_O_COS_EC}, c.cent_id) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, cluster FROM assign WHERE vec_id < 10
+),
+pdt AS (
+  SELECT p.vec_id AS probe_id, c.blk, c.cid,
+         SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dt2
+  FROM pts p JOIN c1 c ON p.d = c.d
+  WHERE p.vec_id < 10
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT b.probe_id, a.vec_id, CAST(SUM(t.dt2) AS BIGINT) AS adc2
+  FROM a2 a
+  JOIN assign s ON s.vec_id = a.vec_id
+  JOIN probes b ON s.cluster = b.cluster AND a.vec_id <> b.probe_id
+  JOIN pdt t ON t.probe_id = b.probe_id AND t.blk = a.blk
+            AND t.cid = a.cid
+  GROUP BY 1, 2
+)
+SELECT probe_id, vec_id, adc2, rank::INT AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY probe_id ORDER BY adc2, vec_id) AS rank
+  FROM adc) WHERE rank <= 5
+"""
+
+
+@q("similarity_topk_ivfpq", ("F10", "W3", "J5"), oracle=_ivfpq_oracle())
+def similarity_topk_ivfpq(spark: "SparkSession",
+                          sf_dir: str) -> "DataFrame":
+    """IVF-PQ, fused: the coarse inverted file routes each probe to
+    its cell (the exact routing ``similarity_topk_ivf`` gates), and
+    candidates INSIDE the cell are scored by PQ asymmetric distance
+    from their code bytes (the serving ``similarity_topk_pq_adc``
+    gates) — the standard faiss IVFPQ layout, end-to-end in one
+    oracle-gated relation.
+
+    Why this is THE 100 TB vector-search shape: the inverted file
+    cuts candidates to n_probe/n_centroids of the corpus, and PQ cuts
+    per-candidate cost to a table lookup over {blocks} code bytes —
+    at a billion vectors neither half is optional (raw floats don't
+    fit memory; full-corpus ADC still scans a billion codes).  Probe
+    work = one blocks×k distance table each (broadcast); candidate
+    work = code-lookup join + integer sum, map-side; top-k per probe
+    over cell-sized relations.  Classic IVFPQ encodes residuals
+    (vector − cell centroid) for tighter tables — a codebook-training
+    refinement on the same plan shape, documented not implemented.
+    Recall pricing composes the two gated evals (`ann_recall_eval`'s
+    harness contract)."""
+    from .queries_ext import _O_COS_EC  # noqa: F401 (oracle twin ref)
+    from .functions.vector import cosine_micro
+
+    bp, cent, a2, _ = _pq_model(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    cents = (e.orderBy("vec_id").limit(8)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_vec")))
+    wr = W.partitionBy("vec_id").orderBy(
+        (-cosine_micro(F.col("embedding"), F.col("cent_vec"))),
+        "cent_id")
+    assign = (e.crossJoin(F.broadcast(cents))
+              .withColumn("rn", F.row_number().over(wr))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", F.col("cent_id").alias("cluster")))
+    probes = (assign.filter(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("probe_id"), "cluster"))
+    pv = (bp.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("probe_id"), "d",
+                  F.col("qv").alias("pv")))
+    diff = F.col("pv") - F.col("cv")
+    pdt = (cent.join(F.broadcast(pv), "d")
+           .groupBy("probe_id", "blk", "cid")
+           .agg(F.sum(diff * diff).alias("dt2")))
+    adc = (a2.join(assign, "vec_id")
+           .join(F.broadcast(probes), "cluster")
+           .filter(F.col("vec_id") != F.col("probe_id"))
+           .join(F.broadcast(pdt), ["probe_id", "blk", "cid"])
+           .groupBy("probe_id", "vec_id")
+           .agg(F.sum("dt2").cast("bigint").alias("adc2")))
+    wk = W.partitionBy("probe_id").orderBy("adc2", "vec_id")
+    return (adc.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= 5)
+            .select("probe_id", "vec_id", "adc2",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 similarity_topk_pq_adc.__doc__ = similarity_topk_pq_adc.__doc__.format(
     blocks=_PQ_BLOCKS, k=_PQ_K)
 pq_adc_recall_eval.__doc__ = pq_adc_recall_eval.__doc__.format(
     blocks=_PQ_BLOCKS, topk=_PQ_TOPK, k_=_PQ_K)
+similarity_topk_ivfpq.__doc__ = similarity_topk_ivfpq.__doc__.format(
+    blocks=_PQ_BLOCKS)
 
 
 # =========================================================================

@@ -466,3 +466,31 @@ def test_pq_adc_recall_eval_bounds(spark):
     b = REGISTRY["similarity_topk_pq_adc"].fn(spark, SF).collect()
     assert [(x["vec_id"], x["adc2"]) for x in a] == \
         [(x["vec_id"], x["adc2"]) for x in b]
+
+
+def test_ivfpq_routes_then_scores_from_codes(spark):
+    """r9 fused IVF-PQ: coarse assignment is a broadcast of the 8-row
+    centroid table; candidate scoring equi-joins on (cluster) and
+    (probe_id, blk, cid) — no cartesian beyond the constant-width
+    centroid expansion, and top-k per probe is rank-windowed over
+    cell-sized relations."""
+    plan = plan_of(spark, "similarity_topk_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_agrees_with_pq_adc_within_probe_cell(spark):
+    """Internal consistency: for probe 0, the fused query's scores
+    must equal the full-corpus ADC scores restricted to probe 0's
+    IVF cell (routing changes WHICH candidates, never their score)."""
+    from iot_simulator_datalake_spark.queries import REGISTRY
+    SF = "/root/testdata/sf0.001"
+    fused = {(r["vec_id"]): r["adc2"]
+             for r in REGISTRY["similarity_topk_ivfpq"].fn(spark, SF)
+             .filter("probe_id = 0").collect()}
+    full = {r["vec_id"]: r["adc2"]
+            for r in REGISTRY["similarity_topk_pq_adc"].fn(spark, SF)
+            .collect()}
+    shared = set(fused) & set(full)
+    assert shared, "probe 0's cell should intersect the global top-k"
+    assert all(fused[v] == full[v] for v in shared)

@@ -69,6 +69,13 @@ CROSS_ALLOW = {
     "string_similarity_levenshtein",  # blocked pair relation
     "random_walk_corpus",           # crossJoin with Range(per_node=10)
     "similarity_topk_ivf",          # probes × nlist centroid table
+    "similarity_topk_ivfpq",        # same shape: corpus × 8-row
+                                    # broadcast centroid table for the
+                                    # coarse assignment (constant-width
+                                    # map-side expansion, the ivf_assign
+                                    # move); everything downstream is
+                                    # equi-joined on (cluster) and
+                                    # (probe_id, blk, cid)
     "skipgram_pairs",               # composes random_walk_corpus
     "hard_negative_mining",         # bounded probe set × bucketed corpus
     "ab_ttest_welch",               # 1-row segA stats × 1-row segB stats
