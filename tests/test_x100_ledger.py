@@ -111,3 +111,45 @@ def test_status_block_counts_partition_registry():
         + c["unclassified"]
     assert c["unclassified"] == 0, (
         "ledger must classify every registry query at close")
+
+
+def test_sweep_save_merges_over_concurrent_disk_updates(
+        tmp_path, monkeypatch):
+    """r9: a sweep's save must re-merge over the ON-DISK ledger and
+    write only its own changes — a long sweep's stale in-memory copy
+    previously clobbered entries a concurrent sweep recorded after
+    this one loaded (observed: a background re-sweep erased a fresh
+    foreground entry)."""
+    import subprocess as sp
+    import types
+
+    monkeypatch.setattr(xl, "registry_names",
+                        lambda: ["mine", "other", "stale"])
+    x100 = tmp_path / "x100"
+    (x100 / "lineitem.parquet").mkdir(parents=True)
+    monkeypatch.setattr(xl, "X100_DIR", str(x100))
+    ledger = tmp_path / "L.json"
+    monkeypatch.setattr(xl, "LEDGER", ledger)
+    # ledger state at THIS sweep's load time: 'stale' already swept
+    led = {"swept": {"stale": {"status": "ok", "wall_s": 1.0,
+                               "dir": str(x100)}}, "excluded": {}}
+    ledger.write_text(json.dumps(led))
+    loaded = json.loads(ledger.read_text())
+
+    def fake_run(*a, **k):
+        # a CONCURRENT process lands 'other' on disk mid-sweep
+        disk = json.loads(ledger.read_text())
+        disk["swept"]["other"] = {"status": "ok", "wall_s": 2.0,
+                                  "dir": str(x100)}
+        ledger.write_text(json.dumps(disk))
+        return types.SimpleNamespace(
+            returncode=0,
+            stdout="  mine                    OK      5 rows [  3.0s]\n",
+            stderr="")
+
+    monkeypatch.setattr(sp, "run", fake_run)
+    assert xl.sweep(loaded, ["mine"], timeout=5, chunk=1) == 0
+    disk = json.loads(ledger.read_text())
+    assert disk["swept"]["mine"]["status"] == "ok"     # own result
+    assert disk["swept"]["other"]["wall_s"] == 2.0     # survives
+    assert disk["swept"]["stale"]["wall_s"] == 1.0     # untouched

@@ -181,8 +181,22 @@ def sweep(led: dict, names: list[str], timeout: int,
         def save():
             out.write_text(json.dumps(led, indent=1) + "\n")
     else:
+        # Re-merge over the ON-DISK ledger at every save, writing only
+        # the entries THIS process changed: dumping the whole
+        # in-memory copy clobbered entries a CONCURRENT sweep saved
+        # after this one loaded (observed r9: a long background
+        # re-sweep erased a foreground sweep's fresh entry).  Shard
+        # mode (--out) remains the tool for planned heavy concurrency;
+        # this makes the direct mode lose nothing either way.
+        initial = {n: json.dumps(e, sort_keys=True)
+                   for n, e in led["swept"].items()}
+
         def save():
-            save_ledger(led)
+            disk = load_ledger()
+            disk["swept"].update(
+                {n: e for n, e in led["swept"].items()
+                 if json.dumps(e, sort_keys=True) != initial.get(n)})
+            save_ledger(disk)
     batches = [targets[i:i + chunk] for i in range(0, len(targets), chunk)]
     done = 0
     for batch in batches:
