@@ -44,16 +44,19 @@ def main(argv: list[str]) -> int:
     shutil.rmtree(out, ignore_errors=True)
     for t, sh in SHIFTS.items():
         df = load(spark, src, t)
-        parts = []
-        for i in range(n):
-            d = df
-            for c, k in sh.items():
-                d = d.withColumn(c, F.col(c) + i * k)
-            parts.append(d)
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        # one broadcast range cross-join instead of an n-way union:
+        # identical rows, but the plan stays one node — at ×1000 the
+        # unrolled union overwhelmed Catalyst/driver plan processing
+        copies = F.broadcast(
+            spark.range(n).select(F.col("id").alias("_copy")))
+        d = df.crossJoin(copies)
+        for c, k in sh.items():
+            d = d.withColumn(c, F.col(c) + F.col("_copy") * F.lit(k))
+        # the cross-join inherits the (small) source partitioning, so
+        # each task would otherwise hold n× its input — spread writes
+        n_parts = max(8, min(256, n // 4))
+        (d.drop("_copy").repartition(n_parts)
+         .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
         print(f"{t}: x{n} written")
     for t in COPY_AS_IS:
         load(spark, src, t).write.mode("overwrite") \
