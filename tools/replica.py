@@ -46,16 +46,20 @@ def main(argv: list[str]) -> int:
         df = load(spark, src, t)
         # one broadcast range cross-join instead of an n-way union:
         # identical rows, but the plan stays one node — at ×1000 the
-        # unrolled union overwhelmed Catalyst/driver plan processing
+        # unrolled union overwhelmed Catalyst/driver plan processing.
+        # Repartition the SMALL source BEFORE the join: repartitioning
+        # the joined output shuffles the full ×n dataset (measured:
+        # 44 GB of shuffle blocks before the first parquet byte at
+        # ×1000); pre-splitting the source costs one tiny shuffle and
+        # each writer task streams (src/n_parts)·n rows straight to
+        # parquet.
         copies = F.broadcast(
             spark.range(n).select(F.col("id").alias("_copy")))
-        d = df.crossJoin(copies)
+        n_parts = max(8, min(256, n // 4))
+        d = df.repartition(n_parts).crossJoin(copies)
         for c, k in sh.items():
             d = d.withColumn(c, F.col(c) + F.col("_copy") * F.lit(k))
-        # the cross-join inherits the (small) source partitioning, so
-        # each task would otherwise hold n× its input — spread writes
-        n_parts = max(8, min(256, n // 4))
-        (d.drop("_copy").repartition(n_parts)
+        (d.drop("_copy")
          .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
         print(f"{t}: x{n} written")
     for t in COPY_AS_IS:
