@@ -880,7 +880,7 @@ def multimodal_decode_audio(spark: "SparkSession",
 
     Scale shape mirrors the image gate: encode is the fixture stage,
     decode one Arrow-batched mapInPandas pass, the checksum explode
-    ×{_AUD_N} of a fixed tiny geometry — gate cost, not production
+    ×``_AUD_N`` of a fixed tiny geometry — gate cost, not production
     cost."""
     import hashlib
     import struct
