@@ -488,3 +488,74 @@ def test_qsketch_semilattice_arbitrary_partition(spark, rows, part, k):
     chk = df.select((sketch_hash(F.col("id")) == F.col("h"))
                     .alias("ok")).collect()
     assert all(r["ok"] for r in chk)
+
+
+# =========================================================================
+# r9 stdlib codecs: round-trip invariants for arbitrary geometries/bytes
+# (pure Python — no Spark job per example, so examples can be generous)
+# =========================================================================
+
+@given(w=st.integers(1, 17), h=st.integers(1, 9), data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_geometry(w, h, data):
+    """decode(encode(rgb)) == rgb for every width (stride padding
+    0-3 bytes) and arbitrary pixel bytes."""
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_bmp, encode_bmp)
+    rgb = bytes(data.draw(st.binary(min_size=w * h * 3,
+                                    max_size=w * h * 3)))
+    assert _decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+@given(w=st.integers(1, 17), h=st.integers(1, 9), data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_any_geometry(w, h, data):
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_ppm, encode_ppm)
+    rgb = bytes(data.draw(st.binary(min_size=w * h * 3,
+                                    max_size=w * h * 3)))
+    assert _decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+
+@given(rate=st.sampled_from([8000, 16000, 44100]),
+       channels=st.integers(1, 2), frames=st.integers(1, 200),
+       data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_pcm(rate, channels, frames, data):
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_wav, encode_wav)
+    nbytes = frames * channels * 2
+    pcm = bytes(data.draw(st.binary(min_size=nbytes, max_size=nbytes)))
+    assert _decode_wav(encode_wav(rate, channels, pcm)) == \
+        (rate, channels, pcm)
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(-2**31, 2**31), st.floats(
+        allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=8)),
+    min_size=0, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_hash_multiset_is_permutation_invariant_and_injective_ish(rows):
+    """The hash-mode comparator (tools/check_oracle): any permutation
+    of rows hashes equal; dropping or duplicating one row (when
+    non-empty) hashes different."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import numpy as np
+    import pyarrow as pa
+    from check_oracle import _hash_multiset
+
+    def tbl(rs):
+        return pa.table({
+            "i": pa.array([r[0] for r in rs], pa.int64()),
+            "f": pa.array([r[1] for r in rs], pa.float64()),
+            "s": pa.array([r[2] for r in rs], pa.string())})
+
+    h = _hash_multiset(tbl(rows))
+    hp = _hash_multiset(tbl(list(reversed(rows))))
+    assert np.array_equal(h, hp)
+    if rows:
+        assert not np.array_equal(h, _hash_multiset(tbl(rows[1:])))
+        assert not np.array_equal(
+            h, _hash_multiset(tbl(rows + [rows[0]])))
