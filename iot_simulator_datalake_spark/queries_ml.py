@@ -282,9 +282,17 @@ def _pq_ctes() -> str:
     update → final centroids c1 → assignment a2 + per-block min
     distances m2) — ONE SQL source for the codebook, so the encode
     gate and the ADC serving gate can never train different models."""
-    return f"""pts AS ({_PTS_SQL}),
+    return (f"""pts AS ({_PTS_SQL}),
 bp AS (SELECT vec_id, d, qv, (d - 1) // {_PQ_BDIMS} AS blk FROM pts),
-c0 AS (SELECT blk, vec_id AS cid, d, qv AS cv
+""" + _pq_train_ctes())
+
+
+def _pq_train_ctes() -> str:
+    """The trainer half of :func:`_pq_ctes`: per-block seeds → one
+    Lloyd update → c1/a2/m2, reading whatever relation is named ``bp``
+    (vec_id, d, qv, blk) — so the RESIDUAL variant can train the same
+    chain over residual block-points."""
+    return f"""c0 AS (SELECT blk, vec_id AS cid, d, qv AS cv
        FROM bp WHERE vec_id < {_PQ_K}),
 d1 AS (
   SELECT p.vec_id, c.blk, c.cid,
@@ -366,6 +374,17 @@ def _pq_model(spark: "SparkSession", sf_dir: str
         .withColumn("blk", F.expr(f"(d - 1) div {_PQ_BDIMS}"))
         .cache())
 
+    c, a2, m2 = _pq_train(spark, bp)
+    return bp, c, a2, m2
+
+
+def _pq_train(spark: "SparkSession", bp: "DataFrame"
+              ) -> tuple["DataFrame", "DataFrame", "DataFrame"]:
+    """Per-block codebook trainer (the Spark twin of
+    :func:`_pq_train_ctes`): seeds from the first ``_PQ_K`` vec_ids,
+    one exact Lloyd update, final assignment — over ANY block-point
+    relation (vec_id, d, qv, blk), so the raw and RESIDUAL models
+    train through one implementation."""
     cent = (bp.filter(F.col("vec_id") < _PQ_K)
             .select("blk", F.col("vec_id").alias("cid"), "d",
                     F.col("qv").alias("cv")))
@@ -394,7 +413,7 @@ def _pq_model(spark: "SparkSession", sf_dir: str
     cent = spark.createDataFrame(cent.collect(), cent.schema)
 
     a2, m2 = assign(cent)
-    return bp, cent, a2, m2
+    return cent, a2, m2
 
 
 @q("pq_codebook_encode", ("F10", "A1", "W3"), oracle=_pq_oracle())
@@ -518,23 +537,47 @@ def pq_adc_recall_eval(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                         " AS recall_ppm"))
 
 
-def _ivfpq_oracle() -> str:
+def _ivf_assign8(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(vec_id, cluster): the coarse inverted-file assignment shared by
+    the fused and residual IVF-PQ gates — cosine argmax against the
+    first-8-vector centroid table (the ``similarity_topk_ivf``
+    quantizer), tie-broken on cent_id like the SQL twin."""
+    from .functions.vector import cosine_micro
+    e = load(spark, sf_dir, "embeddings")
+    cents = (e.orderBy("vec_id").limit(8)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_vec")))
+    wr = W.partitionBy("vec_id").orderBy(
+        (-cosine_micro(F.col("embedding"), F.col("cent_vec"))),
+        "cent_id")
+    return (e.crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cluster")))
+
+
+#: shared SQL fragment: emb/cents/assign — the coarse quantizer twin
+def _o_ivf_assign8() -> str:
     from .queries_ext import _O_COS_EC, _O_EMB
-    return f"""
-WITH {_pq_ctes()},
-emb AS ({_O_EMB}),
+    return f"""emb AS ({_O_EMB}),
 cents AS (
   SELECT vec_id AS cent_id, vec AS cent_vec FROM emb
   ORDER BY vec_id LIMIT 8
 ),
-assign AS (
+assign AS MATERIALIZED (
   SELECT vec_id, cluster FROM (
     SELECT e.vec_id, c.cent_id AS cluster,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                ORDER BY -{_O_COS_EC}, c.cent_id) AS rn
     FROM emb e CROSS JOIN cents c
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH {_pq_ctes()},
+{_o_ivf_assign8()},
 probes AS (
   SELECT vec_id AS probe_id, cluster FROM assign WHERE vec_id < 10
 ),
@@ -578,26 +621,13 @@ def similarity_topk_ivfpq(spark: "SparkSession",
     fit memory; full-corpus ADC still scans a billion codes).  Probe
     work = one blocks×k distance table each (broadcast); candidate
     work = code-lookup join + integer sum, map-side; top-k per probe
-    over cell-sized relations.  Classic IVFPQ encodes residuals
-    (vector − cell centroid) for tighter tables — a codebook-training
-    refinement on the same plan shape, documented not implemented.
-    Recall pricing composes the two gated evals (`ann_recall_eval`'s
-    harness contract)."""
-    from .queries_ext import _O_COS_EC  # noqa: F401 (oracle twin ref)
-    from .functions.vector import cosine_micro
-
+    over cell-sized relations.  The classic residual refinement
+    (codebooks trained on vector − cell centroid) is
+    ``similarity_topk_ivfpq_residual``, same plan shape and shared
+    trainer.  Recall pricing composes the gated evals
+    (`ann_recall_eval`'s harness contract)."""
     bp, cent, a2, _ = _pq_model(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings")
-    cents = (e.orderBy("vec_id").limit(8)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("cent_vec")))
-    wr = W.partitionBy("vec_id").orderBy(
-        (-cosine_micro(F.col("embedding"), F.col("cent_vec"))),
-        "cent_id")
-    assign = (e.crossJoin(F.broadcast(cents))
-              .withColumn("rn", F.row_number().over(wr))
-              .filter(F.col("rn") == 1)
-              .select("vec_id", F.col("cent_id").alias("cluster")))
+    assign = _ivf_assign8(spark, sf_dir)
     probes = (assign.filter(F.col("vec_id") < 10)
               .select(F.col("vec_id").alias("probe_id"), "cluster"))
     pv = (bp.filter(F.col("vec_id") < 10)
@@ -618,6 +648,216 @@ def similarity_topk_ivfpq(spark: "SparkSession",
             .filter(F.col("rank") <= 5)
             .select("probe_id", "vec_id", "adc2",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def _residual_model(spark: "SparkSession", sf_dir: str):
+    """Residual IVF-PQ model: coarse-assign every vector, subtract its
+    cell centroid's quantized dims (re-shifted positive so the shared
+    floor-div trainer stays valid), and train the SAME per-block
+    codebook chain over the residual block-points.  Returns
+    (residual bp, final residual centroids, residual a2, assign)."""
+    emb = load(spark, sf_dir, "embeddings")
+    raw = (emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("d"),
+                (F.round(F.col("x") * 1000, 0).cast("bigint")
+                 + F.lit(_SHIFT)).alias("qv")))
+    assign = _ivf_assign8(spark, sf_dir)
+    cq = (raw.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("cluster"), "d",
+                  F.col("qv").alias("cqv")))
+    rbp = (raw.join(assign, "vec_id")
+           .join(F.broadcast(cq), ["cluster", "d"])
+           .select("vec_id", "d",
+                   (F.col("qv") - F.col("cqv") + F.lit(_SHIFT))
+                   .alias("qv"),
+                   F.expr(f"(d - 1) div {_PQ_BDIMS}").alias("blk"))
+           .cache())
+    cent, a2, _ = _pq_train(spark, rbp)
+    return rbp, cent, a2, assign
+
+
+#: MATERIALIZED on purpose (the _o_ivf_probes precedent): bp feeds
+#: d1/s1/d2/pdt and assign feeds bp/probes/adc — DuckDB would
+#: otherwise re-execute the join (and the cross-join window under
+#: assign) once per reference; measured at ×100 as a
+#: disk-exhausting spill, materialized it fits comfortably.
+_O_RES_BP = f"""bp AS MATERIALIZED (
+  SELECT p.vec_id, p.d, p.qv - cp.qv + {_SHIFT} AS qv,
+         (p.d - 1) // {_PQ_BDIMS} AS blk
+  FROM pts p JOIN assign m ON p.vec_id = m.vec_id
+             JOIN pts cp ON cp.vec_id = m.cluster AND cp.d = p.d
+)"""
+
+_O_RES_ADC = """pdt AS (
+  SELECT b.vec_id AS probe_id, c.blk, c.cid,
+         SUM((b.qv - c.cv) * (b.qv - c.cv)) AS dt2
+  FROM bp b JOIN c1 c ON b.d = c.d
+  WHERE b.vec_id < 10
+  GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT vec_id AS probe_id, cluster FROM assign WHERE vec_id < 10
+),
+adc AS (
+  SELECT pr.probe_id, a.vec_id, CAST(SUM(t.dt2) AS BIGINT) AS adc2
+  FROM a2 a
+  JOIN assign s ON s.vec_id = a.vec_id
+  JOIN probes pr ON s.cluster = pr.cluster AND a.vec_id <> pr.probe_id
+  JOIN pdt t ON t.probe_id = pr.probe_id AND t.blk = a.blk
+            AND t.cid = a.cid
+  GROUP BY 1, 2
+)"""
+
+
+@q("similarity_topk_ivfpq_residual", ("F10", "W3", "J5"), oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+{_o_ivf_assign8()},
+{_O_RES_BP},
+{_pq_train_ctes()},
+{_O_RES_ADC}
+SELECT probe_id, vec_id, adc2, rank::INT AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY probe_id ORDER BY adc2, vec_id) AS rank
+  FROM adc) WHERE rank <= 5
+""")
+def similarity_topk_ivfpq_residual(spark: "SparkSession",
+                                   sf_dir: str) -> "DataFrame":
+    """Residual IVF-PQ — the faiss-faithful form the fused gate's
+    docstring deferred: codebooks train on RESIDUALS (vector − its
+    coarse cell centroid), not raw vectors.  Within a shared cell the
+    centroid cancels — (a−c)−(b−c) = a−b — so residual ADC
+    approximates the TRUE inter-vector distance while the codebooks
+    only have to cover the residual's much smaller dynamic range;
+    that is why production IVFPQ always encodes residuals.
+
+    Same serving shape as ``similarity_topk_ivfpq`` (per-probe
+    blocks×k table broadcast, code-lookup sum inside the probe's
+    cell, TakeOrderedAndProject), same shared trainer
+    (``_pq_train`` / ``_pq_train_ctes``) — only the block-point
+    relation differs.  ``ivfpq_residual_recall_eval`` prices the
+    quantization against the exact within-cell L2."""
+    rbp, cent, a2, assign = _residual_model(spark, sf_dir)
+    probes = (assign.filter(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("probe_id"), "cluster"))
+    pv = (rbp.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("probe_id"), "d",
+                  F.col("qv").alias("pv")))
+    diff = F.col("pv") - F.col("cv")
+    pdt = (cent.join(F.broadcast(pv), "d")
+           .groupBy("probe_id", "blk", "cid")
+           .agg(F.sum(diff * diff).alias("dt2")))
+    adc = (a2.join(assign, "vec_id")
+           .join(F.broadcast(probes), "cluster")
+           .filter(F.col("vec_id") != F.col("probe_id"))
+           .join(F.broadcast(pdt), ["probe_id", "blk", "cid"])
+           .groupBy("probe_id", "vec_id")
+           .agg(F.sum("dt2").cast("bigint").alias("adc2")))
+    wk = W.partitionBy("probe_id").orderBy("adc2", "vec_id")
+    return (adc.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= 5)
+            .select("probe_id", "vec_id", "adc2",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+@q("ivfpq_residual_recall_eval", ("F10", "W3", "A1"), oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+{_o_ivf_assign8()},
+{_O_RES_BP},
+{_pq_train_ctes()},
+{_O_RES_ADC},
+rawc AS MATERIALIZED (
+  SELECT p.vec_id, m.cluster, p.d, p.qv
+  FROM pts p JOIN assign m ON p.vec_id = m.vec_id
+),
+ex AS (
+  SELECT pp.vec_id AS probe_id, ca.vec_id,
+         SUM((ca.qv - pp.qv) * (ca.qv - pp.qv)) AS d2
+  FROM rawc ca JOIN rawc pp ON ca.cluster = pp.cluster AND ca.d = pp.d
+  WHERE pp.vec_id < 10 AND ca.vec_id <> pp.vec_id
+  GROUP BY 1, 2
+),
+exk AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY d2, vec_id) AS r FROM ex)
+  WHERE r <= 5
+),
+adck AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY adc2, vec_id) AS r FROM adc)
+  WHERE r <= 5
+)
+SELECT COUNT(*)::INT AS k, COUNT(a.vec_id)::INT AS hits,
+       CAST(COUNT(a.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+         AS recall_ppm
+FROM exk e LEFT JOIN adck a USING (probe_id, vec_id)
+""")
+def ivfpq_residual_recall_eval(spark: "SparkSession",
+                               sf_dir: str) -> "DataFrame":
+    """Trust gate for residual ADC: recall@5 of the residual-coded
+    top-k against the EXACT quantized within-cell L2 top-k, per probe,
+    aggregated over the 10-probe panel — routing held fixed on both
+    sides so the measured loss is the residual quantization alone.
+    Same contract as ``pq_adc_recall_eval``; because residuals cancel
+    the shared centroid, this form's recall is the one that benefits
+    from cell structure (on iid-random vectors both read low —
+    structureless residuals — which is the honest reading to check
+    against YOUR corpus)."""
+    rbp, cent, a2, assign = _residual_model(spark, sf_dir)
+    probes = (assign.filter(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("probe_id"), "cluster"))
+    pv = (rbp.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("probe_id"), "d",
+                  F.col("qv").alias("pv")))
+    diff = F.col("pv") - F.col("cv")
+    pdt = (cent.join(F.broadcast(pv), "d")
+           .groupBy("probe_id", "blk", "cid")
+           .agg(F.sum(diff * diff).alias("dt2")))
+    wk = W.partitionBy("probe_id").orderBy("adc2", "vec_id")
+    adck = (a2.join(assign, "vec_id")
+            .join(F.broadcast(probes), "cluster")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .join(F.broadcast(pdt), ["probe_id", "blk", "cid"])
+            .groupBy("probe_id", "vec_id")
+            .agg(F.sum("dt2").alias("adc2"))
+            .withColumn("r", F.row_number().over(wk))
+            .filter(F.col("r") <= 5)
+            .select("probe_id", "vec_id", F.lit(1).alias("_hit")))
+    emb = load(spark, sf_dir, "embeddings")
+    raw = (emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("d"),
+                (F.round(F.col("x") * 1000, 0).cast("bigint")
+                 + F.lit(_SHIFT)).alias("qv"))
+        .join(assign, "vec_id"))
+    probe_dims = (raw.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("probe_id"),
+                          F.col("cluster").alias("pcluster"),
+                          F.col("d").alias("pd"),
+                          F.col("qv").alias("pqv")))
+    d2 = F.col("qv") - F.col("pqv")
+    wke = W.partitionBy("probe_id").orderBy("d2", "vec_id")
+    exk = (raw.join(F.broadcast(probe_dims),
+                    (F.col("cluster") == F.col("pcluster")) &
+                    (F.col("d") == F.col("pd")))
+           .filter(F.col("vec_id") != F.col("probe_id"))
+           .groupBy("probe_id", "vec_id")
+           .agg(F.sum(d2 * d2).alias("d2"))
+           .withColumn("r", F.row_number().over(wke))
+           .filter(F.col("r") <= 5)
+           .select("probe_id", "vec_id"))
+    return (exk.join(adck, ["probe_id", "vec_id"], "left")
+            .agg(F.count(F.lit(1)).cast("int").alias("k"),
+                 F.count("_hit").cast("int").alias("hits"))
+            .selectExpr("k", "hits",
+                        "CAST((hits * 1000000) div k AS BIGINT)"
+                        " AS recall_ppm"))
 
 
 similarity_topk_pq_adc.__doc__ = similarity_topk_pq_adc.__doc__.format(

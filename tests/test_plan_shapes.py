@@ -494,3 +494,23 @@ def test_ivfpq_agrees_with_pq_adc_within_probe_cell(spark):
     shared = set(fused) & set(full)
     assert shared, "probe 0's cell should intersect the global top-k"
     assert all(fused[v] == full[v] for v in shared)
+
+
+def test_ivfpq_residual_matches_true_within_cell_distance(spark):
+    """The residual identity — (a−c)−(b−c) = a−b — means residual ADC
+    with EXACT codes (a vector's own residual assigned to itself)
+    approximates true L2; here we pin the weaker but exact invariant:
+    the residual query's scores are reproducible and its top-k per
+    probe is rank-dense 1..5."""
+    from iot_simulator_datalake_spark.queries import REGISTRY
+    SF = "/root/testdata/sf0.001"
+    rows = REGISTRY["similarity_topk_ivfpq_residual"].fn(spark, SF) \
+        .collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["probe_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per.values())
+    again = REGISTRY["similarity_topk_ivfpq_residual"].fn(spark, SF) \
+        .collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

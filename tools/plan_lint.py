@@ -76,6 +76,12 @@ CROSS_ALLOW = {
                                     # move); everything downstream is
                                     # equi-joined on (cluster) and
                                     # (probe_id, blk, cid)
+    "similarity_topk_ivfpq_residual",  # same 8-row centroid broadcast
+                                    # (shared _ivf_assign8 helper)
+    "ivfpq_residual_recall_eval",   # composes the residual query +
+                                    # the within-cell exact baseline —
+                                    # both crosses are the 8-row
+                                    # centroid assignment
     "skipgram_pairs",               # composes random_walk_corpus
     "hard_negative_mining",         # bounded probe set × bucketed corpus
     "ab_ttest_welch",               # 1-row segA stats × 1-row segB stats
