@@ -163,5 +163,70 @@ def main() -> None:
     }))
 
 
+def dag_bench() -> None:
+    """``--dag``: concurrent-DAG materialization bench (VERDICT r9
+    #5).  The reference runs dbt with 8-thread model parallelism
+    (profiles.yml:14); the Engine toposorts and materializes
+    independent models concurrently (engine/runner.py _run_waves).
+    This mode materializes the full iot medallion DAG — bronze JSON
+    ingest → silver contract → {dim_locations, dim_date} → fact —
+    serially (threads=1) and with the thread pool (threads=8), three
+    fresh-warehouse runs each after a discarded warm-up, and prints
+    ONE JSON line with both median walls and the speedup.  The
+    parallel wave is the 2-wide dim layer plus Spark's own stage
+    interleaving; at cluster scale every wave member is a separate
+    job, so the pool's win grows with DAG width."""
+    import shutil
+
+    from iot_simulator_datalake_spark.engine import Engine
+    from iot_simulator_datalake_spark.pipeline import build_registry
+    from iot_simulator_datalake_spark.queries_pipeline import (
+        _export_landing)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calib_start = calibration_sec()
+    spark = get_spark("bench-dag")
+    workdir = _export_landing(spark, sf_dir)   # one landing, all runs
+
+    def one_run(threads: int, tag: str) -> float:
+        wh = workdir / f"wh_{tag}"
+        eng = Engine(spark, build_registry(streaming=False),
+                     config={"iot_events_path": str(workdir / "landing")},
+                     warehouse=wh, threads=threads)
+        t0 = time.monotonic()
+        eng.run()
+        dt = time.monotonic() - t0
+        shutil.rmtree(wh, ignore_errors=True)
+        return dt
+
+    one_run(8, "warmup")                       # JVM/codegen, discarded
+    walls: dict[int, list[float]] = {1: [], 8: []}
+    for i in range(3):                         # alternate: fair vs drift
+        for threads in (1, 8):
+            dt = round(one_run(threads, f"t{threads}_r{i}"), 3)
+            walls[threads].append(dt)
+            print(f"# dag threads={threads} run{i}: {dt:.2f}s",
+                  file=sys.stderr)
+    shutil.rmtree(workdir, ignore_errors=True)
+    med = {t: sorted(ts)[len(ts) // 2] for t, ts in walls.items()}
+    print(json.dumps({
+        "metric": "dag_materialization_sec",
+        "value": med[8],
+        "unit": "sec",
+        "serial_sec": med[1],
+        "threads8_sec": med[8],
+        "speedup": round(med[1] / med[8], 3),
+        "runs": walls,
+        "aggregation": "median_of_3",
+        "calibration_sec": {"start": calib_start,
+                            "end": calibration_sec()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--dag" in sys.argv:
+        dag_bench()
+    else:
+        main()

@@ -227,10 +227,30 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, bytes]:
         while pos < len(buf) and not buf[pos:pos + 1].isspace():
             pos += 1
         tokens.append(int(buf[start:pos]))
-    pos += 1                                   # the one delimiter byte
+    # exactly ONE whitespace byte separates maxval from the raster;
+    # anything else (e.g. a CRLF text-mode header) would silently
+    # shift the raster by a byte — error instead of decoding wrong
+    if not buf[pos:pos + 1].isspace():
+        raise ValueError("P6 header: maxval must be followed by a "
+                         "single whitespace byte")
+    if buf[pos:pos + 2] == b"\r\n":
+        # text-mode (CRLF) writer: '\r' alone would count as the one
+        # delimiter and the '\n' would be read as the first raster
+        # byte — ambiguous, so reject rather than decode shifted
+        raise ValueError("P6 header: CRLF after maxval is ambiguous "
+                         "(text-mode writer); rewrite with a single "
+                         "'\\n' delimiter")
+    pos += 1
     w, h, maxval = tokens
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
+    if maxval != 255:
+        # decode_image normalizes by 255; a spec-valid maxval<255
+        # payload would yield wrongly-scaled tensors ('no fake
+        # pixels' rule) — reject honestly like the 16-bit case
+        raise NotImplementedError(
+            f"P6 maxval={maxval} != 255 not supported (tensor "
+            f"normalization assumes 8-bit full scale)")
     need = w * h * 3
     if len(buf) < pos + need:
         raise ValueError("truncated PPM pixel data")

@@ -221,6 +221,28 @@ def test_ppm_roundtrip_and_comments():
     assert _decode_ppm(commented) == (7, 5, rgb)
 
 
+def test_ppm_rejects_nonstandard_maxval_and_bad_delimiter():
+    """r10 (ADVICE): maxval != 255 would be silently mis-scaled by the
+    /255 tensor normalization → honest NotImplementedError; a CRLF
+    after maxval (text-mode Windows writer) would shift the raster by
+    one byte → ValueError instead of wrong pixels."""
+    import pytest
+    from iot_simulator_datalake_spark.multimodal.transforms import (
+        _decode_ppm)
+    rgb = _pattern(3, 2, seed=4)
+    with pytest.raises(NotImplementedError, match="maxval=100"):
+        _decode_ppm(b"P6\n3 2\n100\n" + rgb)
+    with pytest.raises(NotImplementedError):
+        _decode_ppm(b"P6\n3 2\n65535\n" + rgb)   # 16-bit still rejected
+    with pytest.raises(ValueError, match="whitespace"):
+        _decode_ppm(b"P6\n3 2\n255")    # EOF where delimiter belongs
+    # CRLF text-mode writer: CR alone would count as the delimiter and
+    # the LF would be read as the first raster byte — must raise, not
+    # decode a shifted raster
+    with pytest.raises(ValueError, match="CRLF"):
+        _decode_ppm(b"P6\r\n3 2\r\n255\r\n" + rgb)
+
+
 def test_decode_auto_raises_for_compressed_formats():
     import pytest
     from iot_simulator_datalake_spark.multimodal.transforms import (

@@ -116,3 +116,31 @@ def test_cross_process_stability():
                            check=True).stdout.strip()
             for _ in range(2)]
     assert outs[0] == outs[1]
+
+
+def test_nul_string_permutation_invariant():
+    """Regression for the r9 categorize=True bug: '' and '\\x00'
+    collide in pandas' C-string category table, making the multiset
+    hash depend on insertion order.  categorize=False keeps the two
+    values distinct and the hash permutation-invariant."""
+    a = pa.table({"s": pa.array(["", "\x00"], pa.string())})
+    b = pa.table({"s": pa.array(["\x00", ""], pa.string())})
+    assert _eq(a, b)
+    # and the two values stay DISTINGUISHABLE
+    assert not _eq(pa.table({"s": pa.array(["", ""], pa.string())}),
+                   pa.table({"s": pa.array(["", "\x00"], pa.string())}))
+
+
+def test_nan_payload_bits_canonicalized():
+    """Counter mode treats every NaN as repr 'nan'; hash mode must
+    agree — a negative/payload-bearing NaN equals the standard quiet
+    NaN, while NaN vs a real number still differs."""
+    import struct
+
+    qnan = np.float64("nan")
+    neg_nan = struct.unpack("<d", struct.pack("<Q", 0xFFF8_0000_0000_0001))[0]
+    assert np.isnan(neg_nan)
+    assert _eq(pa.table({"v": pa.array([qnan], pa.float64())}),
+               pa.table({"v": pa.array([neg_nan], pa.float64())}))
+    assert not _eq(pa.table({"v": pa.array([qnan], pa.float64())}),
+                   pa.table({"v": pa.array([1.0], pa.float64())}))

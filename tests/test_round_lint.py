@@ -69,3 +69,83 @@ def test_repo_is_clean_at_head():
         capture_output=True, text=True, cwd="/root/repo")
     assert out.returncode == 0, out.stdout + out.stderr
     assert "0 violations" in out.stdout
+
+
+def test_status_block_drift_detection(tmp_path, monkeypatch):
+    """r10 (VERDICT r9 #2, third close-commit-last strike): the README
+    status block is machine-generated between markers; round_lint runs
+    status_block.verify_readme(), which re-renders the block from its
+    embedded inputs + LIVE artifacts and must flag any drift — so a
+    code commit landing after the close commit (changing registry /
+    ledger / plan counts) turns the lint red at HEAD."""
+    import json
+    import status_block as sb
+
+    bench = {"value": 9.9, "unit": "sec", "sf": 0.1,
+             "queries": {"q1": 1.0}, "baseline_subset_sec": 6.5,
+             "calibration_sec": {"start": 0.45, "end": 0.46}}
+    (tmp_path / "B.json").write_text(json.dumps(bench))
+    monkeypatch.setattr(sb, "ROOT", tmp_path)
+    monkeypatch.setattr(sb, "README", tmp_path / "README.md")
+    live = {"registry": 7, "swept": 6, "excluded": 1, "unclassified": 0}
+    monkeypatch.setattr(sb, "counts", lambda: dict(live))
+    monkeypatch.setattr(sb, "plan_denominator", lambda: 5)
+
+    block = sb.render({"round": "X", "pytest": "99 passed",
+                       "bench": "B.json"})
+    (tmp_path / "README.md").write_text(f"# repo\n\n{block}\n\nprose\n")
+    assert sb.verify_readme() == []          # in sync → clean
+
+    # post-close code commit: registry grows, ledger sweeps it
+    live["registry"], live["swept"] = 8, 7
+    probs = sb.verify_readme()
+    assert probs and "drifted" in probs[0]
+    live["registry"], live["swept"] = 7, 6
+    assert sb.verify_readme() == []
+
+    # plan partition changes → drift too
+    monkeypatch.setattr(sb, "plan_denominator", lambda: 6)
+    assert sb.verify_readme()
+
+    # hand edit inside the marked region → drift
+    monkeypatch.setattr(sb, "plan_denominator", lambda: 5)
+    txt = (tmp_path / "README.md").read_text()
+    (tmp_path / "README.md").write_text(
+        txt.replace("**7/7 hash-match**", "**7/7 hash-match!!**"))
+    assert sb.verify_readme()
+
+    # no markers at all → flagged
+    (tmp_path / "README.md").write_text("# repo\nno block here\n")
+    probs = sb.verify_readme()
+    assert probs and "no generated status block" in probs[0]
+
+
+def test_status_block_write_replaces_marked_region(tmp_path, monkeypatch):
+    import json
+    import status_block as sb
+
+    bench = {"value": 9.9, "unit": "sec", "sf": 0.1,
+             "queries": {"q1": 1.0}, "baseline_subset_sec": 6.5,
+             "calibration_sec": {"start": 0.45, "end": 0.46}}
+    (tmp_path / "B.json").write_text(json.dumps(bench))
+    monkeypatch.setattr(sb, "ROOT", tmp_path)
+    monkeypatch.setattr(sb, "README", tmp_path / "README.md")
+    monkeypatch.setattr(sb, "counts", lambda: {
+        "registry": 3, "swept": 3, "excluded": 0, "unclassified": 0})
+    monkeypatch.setattr(sb, "plan_denominator", lambda: 2)
+    # legacy adoption: hand-managed section replaced up to next ##
+    (tmp_path / "README.md").write_text(
+        "# repo\n\n## Status (round-9 close)\n\nold prose\n\n"
+        "## Next section\nkeep me\n")
+    sb.write_readme(sb.render({"round": "1", "pytest": "1 passed",
+                               "bench": "B.json"}))
+    txt = (tmp_path / "README.md").read_text()
+    assert sb.BEGIN in txt and sb.END in txt
+    assert "old prose" not in txt and "keep me" in txt
+    assert sb.verify_readme() == []
+    # idempotent: re-write replaces between markers, nothing dupes
+    sb.write_readme(sb.render({"round": "2", "pytest": "2 passed",
+                               "bench": "B.json"}))
+    txt2 = (tmp_path / "README.md").read_text()
+    assert txt2.count(sb.END) == 1 and "round-2" in txt2
+    assert "keep me" in txt2

@@ -153,3 +153,58 @@ def test_sweep_save_merges_over_concurrent_disk_updates(
     assert disk["swept"]["mine"]["status"] == "ok"     # own result
     assert disk["swept"]["other"]["wall_s"] == 2.0     # survives
     assert disk["swept"]["stale"]["wall_s"] == 1.0     # untouched
+
+
+def test_hash_fail_auto_falls_back_to_direct_mode_samples(
+        tmp_path, monkeypatch):
+    """r10 (VERDICT r9 #4/#6): a hash-mode FAIL carries no sample rows
+    by design; the sweep must automatically re-run that one query in
+    direct (Counter) mode and record the diff samples, so a future
+    failure is classifiable without a manual rerun."""
+    import subprocess as sp
+    import types
+
+    monkeypatch.setattr(xl, "registry_names", lambda: ["q"])
+    x100 = tmp_path / "x100"
+    (x100 / "lineitem.parquet").mkdir(parents=True)
+    monkeypatch.setattr(xl, "X100_DIR", str(x100))
+    monkeypatch.setattr(xl, "LEDGER", tmp_path / "L.json")
+    calls = []
+
+    def fake_run(cmd, **k):
+        hash_mode = k.get("env", {}).get("ORACLE_HASH_MODE") == "1"
+        calls.append(hash_mode)
+        if hash_mode:
+            out = ("  q                    FAIL    9 rows [  1.0s]\n"
+                   "      hash multiset differs\n")
+        else:
+            out = ("  q                    FAIL    9 rows [  2.0s]\n"
+                   "      values differ; spark-only=[(1, 'a')] "
+                   "duck-only=[(2, 'b')]\n")
+        return types.SimpleNamespace(returncode=1, stdout=out,
+                                     stderr="")
+
+    monkeypatch.setattr(sp, "run", fake_run)
+    led = {"swept": {}, "excluded": {}}
+    assert xl.sweep(led, ["q"], timeout=5, chunk=1) == 0
+    e = led["swept"]["q"]
+    assert e["status"] == "fail"
+    assert calls == [True, False]          # hash batch, then direct solo
+    assert "spark-only=[(1, 'a')]" in e["direct_detail"]
+
+
+def test_ledger_lock_serializes_saves(tmp_path, monkeypatch):
+    """The save path holds an exclusive flock across load-merge-write
+    so two processes saving in one window can't drop an entry."""
+    import fcntl
+
+    monkeypatch.setattr(xl, "LEDGER", tmp_path / "L.json")
+    with xl._ledger_lock():
+        fh = open(str(tmp_path / "L.json") + ".lock", "w")
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            held = False
+        except BlockingIOError:
+            held = True
+        fh.close()
+    assert held, "lock must be exclusive while a save is in flight"

@@ -92,8 +92,13 @@ def _canon_frame(tbl):
             cols[name] = pc.fill_null(arr.cast(pa.int64()), 0) \
                 .to_numpy(zero_copy_only=False)
         elif pa.types.is_floating(t) or pa.types.is_decimal(t):
-            cols[name] = pc.fill_null(arr.cast(pa.float64()), 0.0) \
-                .to_numpy(zero_copy_only=False).view(np.int64)
+            f = pc.fill_null(arr.cast(pa.float64()), 0.0) \
+                .to_numpy(zero_copy_only=False)
+            # canonicalize NaN payload/sign bits to ONE pattern before
+            # the bit-view, matching the Counter path's repr-'nan'
+            # equivalence (any NaN == any NaN)
+            f = np.where(np.isnan(f), np.float64("nan"), f)
+            cols[name] = f.view(np.int64)
         elif pa.types.is_timestamp(t):
             cols[name] = pc.fill_null(
                 arr.cast(pa.timestamp("us")).cast(pa.int64()), 0) \
@@ -121,7 +126,13 @@ def _hash_multiset(tbl):
     df = _canon_frame(tbl)
     if df is None:
         return None
-    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    # categorize=False: the default categorize=True factorizes object
+    # columns through a C-string (NUL-terminated) hash table, so ''
+    # and '\x00' collide into one category whose surviving hash
+    # depends on insertion order — breaking permutation invariance
+    # (caught by tests/test_properties.py hash-multiset property).
+    h = pd.util.hash_pandas_object(df, index=False,
+                                   categorize=False).to_numpy()
     return np.sort(h)
 
 

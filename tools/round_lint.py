@@ -187,6 +187,14 @@ def main() -> int:
             if qname not in ALLOW:
                 violations.append(
                     f"ORACLE {qname}: ROUND(..., {n}) not allowlisted")
+    # README status-block drift gate (VERDICT r9 #2: close-commit-last
+    # violated three rounds running).  The block is machine-generated
+    # by tools/status_block.py; re-render it from live artifacts and
+    # fail on any drift, so a code commit landing AFTER the close
+    # commit (changing registry / ledger / plan partition) turns this
+    # lint red at HEAD.
+    import status_block
+    violations += status_block.verify_readme()
     for v in violations:
         print(v)
     print(f"{len(violations)} violations "

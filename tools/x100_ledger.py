@@ -76,6 +76,25 @@ def load_ledger() -> dict:
     return {"swept": {}, "excluded": {}}
 
 
+class _ledger_lock:
+    """fcntl.flock on a sidecar file held across load-merge-write:
+    the r9 re-merge narrowed the concurrent-sweep race but two
+    direct-mode sweeps saving in one window could still drop an
+    entry (unlocked read-modify-write)."""
+
+    def __enter__(self):
+        import fcntl
+        self._fh = open(str(LEDGER) + ".lock", "w")
+        fcntl.flock(self._fh, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+        fcntl.flock(self._fh, fcntl.LOCK_UN)
+        self._fh.close()
+        return False
+
+
 def save_ledger(led: dict) -> None:
     led["swept"] = dict(sorted(led["swept"].items()))
     led["excluded"] = dict(sorted(led["excluded"].items()))
@@ -192,11 +211,12 @@ def sweep(led: dict, names: list[str], timeout: int,
                    for n, e in led["swept"].items()}
 
         def save():
-            disk = load_ledger()
-            disk["swept"].update(
-                {n: e for n, e in led["swept"].items()
-                 if json.dumps(e, sort_keys=True) != initial.get(n)})
-            save_ledger(disk)
+            with _ledger_lock():
+                disk = load_ledger()
+                disk["swept"].update(
+                    {n: e for n, e in led["swept"].items()
+                     if json.dumps(e, sort_keys=True) != initial.get(n)})
+                save_ledger(disk)
     batches = [targets[i:i + chunk] for i in range(0, len(targets), chunk)]
     done = 0
     for batch in batches:
@@ -235,6 +255,12 @@ def sweep(led: dict, names: list[str], timeout: int,
                                "dir": X100_DIR}
             if status != "ok":
                 led["swept"][n]["detail"] = _detail_for(txt, n)
+            if status == "fail":
+                # hash-mode mismatch: capture sample diff rows via an
+                # automatic solo direct-mode rerun (footgun removal —
+                # hash failures are otherwise opaque)
+                led["swept"][n]["direct_detail"] = \
+                    _direct_fallback(n, timeout)
         pending = [n for n in batch if n not in got]
         if timed_out:
             # the first query with no result line is the one in flight
@@ -268,6 +294,25 @@ def sweep(led: dict, names: list[str], timeout: int,
     return 0
 
 
+def _direct_fallback(name: str, timeout: int) -> str:
+    """A hash-mode FAIL prints no sample rows by design (the hashes
+    are opaque).  Re-run that ONE query solo in direct (Counter) mode
+    to capture diff samples for the ledger entry, so a future failure
+    can be classified without a manual re-run (VERDICT r9 #4/#6)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", "tools/check_oracle.py",
+             X100_DIR, name],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=str(LEDGER.parent),
+            env={k: v for k, v in os.environ.items()
+                 if k != "ORACLE_HASH_MODE"})
+        return _detail_for(r.stdout + r.stderr, name) or \
+            f"direct rerun rc={r.returncode}, no result line"
+    except subprocess.TimeoutExpired:
+        return f"direct rerun timed out after {timeout}s"
+
+
 def merge(led: dict, shards: list[str]) -> int:
     """Fold sweep shards into the ledger (shard entries win)."""
     n = 0
@@ -275,7 +320,11 @@ def merge(led: dict, shards: list[str]) -> int:
         sh = json.loads(pathlib.Path(s).read_text())
         led["swept"].update(sh.get("swept", {}))
         n += len(sh.get("swept", {}))
-    save_ledger(led)
+    with _ledger_lock():
+        disk = load_ledger()
+        disk["swept"].update(led["swept"])
+        disk["excluded"].update(led["excluded"])
+        save_ledger(disk)
     print(f"merged {n} entries from {len(shards)} shards")
     return 0
 
