@@ -189,23 +189,25 @@ def dag_bench() -> None:
     spark = get_spark("bench-dag")
     workdir = _export_landing(spark, sf_dir)   # one landing, all runs
 
-    def one_run(threads: int, tag: str) -> float:
+    def one_run(threads: int, tag: str) -> tuple[float, dict]:
         wh = workdir / f"wh_{tag}"
         eng = Engine(spark, build_registry(streaming=False),
                      config={"iot_events_path": str(workdir / "landing")},
                      warehouse=wh, threads=threads)
         t0 = time.monotonic()
-        eng.run()
+        res = eng.run()
         dt = time.monotonic() - t0
         shutil.rmtree(wh, ignore_errors=True)
-        return dt
+        return dt, {k: round(v, 3) for k, v in res.seconds.items()}
 
     one_run(8, "warmup")                       # JVM/codegen, discarded
     walls: dict[int, list[float]] = {1: [], 8: []}
+    per_model: dict[int, dict] = {}
     for i in range(3):                         # alternate: fair vs drift
         for threads in (1, 8):
-            dt = round(one_run(threads, f"t{threads}_r{i}"), 3)
-            walls[threads].append(dt)
+            dt, secs = one_run(threads, f"t{threads}_r{i}")
+            walls[threads].append(round(dt, 3))
+            per_model[threads] = secs          # last run per mode
             print(f"# dag threads={threads} run{i}: {dt:.2f}s",
                   file=sys.stderr)
     shutil.rmtree(workdir, ignore_errors=True)
@@ -218,6 +220,10 @@ def dag_bench() -> None:
         "threads8_sec": med[8],
         "speedup": round(med[1] / med[8], 3),
         "runs": walls,
+        # per-model walls from the last run of each mode: shows WHERE
+        # the pool wins (the 2-wide dim wave overlaps; bronze ingest
+        # is the serial Amdahl floor on this 5-model DAG)
+        "per_model_sec": per_model,
         "aggregation": "median_of_3",
         "calibration_sec": {"start": calib_start,
                             "end": calibration_sec()},

@@ -819,7 +819,10 @@ def ivfpq_residual_recall_eval(spark: "SparkSession",
     the shared centroid, this form's recall is the one that benefits
     from cell structure (on iid-random vectors both read low —
     structureless residuals — which is the honest reading to check
-    against YOUR corpus)."""
+    against YOUR corpus).  ``pq_structured_recall_eval`` is the
+    companion gate on a clustered fixture, where the residual form's
+    designed advantage actually shows (r10: 0.28 vs plain 0.06 at
+    sf0.01, 0.66 vs 0.00 at ×100)."""
     rbp, cent, a2, assign = _residual_model(spark, sf_dir)
     probes = (assign.filter(F.col("vec_id") < 10)
               .select(F.col("vec_id").alias("probe_id"), "cluster"))
