@@ -149,3 +149,20 @@ def test_status_block_write_replaces_marked_region(tmp_path, monkeypatch):
     txt2 = (tmp_path / "README.md").read_text()
     assert txt2.count(sb.END) == 1 and "round-2" in txt2
     assert "keep me" in txt2
+
+
+def test_status_block_verify_robust_to_missing_artifacts(
+        tmp_path, monkeypatch):
+    """A missing README or a block referencing a deleted bench
+    artifact must report drift, not crash round_lint."""
+    import status_block as sb
+
+    monkeypatch.setattr(sb, "ROOT", tmp_path)
+    monkeypatch.setattr(sb, "README", tmp_path / "README.md")
+    probs = sb.verify_readme()
+    assert probs and "cannot read README" in probs[0]
+    (tmp_path / "README.md").write_text(
+        sb.BEGIN + '{"round": "9", "pytest": "x", '
+        '"bench": "GONE.json"} -->\nbody\n' + sb.END)
+    probs = sb.verify_readme()
+    assert probs and "cannot re-render" in probs[0]

@@ -137,7 +137,10 @@ def write_readme(block: str) -> None:
 def verify_readme() -> list[str]:
     """Re-render the block from its embedded inputs + live artifacts;
     return drift problems (empty == README describes HEAD)."""
-    txt = README.read_text()
+    try:
+        txt = README.read_text()
+    except OSError as e:
+        return [f"README-STATUS: cannot read README: {e}"]
     i, j = txt.find(BEGIN), txt.find(END)
     if i == -1 or j == -1:
         return ["README-STATUS: no generated status block markers — "
@@ -150,7 +153,9 @@ def verify_readme() -> list[str]:
         return [f"README-STATUS: unparseable BEGIN marker: {e}"]
     try:
         fresh = render(inputs)
-    except SystemExit as e:
+    except (SystemExit, Exception) as e:  # noqa: BLE001 — any render
+        # failure (missing bench artifact, unclassified ledger, …)
+        # IS drift: the block no longer describes reproducible state
         return [f"README-STATUS: cannot re-render: {e}"]
     if fresh != current:
         import difflib
