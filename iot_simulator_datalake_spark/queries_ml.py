@@ -521,7 +521,9 @@ def pq_adc_recall_eval(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     low-rank block structure for {blocks} coarse codebooks to exploit
     (real embedding corpora cluster; production PQ uses 8-bit
     codebooks per block, k=256 not {k_}); raise k / blocks and re-run
-    the eval to price YOUR corpus."""
+    the eval to price YOUR corpus.  ``pq_structured_recall_eval`` is
+    the companion gate on a clustered fixture — the regime where the
+    codebooks have structure to exploit."""
     bp, cent, a2, _ = _pq_model(spark, sf_dir)
     probe = (bp.filter(F.col("vec_id") == 0)
              .select("d", F.col("qv").alias("pv")))

@@ -89,6 +89,15 @@ def get_spark(app_name: str = "iot_simulator_datalake_spark",
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # the oracle comparator deliberately fetches whole results
+        # (hash mode, Arrow batches); the 1g default rejected the
+        # 96 M-row hourly_rollup x1000 gate at ~3 GB serialized.
+        # Sized well under driver memory; product queries never
+        # collect unbounded results (audited — limit-probed / 1-row
+        # aggregates / k x d pins only), so this is gate headroom,
+        # not a scale-safety loosening of the product paths.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_DRIVER_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
