@@ -92,7 +92,7 @@ def test_status_block_drift_detection(tmp_path, monkeypatch):
     monkeypatch.setattr(sb, "plan_denominator", lambda: 5)
 
     block = sb.render({"round": "X", "pytest": "99 passed",
-                       "bench": "B.json"})
+                       "bench": "B.json", "plans": "5/5"})
     (tmp_path / "README.md").write_text(f"# repo\n\n{block}\n\nprose\n")
     assert sb.verify_readme() == []          # in sync → clean
 
@@ -138,14 +138,14 @@ def test_status_block_write_replaces_marked_region(tmp_path, monkeypatch):
         "# repo\n\n## Status (round-9 close)\n\nold prose\n\n"
         "## Next section\nkeep me\n")
     sb.write_readme(sb.render({"round": "1", "pytest": "1 passed",
-                               "bench": "B.json"}))
+                               "bench": "B.json", "plans": "2/2"}))
     txt = (tmp_path / "README.md").read_text()
     assert sb.BEGIN in txt and sb.END in txt
     assert "old prose" not in txt and "keep me" in txt
     assert sb.verify_readme() == []
     # idempotent: re-write replaces between markers, nothing dupes
     sb.write_readme(sb.render({"round": "2", "pytest": "2 passed",
-                               "bench": "B.json"}))
+                               "bench": "B.json", "plans": "2/2"}))
     txt2 = (tmp_path / "README.md").read_text()
     assert txt2.count(sb.END) == 1 and "round-2" in txt2
     assert "keep me" in txt2
@@ -166,3 +166,33 @@ def test_status_block_verify_robust_to_missing_artifacts(
         '"bench": "GONE.json"} -->\nbody\n' + sb.END)
     probs = sb.verify_readme()
     assert probs and "cannot re-render" in probs[0]
+
+
+def test_status_block_refuses_fabricated_or_stale_plan_claims(
+        tmp_path, monkeypatch):
+    """r10 review finding: the block's plan_lint line must be an
+    OBSERVED result — render refuses a dirty claim (num != den) and a
+    stale one (den != live registry partition), so the README can
+    never assert a plan gate that wasn't measured clean."""
+    import json
+
+    import pytest
+    import status_block as sb
+
+    bench = {"value": 1.0, "unit": "sec", "sf": 0.1,
+             "queries": {"q": 1.0}, "baseline_subset_sec": 1.0,
+             "calibration_sec": {"start": 0.4, "end": 0.4}}
+    (tmp_path / "B.json").write_text(json.dumps(bench))
+    monkeypatch.setattr(sb, "ROOT", tmp_path)
+    monkeypatch.setattr(sb, "counts", lambda: {
+        "registry": 1, "swept": 1, "excluded": 0, "unclassified": 0})
+    monkeypatch.setattr(sb, "plan_denominator", lambda: 5)
+    base = {"round": "1", "pytest": "ok", "bench": "B.json"}
+    with pytest.raises(SystemExit, match="plans must be"):
+        sb.render(base)                               # missing
+    with pytest.raises(SystemExit, match="not clean"):
+        sb.render({**base, "plans": "4/5"})           # dirty
+    with pytest.raises(SystemExit, match="stale"):
+        sb.render({**base, "plans": "6/6"})           # wrong denom
+    assert "5/5 batch plans clean" in sb.render({**base,
+                                                 "plans": "5/5"})

@@ -208,3 +208,29 @@ def test_ledger_lock_serializes_saves(tmp_path, monkeypatch):
             held = True
         fh.close()
     assert held, "lock must be exclusive while a save is in flight"
+
+
+
+def test_merge_writes_only_shard_keys_over_fresh_disk(
+        tmp_path, monkeypatch):
+    """r10 review finding: --merge must fold ONLY shard keys into the
+    fresh on-disk ledger — replaying the process's stale in-memory
+    copy reverted entries a concurrent sweep saved after our load."""
+    import json
+
+    monkeypatch.setattr(xl, "LEDGER", tmp_path / "L.json")
+    # on-disk state at merge time: a CONCURRENT sweep already saved a
+    # fresh verdict for 'q' after this process loaded its stale copy
+    (tmp_path / "L.json").write_text(json.dumps(
+        {"swept": {"q": {"status": "ok", "wall_s": 9.0}},
+         "excluded": {}}))
+    stale = {"swept": {"q": {"status": "err", "wall_s": 1.0}},
+             "excluded": {}}
+    s1 = tmp_path / "s1.json"
+    s1.write_text(json.dumps(
+        {"swept": {"r": {"status": "ok", "wall_s": 2.0}},
+         "excluded": {}}))
+    xl.merge(stale, [str(s1)])
+    disk = json.loads((tmp_path / "L.json").read_text())
+    assert disk["swept"]["q"]["status"] == "ok"    # fresh survives
+    assert disk["swept"]["r"]["wall_s"] == 2.0     # shard folded

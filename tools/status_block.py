@@ -79,13 +79,33 @@ def plan_denominator() -> int:
 
 def render(inputs: dict) -> str:
     """The full marked block, byte-reproducible given the same inputs
-    and the same on-disk artifacts (ledger, bench JSON, registry)."""
+    and the same on-disk artifacts (ledger, bench JSON, registry).
+
+    ``inputs['plans']`` is the OBSERVED plan_lint result ("274/274"),
+    not a fabrication: render refuses a dirty claim (numerator ≠
+    denominator) and a stale one (denominator ≠ the live registry
+    partition) — so the README can never assert a plan gate that was
+    not actually measured clean at this registry state (r10 review
+    finding; the r8 hand-typed-drift class)."""
     c = counts()
     if c["unclassified"]:
         raise SystemExit(
             f"REFUSING: {c['unclassified']} unclassified ledger "
             f"entries — run x100_ledger --check first")
     nplans = plan_denominator()
+    try:
+        p_num, p_den = (int(x) for x in inputs["plans"].split("/"))
+    except (KeyError, ValueError) as e:
+        raise SystemExit(f"REFUSING: --plans must be the observed "
+                         f"plan_lint result 'N/N' ({e})")
+    if p_num != p_den:
+        raise SystemExit(f"REFUSING: plan gate not clean "
+                         f"({inputs['plans']}) — fix plans before a "
+                         f"close block")
+    if p_den != nplans:
+        raise SystemExit(f"REFUSING: --plans denominator {p_den} is "
+                         f"stale: the live registry partitions to "
+                         f"{nplans} batch plans — re-run plan_lint")
     b = json.loads((ROOT / inputs["bench"]).read_text())
     b = b.get("parsed", b)   # driver BENCH_r{N}.json wraps the line
     cal = b.get("calibration_sec", {})
@@ -104,7 +124,9 @@ query), plus the same gate at sf0.001 (tiny-data robustness); ×100
 coverage ledger — **{c['swept']} swept-green /
 {c['excluded']} classed-and-evidenced exclusions /
 {c['registry']} queries, `tools/x100_ledger.py --check` 0 problems**;
-`tools/plan_lint.py` — **{nplans}/{nplans} batch plans clean**;
+`tools/plan_lint.py` — **{inputs['plans']} batch plans clean**
+(observed run; denominator re-checked against the live registry
+partition on every verify);
 `tools/round_lint.py` — **0 violations**; bench at sf{b['sf']} —
 **{b['value']} s across {len(b['queries'])} headline queries**
 (median-of-3), with the 14-query round-1 subset emitted directly as
@@ -175,6 +197,9 @@ def main() -> int:
     ap.add_argument("--pytest", help='e.g. "430 passed, 1 skipped"')
     ap.add_argument("--bench", help="path to the close bench JSON "
                                     "(repo-relative)")
+    ap.add_argument("--plans", help="OBSERVED plan_lint result, e.g. "
+                                    '"274/274" — refused if dirty or '
+                                    "stale vs the live registry")
     ap.add_argument("--write", action="store_true",
                     help="replace the marked README region")
     ap.add_argument("--verify", action="store_true",
@@ -187,10 +212,11 @@ def main() -> int:
         print("README status block "
               + ("DRIFTED" if probs else "matches live artifacts"))
         return 1 if probs else 0
-    if not (a.round and a.pytest and a.bench):
-        ap.error("--round/--pytest/--bench required unless --verify")
+    if not (a.round and a.pytest and a.bench and a.plans):
+        ap.error("--round/--pytest/--bench/--plans required unless "
+                 "--verify")
     block = render({"round": a.round, "pytest": a.pytest,
-                    "bench": a.bench})
+                    "bench": a.bench, "plans": a.plans})
     if a.write:
         write_readme(block)
         print("README status block written")

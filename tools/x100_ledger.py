@@ -298,32 +298,46 @@ def _direct_fallback(name: str, timeout: int) -> str:
     """A hash-mode FAIL prints no sample rows by design (the hashes
     are opaque).  Re-run that ONE query solo in direct (Counter) mode
     to capture diff samples for the ledger entry, so a future failure
-    can be classified without a manual re-run (VERDICT r9 #4/#6)."""
+    can be classified without a manual re-run (VERDICT r9 #4/#6).
+
+    The direct comparator is the documented 10-40× slower path (hash
+    mode exists BECAUSE it took 631-1352 s on big ×100 outputs), so
+    the rerun gets 4× the per-query hash budget, floored at an hour —
+    a fallback that times out on exactly the big-output queries it
+    was built to diagnose would be useless."""
+    budget = max(4 * timeout, 3600)
     try:
         r = subprocess.run(
             [sys.executable, "-u", "tools/check_oracle.py",
              X100_DIR, name],
-            capture_output=True, text=True, timeout=timeout,
+            capture_output=True, text=True, timeout=budget,
             cwd=str(LEDGER.parent),
             env={k: v for k, v in os.environ.items()
                  if k != "ORACLE_HASH_MODE"})
         return _detail_for(r.stdout + r.stderr, name) or \
             f"direct rerun rc={r.returncode}, no result line"
     except subprocess.TimeoutExpired:
-        return f"direct rerun timed out after {timeout}s"
+        return f"direct rerun timed out after {budget}s"
 
 
 def merge(led: dict, shards: list[str]) -> int:
-    """Fold sweep shards into the ledger (shard entries win)."""
+    """Fold sweep shards into the ledger (shard entries win).  Writes
+    ONLY the shard keys over the fresh on-disk state under the lock —
+    replaying this process's full (stale) in-memory copy would revert
+    entries a concurrent sweep saved after our load (r10 review
+    finding; the sweep's save() has the same changed-keys-only
+    discipline)."""
+    fold = {"swept": {}, "excluded": {}}
     n = 0
     for s in shards:
         sh = json.loads(pathlib.Path(s).read_text())
-        led["swept"].update(sh.get("swept", {}))
+        fold["swept"].update(sh.get("swept", {}))
+        fold["excluded"].update(sh.get("excluded", {}))
         n += len(sh.get("swept", {}))
     with _ledger_lock():
         disk = load_ledger()
-        disk["swept"].update(led["swept"])
-        disk["excluded"].update(led["excluded"])
+        disk["swept"].update(fold["swept"])
+        disk["excluded"].update(fold["excluded"])
         save_ledger(disk)
     print(f"merged {n} entries from {len(shards)} shards")
     return 0
