@@ -559,3 +559,29 @@ def test_hash_multiset_is_permutation_invariant_and_injective_ish(rows):
         assert not np.array_equal(h, _hash_multiset(tbl(rows[1:])))
         assert not np.array_equal(
             h, _hash_multiset(tbl(rows + [rows[0]])))
+
+
+@given(qv_c=st.integers(9000, 11000), qv_i=st.integers(9000, 11000))
+@settings(max_examples=200, deadline=None)
+def test_structured_fixture_residual_identity(qv_c, qv_i):
+    """The r10 structured PQ fixture's load-bearing algebra
+    (FIXTURES.md §5): for any quantized dims in the milli-unit range,
+    cl − cterm == qv//8 + SHIFT exactly (the residual relation the
+    oracle builds DIRECTLY from pts must equal the fixture minus its
+    center term — if these diverge, the residual trainer trains on a
+    different relation than the serving table assumes), and every
+    quantity stays positive so the floor-div trainer's div/// parity
+    holds in both engines."""
+    import iot_simulator_datalake_spark.queries  # noqa: F401 — load
+    # order: the registry module resolves the queries_* import cycle
+    from iot_simulator_datalake_spark.queries_ml import (
+        _SA, _SC, _SHIFT, _SN)
+    SHIFT, A, SN = _SHIFT, _SA, _SN
+    assert _SC == 8 and min(range(_SC)) == 0 % _SC  # one seed per cell
+    cterm = (qv_c - SHIFT) * A
+    cl = cterm + qv_i // SN + SHIFT
+    residual = cl - cterm
+    assert residual == qv_i // SN + SHIFT
+    assert cl > 0 and residual > 0 and qv_i > 0
+    # python // on positives == Spark `div` == DuckDB `//`
+    assert qv_i // SN == int(qv_i / SN)
