@@ -137,6 +137,14 @@ def main() -> None:
             print(f"# pass{_pass} {name}: {n} rows in {dt:.2f}s",
                   file=sys.stderr)
     timings = {n: sorted(ts)[len(ts) // 2] for n, ts in passes.items()}
+    # variance-aware protocol (VERDICT r10 #2): the JSON carries each
+    # query's [min, median, max] across the 3 passes, plus the subset
+    # total's spread (sum of per-query mins / medians / maxes), so a
+    # round-over-round delta can be read against the run's own
+    # dispersion instead of a single point.  Adjudication rule lives
+    # in BASELINE.md: subset deltas under 15% are run-to-run noise.
+    spread = {n: [min(ts), sorted(ts)[len(ts) // 2], max(ts)]
+              for n, ts in passes.items()}
 
     total = round(sum(timings.values()), 3)
     # the subset is a fixed comparison contract: a missing key means a
@@ -145,6 +153,8 @@ def main() -> None:
     missing = [n for n in BASELINE_SUBSET if n not in timings]
     assert not missing, f"baseline-subset queries absent: {missing}"
     subset = round(sum(timings[n] for n in BASELINE_SUBSET), 3)
+    subset_spread = [round(sum(spread[n][i] for n in BASELINE_SUBSET), 3)
+                     for i in range(3)]
     calib_end, load_end = calibration_sec(), _loadavg()
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -152,6 +162,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "baseline_subset_sec": subset,
+        "spread": spread,
+        "baseline_subset_spread": subset_spread,
         "aggregation": "median_of_3",
         # contamination sentinel (calibration_sec docstring): compare
         # against the idle reference in BASELINE.md before reading the

@@ -215,9 +215,11 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, bytes]:
     data follows the single whitespace byte after maxval."""
     if buf[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    pos, tokens = 2, []
+    pos, tokens, crlf_header = 2, [], False
     while len(tokens) < 3:
         while pos < len(buf) and buf[pos:pos + 1].isspace():
+            if buf[pos:pos + 2] == b"\r\n":    # text-mode evidence
+                crlf_header = True
             pos += 1
         if buf[pos:pos + 1] == b"#":           # comment to end of line
             while pos < len(buf) and buf[pos] != 0x0A:
@@ -233,13 +235,18 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, bytes]:
     if not buf[pos:pos + 1].isspace():
         raise ValueError("P6 header: maxval must be followed by a "
                          "single whitespace byte")
-    if buf[pos:pos + 2] == b"\r\n":
-        # text-mode (CRLF) writer: '\r' alone would count as the one
-        # delimiter and the '\n' would be read as the first raster
-        # byte — ambiguous, so reject rather than decode shifted
-        raise ValueError("P6 header: CRLF after maxval is ambiguous "
-                         "(text-mode writer); rewrite with a single "
-                         "'\\n' delimiter")
+    if buf[pos:pos + 2] == b"\r\n" and crlf_header:
+        # The header tokens were themselves CRLF-delimited — a
+        # text-mode writer, whose raster bytes are corrupted too
+        # (every 0x0A became 0x0D 0x0A), so decoding is unsafe.
+        # When the header shows NO CRLF evidence, a '\r' here is a
+        # spec-legal single delimiter and a raster legitimately
+        # starting with 0x0A decodes normally (ADVICE r10: the old
+        # unconditional check false-positived on that conforming
+        # input).
+        raise ValueError("P6 header: CRLF-delimited header (text-mode "
+                         "writer) — raster bytes are untrustworthy; "
+                         "rewrite in binary mode with '\\n' delimiters")
     pos += 1
     w, h, maxval = tokens
     if maxval > 255:

@@ -89,18 +89,21 @@ def get_spark(app_name: str = "iot_simulator_datalake_spark",
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        # the oracle comparator deliberately fetches whole results
-        # (hash mode, Arrow batches); the 1g default rejected the
-        # 96 M-row hourly_rollup x1000 gate at ~3 GB serialized.
-        # Sized well under driver memory; product queries never
-        # collect unbounded results (audited — limit-probed / 1-row
-        # aggregates / k x d pins only), so this is gate headroom,
-        # not a scale-safety loosening of the product paths.
-        .config("spark.driver.maxResultSize",
-                os.environ.get("SPARK_DRIVER_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
+    # spark.driver.maxResultSize stays at Spark's 1g DEFAULT for every
+    # product session: product queries never collect unbounded results
+    # (audited — limit-probed / 1-row aggregates / k x d pins only),
+    # and the 1g guard keeps that audit mechanically enforced instead
+    # of by convention (ADVICE r10).  Only the non-stream oracle-gate
+    # modes, which deliberately fetch whole results, export the env
+    # override (tools/check_oracle.py main); stream mode
+    # (ORACLE_STREAM_MODE=1) verifies values via executor-side digests
+    # and runs under the same 1g default as production.
+    mr = os.environ.get("SPARK_DRIVER_MAX_RESULT")
+    if mr:
+        builder = builder.config("spark.driver.maxResultSize", mr)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     # NOTE getOrCreate IGNORES builder configs when a session already

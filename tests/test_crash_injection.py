@@ -32,6 +32,8 @@ from iot_simulator_datalake_spark.operators.scd import (
     _atomic_swap_write, _restore_crashed_swap)
 from iot_simulator_datalake_spark.engine.runner import _install_version
 
+from conftest import write_iot_events
+
 PKG = pathlib.Path(scd.__file__).resolve().parent.parent
 
 SWAP_STEPS = ["swap:restored", "swap:stage-cleared", "swap:staged",
@@ -140,6 +142,73 @@ def test_install_kill_at_every_step(tmp_path, step, legacy_start, kill_at):
     (v3 / "data.txt").write_text("v3")
     _install_version(v3, final)
     assert (final / "data.txt").read_text() == "v3"
+
+
+def test_streaming_sink_crash_windows_exactly_once(spark, tmp_path):
+    """Streaming-runner crash injection (VERDICT r10 #6).  The parquet
+    streaming sink's protocol per micro-batch is: task files written →
+    sink metadata log (_spark_metadata/N) committed → checkpoint
+    commit marker (commits/N) written.  A crash leaves one of two
+    externally visible windows, both simulated here by constructing
+    the exact on-disk state a kill would leave:
+
+    - **after sink commit, before checkpoint commit** — delete
+      commits/N and restart: Spark replays batch N from offsets/N, the
+      FileStreamSink sees the batchId already in its metadata log and
+      skips the rewrite → no duplicates on the two-wave fixture.
+    - **after task files, before sink commit** — a dead task attempt's
+      orphan parquet file sits in the output dir but NOT in
+      _spark_metadata: the metadata-log-governed read must not see it.
+    """
+    import shutil
+    from datetime import datetime
+
+    from iot_simulator_datalake_spark.streaming.runner import (
+        materialize_streaming_table)
+
+    landing = tmp_path / "landing"
+    out, ck = tmp_path / "bronze", tmp_path / "ck"
+    write_iot_events(landing, n_events=200, n_files=2, seed=31)
+    schema = spark.read.json(str(landing)).schema
+
+    def drain():
+        sdf = spark.readStream.schema(schema).json(str(landing))
+        return materialize_streaming_table(spark, sdf, out, ck)
+
+    assert drain().count() == 200
+
+    # -- window 1: checkpoint commit marker lost after the sink commit
+    commits = sorted((ck / "commits").glob("[0-9]*"),
+                     key=lambda p: int(p.name))
+    assert commits, "checkpoint produced no commit markers"
+    commits[-1].unlink()
+    # the local filesystem's checksum sidecar must die with the marker,
+    # or the replay's re-write of commits/N trips over the stale .crc
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    write_iot_events(landing, n_events=100, n_files=1, seed=32,
+                     start=datetime(2024, 6, 1))
+    healed = drain()
+    assert healed.count() == 300, "batch replay duplicated wave 1"
+    from pyspark.sql import functions as F
+    dupes = (healed.groupBy("device_id", "timestamp", "value",
+                            "sensor_type").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0
+
+    # -- window 2: dead task attempt's orphan file, never sink-committed
+    committed = sorted(out.glob("part-*.parquet"))
+    orphan = out / "part-99999-dead-task-attempt.parquet"
+    shutil.copy(committed[0], orphan)
+    seen = spark.read.schema(schema).parquet(str(out))
+    assert seen.count() == 300, \
+        "reader saw a file the sink metadata log never committed"
+
+    # -- and the next drain still works over the debris (write healing)
+    write_iot_events(landing, n_events=50, n_files=1, seed=33,
+                     start=datetime(2024, 7, 1))
+    assert drain().count() == 350
 
 
 #: every (file, enclosing function) that invokes a swap/install

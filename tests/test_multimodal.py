@@ -236,11 +236,16 @@ def test_ppm_rejects_nonstandard_maxval_and_bad_delimiter():
         _decode_ppm(b"P6\n3 2\n65535\n" + rgb)   # 16-bit still rejected
     with pytest.raises(ValueError, match="whitespace"):
         _decode_ppm(b"P6\n3 2\n255")    # EOF where delimiter belongs
-    # CRLF text-mode writer: CR alone would count as the delimiter and
-    # the LF would be read as the first raster byte — must raise, not
-    # decode a shifted raster
+    # CRLF text-mode writer (header tokens CRLF-delimited): raster
+    # bytes are untrustworthy too — must raise, not decode shifted
     with pytest.raises(ValueError, match="CRLF"):
         _decode_ppm(b"P6\r\n3 2\r\n255\r\n" + rgb)
+    # r11 (ADVICE r10 false positive): a binary writer using '\r' as
+    # the single spec-legal delimiter, with a raster that legitimately
+    # STARTS with 0x0A, must decode — the header shows no CRLF
+    # evidence, so the old unconditional \r\n check was wrong here
+    lf_first = b"\x0a" + _pattern(3, 2, seed=4)[1:]
+    assert _decode_ppm(b"P6\n3 2\n255\r" + lf_first) == (3, 2, lf_first)
 
 
 def test_decode_auto_raises_for_compressed_formats():

@@ -63,14 +63,13 @@ def test_check_partition_logic(monkeypatch, capsys):
 
 def test_merge_folds_shards(tmp_path, monkeypatch):
     monkeypatch.setattr(xl, "LEDGER", tmp_path / "L.json")
-    led = {"swept": {"a": {"status": "ok"}}, "excluded": {}}
     s1 = tmp_path / "s1.json"
     s1.write_text(json.dumps(
         {"swept": {"b": {"status": "ok"}}, "excluded": {}}))
     s2 = tmp_path / "s2.json"
     s2.write_text(json.dumps(
         {"swept": {"a": {"status": "fail"}}, "excluded": {}}))
-    xl.merge(led, [str(s1), str(s2)])
+    xl.merge([str(s1), str(s2)])
     saved = json.loads((tmp_path / "L.json").read_text())
     assert saved["swept"]["b"]["status"] == "ok"
     assert saved["swept"]["a"]["status"] == "fail"  # shard wins
@@ -214,8 +213,9 @@ def test_ledger_lock_serializes_saves(tmp_path, monkeypatch):
 def test_merge_writes_only_shard_keys_over_fresh_disk(
         tmp_path, monkeypatch):
     """r10 review finding: --merge must fold ONLY shard keys into the
-    fresh on-disk ledger — replaying the process's stale in-memory
-    copy reverted entries a concurrent sweep saved after our load."""
+    fresh on-disk ledger (merge no longer even receives an in-memory
+    copy — replaying a stale one reverted entries a concurrent sweep
+    saved after our load)."""
     import json
 
     monkeypatch.setattr(xl, "LEDGER", tmp_path / "L.json")
@@ -224,13 +224,11 @@ def test_merge_writes_only_shard_keys_over_fresh_disk(
     (tmp_path / "L.json").write_text(json.dumps(
         {"swept": {"q": {"status": "ok", "wall_s": 9.0}},
          "excluded": {}}))
-    stale = {"swept": {"q": {"status": "err", "wall_s": 1.0}},
-             "excluded": {}}
     s1 = tmp_path / "s1.json"
     s1.write_text(json.dumps(
         {"swept": {"r": {"status": "ok", "wall_s": 2.0}},
          "excluded": {}}))
-    xl.merge(stale, [str(s1)])
+    xl.merge([str(s1)])
     disk = json.loads((tmp_path / "L.json").read_text())
     assert disk["swept"]["q"]["status"] == "ok"    # fresh survives
     assert disk["swept"]["r"]["wall_s"] == 2.0     # shard folded

@@ -17,6 +17,29 @@ whose types the vectorized canonicalizer doesn't cover (lists,
 structs, maps, binary) fall back per-query to the Counter compare
 over the same Arrow values.  The DEFAULT mode is byte-identical to
 the driver's gate; only tools/x100_ledger.py opts into hash mode.
+
+Stream mode (VERDICT r10 #1): with ``ORACLE_STREAM_MODE=1`` neither
+result set is ever materialized on the driver.  The Spark side
+computes the canonical per-row uint64 hashes ON EXECUTORS
+(``mapInArrow`` over the same ``_canon_frame`` canonicalization) and
+folds them into a fixed-size order-insensitive DIGEST — 4096 buckets
+keyed by the hash's top 12 bits, each carrying (count, Σh, Σh²,
+XOR h) with uint64 wraparound — so only ~128 KiB per partition ever
+reaches the driver.  The DuckDB side streams the oracle through
+``fetch_arrow_reader`` in 1M-row chunks into the identical digest.
+Two equal multisets always produce equal digests (every statistic is
+commutative); a forged collision would need equal count, sum, sum of
+squares, AND xor in all 4096 buckets simultaneously — far stronger
+than the gate needs.  Per-row hashes are batch-boundary-independent
+(``hash_pandas_object`` is elementwise with a fixed key), which
+tests/test_oracle_stream_mode.py pins, along with digest/Counter
+verdict parity.  Schemas outside the canonical vectorized set fall
+back to hash mode's whole-result compare (none of the wide-row
+queries this mode exists for carry such types).  Stream mode is what
+lets ``silver_projection_cast``-class results (150 M × 7 string
+cols at ×1000) be value-verified under the DEFAULT 1g
+``spark.driver.maxResultSize`` — the 8g override is now scoped to
+the non-stream gate modes only (ADVICE r10).
 """
 
 from __future__ import annotations
@@ -64,82 +87,29 @@ def row_multiset(cols, rows):
 
 
 HASH_MODE = os.environ.get("ORACLE_HASH_MODE", "") == "1"
+STREAM_MODE = os.environ.get("ORACLE_STREAM_MODE", "") == "1"
 
+# Comparator core lives in the package so the stream digest's
+# mapInArrow closure is importable on Spark's Python workers (see
+# iot_simulator_datalake_spark/oraclehash.py docstring); re-exported
+# here so tests and callers keep one import surface.
+from iot_simulator_datalake_spark.oraclehash import (  # noqa: E402
+    N_BUCKETS, _canon_frame, _digest_add, _digest_new, _digests_differ,
+    _duck_digest, _hash_multiset, _spark_digest, _stream_supported,
+    duck_to_spark as _duck_to_spark)
 
-def _canon_frame(tbl):
-    """Arrow table → pandas DataFrame of canonical hashable columns
-    (sorted by name; every nullable column gets an explicit null-mask
-    sibling so a fill sentinel can never collide with data), or None
-    when a column type is outside the vectorized set — the caller then
-    falls back to the Counter compare.
-
-    Canonical forms mirror norm_cell's equivalences: ints/bools →
-    int64; float32/decimal → float64 whose BIT pattern is compared
-    (repr-equality ⇔ bit-equality for doubles); timestamps → naive
-    microsecond int64 (Spark exports tz=UTC, DuckDB naive — same wall
-    clock under the repo's UTC session rule); date32 → epoch days."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    cols = {}
-    for name in sorted(tbl.column_names):
-        arr = tbl.column(name).combine_chunks()
-        t = arr.type
-        cols[name + "\x00null"] = pc.is_null(arr).cast(pa.int8()) \
-            .to_numpy(zero_copy_only=False)
-        if pa.types.is_boolean(t) or pa.types.is_integer(t):
-            cols[name] = pc.fill_null(arr.cast(pa.int64()), 0) \
-                .to_numpy(zero_copy_only=False)
-        elif pa.types.is_floating(t) or pa.types.is_decimal(t):
-            f = pc.fill_null(arr.cast(pa.float64()), 0.0) \
-                .to_numpy(zero_copy_only=False)
-            # canonicalize NaN payload/sign bits to ONE pattern before
-            # the bit-view, matching the Counter path's repr-'nan'
-            # equivalence (any NaN == any NaN)
-            f = np.where(np.isnan(f), np.float64("nan"), f)
-            cols[name] = f.view(np.int64)
-        elif pa.types.is_timestamp(t):
-            cols[name] = pc.fill_null(
-                arr.cast(pa.timestamp("us")).cast(pa.int64()), 0) \
-                .to_numpy(zero_copy_only=False)
-        elif pa.types.is_date(t):
-            cols[name] = pc.fill_null(
-                arr.cast(pa.date32()).cast(pa.int32()).cast(pa.int64()),
-                0).to_numpy(zero_copy_only=False)
-        elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            cols[name] = pc.fill_null(arr.cast(pa.large_string()), "") \
-                .to_pandas()
-        else:                       # list/struct/map/binary → fallback
-            return None
-    import pandas as pd
-    return pd.DataFrame(cols)
-
-
-def _hash_multiset(tbl):
-    """Sorted per-row uint64 hash array of an Arrow table (canonical
-    column order + null masks via _canon_frame), or None if the schema
-    needs the Counter fallback."""
-    import numpy as np
-    import pandas as pd
-
-    df = _canon_frame(tbl)
-    if df is None:
-        return None
-    # categorize=False: the default categorize=True factorizes object
-    # columns through a C-string (NUL-terminated) hash table, so ''
-    # and '\x00' collide into one category whose surviving hash
-    # depends on insertion order — breaking permutation invariance
-    # (caught by tests/test_properties.py hash-multiset property).
-    h = pd.util.hash_pandas_object(df, index=False,
-                                   categorize=False).to_numpy()
-    return np.sort(h)
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(REGISTRY)
 
+    # Non-stream modes fetch whole results to the driver, so THEY get
+    # the 8g maxResultSize headroom — scoped here, at the gate entry
+    # point, instead of loosening every product session (ADVICE r10).
+    # Stream mode runs under Spark's default 1g by design.
+    if not STREAM_MODE:
+        os.environ.setdefault("SPARK_DRIVER_MAX_RESULT", "8g")
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -165,40 +135,36 @@ def main() -> int:
     return 1 if failures else 0
 
 
-def _duck_to_spark(dt: str) -> str:
-    """DuckDB type string → Spark dtype string (arrays recurse:
-    'FLOAT[]' → 'array<float>'; decimals keep their precision)."""
-    type_map = {"INTEGER": "int", "BIGINT": "bigint",
-                "HUGEINT": "hugeint", "DOUBLE": "double",
-                "FLOAT": "float", "VARCHAR": "string", "DATE": "date",
-                "TIMESTAMP": "timestamp", "BOOLEAN": "boolean"}
-    dt = dt.strip()
-    if dt.endswith("[]"):
-        return f"array<{_duck_to_spark(dt[:-2])}>"
-    base = dt.split("(")[0]
-    if base in ("DECIMAL", "NUMERIC"):
-        return "decimal" + dt[len(base):].replace(" ", "")
-    return type_map.get(base, dt.lower())
-
-
 def _check_one(spark, con, sf_dir, name, qd, t0, failures):
     sdf = qd.fn(spark, sf_dir)
     scols = sdf.columns
-    if HASH_MODE:
+    if qd.oracle is None:
+        # rows-only: nothing to value-compare, so stream mode needs no
+        # fetch at all — count() is the cheapest faithful action here
+        n_spark = (sdf.count() if STREAM_MODE
+                   else sdf.toArrow().num_rows if HASH_MODE
+                   else len(sdf.collect()))
+        print(f"  {name:35s} rows-only: {n_spark:7d} rows "
+              f"[{time.monotonic() - t0:5.1f}s]")
+        return
+    drel = con.sql(qd.oracle)     # ONE execution serves columns,
+    dcols = list(drel.columns)    # types, and rows (the x10 sweep
+    dtypes = dict(zip(dcols, [str(t) for t in drel.types]))
+    streaming = STREAM_MODE and _stream_supported(sdf.dtypes, drel.types)
+    if streaming:                 # runs full-scan oracles — don't 2x)
+        sdig = _spark_digest(sdf)
+        n_spark = int(sdig["cnt"].sum())
+    elif HASH_MODE or STREAM_MODE:   # stream fallback = hash compare
         stbl = sdf.toArrow()
         n_spark = stbl.num_rows
     else:
         srows = [tuple(r) for r in sdf.collect()]
         n_spark = len(srows)
     spark_sec = time.monotonic() - t0
-    if qd.oracle is None:
-        print(f"  {name:35s} rows-only: {n_spark:7d} rows "
-              f"[{spark_sec:5.1f}s]")
-        return
-    drel = con.sql(qd.oracle)     # ONE execution serves columns,
-    dcols = list(drel.columns)    # types, and rows (the x10 sweep
-    dtypes = dict(zip(dcols, [str(t) for t in drel.types]))
-    if HASH_MODE:                 # runs full-scan oracles — don't 2x)
+    if streaming:
+        ddig = _duck_digest(drel)
+        n_duck = int(ddig["cnt"].sum())
+    elif HASH_MODE or STREAM_MODE:
         dtbl = drel.arrow()
         n_duck = dtbl.num_rows
     else:
@@ -217,8 +183,12 @@ def _check_one(spark, con, sf_dir, name, qd, t0, failures):
         if _duck_to_spark(dt) != styp:
             problems.append(f"dtype {col}: spark={styp} duck={dt}")
     if not problems:
-        problems += (_values_differ_hash(stbl, dtbl) if HASH_MODE
-                     else _values_differ(scols, srows, dcols, drows))
+        if streaming:
+            problems += _digests_differ(sdig, ddig)
+        elif HASH_MODE or STREAM_MODE:
+            problems += _values_differ_hash(stbl, dtbl)
+        else:
+            problems += _values_differ(scols, srows, dcols, drows)
     status = "OK " if not problems else "FAIL"
     print(f"  {name:35s} {status} {n_spark:7d} rows [{spark_sec:5.1f}s]")
     for p in problems:

@@ -219,6 +219,13 @@ def sweep(led: dict, names: list[str], timeout: int,
                 save_ledger(disk)
     batches = [targets[i:i + chunk] for i in range(0, len(targets), chunk)]
     done = 0
+    # one direct-mode fallback budget for the WHOLE sweep (ADVICE r10):
+    # a sweep with several hash-mode failures must stay responsive —
+    # each fallback solo-run gets what remains of this pool, and once
+    # it drains the remaining failures keep their saved FAIL entry
+    # with a how-to-reproduce note instead of another hours-long rerun
+    fallback_budget = max(4 * timeout, 3600)
+    fallback_spent = 0.0
     for batch in batches:
         t0 = time.time()
         timed_out = False
@@ -247,6 +254,7 @@ def sweep(led: dict, names: list[str], timeout: int,
         wall = round(time.time() - t0, 1)
         got = _parse_results(txt)
         reported = [n for n in batch if n in got]
+        fallbacks = []
         for n in reported:
             status, sec = got[n]
             # 'rows-only' stays distinct: nothing was hash-verified,
@@ -256,11 +264,30 @@ def sweep(led: dict, names: list[str], timeout: int,
             if status != "ok":
                 led["swept"][n]["detail"] = _detail_for(txt, n)
             if status == "fail":
+                fallbacks.append(n)
+        if fallbacks:
+            # Save the FAIL entries first, then enrich: the direct-mode
+            # rerun is the documented slow path, and a multi-failure
+            # batch must not hold every verdict hostage to it (ADVICE
+            # r10).  One full fallback budget is shared across the
+            # whole sweep — the first failures get diff samples, the
+            # rest keep their recorded FAIL and a skip note.
+            save()
+            for n in fallbacks:
+                left = fallback_budget - fallback_spent
+                if left <= 60:
+                    led["swept"][n]["direct_detail"] = (
+                        "direct rerun skipped: sweep fallback budget "
+                        f"({fallback_budget}s) exhausted — rerun solo "
+                        "without ORACLE_HASH_MODE for samples")
+                    continue
+                t_fb = time.time()
                 # hash-mode mismatch: capture sample diff rows via an
                 # automatic solo direct-mode rerun (footgun removal —
                 # hash failures are otherwise opaque)
                 led["swept"][n]["direct_detail"] = \
-                    _direct_fallback(n, timeout)
+                    _direct_fallback(n, timeout, int(left))
+                fallback_spent += time.time() - t_fb
         pending = [n for n in batch if n not in got]
         if timed_out:
             # the first query with no result line is the one in flight
@@ -294,7 +321,8 @@ def sweep(led: dict, names: list[str], timeout: int,
     return 0
 
 
-def _direct_fallback(name: str, timeout: int) -> str:
+def _direct_fallback(name: str, timeout: int,
+                     budget: int | None = None) -> str:
     """A hash-mode FAIL prints no sample rows by design (the hashes
     are opaque).  Re-run that ONE query solo in direct (Counter) mode
     to capture diff samples for the ledger entry, so a future failure
@@ -302,10 +330,11 @@ def _direct_fallback(name: str, timeout: int) -> str:
 
     The direct comparator is the documented 10-40× slower path (hash
     mode exists BECAUSE it took 631-1352 s on big ×100 outputs), so
-    the rerun gets 4× the per-query hash budget, floored at an hour —
-    a fallback that times out on exactly the big-output queries it
-    was built to diagnose would be useless."""
-    budget = max(4 * timeout, 3600)
+    the budget defaults to 4× the per-query hash budget, floored at an
+    hour — but the CALLER passes what remains of the sweep-wide pool,
+    so several failures can't stall the sweep for hours each (ADVICE
+    r10; the FAIL entry is already saved before this runs)."""
+    budget = budget if budget is not None else max(4 * timeout, 3600)
     try:
         r = subprocess.run(
             [sys.executable, "-u", "tools/check_oracle.py",
@@ -320,26 +349,25 @@ def _direct_fallback(name: str, timeout: int) -> str:
         return f"direct rerun timed out after {budget}s"
 
 
-def merge(led: dict, shards: list[str]) -> int:
+def merge(shards: list[str]) -> int:
     """Fold sweep shards into the ledger (shard entries win).  Writes
     ONLY the shard keys over the fresh on-disk state under the lock —
-    replaying this process's full (stale) in-memory copy would revert
-    entries a concurrent sweep saved after our load (r10 review
-    finding; the sweep's save() has the same changed-keys-only
-    discipline)."""
+    replaying a stale in-memory copy would revert entries a concurrent
+    sweep saved after our load (r10 review finding; the sweep's save()
+    has the same changed-keys-only discipline)."""
     fold = {"swept": {}, "excluded": {}}
-    n = 0
     for s in shards:
         sh = json.loads(pathlib.Path(s).read_text())
         fold["swept"].update(sh.get("swept", {}))
         fold["excluded"].update(sh.get("excluded", {}))
-        n += len(sh.get("swept", {}))
     with _ledger_lock():
         disk = load_ledger()
         disk["swept"].update(fold["swept"])
         disk["excluded"].update(fold["excluded"])
         save_ledger(disk)
-    print(f"merged {n} entries from {len(shards)} shards")
+    print(f"merged {len(fold['swept'])} swept + "
+          f"{len(fold['excluded'])} excluded entries from "
+          f"{len(shards)} shards")
     return 0
 
 
@@ -348,7 +376,7 @@ def main(argv: list[str]) -> int:
     if argv[:1] == ["--check"] or not argv:
         return check(led)
     if argv[:1] == ["--merge"]:
-        return merge(led, argv[1:])
+        return merge(argv[1:])
     if argv[:1] == ["--sweep"]:
         argv = argv[1:]
         timeout, chunk, slice_spec, out = 900, 8, None, None
