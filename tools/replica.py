@@ -10,19 +10,27 @@ event_type, text) repeat — which also makes the replica a worst-case
 duplicate corpus for the dedup family (see SCALE.md's minhash note).
 
 ``--zipf`` (VERDICT r10 #3): the uniform replica never exercises KEY
-SKEW — every shifted key appears exactly once per copy.  Zipf mode
-replaces the per-copy shift on the fact-side hot columns (ZIPF_COLS:
-``lineitem.l_orderkey``, ``orders.o_custkey``, ``events.user_id``)
-with a BUCKETED shift ``floor(log2(copy+1))``: bucket b absorbs 2^b
-copies, so key multiplicities follow a power law (1, 2, 4, …, ~n/2 —
-at ×100 the hottest orderkey/custkey/user class carries 37% of all
-rows).  Deterministic (no RNG), and JOIN MULTIPLICITY IS PRESERVED:
-the unique-key side (o_orderkey, c_custkey, event_id) keeps the
-uniform shift, so a hot fact key resolves to exactly ONE row in
-copies 0..log2(n) of the dimension side — the join output size stays
-×n while its shuffle distribution becomes maximally skewed.  The
-DuckDB oracle reads the same files, so every gated query stays
-value-comparable on the skewed replica.
+SKEW — every shifted key appears exactly once per copy, so reduce
+partitions hash flat.  Zipf mode makes the fact-side hot columns
+(ZIPF_COLS: ``lineitem.l_orderkey``, ``orders.o_custkey``,
+``events.user_id``) genuinely partition-skewed: copies 0..n/2 keep
+the uniform per-copy shift (full realistic key variety, half the
+rows), while copies n/2..n COLLAPSE the key to a single heavy hitter
+``min(col) + b·K`` where ``b = floor(log2(copy − n/2 + 1))`` — a
+geometric ladder of ~log2(n/2) single keys whose shares double
+(1%, 2%, 4%, 8%, 16%, ~19% of ALL rows at ×100).  The hottest single
+key owns ~19% of the table, i.e. ~6× a flat 32-partition share —
+exactly the hot-reducer regime AQE skew-split and operators/skew.py
+salting exist for.  Deterministic (no RNG), and JOIN MULTIPLICITY IS
+PRESERVED: the heavy hitters are built from ``min(col)`` (present on
+the unique side by referential integrity) plus the b·K shifts of
+copies b ≤ 6, so every hot fact row still resolves to exactly ONE
+dimension row.  A first design shifted WHOLE COPIES onto bucketed
+key classes — measured top-1 share was 59 ppm (thousands of equally-
+hot keys hash flat); heavy hitters must collapse the base-key
+variety too, which is what this ladder does.  The DuckDB oracle
+reads the same files, so every gated query stays value-comparable on
+the skewed replica.
 """
 
 from __future__ import annotations
@@ -81,11 +89,20 @@ def main(argv: list[str]) -> int:
         n_parts = max(8, min(256, n // 4))
         d = df.repartition(n_parts).crossJoin(copies)
         for c, k in sh.items():
-            shift = F.col("_copy")
             if zipf and (t, c) in ZIPF_COLS:
-                shift = F.floor(F.log2(F.col("_copy") + F.lit(1))) \
+                base_min = df.agg(F.min(c)).first()[0]
+                half = max(1, n // 2)
+                ladder = F.floor(
+                    F.log2(F.col("_copy") - half + F.lit(1))) \
                     .cast("long")
-            d = d.withColumn(c, F.col(c) + shift * F.lit(k))
+                d = d.withColumn(
+                    c,
+                    F.when(F.col("_copy") < half,
+                           F.col(c) + F.col("_copy") * F.lit(k))
+                    .otherwise(F.lit(base_min) + ladder * F.lit(k)))
+            else:
+                d = d.withColumn(c, F.col(c)
+                                 + F.col("_copy") * F.lit(k))
         (d.drop("_copy")
          .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
         print(f"{t}: x{n} written")
