@@ -119,6 +119,19 @@ def test_stream_supported_gating():
     assert not _stream_supported(ok, ["BIGINT", "BLOB"])
 
 
+def test_product_session_keeps_default_max_result_size(spark):
+    """ADVICE r10: the 8g maxResultSize override must be scoped to the
+    non-stream gate entry points, not the shared session builder — a
+    product session built without the env override runs at Spark's 1g
+    default, keeping the collect-bounded audit mechanically enforced."""
+    import os
+    if os.environ.get("SPARK_DRIVER_MAX_RESULT"):
+        import pytest
+        pytest.skip("gate env override active in this process")
+    conf = spark.sparkContext.getConf()
+    assert conf.get("spark.driver.maxResultSize", "unset") == "unset"
+
+
 def test_spark_duck_end_to_end(spark, tmp_path):
     """The real path: Spark mapInArrow digest over a parquet scan ==
     DuckDB fetch_arrow_reader digest over the same file in a different

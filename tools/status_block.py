@@ -132,8 +132,9 @@ partition on every verify);
 (median-of-3), with the 14-query round-1 subset emitted directly as
 `baseline_subset_sec` = **{b['baseline_subset_sec']} s vs 9.62 s
 baseline = {b['baseline_subset_sec'] / 9.62:.2f}×**, calibration
-sentinel {cal.get('start')}–{cal.get('end')} s vs the 0.33 s idle
-reference."""
+sentinel {cal.get('start')}–{cal.get('end')} s vs the 0.457 s idle
+reference (re-measured r11; sub-15% subset deltas are run-to-run
+noise per BASELINE.md's variance protocol)."""
     return f"{marker}\n{body}\n{END}"
 
 
