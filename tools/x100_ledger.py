@@ -49,6 +49,12 @@ Exclusion classes (each must cite its measurement or argument):
 Usage:
   python tools/x100_ledger.py --check
   python tools/x100_ledger.py --sweep [name …]   [--timeout S]
+
+Sweeps run the comparator in hash mode (ORACLE_HASH_MODE=1).  Export
+``ORACLE_STREAM_MODE=1`` before a sweep to use the r11 executor-side
+digest comparator instead (check_oracle gives stream mode precedence;
+it passes through the subprocess env) — right for big-output batches,
+since neither engine's result is then materialized on the driver.
 """
 
 from __future__ import annotations
