@@ -97,24 +97,41 @@ def connected_components(edges: DataFrame, src: str, dst: str,
          # `None < id` while the loop's groupBy would emit a spurious
          # NULL-node row, a silent small-vs-large divergence.
          .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    # Small-graph fast path: near-dup edge lists are usually TINY
+    # relative to the corpus (hundreds of pairs at bench scale), so
+    # skip the distributed rounds entirely.  The probe reads the RAW
+    # directed edges — union-find is direction- and duplicate-
+    # insensitive, so symmetrize/distinct (a full edge shuffle + a
+    # second pass) are paid ONLY on the distributed path that needs
+    # them (optimization r11: the old probe ran union+distinct+
+    # localCheckpoint before even testing the gate — one whole shuffle
+    # round removed from the common small-graph path; the gate bound
+    # is now raw edges rather than distinct symmetrized edges, the
+    # same O(100k)-collect guarantee).  limit(N+1) bounds the probe
+    # (limit short-circuits the scan on big graphs), the collect is
+    # gate-bounded, and union-find returns the identical min-label
+    # components.
+    probe = e.limit(SMALL_GRAPH_EDGES + 1).collect()
+    if len(probe) <= SMALL_GRAPH_EDGES:
+        comp = _driver_components(probe)
+        schema = e.select(F.col("a").alias("node"),
+                          F.col("a").alias("comp")).schema
+        # Broadcast hint: the result is bounded by the gate (≤ 2·100k
+        # nodes of ~16 B — a few MB), but it reaches Spark as a
+        # local-collection relation whose plan statistics are unknown,
+        # so WITHOUT the hint every caller's `fact ⋈ comp` join plans
+        # as SortMergeJoin — shuffling the corpus-sized fact side on
+        # the join key for a relation we know fits in memory (profiled
+        # r11: the fuzzy-dedup report paid 2 extra exchanges + a sort
+        # for exactly this).  AQE would often rescue it at runtime,
+        # but only AFTER materializing both shuffle sides.
+        return F.broadcast(e.sparkSession.createDataFrame(
+            sorted(comp.items()), schema))
     # symmetrize once; both directions are needed so labels flow both
     # ways along every edge
     sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct()
            .localCheckpoint(eager=False))
-    # Small-graph fast path: near-dup edge lists are usually TINY
-    # relative to the corpus (hundreds of pairs at bench scale), so
-    # skip the distributed rounds entirely.  limit(N+1) bounds the
-    # probe (limit short-circuits the scan on big graphs), the
-    # collect is gate-bounded, and union-find returns the identical
-    # min-label components.
-    probe = sym.limit(SMALL_GRAPH_EDGES + 1).collect()
-    if len(probe) <= SMALL_GRAPH_EDGES:
-        comp = _driver_components(probe)
-        schema = sym.select(F.col("a").alias("node"),
-                            F.col("a").alias("comp")).schema
-        return sym.sparkSession.createDataFrame(
-            sorted(comp.items()), schema)
     # Fused round 0: every node starts at min(self, direct neighbors)
     # instead of self — one aggregate over the edge list that saves a
     # full propagate-join round (dense near-dup clusters whose min

@@ -107,7 +107,18 @@ def _sigs_from_exploded(ex: DataFrame, n_hashes: int) -> DataFrame:
     aggregated here — minhash_lsh_pairs counts them over the
     candidate-restricted shingle rows instead (the (key, s) rows are
     distinct because ngrams() array_distincts), so no corpus-sized
-    (key, sz) relation ever exists."""
+    (key, sz) relation ever exists.
+
+    The slice-min deliberately runs over the hex STRING slices even
+    though min(string) plans as SortAggregate (HashAggregateExec needs
+    fixed-width mutable buffers): the numeric alternative —
+    ``min(cast(conv(slice, 16, 10) as long))``, order-preserving on
+    fixed-width lowercase hex, which does plan as a two-phase
+    HashAggregate with zero sorts — was A/B-measured in the r11
+    optimization round and LOST at both sf0.1 (~8–15%) and the ×10
+    replica (~12%, clean-steal passes): six ``conv`` string-parses per
+    exploded shingle row cost more than the SortAggregate's sorts save,
+    at every scale measured.  See OPTIMIZATION_r11.md."""
     hashed = ex.select("key", F.md5(F.col("s")).alias("h"))
     aggs = [F.min(F.substring("h", i * _SLICE + 1, _SLICE)).alias(f"sig_{i}")
             for i in range(n_hashes)]
@@ -202,8 +213,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     # intersection joins so the (key, shingle) shuffle is O(candidate
     # shingles), not O(corpus shingles) — at 10⁹ docs this is the
     # difference between re-shuffling ~50 G rows and ~10 M.
+    # No .distinct() on the key list (optimization r11): left-semi join
+    # semantics already ignore right-side duplicates, so the distinct
+    # was a pure extra shuffle of the candidate keys before the semi
+    # join — same result, one exchange fewer.
     ckeys = (cand.select(F.col("key_a").alias("key"))
-             .union(cand.select(F.col("key_b").alias("key"))).distinct())
+             .union(cand.select(F.col("key_b").alias("key"))))
     exc = ex.join(ckeys, "key", "leftsemi").cache()
     # |a∩b| by joining candidate pairs to both sides' shingle rows;
     # |a∪b| = |a| + |b| − |a∩b| (shingle sets are distinct).
@@ -317,9 +332,10 @@ def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
             .cache())  # feeds both key-filters AND the intersection join
     # Both candidate-restricted shingle relations are consumed twice
     # (size aggregate + intersection join) — cache both.
-    exc_b = ex_b.join(cand.select(F.col("batch_key").alias("key")).distinct(),
+    # no .distinct() before the semi joins — see minhash_lsh_pairs
+    exc_b = ex_b.join(cand.select(F.col("batch_key").alias("key")),
                       "key", "leftsemi").cache()
-    exc_a = ex_a.join(cand.select(F.col("base_key").alias("key")).distinct(),
+    exc_a = ex_a.join(cand.select(F.col("base_key").alias("key")),
                       "key", "leftsemi").cache()
     sz_b = exc_b.groupBy("key").agg(F.count(F.lit(1)).alias("sz_b"))
     sz_a = exc_a.groupBy("key").agg(F.count(F.lit(1)).alias("sz_a"))
