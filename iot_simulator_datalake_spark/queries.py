@@ -347,18 +347,41 @@ GROUP BY 1
 """)
 def customer_scorecard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Scorecard aggregation (README_DBT.md:189-191,206,249):
-    multi-metric agg + derived arithmetic score."""
+    multi-metric agg + derived arithmetic score.
+
+    Shape (optimization r11, guide §2.3 "aggregate before you
+    shuffle"): orders pre-aggregate per custkey FIRST — map-side
+    partials mean the exchange carries one (custkey, count, decimal
+    sum) row per customer per map task instead of every order row —
+    and the customer left-join runs against that collapsed relation
+    (at 100 TB: the orders shuffle shrinks by the orders-per-customer
+    factor, and the join's order side is already partitioned by the
+    join key, so its exchange is reused).  The old shape joined FIRST,
+    shuffling every order row, then aggregated the joined relation.
+    All finishing arithmetic reproduces dsum/davg bit-for-bit: the
+    decimal(25,4) sum is exact and order-insensitive, so regrouping
+    partials cannot change any output bit (oracle re-verified)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    total = dsum("o_totalprice")
-    return (c.join(o, o["o_custkey"] == c["c_custkey"], "left")
-            .groupBy(c["c_custkey"].alias("customer"))
-            .agg(F.count("o_orderkey").alias("n_orders"),
-                 total.alias("total_spend"),
-                 davg("o_totalprice").alias("avg_order"),
-                 F.round(F.coalesce(total, F.lit(0.0)) /
-                         (F.count("o_orderkey") + 1), 6)
-                 .alias("health_score")))
+    oa = (o.groupBy("o_custkey")
+          .agg(F.count("o_orderkey").alias("_n"),
+               F.count("o_totalprice").alias("_na"),
+               F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+               .alias("_s")))
+    j = c.join(oa, oa["o_custkey"] == c["c_custkey"], "left")
+    total = F.col("_s").cast("double")
+    # davg's micro-unit floor, applied to the pre-aggregated exact sum
+    num = (F.col("_s") * F.lit(1_000_000)).cast("decimal(38,0)")
+    avg = (((num - num % F.col("_na")) / F.col("_na")).cast("long")
+           .cast("double") / F.lit(1_000_000.0))
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    return j.select(
+        c["c_custkey"].alias("customer"),
+        n.alias("n_orders"),
+        total.alias("total_spend"),
+        avg.alias("avg_order"),
+        F.round(F.coalesce(total, F.lit(0.0)) / (n + 1), 6)
+        .alias("health_score"))
 
 
 # =========================================================================
