@@ -37,10 +37,42 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+#: (sf_dir, table) → inferred schema, memoized for the process lifetime
+#: (optimization r11).  Every bare ``spark.read.parquet`` runs a
+#: 1-task footer-read JOB at DataFrame-construction time to infer the
+#: schema; a 6-table query paid six of those serial ~35 ms jobs (plus
+#: scheduling gaps) per build, three builds per bench run.  Passing an
+#: explicit schema skips the job entirely.  This memoizes METADATA
+#: only (the schema a catalog/metastore would serve at production
+#: scale — the driver's tables are immutable fixtures), never data or
+#: results; the first read of each table still infers from the footer,
+#: so the nanosAsLong/NTZ dtype branches below see exactly what bare
+#: inference would see.
+_SCHEMA_MEMO: dict = {}
+
+
 def load(spark: "SparkSession", sf_dir: str, name: str) -> "DataFrame":
     """Read one driver table; parquet scan → pushdown + column pruning."""
-    tune_session(spark)  # pin UTC etc. even on a driver-provided session
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Pin UTC etc. even on a driver-provided session — but only ONCE
+    # per session object (optimization r11): tune_session is ~9 py4j
+    # conf.set round-trips, and a 6-table query paid them per load.
+    # Nothing in the repo un-sets a RUNTIME_CONFS key mid-session (the
+    # conf-mutating demo queries touch only their own optional confs
+    # and restore them), so one application per session is the same
+    # contract; a fresh wrapper object merely re-tunes harmlessly.
+    if not getattr(spark, "_sg_tuned", False):
+        tune_session(spark)
+        try:
+            spark._sg_tuned = True
+        except Exception:  # pragma: no cover - frozen session wrapper
+            pass
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read via nanosAsLong → convert to µs
         # timestamp exactly like DuckDB does (truncating division).
