@@ -159,6 +159,10 @@ def inverted_index_postings(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                      F.col("doc_id"))), ",").alias("postings")))
 
 
+#: index root → (postings schema, (N, Σdl)) — see _bm25_index memo note
+_INDEX_MEMO: dict = {}
+
+
 def _bm25_index(spark: "SparkSession", sf_dir: str):
     """Stage the tf-bearing serving index ONCE per corpus fingerprint:
     ``postings`` (term, segment, doc_id, tf, dl) term-range-partitioned
@@ -191,8 +195,23 @@ def _bm25_index(spark: "SparkSession", sf_dir: str):
          .write.mode("overwrite").parquet(str(tmp / "stats")))
 
     root = stage_once(sf_dir, "documents", "bm25_index", _build)
-    return (spark.read.parquet(str(root / "postings")),
-            spark.read.parquet(str(root / "stats")))
+    # Per-process memo of the index schema and the 1-row stats
+    # (optimization r11): the root path is content-addressed
+    # (source digest × recipe digest — stagecache.stage_once), so both
+    # are immutable per root.  Without it every build of
+    # bm25_from_postings / hybrid_search_rrf paid two parquet
+    # footer-inference jobs plus a 1-row collect job before the real
+    # query ran; with it, later builds inline (N, Σdl) from the memo
+    # and read postings with an explicit schema — zero pre-query jobs.
+    memo = _INDEX_MEMO.get(str(root))
+    if memo is None:
+        p = spark.read.parquet(str(root / "postings"))
+        st = spark.read.parquet(str(root / "stats")).collect()[0]
+        memo = (p.schema, (st["n"], st["sumdl"]))
+        _INDEX_MEMO[str(root)] = memo
+    else:
+        p = spark.read.schema(memo[0]).parquet(str(root / "postings"))
+    return p, memo[1]
 
 
 @q("bm25_from_postings", ("F9", "W3", "A1"), bench=True, oracle=_BM25_SQL)
@@ -213,12 +232,11 @@ def bm25_from_postings(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     (N, Σdl) is a broadcast 1-row table; scoring is map-only to int64
     nanos and the top-k is TakeOrderedAndProject.  At 100 TB only the
     index build ever sees the text."""
-    p, g = _bm25_index(spark, sf_dir)
-    # (N, Σdl) is a 1-row table — inline as literals (bounded driver
-    # scalar) rather than joining it: index-time constants, and the
-    # scalar join would be the plan's only nested-loop node
-    st = g.collect()[0]
-    n_docs, sumdl = st["n"], st["sumdl"]
+    # (N, Σdl) is a 1-row table — inlined as literals (bounded driver
+    # scalars) rather than joined: index-time constants, and the
+    # scalar join would be the plan's only nested-loop node.  The
+    # collect happens once per index root (_bm25_index memo).
+    p, (n_docs, sumdl) = _bm25_index(spark, sf_dir)
     p = p.filter(F.col("term").isin(*_BM25["terms"]))
     df_ = p.groupBy("term").agg(F.count("*").alias("df"))
     k1, b = _BM25["k1"], _BM25["b"]
