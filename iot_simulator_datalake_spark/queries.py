@@ -51,6 +51,20 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 _SCHEMA_MEMO: dict = {}
 
 
+def raw_schema(spark: "SparkSession", sf_dir: str, name: str):
+    """RAW parquet schema of one driver table (pre any ts conversion),
+    served from the same process-lifetime memo as :func:`load` — the
+    streaming twins need it to declare their file-source schema, and
+    re-inferring it per query build paid one footer-read job each
+    (optimization r11)."""
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[path] = sch
+    return sch
+
+
 def load(spark: "SparkSession", sf_dir: str, name: str) -> "DataFrame":
     """Read one driver table; parquet scan → pushdown + column pruning."""
     # Pin UTC etc. even on a driver-provided session — but only ONCE

@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .functions.units import to_units
-from .queries import load, oavg, osum, q
+from .queries import load, oavg, osum, q, raw_schema
 from .queries_llmprep import _o_hash_bucket
 from .streaming.runner import run_stream_available_now
 
@@ -65,8 +65,8 @@ def streaming_hourly_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     execution).  Window starts equal date_trunc('hour'), so the drained
     state matches the batch oracle exactly."""
     batch = load(spark, sf_dir, "events")     # handles ns→µs conversion
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -110,8 +110,8 @@ def streaming_sessionization(spark: "SparkSession",
     must converge to the batch gap-based sessionization oracle.
     session_window's end is last-event+gap, so subtract the gap to get
     the oracle's MAX(ts)."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -148,10 +148,10 @@ def streaming_interval_join(spark: "SparkSession",
     the emitted pairs equal the batch time-bounded self-join oracle.
     At scale, state size is bounded by (watermark + interval) × input
     rate per key, never the full history."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_sch = raw_schema(spark, sf_dir, "events")
 
     def stream():
-        s = _stream_source(spark, raw_schema, sf_dir)
+        s = _stream_source(spark, raw_sch, sf_dir)
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return s
@@ -233,8 +233,8 @@ def streaming_enriched_rollup(spark: "SparkSession",
     stream-static joins keep no join state, the static side is just
     re-probed each micro-batch, which is why this shape scales to any
     stream rate as long as the dim broadcasts."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -273,10 +273,10 @@ def streaming_dedup_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     plain ``dropDuplicates``, which never forgets.  The deduped stream
     must hash-match the batch rollup over the ORIGINAL (single-copy)
     events — duplicates in, exact semantics out."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_sch = raw_schema(spark, sf_dir, "events")
 
     def stream():
-        s = _stream_source(spark, raw_schema, sf_dir)
+        s = _stream_source(spark, raw_sch, sf_dir)
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return s
@@ -320,10 +320,10 @@ def streaming_dedup_rollup_rocksdb(spark: "SparkSession",
     ``dropDuplicates``, whose state is all keys ever seen).  The
     provider conf is session-mutating, so it save/restores in a
     finally like the plan-quality family."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_sch = raw_schema(spark, sf_dir, "events")
 
     def stream():
-        s = _stream_source(spark, raw_schema, sf_dir)
+        s = _stream_source(spark, raw_sch, sf_dir)
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return s
@@ -512,8 +512,8 @@ def streaming_hopping_rollup(spark: "SparkSession",
     rows and state linearly — keep it small (4 here) at 100 TB, or
     pre-aggregate to the slide granularity and re-window in batch.
     """
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -563,8 +563,8 @@ def streaming_stateful_totals(spark: "SparkSession",
     tests/test_streaming.py::test_stateful_v2_import_gated.
     """
     from .streaming.stateful import quantize_micro, running_totals_micro
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     out = running_totals_micro(
         quantize_micro(stream, "user_id", "value").groupBy("key"))
     name = f"stream_tws_{uuid.uuid4().hex[:8]}"
@@ -607,8 +607,8 @@ def streaming_anomaly_scores(spark: "SparkSession",
                F.col("value").cast("decimal(18,4)")).cast("decimal(38,8)"))
          .cast("double").alias("s2"),
         F.count("value").cast("double").alias("n")))
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -664,8 +664,8 @@ def streaming_topk_users_hourly(spark: "SparkSession",
     a scratch table keeps the state distributed end-to-end; the rank
     then reads it back like any other table."""
     from .stagecache import scratch_dir
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -775,8 +775,8 @@ def streaming_psi_drift(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                        (F.col("event_type") == _PSI_SEG["a"]))
           .select(psi_bin().alias("bin"))
           .groupBy("bin").agg(F.count("*").alias("ra")))
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -827,8 +827,8 @@ def streaming_hll_rollup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
     Differs from ``streaming_hll_envelope`` (the plain envelope twin)
     by the stream≡batch consistency claim."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -880,8 +880,8 @@ def streaming_hll_envelope(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     hash-comparable after the sketch leaves the exact coupon regime
     (the sibling's documented ×10 FAIL)."""
     from .queries_analytics import hll_weekly_envelope
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _stream_source(spark, raw_schema, sf_dir)
+    raw_sch = raw_schema(spark, sf_dir, "events")
+    stream = _stream_source(spark, raw_sch, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
