@@ -72,6 +72,30 @@ def window_dedup(df: DataFrame, keys: list[str],
 #: hex chars per signature slice: 5 hex = 20 bits per surrogate
 _SLICE = 5
 
+#: Per-process memo of the parameter-pure Column expressions the
+#: MinHash operators rebuild on every call (optimization r12, guide §5
+#: driver work): each F.* call is one or more py4j round-trips
+#: (~0.3–0.5 ms each), and the shingle / signature / band-key
+#: expressions cost ~590 round-trips per build — ~0.2 s of pure driver
+#: latency per dedup query construction, paid again for every bench
+#: pass and every dependent pipeline.  The memoized Columns are
+#: UNRESOLVED, exprId-free expression trees (aliases are applied by
+#: the caller, so every plan gets fresh exprIds): immutable, reusable
+#: across any DataFrame with the referenced column names, and tied
+#: only to the process-lifetime py4j gateway — the same lifecycle as
+#: queries.load's schema memo.
+_EXPR_MEMO: dict = {}
+
+
+def _shingle_expr(text_col: str, shingle_n: int) -> Column:
+    """explode(ngrams(tokens(text_col), shingle_n)) — memoized."""
+    key = ("shingle", text_col, shingle_n)
+    c = _EXPR_MEMO.get(key)
+    if c is None:
+        c = F.explode(ngrams(tokens(F.col(text_col)), shingle_n))
+        _EXPR_MEMO[key] = c
+    return c
+
 
 def minhash_signatures(df: DataFrame, text_col: str, key_col: str, *,
                        n_hashes: int = 6,
@@ -96,18 +120,14 @@ def minhash_signatures(df: DataFrame, text_col: str, key_col: str, *,
     if n_hashes * _SLICE > 32:
         raise ValueError(f"n_hashes ≤ {32 // _SLICE} with md5 slicing")
     ex = df.select(F.col(key_col).alias("key"),
-                   F.explode(ngrams(tokens(F.col(text_col)), shingle_n))
-                   .alias("s"))
+                   _shingle_expr(text_col, shingle_n).alias("s"))
     return _sigs_from_exploded(ex, n_hashes)
 
 
-def _sigs_from_exploded(ex: DataFrame, n_hashes: int) -> DataFrame:
+def _sigs_from_exploded(ex: DataFrame, n_hashes: int,
+                        with_size: bool = False) -> DataFrame:
     """Signatures from (key, shingle) rows: one md5 projection, K
-    slice-mins with map-side combine.  Shingle-set sizes are NOT
-    aggregated here — minhash_lsh_pairs counts them over the
-    candidate-restricted shingle rows instead (the (key, s) rows are
-    distinct because ngrams() array_distincts), so no corpus-sized
-    (key, sz) relation ever exists.
+    slice-mins with map-side combine.
 
     The slice-min deliberately runs over the hex STRING slices even
     though min(string) plans as SortAggregate (HashAggregateExec needs
@@ -118,10 +138,28 @@ def _sigs_from_exploded(ex: DataFrame, n_hashes: int) -> DataFrame:
     optimization round and LOST at both sf0.1 (~8–15%) and the ×10
     replica (~12%, clean-steal passes): six ``conv`` string-parses per
     exploded shingle row cost more than the SortAggregate's sorts save,
-    at every scale measured.  See OPTIMIZATION_r11.md."""
-    hashed = ex.select("key", F.md5(F.col("s")).alias("h"))
-    aggs = [F.min(F.substring("h", i * _SLICE + 1, _SLICE)).alias(f"sig_{i}")
-            for i in range(n_hashes)]
+    at every scale measured.  See OPTIMIZATION_r11.md.
+
+    ``with_size=True`` (optimization r12) additionally emits the
+    per-key row count as ``sz`` — the shingle-SET size, because the
+    (key, s) rows are distinct by construction.  It rides the
+    signature shuffle as one extra long per key, which lets
+    minhash_lsh_pairs serve the Jaccard denominator straight from the
+    cached signature relation instead of paying a second aggregate
+    (exchange) over the candidate-restricted shingle rows."""
+    key = ("sigaggs", n_hashes)
+    memo = _EXPR_MEMO.get(key)
+    if memo is None:
+        memo = (F.md5(F.col("s")),
+                [F.min(F.substring("h", i * _SLICE + 1, _SLICE))
+                 for i in range(n_hashes)],
+                F.count(F.lit(1)))
+        _EXPR_MEMO[key] = memo
+    h, mins, cnt = memo
+    hashed = ex.select("key", h.alias("h"))
+    aggs = [m.alias(f"sig_{i}") for i, m in enumerate(mins)]
+    if with_size:
+        aggs.append(cnt.alias("sz"))
     return hashed.groupBy("key").agg(*aggs)
 
 
@@ -142,12 +180,17 @@ def _band_key_col(n_hashes: int, bands: int) -> Column:
         raise ValueError(f"n_hashes={n_hashes} must divide evenly into "
                          f"bands={bands} (got remainder {n_hashes % bands}"
                          f" — trailing signatures would be ignored)")
-    rows_per_band = n_hashes // bands
-    return F.array(*[
-        F.md5(F.concat_ws("|", F.lit(str(b)),
-                          *[F.col(f"sig_{b * rows_per_band + r}")
-                            for r in range(rows_per_band)]))
-        for b in range(bands)])
+    key = ("bandkeys", n_hashes, bands)
+    c = _EXPR_MEMO.get(key)
+    if c is None:
+        rows_per_band = n_hashes // bands
+        c = F.array(*[
+            F.md5(F.concat_ws("|", F.lit(str(b)),
+                              *[F.col(f"sig_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)]))
+            for b in range(bands)])
+        _EXPR_MEMO[key] = c
+    return c
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
@@ -207,9 +250,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     # working set by definition.
     ex = spread.select(
         F.col(key_col).alias("key"),
-        F.explode(ngrams(tokens(F.col(text_col)), shingle_n)).alias("s")
+        _shingle_expr(text_col, shingle_n).alias("s")
     ).cache()
-    sigs = _sigs_from_exploded(ex, n_hashes).cache()
+    # with_size: the Jaccard denominators (shingle-set sizes) ride this
+    # aggregate's existing shuffle as one long per key, so the tail
+    # never re-aggregates the candidate shingle rows (optimization r12,
+    # guide §2.4: the old size pass was a whole extra exchange).
+    sigs = _sigs_from_exploded(ex, n_hashes, with_size=True).cache()
     slim = sigs.select("key",
                        F.explode(_band_key_col(n_hashes, bands)).alias("band"))
     if max_band_bucket is not None:
@@ -231,43 +278,49 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
             .cache())  # feeds the key-filter AND the intersection join
     # Verification only ever needs the shingles of documents that appear
     # in some candidate pair — a tiny fraction of the corpus when banding
-    # is doing its job.  Semi-join down to those keys BEFORE the
-    # intersection joins so the (key, shingle) shuffle is O(candidate
-    # shingles), not O(corpus shingles) — at 10⁹ docs this is the
-    # difference between re-shuffling ~50 G rows and ~10 M.
-    # No .distinct() on the key list (optimization r11): left-semi join
-    # semantics already ignore right-side duplicates, so the distinct
-    # was a pure extra shuffle of the candidate keys before the semi
-    # join — same result, one exchange fewer.
-    ckeys = (cand.select(F.col("key_a").alias("key"))
-             .union(cand.select(F.col("key_b").alias("key"))))
-    exc = ex.join(ckeys, "key", "leftsemi").cache()
+    # is doing its job.  Restrict to those keys BEFORE the intersection
+    # joins so the (key, shingle) shuffle is O(candidate shingles), not
+    # O(corpus shingles) — at 10⁹ docs this is the difference between
+    # re-shuffling ~50 G rows and ~10 M.  ckeys deliberately keeps
+    # duplicates (optimization r11: a .distinct() here was a pure extra
+    # exchange — the r12 four-variant interleaved A/B re-confirmed it
+    # 0.7–0.8 s SLOWER at sf0.1 and ×10) and is built with one
+    # explode(array(..)) generate instead of union-of-selects (one scan
+    # of the cached cand, not two).
+    ckeys = cand.select(
+        F.explode(F.array("key_a", "key_b")).alias("key"))
+    # (key, sz) for candidate keys only: served straight from the
+    # cached signature relation — sz rode the signature shuffle, so
+    # no size aggregate runs here (optimization r12).  sigs is already
+    # hash-partitioned by key from its groupBy, so only the tiny ckeys
+    # side exchanges for this semi join.
+    kz = sigs.select("key", "sz").join(ckeys, "key", "leftsemi")
+    # Attach sz to each candidate shingle row (inner join ≡ the old
+    # left-semi restriction, kz is per-key distinct): the Jaccard
+    # denominators then flow THROUGH the intersection aggregate as
+    # constant-per-group mins, deleting the two post-aggregate size
+    # joins and their exchanges (optimization r12, guide §2.4).
+    exc = ex.join(kz, "key").cache()
     # |a∩b| by joining candidate pairs to both sides' shingle rows;
-    # |a∪b| = |a| + |b| − |a∩b| (shingle sets are distinct).
-    # |shingle set| per doc is a count over the CANDIDATE-restricted
-    # shingle rows (exc is cached; (key, s) rows are distinct because
-    # ngrams() array_distincts) — the size aggregate's shuffle carries
-    # candidate keys only, never a corpus-sized (key, sz) relation,
-    # and no second tokenization pass happens (cache hit).
-    sizes = exc.groupBy("key").agg(F.count(F.lit(1)).alias("sz"))
-    ex_a = exc.select(F.col("key").alias("key_a"), F.col("s"))
-    ex_b = exc.select(F.col("key").alias("key_b"), F.col("s"))
+    # |a∪b| = |a| + |b| − |a∩b| (shingle sets are distinct because
+    # ngrams() array_distincts).  min(sz) is exact: sz is constant per
+    # key, so per (key_a, key_b) group both mins ARE the two sizes.
+    ex_a = exc.select(F.col("key").alias("key_a"), "s",
+                      F.col("sz").alias("sz_a"))
+    ex_b = exc.select(F.col("key").alias("key_b"), "s",
+                      F.col("sz").alias("sz_b"))
     inter = (cand.join(ex_a, "key_a").join(ex_b, ["key_b", "s"])
              .groupBy("key_a", "key_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sized = (inter
-             .join(sizes.withColumnRenamed("key", "key_a")
-                        .withColumnRenamed("sz", "sz_a"), "key_a")
-             .join(sizes.withColumnRenamed("key", "key_b")
-                        .withColumnRenamed("sz", "sz_b"), "key_b"))
+             .agg(F.count(F.lit(1)).alias("inter"),
+                  F.min("sz_a").alias("sz_a"),
+                  F.min("sz_b").alias("sz_b")))
     # raw IEEE quotient of exact ints (no ROUND): bit-identical across
     # engines; ROUND(q, 6) was a cross-engine HALF_UP boundary hazard
     # whenever inter/union lands exactly on a x.xxxxxx5 decimal
     jac = (F.col("inter") /
            (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-    return (sized.withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-            .select("key_a", "key_b", "jaccard"))
+    return (inter.filter(jac >= threshold)
+            .select("key_a", "key_b", jac.alias("jaccard")))
 
 
 def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
@@ -312,23 +365,25 @@ def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
     """
     from .hints import maybe_broadcast
 
-    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         ex = df.select(
             F.col(key_col).alias("key"),
-            F.explode(ngrams(tokens(F.col(text_col)), shingle_n)).alias("s")
+            _shingle_expr(text_col, shingle_n).alias("s")
         ).cache()
         # Cache the signature aggregate (mirrors minhash_lsh_pairs):
         # with the hot-band guard on, slim feeds BOTH the band counts
         # and the capped join — without the cache the MinHash aggregate
         # + band-key md5 would re-run over every key in the second
         # branch (exchange reuse shares only the pre-agg shuffle).
-        sigs = _sigs_from_exploded(ex, n_hashes).cache()
+        # with_size: Jaccard denominators ride this shuffle (see
+        # minhash_lsh_pairs) so the tail pays no size re-aggregation.
+        sigs = _sigs_from_exploded(ex, n_hashes, with_size=True).cache()
         slim = sigs.select(
             "key", F.explode(_band_key_col(n_hashes, bands)).alias("band"))
-        return ex, slim
+        return ex, slim, sigs
 
-    ex_b, slim_b = prep(batch)
-    ex_a, slim_a = prep(base)
+    ex_b, slim_b, sigs_b = prep(batch)
+    ex_a, slim_a, sigs_a = prep(base)
     if max_band_bucket is not None:
         # Hot-band guard, BASE side (the unbounded one): a band bucket
         # with B base members costs B candidates per batch doc hitting
@@ -352,31 +407,36 @@ def minhash_lsh_cross_pairs(batch: DataFrame, base: DataFrame,
             .select("batch_key", "base_key")
             .dropDuplicates(["batch_key", "base_key"])
             .cache())  # feeds both key-filters AND the intersection join
-    # Both candidate-restricted shingle relations are consumed twice
-    # (size aggregate + intersection join) — cache both.
-    # no .distinct() before the semi joins — see minhash_lsh_pairs
-    exc_b = ex_b.join(cand.select(F.col("batch_key").alias("key")),
-                      "key", "leftsemi").cache()
-    exc_a = ex_a.join(cand.select(F.col("base_key").alias("key")),
-                      "key", "leftsemi").cache()
-    sz_b = exc_b.groupBy("key").agg(F.count(F.lit(1)).alias("sz_b"))
-    sz_a = exc_a.groupBy("key").agg(F.count(F.lit(1)).alias("sz_a"))
+    # Candidate-key restriction + sz attach, mirroring minhash_lsh_pairs
+    # (optimization r12): the per-key shingle-set sizes come from the
+    # cached signature aggregates (they rode that shuffle), flow through
+    # the intersection aggregate as constant-per-group mins, and the two
+    # post-aggregate size joins (plus both size aggregates) disappear.
+    # No .distinct() on the key lists — semi-join semantics ignore
+    # right-side duplicates (r11; re-confirmed by the r12 bisect A/B).
+    kz_b = (sigs_b.select("key", "sz")
+            .join(cand.select(F.col("batch_key").alias("key")),
+                  "key", "leftsemi"))
+    kz_a = (sigs_a.select("key", "sz")
+            .join(cand.select(F.col("base_key").alias("key")),
+                  "key", "leftsemi"))
+    exc_b = ex_b.join(kz_b, "key").cache()
+    exc_a = ex_a.join(kz_a, "key").cache()
     inter = (cand
-             .join(exc_b.select(F.col("key").alias("batch_key"), "s"),
-                   "batch_key")
-             .join(exc_a.select(F.col("key").alias("base_key"), "s"),
+             .join(exc_b.select(F.col("key").alias("batch_key"), "s",
+                                F.col("sz").alias("sz_b")), "batch_key")
+             .join(exc_a.select(F.col("key").alias("base_key"), "s",
+                                F.col("sz").alias("sz_a")),
                    ["base_key", "s"])
              .groupBy("batch_key", "base_key")
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sized = (inter
-             .join(sz_b.withColumnRenamed("key", "batch_key"), "batch_key")
-             .join(sz_a.withColumnRenamed("key", "base_key"), "base_key"))
+             .agg(F.count(F.lit(1)).alias("inter"),
+                  F.min("sz_a").alias("sz_a"),
+                  F.min("sz_b").alias("sz_b")))
     # raw IEEE quotient of exact ints — see minhash_lsh_pairs note
     jac = (F.col("inter") /
            (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-    return (sized.withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-            .select("batch_key", "base_key", "jaccard"))
+    return (inter.filter(jac >= threshold)
+            .select("batch_key", "base_key", jac.alias("jaccard")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, key_col: str, *,

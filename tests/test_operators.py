@@ -299,3 +299,28 @@ def test_ranged_prefix_null_sums_match_naive_window(spark):
     w = {r["k"]: r["cum"] for r in want.collect()}
     assert g == w
     assert totals["cum"] == sum(v for _, v in rows if v is not None)
+
+
+def test_sigs_with_size_matches_shingle_set_size(spark):
+    """r12: the Jaccard denominators ride the signature aggregate —
+    ``sz`` must equal the per-key distinct-shingle count, and the
+    public minhash_signatures schema must stay sz-free."""
+    from pyspark.sql import functions as F
+
+    from iot_simulator_datalake_spark.functions.text import ngrams, tokens
+    from iot_simulator_datalake_spark.operators.dedup import (
+        _sigs_from_exploded, minhash_signatures)
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c d"), (2, "x y"), (3, "")],
+        ["doc_id", "text"])
+    ex = df.select(
+        F.col("doc_id").alias("key"),
+        F.explode(ngrams(tokens(F.col("text")), 3)).alias("s"))
+    got = {r["key"]: r["sz"]
+           for r in _sigs_from_exploded(ex, 6, with_size=True).collect()}
+    want = {r["key"]: r["n"]
+            for r in ex.distinct().groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+    assert "sz" not in minhash_signatures(df, "text", "doc_id").columns
