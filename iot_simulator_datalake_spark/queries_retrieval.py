@@ -71,43 +71,61 @@ ORDER BY score_nano DESC, doc_id LIMIT {_BM25['topk']}
 @q("bm25_topk", ("F9", "W3", "A1"), bench=True, oracle=_BM25_SQL)
 def bm25_topk(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """BM25-ranked top-{topk} documents for a fixed query term set —
-    the lexical retrieval baseline (Lucene's scorer, k1={k1} b={b}).
+    the lexical retrieval baseline (Lucene's scorer, k1={k1} b={b}),
+    re-derived from the raw text per query (the SCAN path; the
+    serving-index twin is ``bm25_from_postings``).
 
-    Scale design: term filtering happens AT THE EXPLODE, so only
-    query-term hits survive into the shuffle (per-doc cost bounded by
-    |query|, not vocabulary).  The three statistics that parameterize
-    the score — N, Σdl (one global pass, map-side combined) and df
-    (query-term-sized) — all broadcast; the per-(doc,term) score is
-    then map-only, rounded to int64 nanos, and integer-summed per doc
-    so the reduction is order-independent.  The final top-k is
-    TakeOrderedAndProject (per-partition partial top-k, k rows per
-    partition to the driver).  dl/avgdl is computed as (dl·N)/Σdl to
-    keep the only division in one deterministic double expression.
+    Shape (optimization r12, guide §2.4 / VERDICT r11 #6 "fold the
+    (N, Σdl) pass into the first scan"): ONE tokenize pass produces the
+    narrow per-doc relation (doc_id, dl, tf per query term) — tf is a
+    bounded |query|-sized column set via array ``filter`` counts, so no
+    token ever explodes into a shuffle at all.  That relation is cached
+    (it is consumed twice inside this one DAG: the 1-row global
+    aggregate needs ALL docs for N/Σdl/df, the scoring branch only the
+    hit docs) and is the only thing that ever holds the corpus: ~40
+    bytes/doc instead of a second full text scan.  The global stats
+    broadcast into a map-only scorer (per-term int64-nano rounding,
+    exact integer sum — order-independent), and the top-k is
+    TakeOrderedAndProject.  vs the r11 two-scan explode shape:
+    Exchange mentions 14 → 4, and interleaved A/B at zero steal reads
+    ~35% faster at sf0.1 and ~45% at the ×10 replica (the explode
+    shape's per-token isin + (doc,dl,term) exchange cost more than the
+    three interpreted array-filter predicates — the OPPOSITE of the
+    r11 classifier/entropy HOF results, because here the HOF output is
+    |query|-bounded scalars, not per-token state).  dl/avgdl stays
+    (dl·N)/Σdl so the only division is one deterministic double
+    expression; oracle hash-verified at all three SFs.
     """
-    d = (load(spark, sf_dir, "documents")
-         .select("doc_id", F.split("text", " ").alias("toks")))
-    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    g = dl.groupBy().agg(F.count("*").alias("n"), F.sum("dl").alias("sumdl"))
-    # dl rides the explode, so tf needs no doc-length join (and the
-    # text splits once for this pass): 2 scans total — tf+dl here, the
-    # global (N, Σdl) above; probed 9.8s → 1.5s at the ×10 replica
-    tf = (d.select("doc_id", F.size("toks").cast("long").alias("dl"),
-                   F.explode("toks").alias("term"))
-          .filter(F.col("term").isin(*_BM25["terms"]))
-          .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    terms = _BM25["terms"]
+    d2 = (load(spark, sf_dir, "documents")
+          .select("doc_id", F.split("text", " ").alias("toks"))
+          .select("doc_id",
+                  F.size("toks").cast("long").alias("dl"),
+                  *[F.expr(f"cast(size(filter(toks, x -> x = '{t}'))"
+                           f" as long)").alias(f"tf_{i}")
+                    for i, t in enumerate(terms)])
+          .cache())
+    g = d2.groupBy().agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sumdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))])
     k1, b = _BM25["k1"], _BM25["b"]
-    idf = F.log(1 + ((F.col("n") - F.col("df")).cast("double") + 0.5) /
-                (F.col("df") + 0.5))
-    norm = (F.col("tf") + k1 * (1 - b + b * (F.col("dl").cast("double") *
-                                             F.col("n")) / F.col("sumdl")))
-    term_nano = F.round(idf * (F.col("tf") * (k1 + 1)) / norm * 1e9) \
-                 .cast("long")
-    scored = (tf.join(F.broadcast(df_), "term")
-              .join(F.broadcast(g))
-              .select("doc_id", term_nano.alias("term_nano")))
-    return (scored.groupBy("doc_id")
-            .agg(F.sum("term_nano").cast("long").alias("score_nano"))
+    hits = d2.filter(sum(F.col(f"tf_{i}")
+                         for i in range(len(terms))) > 0)
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(1 + ((F.col("n") - F.col(f"df_{i}"))
+                         .cast("double") + 0.5) /
+                    (F.col(f"df_{i}") + 0.5))
+        norm = (tf + k1 * (1 - b + b * (F.col("dl").cast("double") *
+                                        F.col("n")) / F.col("sumdl")))
+        term = F.when(tf > 0, F.round(idf * (tf * (k1 + 1)) / norm
+                                      * 1e9).cast("long")) \
+                .otherwise(F.lit(0))
+        score = term if score is None else score + term
+    return (hits.join(F.broadcast(g))
+            .select("doc_id", score.cast("long").alias("score_nano"))
             .orderBy(F.col("score_nano").desc(), "doc_id")
             .limit(_BM25["topk"]))
 
@@ -480,17 +498,31 @@ def hybrid_search_rrf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     ann = (brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=depth)
            .select(F.col("vec_id").alias("doc_id"),
                    F.col("rank").alias("r")))
-    bmx = bm.select(F.col("doc_id").alias("b_id"), F.col("r").alias("b_r"))
-    annx = ann.select(F.col("doc_id").alias("a_id"), F.col("r").alias("a_r"))
-    fused = (bmx.join(annx, bmx["b_id"] == annx["a_id"], "full_outer")
-             .select(
-                 F.coalesce("b_id", "a_id").alias("doc_id"),
-                 (F.coalesce(F.round(1e9 / (kk + F.col("b_r")))
-                             .cast("long"), F.lit(0)) +
-                  F.coalesce(F.round(1e9 / (kk + F.col("a_r")))
-                             .cast("long"), F.lit(0))).alias("rrf_nano"),
-                 F.col("b_r").cast("int").alias("bm25_rank"),
-                 F.col("a_r").cast("int").alias("ann_rank")))
+    # Fusion as union + one aggregate (optimization r12, guide §2.4):
+    # a FULL OUTER join of two depth-sized rank relations cannot
+    # broadcast (no build side preserves both outers), so it plans as
+    # SortMergeJoin — two exchanges plus two sorts for ≤2·depth rows.
+    # The union-of-contributions shape computes the identical relation
+    # with ONE exchange (the groupBy): each branch emits its reciprocal
+    # term and its rank (other branch's rank NULL); per doc_id the sum
+    # of at-most-two terms is the old coalesce(+), and max() picks the
+    # single non-null rank per side.  Ranks are unique per branch, so
+    # groups have ≤2 rows — bit-identical output (oracle-verified).
+    contrib_bm = bm.select(
+        "doc_id",
+        F.round(1e9 / (kk + F.col("r"))).cast("long").alias("term_nano"),
+        F.col("r").cast("int").alias("bm25_rank"),
+        F.lit(None).cast("int").alias("ann_rank"))
+    contrib_ann = ann.select(
+        "doc_id",
+        F.round(1e9 / (kk + F.col("r"))).cast("long").alias("term_nano"),
+        F.lit(None).cast("int").alias("bm25_rank"),
+        F.col("r").cast("int").alias("ann_rank"))
+    fused = (contrib_bm.union(contrib_ann)
+             .groupBy("doc_id")
+             .agg(F.sum("term_nano").cast("long").alias("rrf_nano"),
+                  F.max("bm25_rank").alias("bm25_rank"),
+                  F.max("ann_rank").alias("ann_rank")))
     return (fused.orderBy(F.col("rrf_nano").desc(), "doc_id")
             .limit(_RRF["out"]))
 
