@@ -207,38 +207,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, key_col: str, *,
     intersection.  Candidate count ≈ true-positive pairs + banding
     false positives; nothing is quadratic in corpus size.
     """
-    # Small inputs often arrive as one parquet file = one partition; the
-    # md5/shingle work is CPU-bound map work, so spread it before
-    # computing signatures — but ONLY when the scan is actually
-    # under-split: an unconditional repartition(N) is a full-corpus
-    # exchange (document text included) that AQE never coalesces
-    # (coalescePartitions applies to shuffles WITHOUT an explicit
-    # count), and at scale it would both pay a pointless shuffle and
-    # cap the map parallelism at defaultParallelism.
-    # Under-split probe (optimization r11): the old
-    # ``df.rdd.getNumPartitions()`` FORCES physical planning, and on an
-    # AQE plan with upstream exchanges (the tiered pipeline passes the
-    # md5-window SURVIVORS here) it EXECUTES those query stages just to
-    # read a partition count — a hidden corpus-window job inside what
-    # should be pure plan construction.  Catalyst's size estimate
-    # answers the same question from driver metadata alone: a scan
-    # packs ~maxPartitionBytes per split, so bytes < par ×
-    # maxPartitionBytes ⇔ the scan is under-split.  Unknown-stats
-    # relations (constructed test corpora) fall back to spreading,
-    # which only matters at test scale.  Measured ~0.1–0.15 s faster
-    # per dedup query at sf0.1 (in-process interleaved A/B, cleanest-
-    # steal passes; OPTIMIZATION_r11.md), and architecturally: no
-    # hidden job, no physical planning in a construction path.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        size = int(df._jdf.queryExecution().analyzed().stats()
-                   .sizeInBytes())
-        mpb = int(df.sparkSession.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728"))
-        under_split = size < par * mpb
-    except Exception:   # stats unavailable — spread, matching the
-        under_split = True  # old behaviour for tiny local relations
-    spread = df.repartition(par) if under_split else df
+    # Stats-gated spread before the CPU-bound md5/shingle map work —
+    # shared helper since r12; rationale, the r11 rdd-probe history and
+    # the no-op-at-scale guarantee live on hints.spread_if_under_split.
+    # (r12 note: the same gate was A/B-measured on the similarity
+    # brute-force scan and rejected there — the dot folds are cheap
+    # enough that the exchange costs what the parallelism saves; the
+    # shingle/md5 work here is an order of magnitude heavier per row,
+    # which is why the spread pays on this path.)
+    from .hints import spread_if_under_split
+    spread = spread_if_under_split(df)
     # Exploded distinct (key, shingle) rows feed BOTH the signatures and
     # the exact-Jaccard verification — every downstream op is a codegen
     # join/aggregate; no shingle array ever rides a shuffle and no

@@ -71,6 +71,36 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return size
 
 
+def spread_if_under_split(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to defaultParallelism iff Catalyst's size
+    estimate says the scan is under-split — the scale-adaptive spread
+    gate for CPU-bound map work over small inputs (optimization
+    r11/r12; first built inline in operators/dedup.minhash_lsh_pairs).
+
+    Rationale: small fixtures often arrive as one parquet file = one
+    split, serialising per-row CPU work (md5/shingling, cosine folds)
+    on one core, while an UNCONDITIONAL repartition(N) would be a
+    full-input exchange that AQE never coalesces and that caps map
+    parallelism at defaultParallelism — exactly wrong at scale.  The
+    gate reads the ANALYZED plan's sizeInBytes (driver metadata, no
+    job, no physical planning — the .rdd probe it replaced executed
+    upstream AQE stages) and compares against cores ×
+    maxPartitionBytes, the same question the scan's split math
+    answers: a big input is already parallel, so the spread becomes a
+    no-op precisely when it would hurt.  Unknown stats → spread
+    (constructed test relations; only matters at test scale)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().analyzed().stats()
+                   .sizeInBytes())
+        mpb = int(df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"))
+        under_split = size < par * mpb
+    except Exception:
+        under_split = True
+    return df.repartition(par) if under_split else df
+
+
 def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     """Broadcast-hint ``df`` iff plan statistics prove it is small.
 

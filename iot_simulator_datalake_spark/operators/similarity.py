@@ -79,6 +79,13 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
         F.col(probe_vec_col or vec_col).alias("probe_vec"),
         l2_norm(F.col(probe_vec_col or vec_col)).alias("probe_norm"),
         *[F.col(c) for c in probe_payload]).filter(F.col("probe_norm") > 0)
+    # Deliberately NOT spread via hints.spread_if_under_split
+    # (optimization r12, measured and rejected): the under-split corpus
+    # scan does run the dot folds on one core at bench scale (~0.25 s
+    # serial), but the repartition exchange + extra scheduling cost
+    # exactly what the parallelism saves — interleaved A/B at sf0.1
+    # AND ×10 read a wash (clean-steal passes 0.72–0.89 both variants,
+    # both scales).  At real scale the scan is multi-split anyway.
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("vec"),
                       l2_norm(F.col(vec_col)).alias("norm"),

@@ -373,11 +373,27 @@ def gopher_quality_rules(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return _gopher_rules(load(spark, sf_dir, "documents"))
 
 
+#: Per-process memo of _gopher_rules' parameter-pure heavy expressions
+#: (optimization r12, same pattern and lifecycle as
+#: operators.dedup._EXPR_MEMO): the tokenizer, stopword array, and the
+#: three interpreted-fold expressions cost ~0.15 s of py4j round-trips
+#: per build; they reference only column names and constants, carry no
+#: exprIds (aliases are applied per call), and are reused across every
+#: build in the process.
+_GOPHER_EXPR_MEMO: dict = {}
+
+
 def _gopher_rules(d: "DataFrame") -> "DataFrame":
     """Core of :func:`gopher_quality_rules` over any (doc_id, text)
     relation — shared with the curation Engine DAG."""
-    toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(w) for w in sorted(LANG_LEXICONS["en"])])
+    memo = _GOPHER_EXPR_MEMO
+    toks = memo.get("toks")
+    if toks is None:
+        toks = memo["toks"] = tokens(F.col("text"))
+    stop_arr = memo.get("stop_arr")
+    if stop_arr is None:
+        stop_arr = memo["stop_arr"] = F.array(
+            *[F.lit(w) for w in sorted(LANG_LEXICONS["en"])])
     # top_k (max single-token multiplicity) is a PER-ROW property of
     # the token array, so it is computed map-side as the longest run in
     # the sorted array (optimization r11): the previous shape exploded
@@ -390,35 +406,43 @@ def _gopher_rules(d: "DataFrame") -> "DataFrame":
     # codegen'd expression; the fold does one comparison per token.
     # Measured sf0.1 (clean-steal passes): 0.96 s → 0.53 s, and the
     # plan drops from 6 Exchange nodes + a join to ZERO exchanges.
-    run_next = lambda acc, x: F.when(x == acc.prev, acc.run + F.lit(1)) \
-                               .otherwise(F.lit(1))
-    top_k = F.aggregate(
-        F.array_sort("toks"),
-        F.struct(F.lit("").alias("prev"),
-                 F.lit(0).cast("int").alias("run"),
-                 F.lit(0).cast("int").alias("best")),
-        lambda acc, x: F.struct(
-            x.alias("prev"), run_next(acc, x).alias("run"),
-            F.greatest(acc.best, run_next(acc, x)).alias("best")),
-        lambda acc: acc.best)
+    top_k = memo.get("top_k")
+    if top_k is None:
+        run_next = lambda acc, x: F.when(x == acc.prev, acc.run + F.lit(1)) \
+                                   .otherwise(F.lit(1))
+        top_k = memo["top_k"] = F.aggregate(
+            F.array_sort("toks"),
+            F.struct(F.lit("").alias("prev"),
+                     F.lit(0).cast("int").alias("run"),
+                     F.lit(0).cast("int").alias("best")),
+            lambda acc, x: F.struct(
+                x.alias("prev"), run_next(acc, x).alias("run"),
+                F.greatest(acc.best, run_next(acc, x)).alias("best")),
+            lambda acc: acc.best).cast("bigint")
+    mean_len = memo.get("mean_len")
+    if mean_len is None:
+        # raw IEEE quotients of exact ints (no ROUND): identical
+        # bits in Spark and DuckDB, immune to the HALF_UP
+        # boundary hazard a 4-digit ROUND carries
+        mean_len = memo["mean_len"] = (
+            F.aggregate("toks", F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x)).cast("double") /
+            F.size("toks"))
+    alpha = memo.get("alpha")
+    if alpha is None:
+        alpha = memo["alpha"] = (
+            F.size(F.filter("toks", lambda x: x.rlike("[a-z]")))
+            .cast("double") / F.size("toks"))
     base = (d.select("doc_id", toks.alias("toks"))
             .filter(F.size("toks") > 0)
             .select(
                 "doc_id",
                 F.size("toks").cast("int").alias("n_words"),
-                # raw IEEE quotients of exact ints (no ROUND): identical
-                # bits in Spark and DuckDB, immune to the HALF_UP
-                # boundary hazard a 4-digit ROUND carries
-                (F.aggregate(
-                    "toks", F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + F.length(x)).cast("double") /
-                    F.size("toks")).alias("mean_word_len"),
-                (F.size(F.filter(
-                    "toks", lambda x: x.rlike("[a-z]"))).cast("double") /
-                    F.size("toks")).alias("alpha_frac"),
+                mean_len.alias("mean_word_len"),
+                alpha.alias("alpha_frac"),
                 F.size(F.array_intersect("toks", stop_arr))
                 .alias("stop_hits"),
-                top_k.cast("bigint").alias("top_k")))
+                top_k.alias("top_k")))
     g = _GOPHER
     share = F.col("top_k").cast("double") / F.col("n_words")
     ok_wc = F.col("n_words").between(g["min_words"], g["max_words"])
