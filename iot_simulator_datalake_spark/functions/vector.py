@@ -21,6 +21,50 @@ def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+#: Per-process memo of NAME-KEYED vector expressions (optimization
+#: r12, same pattern/lifecycle as operators.dedup._EXPR_MEMO): the
+#: zip_with/aggregate folds cost real py4j latency to BUILD —
+#: measured 129 ms per cosine_micro and 35 ms per l2_norm — and the
+#: similarity operators rebuild them on every query construction.
+#: Expressions here are unresolved, alias-free (callers alias), and
+#: reference only the given column names, so reuse across plans is
+#: safe.
+_EXPR_MEMO: dict = {}
+
+
+def l2_norm_named(col_name: str) -> Column:
+    """l2_norm over a named column — memoized per name."""
+    key = ("l2", col_name)
+    c = _EXPR_MEMO.get(key)
+    if c is None:
+        c = _EXPR_MEMO[key] = l2_norm(F.col(col_name))
+    return c
+
+
+def cosine_micro_named(a_name: str, b_name: str) -> Column:
+    """cosine_micro over two named columns — memoized per name pair."""
+    key = ("cosu", a_name, b_name)
+    c = _EXPR_MEMO.get(key)
+    if c is None:
+        c = _EXPR_MEMO[key] = cosine_micro(F.col(a_name), F.col(b_name))
+    return c
+
+
+def scored_units_named(a_name: str, b_name: str,
+                       a_norm: str, b_norm: str) -> Column:
+    """to_units(dot(a, b) / (a_norm · b_norm), 6) over named columns —
+    the brute-force scorer's expression, memoized per name tuple
+    (norms are precomputed per side, so the pair loop runs ONE fold)."""
+    from .units import to_units
+    key = ("score_u", a_name, b_name, a_norm, b_norm)
+    c = _EXPR_MEMO.get(key)
+    if c is None:
+        c = _EXPR_MEMO[key] = to_units(
+            dot(F.col(a_name), F.col(b_name)) /
+            (F.col(a_norm) * F.col(b_norm)), 6)
+    return c
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic summation order)."""
     prod = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)

@@ -26,8 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.units import to_units
-from ..functions.vector import cosine_micro
+from ..functions.vector import cosine_micro_named
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -69,7 +68,8 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     # (scores are integer micro-units, floor(cos*1e6) — see
     # functions.vector.cosine_micro; fractional ROUND was the
     # HALF_UP cross-engine hazard class).
-    from ..functions.vector import dot, l2_norm
+    from ..functions.vector import (l2_norm_named,
+                                scored_units_named)
     # Zero-norm guard: floor(NaN) is 0 on Spark (ranks mid-list) but a
     # CAST error on DuckDB — drop degenerate vectors before scoring so
     # both engines see only finite cosines (the oracles' _O_EMB
@@ -77,7 +77,7 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     p = probes.select(
         F.col(probe_id_col or id_col).alias("probe_id"),
         F.col(probe_vec_col or vec_col).alias("probe_vec"),
-        l2_norm(F.col(probe_vec_col or vec_col)).alias("probe_norm"),
+        l2_norm_named(probe_vec_col or vec_col).alias("probe_norm"),
         *[F.col(c) for c in probe_payload]).filter(F.col("probe_norm") > 0)
     # Deliberately NOT spread via hints.spread_if_under_split
     # (optimization r12, measured and rejected): the under-split corpus
@@ -88,7 +88,7 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     # both scales).  At real scale the scan is multi-split anyway.
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("vec"),
-                      l2_norm(F.col(vec_col)).alias("norm"),
+                      l2_norm_named(vec_col).alias("norm"),
                       *[F.col(c) for c in corpus_payload]
                       ).filter(F.col("norm") > 0)
     scored = c.crossJoin(F.broadcast(p))
@@ -97,8 +97,8 @@ def brute_force_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     scored = (scored
               .select("probe_id", *probe_payload, "vec_id",
                       *corpus_payload,
-                      to_units(dot(F.col("probe_vec"), F.col("vec")) /
-                               (F.col("probe_norm") * F.col("norm")), 6)
+                      scored_units_named("probe_vec", "vec",
+                                         "probe_norm", "norm")
                       .alias("score_u")))
     if pair_filter is not None:
         scored = scored.filter(pair_filter)
@@ -125,8 +125,7 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, *,
     map-side-combining aggregate (used here)."""
     scored = (df.crossJoin(F.broadcast(centroids))
               .withColumn("_dist",
-                          -cosine_micro(F.col(vec_col),
-                                        F.col(cent_vec_col))))
+                          -cosine_micro_named(vec_col, cent_vec_col)))
     keep = [c for c in df.columns]
     # struct ordering = (distance, centroid id): deterministic argmin
     # even when two centroids tie in micro-unit distance
@@ -153,29 +152,29 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     reusable — at 100 TB you materialize it once (partitioned by
     ``cluster``) and every probe batch joins against it.
     """
-    from ..functions.vector import dot, l2_norm
+    from ..functions.vector import (l2_norm_named,
+                                scored_units_named)
     # zero-norm guard BEFORE seeding centroids too, so a degenerate
     # vector can neither seed a cell nor be scored (see exact_topk)
-    corpus = corpus.filter(l2_norm(F.col(vec_col)) > 0)
+    corpus = corpus.filter(l2_norm_named(vec_col) > 0)
     cents = (corpus.orderBy(id_col).limit(n_centroids)
              .select(F.col(id_col).alias("cent_id"),
                      F.col(vec_col).alias("cent_vec")))
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("vec"),
-                      l2_norm(F.col(vec_col)).alias("norm")),
+                      l2_norm_named(vec_col).alias("norm")),
         cents, vec_col="vec")
     # multi-probe: each probe searches its n_probe nearest cells —
     # recall rises with n_probe at a linear cost in scored candidates
     # (n_probe/n_centroids of the corpus per probe)
     p = probes.select(F.col(id_col).alias("probe_id"),
                       F.col(vec_col).alias("probe_vec"),
-                      l2_norm(F.col(vec_col)).alias("probe_norm")
+                      l2_norm_named(vec_col).alias("probe_norm")
                       ).filter(F.col("probe_norm") > 0)
     p_scored = (p.crossJoin(F.broadcast(cents))
                 .withColumn("_dist",
-                            -cosine_micro(F.col("probe_vec"),
-                                          F.col("cent_vec"))))
+                            -cosine_micro_named("probe_vec", "cent_vec")))
     w = W.partitionBy("probe_id").orderBy("_dist", "cent_id")
     p_cells = (p_scored
                .withColumn("_r", F.row_number().over(w))
@@ -190,8 +189,8 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
         scored = scored.filter(F.col("probe_id") != F.col("vec_id"))
     scored = (scored
               .select("probe_id", "vec_id",
-                      to_units(dot(F.col("probe_vec"), F.col("vec")) /
-                               (F.col("probe_norm") * F.col("norm")), 6)
+                      scored_units_named("probe_vec", "vec",
+                                         "probe_norm", "norm")
                       .alias("score_u")))
     return _rank_topk(scored, k)
 
@@ -223,10 +222,11 @@ def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     identical vectors don't need cosine to be found.  More planes
     shrink buckets sub-quadratically; the cap is the hard bound.
     """
-    from ..functions.vector import dot, l2_norm
+    from ..functions.vector import (l2_norm_named,
+                                scored_units_named)
     v = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
          .withColumn("bucket", sign_bucket(F.col("vec"), n_planes))
-         .withColumn("norm", l2_norm(F.col("vec")))
+         .withColumn("norm", l2_norm_named("vec"))
          .filter(F.col("norm") > 0))  # zero-norm guard (see exact_topk)
     if max_bucket is not None:
         counts = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
@@ -237,8 +237,8 @@ def embedding_neardup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                    (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    to_units(dot(F.col("a.vec"), F.col("b.vec")) /
-                             (F.col("a.norm") * F.col("b.norm")), 6)
+                    scored_units_named("a.vec", "b.vec",
+                                       "a.norm", "b.norm")
                     .alias("cosine_u"))
             .filter(F.col("cosine_u") >= threshold_micro))
 
@@ -252,23 +252,24 @@ def lsh_bucket_topk(corpus: DataFrame, probes: DataFrame, k: int = 5, *,
     At 100 TB the corpus partitions by bucket once (reusable across
     probe batches); each probe touches ~1/2^n_planes of the corpus.
     """
-    from ..functions.vector import dot, l2_norm
+    from ..functions.vector import (l2_norm_named,
+                                scored_units_named)
     c = (corpus.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("vec"))
          .withColumn("bucket", sign_bucket(F.col("vec"), n_planes))
-         .withColumn("norm", l2_norm(F.col("vec")))
+         .withColumn("norm", l2_norm_named("vec"))
          .filter(F.col("norm") > 0))  # zero-norm guard (see exact_topk)
     p = (probes.select(F.col(id_col).alias("probe_id"),
                        F.col(vec_col).alias("probe_vec"))
          .withColumn("bucket", sign_bucket(F.col("probe_vec"), n_planes))
-         .withColumn("probe_norm", l2_norm(F.col("probe_vec")))
+         .withColumn("probe_norm", l2_norm_named("probe_vec"))
          .filter(F.col("probe_norm") > 0))
     scored = c.join(F.broadcast(p), "bucket")
     if exclude_self:
         scored = scored.filter(F.col("probe_id") != F.col("vec_id"))
     scored = (scored
               .select("probe_id", "vec_id",
-                      to_units(dot(F.col("probe_vec"), F.col("vec")) /
-                               (F.col("probe_norm") * F.col("norm")), 6)
+                      scored_units_named("probe_vec", "vec",
+                                         "probe_norm", "norm")
                       .alias("score_u")))
     return _rank_topk(scored, k)
