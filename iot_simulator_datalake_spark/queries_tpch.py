@@ -208,15 +208,58 @@ def tpch_q5_local_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     disc_price = (F.col("l_extendedprice").cast("decimal(18,4)") *
                   (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
-    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+    # Size-gated join order (optimization r12, guide §3.2 "reduce the
+    # big side before shuffling it").  CBO is off, so the WRITTEN
+    # order is the executed order, and the right order flips with
+    # customer's size — measured at three scales (interleaved A/B,
+    # plans/r12/ab_q5.json):
+    #
+    # - customer PROVABLY BROADCASTABLE (sf0.1 scan ~1 MB, ×10 ~30 MB
+    #   ≤ the 64 MB hint gate): the classic shape is optimal — ONE big
+    #   shuffle (lineitem⋈orders), every dim side a broadcast.  The
+    #   selective-first variant was 15% (sf0.1) to 1.6× (×10) SLOWER
+    #   there: it pays an extra orders-sized exchange for pruning the
+    #   big join's probe side, which the broadcast chain got for free.
+    # - customer NOT broadcastable (×100 scan ~300 MB; any real
+    #   scale): the classic shape degrades catastrophically — the
+    #   customer join reshuffles the LINEITEM-SIZED join output by
+    #   custkey (a second full shuffle of the widest stream).
+    #   Selective-first folds region→nation into customer (broadcasts,
+    #   ASIA prunes ~5×), pre-reduces ORDERS by that relation, and the
+    #   lineitem join's output needs no further shuffle — measured
+    #   14.8–18.3 s → 8.5–10.9 s at ×100 (~1.7×).
+    #
+    # The gate is maybe_broadcast's own decision (Catalyst stats vs
+    # the hint gate) — data-derived, the same statistic a CBO would
+    # use, and exercised at test scale via SPARK_GRAFT_BROADCAST_GATE.
+    # Both orders are inner-join-equivalent; BOTH oracle-hash-verified
+    # at sf0.001/0.01/0.1 (the selective-first path via a forced-gate
+    # run) and value-checked at ×100.
+    bc = maybe_broadcast(c)
+    if bc is not c:   # customer provably small → broadcast-chain shape
+        return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+                .join(bc, o["o_custkey"] == c["c_custkey"])
+                .join(maybe_broadcast(s),
+                      (li["l_suppkey"] == s["s_suppkey"]) &
+                      (s["s_nationkey"] == c["c_nationkey"]))
+                .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+                .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+                .groupBy(n["n_name"].alias("nation"))
+                .agg(F.round(F.sum(disc_price), 4).cast("double")
+                     .alias("revenue")))
+    c_asia = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+              .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+              .select(c["c_custkey"], c["c_nationkey"],
+                      n["n_name"].alias("nation")))
+    o_f = o.join(maybe_broadcast(c_asia),
+                 o["o_custkey"] == c_asia["c_custkey"])
+    return (li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"])
             .join(maybe_broadcast(s),
                   (li["l_suppkey"] == s["s_suppkey"]) &
-                  (s["s_nationkey"] == c["c_nationkey"]))
-            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-            .groupBy(n["n_name"].alias("nation"))
-            .agg(F.round(F.sum(disc_price), 4).cast("double").alias("revenue")))
+                  (s["s_nationkey"] == o_f["c_nationkey"]))
+            .groupBy("nation")
+            .agg(F.round(F.sum(disc_price), 4).cast("double")
+                 .alias("revenue")))
 
 
 @q("tpch_q7_volume_shipping", ("J1", "A1", "F2"), oracle="""
